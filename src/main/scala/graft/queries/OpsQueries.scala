@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Scale-extension operator pack: dedup / similarity / text analysis /
+  * multimodal over the `documents` and `embeddings` tables, each with
+  * an exactly-replicating DuckDB oracle (the portable integer hashes
+  * and strict left-to-right double folds in graft.ops exist precisely
+  * so these oracles can be bit-exact).
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactByContentHash(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_ann_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5)
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wordCount(t).as("n_words"),
+        TextOps.totalWordChars(t).as("n_word_chars"),
+        TextOps.punctCount(t).as("n_punct"),
+        TextOps.stopwordHits(TextOps.words(t), TextOps.StopwordProfiles.head._2)
+          .as("n_stopwords_en"),
+        TextOps.qualityBucket(t).as("quality"))
+    }),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        col("lang").as("labeled_lang"))),
+
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).as("n_ws_tokens"),
+        TextOps.regexTokenCount(col("text")).as("n_re_tokens"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    "q_multimodal_meta" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      m.select(
+        col("media_id"),
+        col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        sha2(col("payload"), 256).as("digest"))
+    })
+  )
+
+  // --- oracle SQL (shared fragments + generated long forms) -----------
+
+  /** Whitespace tokens, empties dropped. */
+  private val ws = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** Portable word hash (mirrors TextOps.wordHash), BIGINT. */
+  private def wh(w: String): String =
+    s"(length($w)*10007 + ord(substr($w,1,1))*101 + ord(substr($w,-1,1)))"
+
+  private val shingleStrings =
+    "list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+
+  private val shingleHashes =
+    s"list_distinct(list_transform(range(1, len(ws)-1), i -> ((${wh("ws[i]")}*31 + ${wh("ws[i+1]")})*31 + ${wh("ws[i+2]")}) % 2147483647))"
+
+  private val toksBase =
+    s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        base AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 3)"""
+
+  private def jaccardSql: String =
+    s"""WITH $toksBase,
+        sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        pairs AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS shared
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        sized AS (SELECT p.ida, p.idb, p.shared, sa.n na, sb.n nb FROM pairs p
+                  JOIN (SELECT doc_id, len(ss) n FROM sh) sa ON sa.doc_id = p.ida
+                  JOIN (SELECT doc_id, len(ss) n FROM sh) sb ON sb.doc_id = p.idb)
+        SELECT ida AS doc_id_a, idb AS doc_id_b FROM sized
+        WHERE 2*shared >= (na + nb - shared)"""
+
+  private def minhashSql: String = {
+    val sigTerms = Dedup.MinHashAB.map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, h -> ($a*CAST(h AS BIGINT) + $b) % ${Dedup.MinHashP}), 'min')"
+    }.mkString("[", ",\n          ", "]")
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val key = (1 to Dedup.RowsPerBand)
+        .map(r => s"CAST(sig[${b * Dedup.RowsPerBand + r}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH $toksBase,
+        sh AS (SELECT doc_id, $shingleStrings AS ss, $shingleHashes AS hs FROM base),
+        sig AS (SELECT doc_id, $sigTerms AS sig FROM sh),
+        bands AS ($bandRows),
+        cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        ver AS (SELECT ida, idb,
+                  len(list_intersect(sa.ss, sb.ss)) AS shared,
+                  len(sa.ss) AS na, len(sb.ss) AS nb
+                FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
+        SELECT ida AS doc_id_a, idb AS doc_id_b FROM ver
+        WHERE 2*shared >= (na + nb - shared)"""
+  }
+
+  private def simhashSql: String = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(ws, w -> ((${wh("w")} >> $b) & 1)*2 - 1)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks)
+        SELECT doc_id, simhash, simhash >> 16 AS simhash_bucket FROM sh"""
+  }
+
+  private def annSql: String = {
+    val dot = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    val qn = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
+    val nn = (1 to 64)
+      .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        s AS (SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
+              FROM c, q WHERE nid <> qid)
+        SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
+          (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
+        WHERE rn <= 5"""
+  }
+
+  private val stopEn = TextOps.StopwordProfiles.head._2.map(s => s"'$s'").mkString(", ")
+
+  private def langScores: String =
+    TextOps.StopwordProfiles.map { case (lang, sws) =>
+      val list = sws.map(s => s"'$s'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n          ")
+
+  private def langCase: String = {
+    val langs = TextOps.StopwordProfiles.map(_._1)
+    val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val whens = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q_dedup_jaccard" -> jaccardSql,
+    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_simhash" -> simhashSql,
+    "q_ann_cosine" -> annSql,
+    "q_text_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
+          SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+            CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS n_punct,
+            CAST(len(list_filter(ws, w -> w IN ($stopEn))) AS BIGINT) AS n_stopwords_en,
+            CASE WHEN len(ws) >= 30 AND len(list_filter(ws, w -> w IN ($stopEn)))*10 >= len(ws) THEN 'high'
+                 WHEN len(ws) >= 10 THEN 'medium' ELSE 'low' END AS quality
+          FROM toks""",
+    "q_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $ws AS ws FROM documents),
+          scored AS (SELECT doc_id, lang, $langScores FROM toks)
+          SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM scored""",
+    "q_token_count" ->
+      s"""SELECT doc_id,
+            CAST(len($ws) AS BIGINT) AS n_ws_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_re_tokens
+          FROM documents""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT), list_transform($ws, w -> CAST(${wh("w")} AS BIGINT))),
+              (acc, x) -> (acc*31 + x) % 1000000007) AS fp
+          FROM documents""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS format,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         sha256(text) AS digest
+         FROM documents"""
+  )
+}
