@@ -1,0 +1,81 @@
+package graft.jobs
+
+import java.sql.Date
+import java.time.{LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.source.github.{GithubAuth, GithubSource}
+import graft.sink.SnapshotWriter
+import graft.transform.GithubTransform
+
+/** Full ETL run reproducing the reference's `_main()` contract
+  * (main.py:746-904): env-driven config, per-repo loop, run-scoped
+  * snapshot date, fail-fast error taxonomy (config error → exit 1;
+  * API error → propagated job abort).
+  *
+  * Env contract (X6):
+  *  - `GITHUB_REPOS` (required): comma-separated, trimmed;
+  *  - `GRAFT_OUTPUT_DIR` (required): snapshot table root (the local /
+  *    object-store stand-in for the reference's BigQuery dataset);
+  *  - `GITHUB_APP_ID` + `GITHUB_PRIVATE_KEY` (optional; warn when
+  *    absent and proceed unauthenticated, main.py:774-778);
+  *  - `GITHUB_API_URL` (optional override, main.py:799-801);
+  *  - `GITHUB_TOKEN` (optional pre-minted token, test convenience).
+  */
+object EtlJob {
+
+  def main(args: Array[String]): Unit =
+    try run(sys.env)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"Configuration error: ${e.getMessage}")
+        sys.exit(1)
+    }
+
+  def run(env: Map[String, String], sparkOpt: Option[SparkSession] = None): Unit = {
+    val repos = env.getOrElse("GITHUB_REPOS",
+      throw new IllegalArgumentException("GITHUB_REPOS environment variable is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    if (repos.isEmpty)
+      throw new IllegalArgumentException("GITHUB_REPOS contains no repositories")
+    val outDir = env.getOrElse("GRAFT_OUTPUT_DIR",
+      throw new IllegalArgumentException("GRAFT_OUTPUT_DIR environment variable is required"))
+
+    val appId = env.get("GITHUB_APP_ID")
+    val pem = env.get("GITHUB_PRIVATE_KEY").map(GithubAuth.normalizePem)
+    if (appId.isEmpty || pem.isEmpty)
+      System.err.println(
+        "WARNING: GITHUB_APP_ID/GITHUB_PRIVATE_KEY not set; proceeding without App auth")
+
+    val opts = GithubSource.Options(
+      apiUrl = env.getOrElse("GITHUB_API_URL", "https://api.github.com"),
+      appId = appId,
+      privateKeyPem = pem,
+      token = env.get("GITHUB_TOKEN"))
+
+    val spark = sparkOpt.getOrElse(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one snapshot date per run, computed up front so a run crossing
+    // midnight stays consistent (main.py:827, 700-702)
+    val snapshotDate = Date.valueOf(LocalDate.now(ZoneOffset.UTC))
+
+    for (repo <- repos) {
+      // dynamic partition overwrite makes the rerun-delete implicit;
+      // the probe is informational parity with main.py:833-839
+      val existed = SnapshotWriter.snapshotExists(spark, outDir, repo, snapshotDate)
+      if (existed)
+        println(s"[etl] snapshot ($snapshotDate, $repo) exists; overwriting partitions")
+      val raw = GithubSource.read(spark, repo, opts)
+      val tables = GithubTransform(raw, repo, snapshotDate)
+      SnapshotWriter.write(tables, outDir)
+      println(s"[etl] $repo: wrote snapshot $snapshotDate")
+    }
+  }
+}

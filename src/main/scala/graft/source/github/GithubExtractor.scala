@@ -1,0 +1,135 @@
+package graft.source.github
+
+import java.net.{URI, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import scala.jdk.CollectionConverters._
+
+/** Paginated PR extraction with per-PR enrichment, mirroring the
+  * reference generator (main.py:176-377):
+  *
+  *  - `GET /repos/{repo}/pulls?state=all&sort=created&direction=asc&
+  *    per_page=N`, following the RFC-5988 `Link: rel="next"` header by
+  *    extracting its `page` parameter (stop on missing/invalid page,
+  *    empty batch, or no next link);
+  *  - per PR (skipping PRs without `number` — they stay in the batch
+  *    unenriched, main.py:228-230): commits list + per-commit detail
+  *    fetch merged as `files`, reviews filtered to non-null `user`,
+  *    issue comments filtered to non-null `user` and non-empty `body`;
+  *  - `refreshAuth` invoked before every page fetch so 1-hour
+  *    installation tokens can't expire mid-scan (main.py:213-215).
+  *
+  * Yields chunks of enriched PR documents as single-line JSON strings
+  * (chunk = one API page), ready for `from_json` with
+  * [[graft.model.GithubSchemas.rawPullRequest]].
+  */
+class GithubExtractor(
+    http: GithubHttp,
+    apiUrl: String,
+    authHeaders: () => Map[String, String] = () => Map.empty) {
+
+  private val mapper = new ObjectMapper
+
+  private def getJson(url: String): JsonNode =
+    mapper.readTree(http.get(url, authHeaders()).body)
+
+  /** Commits for a PR, each enriched with the detail fetch's `files`
+    * array (main.py:274-307).
+    */
+  def extractCommits(repo: String, prNumber: Long): ArrayNode = {
+    val commits = getJson(s"$apiUrl/repos/$repo/pulls/$prNumber/commits")
+      .asInstanceOf[ArrayNode]
+    commits.elements.asScala.foreach { commit =>
+      val sha = Option(commit.get("sha")).map(_.asText).getOrElse("")
+      val detail = getJson(s"$apiUrl/repos/$repo/commits/$sha")
+      val files = Option(detail.get("files"))
+        .getOrElse(mapper.createArrayNode)
+      commit.asInstanceOf[ObjectNode].set[JsonNode]("files", files)
+    }
+    commits
+  }
+
+  /** Reviews with null users dropped (main.py:310-341). */
+  def extractReviewers(repo: String, prNumber: Long): ArrayNode = {
+    val reviews = getJson(s"$apiUrl/repos/$repo/pulls/$prNumber/reviews")
+    val out = mapper.createArrayNode
+    reviews.elements.asScala
+      .filter(r => r.hasNonNull("user"))
+      .foreach(out.add)
+    out
+  }
+
+  /** Issue comments with null user or null/empty body dropped
+    * (main.py:344-377).
+    */
+  def extractComments(repo: String, prNumber: Long): ArrayNode = {
+    val comments = getJson(s"$apiUrl/repos/$repo/issues/$prNumber/comments")
+    val out = mapper.createArrayNode
+    comments.elements.asScala
+      .filter(c => c.hasNonNull("user") &&
+        c.hasNonNull("body") && c.get("body").asText.nonEmpty)
+      .foreach(out.add)
+    out
+  }
+
+  /** Parse the `page` query param out of the Link rel="next" URL;
+    * None reproduces every reference stop condition
+    * (main.py:244-268).
+    */
+  private[github] def nextPage(linkHeader: Option[String]): Option[Int] = for {
+    link <- linkHeader
+    nextUrl <- link.split(",").collectFirst {
+      case part if part.contains("rel=\"next\"") =>
+        part.trim.stripPrefix("<").takeWhile(_ != '>')
+    }
+    query <- Option(URI.create(nextUrl).getRawQuery)
+    pageVal <- query.split("&").collectFirst {
+      case kv if kv.startsWith("page=") =>
+        URLDecoder.decode(kv.drop(5), UTF_8)
+    }
+    page <- pageVal.toIntOption if page > 0
+  } yield page
+
+  /** Chunked extraction: one `Seq[String]` of enriched PR JSON per
+    * API page.
+    */
+  def pages(
+      repo: String,
+      chunkSize: Int = 100,
+      refreshAuth: () => Unit = () => ()): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private var page: Option[Int] = Some(1)
+      private var first = true
+
+      override def hasNext: Boolean = page.isDefined
+
+      override def next(): Seq[String] = {
+        val p = page.getOrElse(throw new NoSuchElementException)
+        refreshAuth()
+        val url = s"$apiUrl/repos/$repo/pulls?state=all&per_page=$chunkSize" +
+          s"&sort=created&direction=asc" + (if (first) "" else s"&page=$p")
+        first = false
+        val resp = http.get(url, authHeaders())
+        val batch = mapper.readTree(resp.body).asInstanceOf[ArrayNode]
+        val enriched = batch.elements.asScala.map { pr =>
+          val number = Option(pr.get("number")).filter(n => n.canConvertToLong && n.asLong != 0L)
+          number match {
+            case Some(n) =>
+              val obj = pr.asInstanceOf[ObjectNode]
+              obj.set[JsonNode]("commit_data", extractCommits(repo, n.asLong))
+              obj.set[JsonNode]("reviewer_data", extractReviewers(repo, n.asLong))
+              obj.set[JsonNode]("comment_data", extractComments(repo, n.asLong))
+            case None => // stays in batch unenriched (main.py:228-230)
+          }
+          mapper.writeValueAsString(pr)
+        }.toSeq
+        page =
+          if (batch.size == 0) None
+          else nextPage(resp.header("Link"))
+        if (enriched.isEmpty && page.isEmpty) Seq.empty else enriched
+      }
+    }.filter(_.nonEmpty)
+}
