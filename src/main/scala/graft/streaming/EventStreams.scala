@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference's hand-rolled chunk loop (extract 100 → transform →
+  * load, main.py:871-898) is exactly Spark's micro-batch model; these
+  * are the idiomatic equivalents for a live event feed, plus the
+  * stateful operators a training-data pipeline needs (sessionization).
+  *
+  * Scale notes: both operators shuffle once on their grouping key.
+  * Watermarks bound state size — without them, windowed state grows
+  * unboundedly at 100 TB/day rates. Session state is explicitly
+  * timed out via the event-time watermark for the same reason.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation with late-data handling:
+    * the streaming twin of CoreQueries.q_event_hourly. `append` mode
+    * emits a window only once its watermark passes — exactly-once
+    * per-window results downstream.
+    */
+  def hourlyCounts(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  /** Internal running-session state (public: the state encoder's
+    * generated code must be able to construct it).
+    */
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives within `gapMillis` of the last one
+    * (enforced by event-time timeout against the watermark). Emits one
+    * summary row per closed session.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def summary(s: SessionState) = SessionSummary(
+            userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(summary).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= summary(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

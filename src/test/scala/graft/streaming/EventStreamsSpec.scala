@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def ev(id: Long, t: String, user: Long, typ: String, v: Double): EventStreams.Event =
+    EventStreams.Event(id, ts(t), user, typ, v)
+
+  test("hourly windowed aggregation with watermark emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.hourlyCounts(input.toDF(), watermarkDelay = "5 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hourly").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.5),
+        ev(2, "2024-01-01 10:45:00", 2, "click", 2.5),
+        ev(3, "2024-01-01 10:50:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark past 11:05 so the 10:00 window closes
+      input.addData(ev(4, "2024-01-01 11:30:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 12:30:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10", "click", 2L, 4.0)))
+      assert(rows.contains(("2024-01-01 10", "view", 1L, 1.0)))
+      // late event older than watermark is dropped
+      input.addData(ev(6, "2024-01-01 10:10:00", 3, "click", 9.9))
+      q.processAllAvailable()
+      val after = spark.table("hourly").collect().length
+      assert(after == rows.size || after == rows.size + 1) // 11:00 window may close; 10:00 never reopens
+      assert(!spark.table("hourly").collect()
+        .exists(r => r.getString(0) == "2024-01-01 10" && r.getLong(2) == 3L))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMillis = 10 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    try {
+      // user 1: two bursts separated by > gap → first closes in-batch
+      input.addData(
+        ev(1, "2024-01-01 09:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 09:05:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 09:30:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark far ahead → open sessions time out
+      input.addData(ev(9, "2024-01-01 12:00:00", 2, "click", 0.5))
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 13:00:00", 2, "click", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[EventStreams.SessionSummary].collect()
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2)
+      assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+      assert(u1(0).session_end == ts("2024-01-01 09:05:00"))
+      assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
+    } finally q.stop()
+  }
+}
