@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{AsOf, Similarity}
+
+/** Third operator pack: as-of join, embedding near-dup pairs, JSON
+  * extraction, rollup, distinct counting, exact positional median.
+  * Same oracle-parity discipline as CoreQueries/OpsQueries.
+  */
+object ExtQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of (backward) join: each event picks up the latest order of
+    // "its" customer at event time. Composed union+window operator —
+    // one shuffle, no range explosion (see graft.ops.AsOf).
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"))
+      AsOf.joinBackward(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+        payload = Seq("o_orderdate"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("o_orderdate_asof"), "yyyy-MM-dd").as("last_order_date"))
+    }),
+
+    // Embedding near-duplicate pairs at cosine >= 0.45 — exact
+    // all-pairs baseline with hoisted norms and the custom
+    // FloatDotProduct expression; LSH blocking is the scale path.
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      Similarity.cosinePairs(e, threshold = 0.45)
+    }),
+
+    // §2.8 JSON surface: typed scalar extraction from a JSON column.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))),
+
+    // Hierarchical aggregate (rollup) with decimal-exact sums.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
+    // Distinct aggregation (two-phase partial at scale).
+    "q_count_distinct" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))),
+
+    // Exact positional (discrete) median per group — value at row
+    // ceil(n/2) of the sorted partition; engine-portable, unlike
+    // interpolated percentiles.
+    "q_median_disc" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wc = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
+    })
+  )
+
+  private def annPairsSql: String = {
+    val dot = (1 to 64)
+      .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
+    val na = (1 to 64)
+      .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(a.v[$i] AS DOUBLE)").mkString(" + ")
+    val nb = (1 to 64)
+      .map(i => s"CAST(b.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings)
+        SELECT a.id AS vec_id_a, b.id AS vec_id_b
+        FROM e a JOIN e b ON a.id < b.id
+        WHERE ($dot) / (sqrt($na) * sqrt($nb)) >= 0.45"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT event_id, user_id, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+         FROM events ASOF LEFT JOIN orders
+         ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate""",
+    "q_dedup_embedding" -> annPairsSql,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+         FROM events""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q_median_disc" ->
+      """SELECT l_returnflag, l_extendedprice AS median_price FROM
+         (SELECT l_returnflag, l_extendedprice,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM lineitem) t
+         WHERE rn = (cnt + 1) // 2"""
+  )
+}
