@@ -72,10 +72,18 @@ object EtlJob {
       val existed = SnapshotWriter.snapshotExists(spark, outDir, repo, snapshotDate)
       if (existed)
         println(s"[etl] snapshot ($snapshotDate, $repo) exists; overwriting partitions")
-      val raw = GithubSource.read(spark, repo, opts)
-      val tables = GithubTransform(raw, repo, snapshotDate)
-      SnapshotWriter.write(tables, outDir)
-      println(s"[etl] $repo: wrote snapshot $snapshotDate")
+      if (env.get("GRAFT_CHUNKED").contains("1")) {
+        // reference-faithful bounded-memory mode: extract page →
+        // transform → append, one chunk at a time (main.py:871-898)
+        val stats = ChunkedEtl.run(spark, repo, opts, outDir, snapshotDate)
+        println(s"[etl] $repo: wrote snapshot $snapshotDate " +
+          s"(${stats.chunks} chunks, ${stats.prs} PRs)")
+      } else {
+        val raw = GithubSource.read(spark, repo, opts)
+        val tables = GithubTransform(raw, repo, snapshotDate)
+        SnapshotWriter.write(tables, outDir)
+        println(s"[etl] $repo: wrote snapshot $snapshotDate")
+      }
     }
   }
 }

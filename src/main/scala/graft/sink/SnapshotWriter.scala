@@ -48,6 +48,39 @@ object SnapshotWriter {
     }
   }
 
+  /** Explicit partition delete (reference K1 DELETE, main.py:604-638):
+    * removes the (snapshot_date, repo) partition directory of every
+    * table. ChunkedEtl calls this once up front so per-chunk appends
+    * are idempotent under rerun even when a table is empty in the
+    * first chunk (dynamic overwrite alone can't clear a partition it
+    * writes no rows to).
+    */
+  def deleteSnapshot(
+      spark: SparkSession,
+      rootDir: String,
+      repo: String,
+      snapshotDate: Date): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val escapedRepo = java.net.URLEncoder.encode(repo, "UTF-8")
+    for (table <- TableNames) {
+      val dir = new org.apache.hadoop.fs.Path(
+        s"$rootDir/$table/snapshot_date=$snapshotDate/target_repository=$escapedRepo")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
+  /** Per-chunk append (reference WRITE_APPEND, main.py:673-677): used
+    * by ChunkedEtl after the up-front deleteSnapshot.
+    */
+  def appendTable(df: DataFrame, path: String): Unit =
+    if (!df.isEmpty) {
+      df.write
+        .mode("append")
+        .partitionBy("snapshot_date", "target_repository")
+        .parquet(path)
+    }
+
   /** S7 existence probe: partition-pruned scan, LIMIT 1 — metadata +
     * at most one row group touched (main.py:552-601).
     */

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.source.github.{GithubSource, MockGithubServer}
+
+class ExtOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("SQL registration: custom expressions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+      .createOrReplaceTempView("sqldocs")
+    val row = spark.sql(
+      """SELECT graft_word_shingles(filter(split(text, ' '), w -> w != '')) AS ss,
+                graft_shingle_hashes(filter(split(text, ' '), w -> w != '')) AS hs
+         FROM sqldocs""").collect().head
+    assert(row.getAs[scala.collection.Seq[String]]("ss") ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(row.getAs[scala.collection.Seq[Long]]("hs").length == 3)
+
+    val dot = spark.sql(
+      """SELECT graft_float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+                graft_float_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n""")
+      .collect().head
+    assert(dot.getDouble(0) == 11.0)
+    assert(dot.getDouble(1) == 5.0)
+  }
+
+  test("salted aggregation equals plain aggregation (skew-immune form)") {
+    // zipfian: one hot key with 10k rows, 10 cold keys
+    val rows = (1 to 10000).map(i => ("hot", (i % 7).toDouble)) ++
+      (1 to 10).flatMap(k => Seq((s"cold$k", k.toDouble)))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy($"k")
+      .agg(sum($"v".cast("decimal(18,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", saltBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("chunked ETL: bounded-memory per-page loop equals collect-all mode") {
+    val server = new MockGithubServer
+    server.start()
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-chunked").toString
+      val opts = GithubSource.Options(apiUrl = server.url, chunkSize = 3)
+      val stats = graft.jobs.ChunkedEtl.run(
+        spark, "o/r", opts, out, java.sql.Date.valueOf("2024-06-01"))
+      assert(stats.chunks == 2 && stats.prs == 5)
+      assert(spark.read.parquet(s"$out/pull_requests").count() == 4)
+      assert(spark.read.parquet(s"$out/commits").count() == 16)
+      // rerun: first chunk's dynamic overwrite clears the partitions,
+      // appends rebuild them — same totals, no duplicates
+      val stats2 = graft.jobs.ChunkedEtl.run(
+        spark, "o/r", opts, out, java.sql.Date.valueOf("2024-06-01"))
+      assert(stats2.chunks == 2)
+      assert(spark.read.parquet(s"$out/pull_requests").count() == 4)
+      assert(spark.read.parquet(s"$out/commits").count() == 16)
+    } finally server.stop()
+  }
+}
