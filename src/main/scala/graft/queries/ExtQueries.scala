@@ -56,6 +56,21 @@ object ExtQueries {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))),
 
+    // Approximate aggregates (sketches): HLL distinct count and KLL
+    // quantiles. No DuckDB oracle — sketch internals differ across
+    // engines — so the driver records the weaker rows-only check; the
+    // exact twins (q_count_distinct, q_median_disc) carry the
+    // hash-verified correctness for the same questions.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))),
+
+    "q_approx_quantiles" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90"))),
+
     // Exact positional (discrete) median per group — value at row
     // ceil(n/2) of the sorted partition; engine-portable, unlike
     // interpolated percentiles.

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ops.{AsOf, Dedup}
+import graft.transform.GithubTransform
+
+/** Property-based checks: operators are compared against independent,
+  * obviously-correct Scala reimplementations of the reference
+  * semantics on randomized inputs (coverage the reference's own test
+  * suite never had).
+  */
+object PropertySpec extends Properties("graft") {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // --- bug-id extraction vs independent regex model -------------------
+
+  /** Direct port of the reference algorithm (main.py:25,449-454) with
+    * BigInt (= Python int) arithmetic.
+    */
+  def referenceBugId(title: String): Option[Long] = {
+    val re = "(?i)\\b(?:bug|b=)\\s*#?(\\d+)\\b".r
+    re.findAllMatchIn(title)
+      .map(_.group(1))
+      .filter(d => BigInt(d) < BigInt(100000000))
+      .map(_.toLong)
+      .nextOption()
+  }
+
+  val titleGen: Gen[String] = Gen.listOfN(4, Gen.oneOf(
+    Gen.oneOf("fix", "update docs", "refactor thing", "b=x", "bug", "Bug #", "BUG"),
+    Gen.choose(0L, 200000000L).map(_.toString),
+    Gen.oneOf("bug 123", "Bug 99999999", "bug 100000000", "b=0042",
+      "bug 999999999999999999999999", "no-match 555"))).map(_.mkString(" "))
+
+  property("bugId matches reference algorithm") =
+    Prop.forAll(Gen.listOfN(20, titleGen)) { titles =>
+      val df = titles.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val got = df.select(col("id"), GithubTransform.bugId(col("t")).as("b"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("b")).map(_.longValue))
+        .toMap
+      val want = titles.zipWithIndex.map { case (t, i) => i.toLong -> referenceBugId(t) }.toMap
+      got == want
+    }
+
+  // --- jaccard pairs vs brute-force set model -------------------------
+
+  val docGen: Gen[String] = Gen.choose(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "ff", "gg")).map(_.mkString(" ")))
+
+  def bruteJaccardPairs(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      inter = (sa & sb).size
+      if 2L * inter >= (sa.size + sb.size - inter)
+    } yield (ia, ib)).toSet
+  }
+
+  property("jaccardPairs equals brute-force sets") =
+    Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == bruteJaccardPairs(docs)
+    }
+
+  // --- as-of join vs per-row scan model -------------------------------
+
+  val rowsGen: Gen[List[(Long, Long)]] = Gen.choose(1, 15).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L))))
+
+  property("asof join equals brute-force latest-le scan") =
+    Prop.forAll(rowsGen, rowsGen) { (leftRows, rightRows) =>
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new Timestamp(t * 1000)) }
+      val right = rightRows.map { case (k, t) => (k, new Timestamp(t * 1000)) }
+      val got = AsOf.joinBackward(
+        left.toDF("id", "k", "t"), "k", "t",
+        right.toDF("rk", "rt"), "rk", "rt", Seq("rt"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[Timestamp]("rt_asof")).map(_.getTime))
+        .toMap
+      val want = left.map { case (id, k, t) =>
+        id -> right.filter(r => r._1 == k && !r._2.after(t)).map(_._2.getTime)
+          .sorted.lastOption
+      }.toMap
+      got == want
+    }
+}
