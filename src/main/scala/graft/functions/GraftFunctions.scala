@@ -17,15 +17,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      require(es.length == n, s"$name expects $n argument(s), got ${es.length}")
+      f(es)
+    }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_word_shingles" ->
-      ((es: Seq[Expression]) => ShingleExpressions.DistinctWordShingles(es.head)),
-    "graft_shingle_hashes" ->
-      ((es: Seq[Expression]) => ShingleExpressions.DistinctShingleHashes(es.head)),
-    "graft_float_dot" ->
-      ((es: Seq[Expression]) => VectorExpressions.FloatDotProduct(es(0), es(1))),
-    "graft_float_norm" ->
-      ((es: Seq[Expression]) => VectorExpressions.FloatL2Norm(es.head)))
+    "graft_word_shingles" -> arity("graft_word_shingles", 1)(
+      es => ShingleExpressions.DistinctWordShingles(es.head)),
+    "graft_shingle_hashes" -> arity("graft_shingle_hashes", 1)(
+      es => ShingleExpressions.DistinctShingleHashes(es.head)),
+    "graft_float_dot" -> arity("graft_float_dot", 2)(
+      es => VectorExpressions.FloatDotProduct(es(0), es(1))),
+    "graft_float_norm" -> arity("graft_float_norm", 1)(
+      es => VectorExpressions.FloatL2Norm(es.head)))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

@@ -32,8 +32,14 @@ import org.apache.spark.sql.GraftColumnBridge
   */
 object ShingleExpressions {
 
+  /** Null/empty-safe (SQL callers aren't pre-filtered like
+    * TextOps.words output): both hash to 0, matching `ascii('')` = 0
+    * semantics.
+    */
   private[functions] def wordHash(w: UTF8String): Long = {
+    if (w == null) return 0L
     val s = w.toString
+    if (s.isEmpty) return 0L
     val first = s.codePointAt(0)
     val last = s.codePointBefore(s.length)
     s.codePointCount(0, s.length).toLong * 10007L + first.toLong * 101L + last.toLong
@@ -88,9 +94,45 @@ object ShingleExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** 32-bit SimHash over a token array in ONE pass: each word hashes
+    * once and votes ±1 on all 32 bits; bit b of the result is set iff
+    * its vote sum is positive. Replaces 32 separate interpreted
+    * `aggregate()` walks (one per bit) with a single tight loop —
+    * identical values, same contract as the DuckDB oracle.
+    */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Long](32)
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = wordHash(arr.getUTF8String(i))
+        var b = 0
+        while (b < 32) {
+          votes(b) += ((h >> b) & 1L) * 2L - 1L
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 32) {
+        if (votes(b) > 0) out |= 1L << b
+        b += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   def distinctWordShingles(words: Column): Column =
     GraftColumnBridge.column(DistinctWordShingles(GraftColumnBridge.expression(words)))
 
   def distinctShingleHashes(words: Column): Column =
     GraftColumnBridge.column(DistinctShingleHashes(GraftColumnBridge.expression(words)))
+
+  def simHash32(words: Column): Column =
+    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(words)))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.GithubSchemas
 import graft.sink.SnapshotWriter
-import graft.source.github.{GithubExtractor, GithubHttp, GithubSource, GithubTokenManager}
+import graft.source.github.GithubSource
 import graft.transform.GithubTransform
 
 /** Memory-bounded chunked ETL — the faithful analogue of the
@@ -37,23 +37,13 @@ object ChunkedEtl {
       chunkSize: Int = 100): ChunkStats = {
     import spark.implicits._
 
-    val http = new GithubHttp()
-    val tokenManager = for {
-      id <- opts.appId; pem <- opts.privateKeyPem
-    } yield new GithubTokenManager(id, pem, opts.apiUrl, http)
-    @volatile var currentToken: Option[String] = opts.token
-    val extractor = new GithubExtractor(http, opts.apiUrl,
-      () => Map("Accept" -> "application/vnd.github+json",
-        "X-GitHub-Api-Version" -> "2022-11-28") ++
-        currentToken.map(t => "Authorization" -> s"Bearer $t"))
+    val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
 
     SnapshotWriter.deleteSnapshot(spark, outDir, repo, snapshotDate)
 
     var chunks = 0
     var prs = 0L
-    extractor.pages(repo, chunkSize,
-      () => tokenManager.foreach(tm => currentToken = Some(tm.token(repo)))
-    ).foreach { chunk =>
+    extractor.pages(repo, chunkSize, refreshAuth).foreach { chunk =>
       val raw: DataFrame = spark.read
         .schema(GithubSchemas.rawPullRequest).json(chunk.toDS)
       val tables = GithubTransform(raw, repo, snapshotDate)

@@ -81,6 +81,10 @@ object EtlJob {
       } else {
         val raw = GithubSource.read(spark, repo, opts)
         val tables = GithubTransform(raw, repo, snapshotDate)
+        // explicit up-front delete (K1): dynamic overwrite alone can't
+        // clear a partition for a table whose new DataFrame is empty,
+        // which would leave stale rows on rerun
+        SnapshotWriter.deleteSnapshot(spark, outDir, repo, snapshotDate)
         SnapshotWriter.write(tables, outDir)
         println(s"[etl] $repo: wrote snapshot $snapshotDate")
       }

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * order is tie-broken by `rightTieBreaker` if given; with payloads
   * that are functions of (key, time) only, ties cannot change the
   * result.
+  *
+  * The payload is carried as ONE struct per right row (null for left
+  * rows), so the match is atomic: a right row whose payload field is
+  * null yields null for that field — `last(field, ignoreNulls)`
+  * per-column would instead resurrect an older row's value and could
+  * emit a composite row that never existed.
   */
 object AsOf {
 
@@ -46,13 +52,16 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val tie = rightTieBreaker.toSeq
 
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+
     val taggedLeft = left
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__tag")) ++
         leftCols.map(col) ++
-        payload.map(p => lit(null).as(s"__p_$p")) ++
+        Seq(lit(null).cast(payloadSchema).as("__p")) ++
         tie.map(_ => lit(null).cast("long").as("__tie")): _*)
 
     val taggedRight = right
@@ -61,7 +70,7 @@ object AsOf {
       .withColumn("__tag", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__tag")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(p => col(p).as(s"__p_$p")) ++
+        Seq(struct(payload.map(col): _*).as("__p")) ++
         tie.map(t => col(t).cast("long").as("__tie")): _*)
 
     val orderCols: Seq[Column] =
@@ -71,12 +80,10 @@ object AsOf {
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, p) => df.withColumn(p + "_asof",
-        last(col(s"__p_$p"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(p + "_asof")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__match.$p").as(p + "_asof")): _*)
   }
 }

@@ -76,10 +76,12 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate top-k: candidates share the query's hyperplane
-    * bucket; exact cosine rank within candidates. At 100 TB the
-    * bucket join replaces the cross join — candidates per query drop
-    * from |corpus| to |corpus| / 2^nPlanes in expectation.
+  /** Approximate top-k with multiprobe: candidates share the query's
+    * hyperplane bucket OR any 1-bit-flip neighbor of it (queries near
+    * a hyperplane would otherwise miss neighbors across it). Exact
+    * cosine rank within candidates. At 100 TB the bucket join
+    * replaces the cross join — candidates per query drop from
+    * |corpus| to ~(nPlanes+1)·|corpus| / 2^nPlanes in expectation.
     */
   def lshTopK(
       queries: DataFrame, // (qid, qv)
@@ -87,8 +89,15 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       dim: Int = 64): DataFrame = {
-    val qb = queries.withColumn("bucket", hyperplaneBucket(col("qv"), nPlanes, dim))
+    // probe buckets: exact + one per flipped plane bit; a corpus row
+    // has a single bucket, so a (qid, nid) pair can match at most one
+    // probe — no candidate dedup needed
+    val probes = (c: Column) =>
+      array(c +: (0 until nPlanes).map(p => c.bitwiseXOR(lit(1L << p))): _*)
+    val qb = queries
       .withColumn("qnorm", norm(col("qv")))
+      .withColumn("bucket",
+        explode(probes(hyperplaneBucket(col("qv"), nPlanes, dim))))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col("nv"), nPlanes, dim))
       .withColumn("nnorm", norm(col("nv")))
     val joined = cb.join(broadcast(qb), "bucket")

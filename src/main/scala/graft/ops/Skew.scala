@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation.
+  /** Two-phase salted sum/count aggregation with DECIMAL-exact sums:
+    * equivalent to `sum(CAST(value AS DECIMAL(28,6)))` + `count(*)`
+    * per key (values with more than 6 decimal places are rounded by
+    * that cast — the decimal route is what makes the result
+    * independent of partitioning/salting, which a double sum is not).
     *
-    * Equivalent to `df.groupBy(key).agg(sum(value), count(*))` but
-    * immune to single-key skew. The salt is deterministic
-    * (`pmod(hash(row-cols), buckets)` would be nondeterministic under
-    * retries for nondeterministic inputs, so we use a stable row
-    * expression supplied by the caller — default: spark_partition_id
-    * is NOT used for exactly that reason).
+    * The default salt spreads rows round-robin-style via
+    * `monotonically_increasing_id`. Salt values only affect row
+    * DISTRIBUTION, never the re-aggregated result (the aggregate is
+    * algebraic), so the id's nondeterminism under task retries is
+    * harmless — while hashing the value column would collapse to a
+    * single bucket exactly in the constant-value hot-key case this
+    * helper exists for.
     */
   def saltedSumCount(
       df: DataFrame,
@@ -32,11 +37,12 @@ object Skew {
       valueCol: String,
       saltBuckets: Int = 16,
       saltExpr: Option[Column] = None): DataFrame = {
-    val salt = saltExpr.getOrElse(pmod(xxhash64(col(valueCol)), lit(saltBuckets)))
+    val salt = saltExpr.getOrElse(
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     df.withColumn("__salt", salt)
       .groupBy(col(keyCol), col("__salt"))
       .agg(
-        sum(col(valueCol).cast("decimal(18,2)")).as("__psum"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("__psum"),
         count(lit(1)).as("__pcnt"))
       .groupBy(col(keyCol))
       .agg(

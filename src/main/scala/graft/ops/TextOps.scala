@@ -56,16 +56,12 @@ object TextOps {
   /** 32-bit SimHash over word tokens: bit b of the signature is the
     * sign of the per-bit vote sum across token hashes. Near-duplicate
     * documents land at small Hamming distance; `simHashBucket` gives
-    * a blocking key for candidate generation at scale.
+    * a blocking key for candidate generation at scale. Backed by the
+    * single-pass custom expression (one wordHash per token, all 32
+    * bit votes in one loop).
     */
-  def simHash32(text: Column): Column = {
-    val ws = words(text)
-    (0 until 32).map { b =>
-      val vote = aggregate(ws, lit(0L),
-        (acc, w) => acc + (shiftright(wordHash(w), b).bitwiseAND(lit(1L)) * 2L - 1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simHash32(text: Column): Column =
+    graft.functions.ShingleExpressions.simHash32(words(text))
 
   /** Top-16-bit SimHash block key (coarse LSH-style blocking). */
   def simHashBucket(text: Column): Column = shiftright(simHash32(text), 16)

@@ -63,14 +63,22 @@ object CoreQueries {
 
     // P2 — the reference's bug-id chain shape: regexp_extract_all →
     // array filter with numeric guard → first survivor → long
-    // (reference main.py:449-454). Pure codegen'd expressions.
+    // (reference main.py:449-454). The cast is guarded the same way
+    // as GithubTransform.digitsToLong: a digit run too long for int64
+    // clamps to Long.MaxValue instead of throwing under ANSI mode.
     "q_regex_extract" -> ((s, d) => {
+      def digitsToLong(x: Column): Column = {
+        val stripped = regexp_replace(x, "^0+", "")
+        when(length(stripped) === 0, lit(0L))
+          .when(length(stripped) <= 18, stripped.cast("long"))
+          .otherwise(lit(Long.MaxValue))
+      }
       Tables.events(s, d).select(
         col("event_id"),
         try_element_at(
           filter(
             regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)),
-            x => x.cast("long") < 50L),
+            x => digitsToLong(x) < 50L),
           lit(1)).cast("long").as("extracted_id"))
     }),
 
@@ -205,7 +213,10 @@ object CoreQueries {
     "q_regex_extract" ->
       """SELECT event_id,
          CAST(list_extract(list_filter(regexp_extract_all(props, '(\d+)', 1),
-              x -> CAST(x AS BIGINT) < 50), 1) AS BIGINT) AS extracted_id
+              x -> (CASE WHEN length(regexp_replace(x, '^0+', '')) = 0 THEN 0
+                         WHEN length(regexp_replace(x, '^0+', '')) <= 18
+                           THEN CAST(regexp_replace(x, '^0+', '') AS BIGINT)
+                         ELSE 9223372036854775807 END) < 50), 1) AS BIGINT) AS extracted_id
          FROM events""",
     "q_explode_wordcount" ->
       """SELECT word, COUNT(*) AS cnt FROM

@@ -100,19 +100,8 @@ class GithubPartitionReader(repo: String, options: Map[String, String])
     token = options.get("token"))
 
   private lazy val iter: Iterator[String] = {
-    val http = new GithubHttp()
-    val tokenManager = for {
-      id <- opts.appId
-      pem <- opts.privateKeyPem
-    } yield new GithubTokenManager(id, pem, opts.apiUrl, http)
-    var currentToken: Option[String] = opts.token
-    def headers(): Map[String, String] =
-      Map("Accept" -> "application/vnd.github+json",
-        "X-GitHub-Api-Version" -> "2022-11-28") ++
-        currentToken.map(t => "Authorization" -> s"Bearer $t")
-    val extractor = new GithubExtractor(http, opts.apiUrl, () => headers())
-    extractor.pages(repo, opts.chunkSize,
-      () => tokenManager.foreach(tm => currentToken = Some(tm.token(repo)))).flatten
+    val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
+    extractor.pages(repo, opts.chunkSize, refreshAuth).flatten
   }
 
   private var current: String = _

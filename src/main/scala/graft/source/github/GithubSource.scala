@@ -37,23 +37,33 @@ object GithubSource {
     spark.read.schema(GithubSchemas.rawPullRequest).json(jsons.toDS)
   }
 
-  /** Enriched PR JSON lines (driver-side, sequential, rate-limited). */
-  def fetchRaw(repo: String, opts: Options): Seq[String] = {
+  /** Single wiring point for extractor construction: HTTP client,
+    * optional App-auth token manager, current-token state, and the
+    * per-page refresh hook (main.py:845-869). Every consumer —
+    * driver-side read, DSv2 partition reader, chunked ETL — goes
+    * through here so auth policy can't drift between them.
+    *
+    * Returns the extractor and the refreshAuth callback to pass to
+    * `pages`.
+    */
+  def openExtractor(repo: String, opts: Options): (GithubExtractor, () => Unit) = {
     val http = new GithubHttp()
     val tokenManager = for {
       id <- opts.appId
       pem <- opts.privateKeyPem
     } yield new GithubTokenManager(id, pem, opts.apiUrl, http)
-
-    @volatile var currentToken: Option[String] = opts.token
-    def refreshAuth(): Unit =
-      tokenManager.foreach(tm => currentToken = Some(tm.token(repo)))
+    var currentToken: Option[String] = opts.token
     def authHeaders(): Map[String, String] =
       Map("Accept" -> "application/vnd.github+json",
         "X-GitHub-Api-Version" -> "2022-11-28") ++
         currentToken.map(t => "Authorization" -> s"Bearer $t")
-
     val extractor = new GithubExtractor(http, opts.apiUrl, () => authHeaders())
-    extractor.pages(repo, opts.chunkSize, () => refreshAuth()).flatten.toSeq
+    (extractor, () => tokenManager.foreach(tm => currentToken = Some(tm.token(repo))))
+  }
+
+  /** Enriched PR JSON lines (driver-side, sequential, rate-limited). */
+  def fetchRaw(repo: String, opts: Options): Seq[String] = {
+    val (extractor, refreshAuth) = openExtractor(repo, opts)
+    extractor.pages(repo, opts.chunkSize, refreshAuth).flatten.toSeq
   }
 }

@@ -35,6 +35,20 @@ class AsOfSpec extends AnyFunSuite {
     assert(out == Map(1L -> "c", 2L -> "b", 3L -> null, 4L -> null))
   }
 
+  test("matched right row is atomic: null field NOT resurrected from older row") {
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a1", "b10"),
+      (10L, ts("2024-01-02 00:00:00"), null, "b20"))
+      .toDF("rk", "rt", "a", "b")
+    val r = AsOf.joinBackward(left, "k", "t", right, "rk", "rt", Seq("a", "b"))
+      .collect().head
+    // the t=2024-01-02 row matches; its a IS null — must not pick up
+    // "a1" from the older row (composite row that never existed)
+    assert(r.getAs[String]("a_asof") == null)
+    assert(r.getAs[String]("b_asof") == "b20")
+  }
+
   test("as-of plan: single shuffle on the key, no cross product") {
     val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("event_id", "k", "t")
     val right = Seq((10L, ts("2024-01-01 00:00:00"), "a")).toDF("rk", "rt", "tag")

@@ -45,7 +45,7 @@ class ExtOpsSpec extends AnyFunSuite {
       (1 to 10).flatMap(k => Seq((s"cold$k", k.toDouble)))
     val df = rows.toDF("k", "v")
     val plain = df.groupBy($"k")
-      .agg(sum($"v".cast("decimal(18,2)")).cast("double").as("sum_value"),
+      .agg(sum($"v".cast("decimal(28,6)")).cast("double").as("sum_value"),
         count(lit(1)).as("n_rows"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     val salted = Skew.saltedSumCount(df, "k", "v", saltBuckets = 8)
