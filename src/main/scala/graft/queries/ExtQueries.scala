@@ -56,6 +56,46 @@ object ExtQueries {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))),
 
+    // Three-way join: fact × dim × dim with decimal-exact revenue and
+    // deterministic top-k (TPC-H Q3 flavor). Customer/orders broadcast
+    // against lineitem at dim scale; shuffle join above broadcast
+    // thresholds — Catalyst + AQE pick per-stats.
+    "q_join3" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(20)
+        .withColumnRenamed("l_orderkey", "order_id")
+    }),
+
+    // Anti join: customers with no orders above a threshold.
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("cust_id"), col("c_name").as("name"))
+    }),
+
+    // F1 evidence on testdata: two-level explode (doc → words →
+    // char bigrams), re-aggregated.
+    "q_explode_2level" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      words
+        .select(explode(expr(
+          "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
+          "ELSE array() END")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // Approximate aggregates (sketches): HLL distinct count and KLL
     // quantiles. No DuckDB oracle — sketch internals differ across
     // engines — so the driver records the weaker rows-only check; the
@@ -105,6 +145,26 @@ object ExtQueries {
          FROM events ASOF LEFT JOIN orders
          ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate""",
     "q_dedup_embedding" -> annPairsSql,
+    "q_join3" ->
+      """SELECT l_orderkey AS order_id,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey
+         ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q_anti_join" ->
+      """SELECT c_custkey AS cust_id, c_name AS name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+    "q_explode_2level" ->
+      """SELECT bigram, COUNT(*) AS cnt FROM (
+           SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS bigram
+           FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+                 FROM documents) t
+           WHERE length(w) >= 2)
+         GROUP BY bigram""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
          FROM events""",

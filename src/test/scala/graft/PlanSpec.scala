@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.GithubSchemas
+import graft.transform.GithubTransform
+
+/** Physical-plan regression gates: the performance properties the
+  * 100 TB design depends on, asserted so a refactor can't silently
+  * lose them. (Wall-clock benchmarks catch big regressions; these
+  * catch the structural ones before they cost anything.)
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("github transform pipelines have zero exchanges (shuffle-free)") {
+    import spark.implicits._
+    val raw = spark.read.schema(GithubSchemas.rawPullRequest)
+      .json(Seq("""{"number":1,"title":"t","state":"open",
+        "created_at":"2023-01-01T00:00:00Z","updated_at":"2023-01-01T00:00:00Z",
+        "merged_at":null,"labels":[],"commit_data":[],"reviewer_data":[],"comment_data":[]}""").toDS)
+    val t = GithubTransform(raw, "o/r", java.sql.Date.valueOf("2024-01-01"))
+    for (df <- Seq(t.pullRequests, t.commits, t.reviewers, t.comments)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    }
+  }
+
+  test("filters and projections push down to the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)") ||
+      p.contains("EqualTo(o_orderstatus,O)"))
+    assert(p.contains("ReadSchema") && !p.contains("o_orderdate"),
+      "column pruning lost: scan reads unneeded columns")
+  }
+
+  test("small-dimension joins broadcast; top-k uses TakeOrdered") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q_join_left").contains("BroadcastHashJoin"))
+    assert(plan("q_semi_exists").contains("LeftSemi"))
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("as-of join plans one key shuffle, never a cross product") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("Window"))
+  }
+
+  test("dedup aggregations keep map-side partial aggregation") {
+    // partial_count markers show the two-phase (partial -> final) agg
+    assert(plan("q_dedup_exact").contains("partial_"))
+    assert(plan("q_agg_lineitem").contains("partial_"))
+  }
+}
