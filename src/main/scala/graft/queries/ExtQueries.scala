@@ -96,6 +96,36 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // Pivot: per-user event counts spread into one column per type
+    // (explicit value list keeps the schema static — required both
+    // for Catalyst to plan a single pass and for the oracle).
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Cube: all grouping-set combinations over two dims.
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+
+    // Set ops: intersect / except over key sets.
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_id"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")))
+    }),
+
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("cust_id"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")))
+    }),
+
     // Approximate aggregates (sketches): HLL distinct count and KLL
     // quantiles. No DuckDB oracle — sketch internals differ across
     // engines — so the driver records the weaker rows-only check; the
@@ -154,6 +184,26 @@ object ExtQueries {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q_pivot" ->
+      """SELECT user_id,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY user_id""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_intersect" ->
+      """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'""",
+    "q_except" ->
+      """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'""",
     "q_anti_join" ->
       """SELECT c_custkey AS cust_id, c_name AS name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
