@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,13 +17,21 @@ import scala.jdk.CollectionConverters._
   *
   * Options:
   *  - `repos` (required): comma-separated "owner/repo" list — one
-  *    input partition per repo (parallelism across repos; fetches
-  *    within a repo stay sequential because GitHub rate limits are
-  *    per-token, main.py:213-241);
+  *    input partition per repo by default (parallelism across repos;
+  *    fetches within a repo stay sequential because GitHub rate
+  *    limits are per-token, main.py:213-241);
+  *  - `pagesPerPartition` (optional int): split each repo into
+  *    page-range partitions using the `Link: rel="last"` page count —
+  *    for deployments with per-partition tokens / generous limits.
+  *    One metadata request per repo at planning time;
   *  - `apiUrl`, `chunkSize`, and either `token` or
   *    `appId`+`privateKey` (App auth; each partition mints its own
   *    installation token and refreshes it before every page fetch,
   *    mirroring main.py:213-215).
+  *
+  * Pushdown: `repo = 'o/r'` / `repo IN (...)` predicates prune whole
+  * repos at planning time (the partition list shrinks — visible as
+  * PushedFilters in explain output).
   *
   * Emits rows `(repo string, value string)` where `value` is one
   * enriched PR document; apply
@@ -46,6 +54,14 @@ object GithubDataSource {
   val schema: StructType = StructType(Seq(
     StructField("repo", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  private[github] def parseOptions(options: Map[String, String]): GithubSource.Options =
+    GithubSource.Options(
+      apiUrl = options.getOrElse("apiurl", "https://api.github.com"),
+      chunkSize = options.get("chunksize").flatMap(_.toIntOption).getOrElse(100),
+      appId = options.get("appid"),
+      privateKeyPem = options.get("privatekey"),
+      token = options.get("token"))
 }
 
 class GithubTable(properties: Map[String, String]) extends Table with SupportsRead {
@@ -58,21 +74,63 @@ class GithubTable(properties: Map[String, String]) extends Table with SupportsRe
     new GithubScanBuilder(properties ++ options.asScala)
 }
 
-class GithubScanBuilder(options: Map[String, String]) extends ScanBuilder {
-  override def build(): Scan = new GithubScan(options)
+class GithubScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept repo equality/IN predicates; everything else stays with
+    * Spark as a residual.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("repo", _: String) => true
+      case In("repo", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GithubScan(options, pushed)
 }
 
-final case class GithubPartition(repo: String) extends InputPartition
+final case class GithubPartition(repo: String, startPage: Int, endPage: Int)
+    extends InputPartition
 
-class GithubScan(options: Map[String, String]) extends Scan with Batch {
+class GithubScan(options: Map[String, String], pushed: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = GithubDataSource.schema
   override def toBatch: Batch = this
+
+  private def allowedRepo(repo: String): Boolean =
+    pushed.forall {
+      case EqualTo("repo", v: String) => repo == v
+      case In("repo", vs) => vs.contains(repo)
+      case _ => true
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val repos = options.getOrElse("repos",
       throw new IllegalArgumentException("github source requires 'repos' option"))
-    repos.split(",").map(_.trim).filter(_.nonEmpty)
-      .map(GithubPartition(_): InputPartition)
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .filter(allowedRepo)
+    val perPartition = options.get("pagesperpartition").flatMap(_.toIntOption)
+    val opts = GithubDataSource.parseOptions(options)
+    repos.flatMap { repo =>
+      perPartition match {
+        case None => Seq(GithubPartition(repo, 1, -1))
+        case Some(pp) =>
+          // one planning-time metadata request per repo
+          val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
+          refreshAuth()
+          val last = extractor.pageCount(repo, opts.chunkSize)
+          (1 to last by pp).map(s => GithubPartition(repo, s, math.min(s + pp - 1, last)))
+      }
+    }.map(p => p: InputPartition)
   }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GithubReaderFactory(options)
 }
@@ -80,34 +138,30 @@ class GithubScan(options: Map[String, String]) extends Scan with Batch {
 class GithubReaderFactory(options: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val repo = partition.asInstanceOf[GithubPartition].repo
-    new GithubPartitionReader(repo, options)
+    val p = partition.asInstanceOf[GithubPartition]
+    new GithubPartitionReader(p, options)
   }
 }
 
-/** Streams one repo's enriched PR docs. Runs on an executor: it
-  * builds its own HTTP client and token manager from the serialized
-  * options (per-partition credential scope, refreshed per page).
+/** Streams one repo page-range's enriched PR docs. Runs on an
+  * executor: it builds its own HTTP client and token manager from the
+  * serialized options (per-partition credential scope, refreshed per
+  * page).
   */
-class GithubPartitionReader(repo: String, options: Map[String, String])
+class GithubPartitionReader(partition: GithubPartition, options: Map[String, String])
     extends PartitionReader[InternalRow] {
 
-  private val opts = GithubSource.Options(
-    apiUrl = options.getOrElse("apiurl", "https://api.github.com"),
-    chunkSize = options.get("chunksize").flatMap(_.toIntOption).getOrElse(100),
-    appId = options.get("appid"),
-    privateKeyPem = options.get("privatekey"),
-    token = options.get("token"))
-
   private lazy val iter: Iterator[String] = {
-    val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
-    extractor.pages(repo, opts.chunkSize, refreshAuth).flatten
+    val opts = GithubDataSource.parseOptions(options)
+    val (extractor, refreshAuth) = GithubSource.openExtractor(partition.repo, opts)
+    extractor.pages(partition.repo, opts.chunkSize, refreshAuth,
+      partition.startPage, partition.endPage).flatten
   }
 
   private var current: String = _
   override def next(): Boolean =
     if (iter.hasNext) { current = iter.next(); true } else false
   override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(repo), UTF8String.fromString(current))
+    InternalRow(UTF8String.fromString(partition.repo), UTF8String.fromString(current))
   override def close(): Unit = ()
 }

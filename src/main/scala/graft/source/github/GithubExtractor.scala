@@ -75,17 +75,17 @@ class GithubExtractor(
     out
   }
 
-  /** Parse the `page` query param out of the Link rel="next" URL;
+  /** Parse the `page` query param out of the Link URL for `rel`;
     * None reproduces every reference stop condition
     * (main.py:244-268).
     */
-  private[github] def nextPage(linkHeader: Option[String]): Option[Int] = for {
+  private[github] def linkPage(linkHeader: Option[String], rel: String): Option[Int] = for {
     link <- linkHeader
-    nextUrl <- link.split(",").collectFirst {
-      case part if part.contains("rel=\"next\"") =>
+    url <- link.split(",").collectFirst {
+      case part if part.contains(s"""rel="$rel"""") =>
         part.trim.stripPrefix("<").takeWhile(_ != '>')
     }
-    query <- Option(URI.create(nextUrl).getRawQuery)
+    query <- Option(URI.create(url).getRawQuery)
     pageVal <- query.split("&").collectFirst {
       case kv if kv.startsWith("page=") =>
         URLDecoder.decode(kv.drop(5), UTF_8)
@@ -93,16 +93,34 @@ class GithubExtractor(
     page <- pageVal.toIntOption if page > 0
   } yield page
 
+  private[github] def nextPage(linkHeader: Option[String]): Option[Int] =
+    linkPage(linkHeader, "next")
+
+  /** Total page count for (repo, chunkSize) from page 1's Link
+    * rel="last"; 1 when there is no last link (single page). Used by
+    * the DSv2 source to plan page-range partitions.
+    */
+  def pageCount(repo: String, chunkSize: Int): Int = {
+    val url = s"$apiUrl/repos/$repo/pulls?state=all&per_page=$chunkSize" +
+      "&sort=created&direction=asc"
+    val resp = http.get(url, authHeaders())
+    linkPage(resp.header("Link"), "last").getOrElse(1)
+  }
+
   /** Chunked extraction: one `Seq[String]` of enriched PR JSON per
-    * API page.
+    * API page. `startPage`/`endPage` bound the walk for page-range
+    * partitions (endPage < 0 = follow links to the end, the
+    * reference-faithful default).
     */
   def pages(
       repo: String,
       chunkSize: Int = 100,
-      refreshAuth: () => Unit = () => ()): Iterator[Seq[String]] =
+      refreshAuth: () => Unit = () => (),
+      startPage: Int = 1,
+      endPage: Int = -1): Iterator[Seq[String]] =
     new Iterator[Seq[String]] {
-      private var page: Option[Int] = Some(1)
-      private var first = true
+      private var page: Option[Int] = Some(startPage)
+      private var first = startPage == 1
 
       override def hasNext: Boolean = page.isDefined
 
@@ -128,7 +146,7 @@ class GithubExtractor(
         }.toSeq
         page =
           if (batch.size == 0) None
-          else nextPage(resp.header("Link"))
+          else nextPage(resp.header("Link")).filter(n => endPage < 0 || n <= endPage)
         if (enriched.isEmpty && page.isEmpty) Seq.empty else enriched
       }
     }.filter(_.nonEmpty)

@@ -173,6 +173,38 @@ class GithubConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 repo filter pushdown prunes whole repos at planning time") {
+    withServer { server =>
+      val df = spark.read.format("github")
+        .option("repos", "o/r, other/skipme")
+        .option("apiUrl", server.url)
+        .load()
+        .filter(col("repo") === "o/r")
+      assert(df.count() == 5)
+      // the pruned repo must never be contacted
+      assert(!server.repoRequests.containsKey("other/skipme"))
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("PushedFilters") || df.rdd.getNumPartitions == 1)
+    }
+  }
+
+  test("DSv2 page-range partitioning via Link rel=last") {
+    withServer { server =>
+      val df = spark.read.format("github")
+        .option("repos", "o/r")
+        .option("apiUrl", server.url)
+        .option("chunkSize", "3")
+        .option("pagesPerPartition", "1")
+        .load()
+      assert(df.rdd.getNumPartitions == 2) // 2 pages, 1 page per partition
+      assert(df.count() == 5)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val numbers = df.collect().map(r => mapper.readTree(r.getString(1)))
+        .flatMap(n => Option(n.get("number")).map(_.asInt)).toSet
+      assert(numbers == Set(1, 2, 3, 5)) // #4 has no number
+    }
+  }
+
   test("token manager: installation lookup, mint, cache, refresh hook wiring") {
     withServer { server =>
       val (pem, _) = freshKeyPemPkcs8()

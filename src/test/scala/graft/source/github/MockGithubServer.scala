@@ -14,6 +14,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   */
 class MockGithubServer {
   val requestCount = new AtomicInteger(0)
+  /** Requests per repo name (for pushdown-pruning assertions). */
+  val repoRequests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   @volatile var rateLimitOnce: Boolean = false
   private val rateLimitTripped = new AtomicInteger(0)
 
@@ -64,6 +66,9 @@ class MockGithubServer {
   server.createContext("/", (ex: HttpExchange) => {
     requestCount.incrementAndGet()
     val path = ex.getRequestURI.getPath
+    "/repos/([^/]+/[^/]+)".r.findFirstMatchIn(path).foreach { m =>
+      repoRequests.merge(m.group(1), 1, (a, b) => a + b)
+    }
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     if (rateLimitOnce && rateLimitTripped.compareAndSet(0, 1)) {
       respond(ex, 403, """{"message": "rate limited"}""", Map(
@@ -74,9 +79,11 @@ class MockGithubServer {
         val page = "(?:^|&)page=(\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(1)
         if (page == 1)
           respond(ex, 200, s"[${prJson(1)},${prJson(2)},${prJson(3)}]",
-            Map("Link" -> s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="next""""))
+            Map("Link" -> (s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="next", """ +
+              s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="last"""")))
         else
-          respond(ex, 200, s"[${prJson(4)},${prJson(5)}]")
+          respond(ex, 200, s"[${prJson(4)},${prJson(5)}]",
+            Map("Link" -> s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="last""""))
       case p if p.matches(".*/pulls/\\d+/commits") =>
         respond(ex, 200, commitsJson(p.split("/").takeRight(2).head.toInt))
       case p if p.matches(".*/commits/[^/]+") =>
