@@ -33,8 +33,7 @@ object ChunkedEtl {
       repo: String,
       opts: GithubSource.Options,
       outDir: String,
-      snapshotDate: Date,
-      chunkSize: Int = 100): ChunkStats = {
+      snapshotDate: Date): ChunkStats = {
     import spark.implicits._
 
     val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
@@ -43,7 +42,7 @@ object ChunkedEtl {
 
     var chunks = 0
     var prs = 0L
-    extractor.pages(repo, chunkSize, refreshAuth).foreach { chunk =>
+    extractor.pages(repo, opts.chunkSize, refreshAuth).foreach { chunk =>
       val raw: DataFrame = spark.read
         .schema(GithubSchemas.rawPullRequest).json(chunk.toDS)
       val tables = GithubTransform(raw, repo, snapshotDate)

@@ -23,9 +23,9 @@ object RunStream {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = spark.read.parquet(s"$sfDir/{events}.parquet").schema
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/")
+      .parquet(s"$sfDir/{events}.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .where(col("event_id").isNotNull)
     val agg = EventStreams.hourlyCounts(stream, watermarkDelay = "1 minute")

@@ -64,7 +64,12 @@ object AsOf {
         Seq(lit(null).cast(payloadSchema).as("__p")) ++
         tie.map(_ => lit(null).cast("long").as("__tie")): _*)
 
+    // SQL join equality is never true for NULL keys: drop null-key
+    // right rows (they could otherwise match null-key left rows, which
+    // share a window partition) — null-key left rows then correctly
+    // carry a null match.
     val taggedRight = right
+      .filter(col(rightKey).isNotNull)
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))

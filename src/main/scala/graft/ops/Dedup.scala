@@ -69,8 +69,14 @@ object Dedup {
       case Some(cut) =>
         // posting-list cut: drop shingles present in > cut docs (they
         // generate quadratic candidates and carry no discrimination).
+        // The Jaccard universe then becomes "non-ubiquitous shingles"
+        // consistently: set sizes are RECOMPUTED over the surviving
+        // postings, otherwise shared counts pruned shingles out while
+        // na/nb still counted them and true near-dups get dropped.
         val dfreq = posting0.groupBy("s").count().filter(col("count") <= cut).select("s")
-        posting0.join(dfreq, "s")
+        val pruned = posting0.drop("n").join(dfreq, "s")
+        pruned.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     }
     posting.select(col("id").as("ida"), col("n").as("na"), col("s"))
       .join(posting.select(col("id").as("idb"), col("n").as("nb"), col("s")), "s")

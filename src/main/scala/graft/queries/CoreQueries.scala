@@ -182,7 +182,7 @@ object CoreQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         size(array_distinct(words)).cast("long").as("n_distinct_words"),
-        element_at(array_sort(array_distinct(words)), 1).as("first_word"))
+        try_element_at(array_sort(array_distinct(words)), lit(1)).as("first_word"))
     }),
 
     // Streaming batch-equivalent — event-time tumbling window

@@ -39,10 +39,11 @@ object SnapshotWriter {
 
   def writeTable(df: DataFrame, path: String): Unit = {
     if (!df.isEmpty) {
-      df.sparkSession.conf
-        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       df.write
         .mode("overwrite")
+        // per-write option, NOT session conf: a shared session must not
+        // be left in dynamic mode behind the caller's back
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshot_date", "target_repository")
         .parquet(path)
     }
@@ -93,10 +94,17 @@ object SnapshotWriter {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) false
-    else !spark.read.parquet(path)
-      .filter(col("snapshot_date") === lit(snapshotDate) &&
-        col("target_repository") === lit(repo))
-      .limit(1)
-      .isEmpty
+    else try {
+      !spark.read.parquet(path)
+        .filter(col("snapshot_date") === lit(snapshotDate) &&
+          col("target_repository") === lit(repo))
+        .limit(1)
+        .isEmpty
+    } catch {
+      // dir exists but holds no readable parquet (e.g. a crashed
+      // first write left only _temporary): treat as no snapshot so
+      // the rerun can repair it
+      case _: org.apache.spark.sql.AnalysisException => false
+    }
   }
 }

@@ -147,7 +147,7 @@ class GithubExtractor(
         page =
           if (batch.size == 0) None
           else nextPage(resp.header("Link")).filter(n => endPage < 0 || n <= endPage)
-        if (enriched.isEmpty && page.isEmpty) Seq.empty else enriched
+        enriched
       }
     }.filter(_.nonEmpty)
 }

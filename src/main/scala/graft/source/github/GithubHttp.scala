@@ -25,6 +25,9 @@ class GithubHttp(
 
   private lazy val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30))
+    // renamed/transferred repos answer 301; the reference's
+    // requests.Session follows redirects transparently
+    .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
   protected def send(url: String, method: String, headers: Map[String, String]): GithubResponse = {

@@ -81,8 +81,15 @@ object EventStreams {
             for (e <- sorted) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMillis =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                // merge keeps the span monotone: a delayed-but-not-late
+                // event (t < s.last) must extend the session backward,
+                // never move `last` backward (which would re-arm the
+                // timeout early and split real sessions)
+                case Some(s) if t <= s.last + gapMillis =>
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= summary(s)
                   cur = Some(SessionState(t, t, 1, e.value))

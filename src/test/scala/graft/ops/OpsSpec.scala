@@ -42,6 +42,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("posting-list cut prunes ubiquitous shingles consistently (sizes recomputed)") {
+    // every doc shares the prefix "x y z" (shingle in all 4 docs,
+    // pruned at cut=3); docs 0 and 1 share everything else
+    val dfDocs = Seq(
+      (0L, "x y z alpha beta gamma delta"),
+      (1L, "x y z alpha beta gamma delta"),
+      (2L, "x y z other words entirely here"),
+      (3L, "x y z more unrelated content again")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(dfDocs, "doc_id", "text", maxShingleDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with sizes recomputed over surviving shingles, (0,1) is jaccard 1
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L || p._2 == 3L && p._1 != 0L || p._1 == 2L))
+  }
+
   test("minhash LSH pairs agree with exact jaccard on planted dups") {
     val lsh = Dedup.minHashLshPairs(docsDf, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
