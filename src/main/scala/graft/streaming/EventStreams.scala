@@ -35,6 +35,23 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming → snapshot-sink bridge (reference K3, the
+    * streaming-insert path): each micro-batch appends into the
+    * partitioned snapshot layout via foreachBatch. Append semantics
+    * match the reference's per-chunk WRITE_APPEND; idempotent
+    * re-deliveries should be handled upstream via checkpointing.
+    */
+  def writeToSnapshot(
+      df: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.SnapshotWriter.appendTable(batch.toDF(), path)
+      }
+      .start()
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -54,6 +54,57 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch snapshot sink appends each micro-batch to the partitioned layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val out = dir.resolve("events").toString
+    val cp = dir.resolve("cp").toString
+    val withPartitions = input.toDF()
+      .withColumn("snapshot_date", to_date(col("ts")))
+      .withColumn("target_repository", lit("stream/src"))
+    val q = EventStreams.writeToSnapshot(withPartitions, out, cp)
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-02 11:00:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == 2)
+      assert(rows.select("snapshot_date").distinct().count() == 2) // two partitions
+    } finally q.stop()
+  }
+
+  test("sessionization: delayed event must not move the session end backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMillis = 30 * 60 * 1000L, watermarkDelay = "30 minutes")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_mono").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      // delayed but within watermark: 09:55 arrives after 10:00
+      input.addData(ev(2, "2024-01-01 09:55:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      // 10:26 is within 30min of 10:00 (NOT of 09:55): same session
+      input.addData(ev(3, "2024-01-01 10:26:00", 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 23:00:00", 8, "click", 0.1)) // advance watermark
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-02 09:00:00", 8, "click", 0.1))
+      q.processAllAvailable()
+      val u7 = spark.table("sessions_mono").as[EventStreams.SessionSummary]
+        .collect().filter(_.user_id == 7L)
+      assert(u7.length == 1) // one session, not split by the delayed event
+      assert(u7.head.n_events == 3)
+      assert(u7.head.session_start == ts("2024-01-01 09:55:00"))
+      assert(u7.head.session_end == ts("2024-01-01 10:26:00"))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
