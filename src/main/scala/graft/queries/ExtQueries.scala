@@ -96,6 +96,45 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // Running window aggregates: cumulative decimal-exact sum + lag.
+    "q_window_running" -> ((s, d) => {
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("cust_id"),
+        col("o_orderkey").as("order_id"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(frame)
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(order).as("prev_price"))
+    }),
+
+    // §2.8 string-function surface in one pass.
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey").as("part_id"),
+        upper(col("p_name")).as("upper_name"),
+        length(trim(col("p_name"))).cast("long").as("trim_len"),
+        lpad(col("p_partkey").cast("string"), 6, "0").as("padded_id"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("translated"),
+        expr("replace(p_name, ' ', '_')").as("snake"),
+        substring(col("p_name"), 1, 3).as("prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // §2.8 date/time surface; dayofweek normalized to Sunday=0 (both
+    // engines), intervals/last-day emitted as date strings.
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        date_format(date_add(col("o_orderdate"), 90), "yyyy-MM-dd").as("plus90"),
+        datediff(lit(java.sql.Date.valueOf("2025-01-01")), col("o_orderdate"))
+          .cast("long").as("days_to_2025"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"))),
+
     // Pivot: per-user event counts spread into one column per type
     // (explicit value list keeps the schema static — required both
     // for Catalyst to plan a single pass and for the oracle).
@@ -184,6 +223,33 @@ object ExtQueries {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q_window_running" ->
+      """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+         lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+         FROM orders""",
+    "q_string_funcs" ->
+      """SELECT p_partkey AS part_id,
+         upper(p_name) AS upper_name,
+         CAST(length(trim(p_name)) AS BIGINT) AS trim_len,
+         lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS padded_id,
+         translate(p_name, 'aeiou', 'AEIOU') AS translated,
+         replace(p_name, ' ', '_') AS snake,
+         substr(p_name, 1, 3) AS prefix,
+         concat_ws('-', p_brand, p_type) AS brand_type
+         FROM part""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey AS order_id,
+         CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(day(o_orderdate) AS BIGINT) AS d,
+         CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+         strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS days_to_2025,
+         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
+         FROM orders""",
     "q_pivot" ->
       """SELECT user_id,
          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
