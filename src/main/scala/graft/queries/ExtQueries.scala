@@ -165,6 +165,19 @@ object ExtQueries {
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")))
     }),
 
+    // KMV distinct-count sketch (graft.functions.KmvSketch): a
+    // mergeable bounded-memory Aggregator whose estimate is
+    // DETERMINISTIC under the portable hash — so unlike HLL it is
+    // fully oracle-verified (the SQL twin recomputes the k smallest
+    // distinct hashes and the same estimator).
+    "q_kmv_distinct" -> ((s, d) => {
+      val kmv = graft.functions.KmvSketch.kmvDistinct(64)
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(kmv(col("user_id")).as("kmv_estimate"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+    }),
+
     // Approximate aggregates (sketches): HLL distinct count and KLL
     // quantiles. No DuckDB oracle — sketch internals differ across
     // engines — so the driver records the weaker rows-only check; the
@@ -223,6 +236,25 @@ object ExtQueries {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    "q_kmv_distinct" ->
+      s"""WITH h0 AS (SELECT DISTINCT event_type,
+              (${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P}) + ${graft.functions.KmvSketch.HashB}) % ${graft.functions.KmvSketch.P} AS x
+            FROM events),
+          h AS (SELECT DISTINCT event_type,
+              ((x*x % ${graft.functions.KmvSketch.P}) * ${graft.functions.KmvSketch.HashA2} + ${graft.functions.KmvSketch.HashB2}) % ${graft.functions.KmvSketch.P} AS hv
+            FROM h0),
+          ranked AS (SELECT event_type, hv,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n FROM h),
+          exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS ed FROM events GROUP BY event_type)
+          SELECT e.event_type,
+            CASE WHEN r.n < 64 THEN CAST(r.n AS DOUBLE)
+                 ELSE 63.0 * ${graft.functions.KmvSketch.P} / kth.hv END AS kmv_estimate,
+            CAST(e.ed AS BIGINT) AS exact_distinct
+          FROM exact e
+          JOIN (SELECT DISTINCT event_type, n FROM ranked) r ON r.event_type = e.event_type
+          LEFT JOIN (SELECT event_type, hv FROM ranked WHERE rn = 64) kth
+            ON kth.event_type = e.event_type""",
     "q_window_running" ->
       """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

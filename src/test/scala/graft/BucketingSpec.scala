@@ -10,32 +10,39 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
 
   test("join of co-bucketed tables plans no shuffle exchange") {
-    val sf = "/root/testdata/sf0.001"
-    spark.read.parquet(s"$sf/orders.parquet")
-      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("orders_b")
-    spark.read.parquet(s"$sf/customer.parquet")
-      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("customer_b")
+    // runtime confs: the suite may share a session with other specs
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
+      spark.read.parquet(s"$sf/orders.parquet")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", tmp.resolve("orders_b").toString)
+        .saveAsTable("orders_b")
+      spark.read.parquet(s"$sf/customer.parquet")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", tmp.resolve("customer_b").toString)
+        .saveAsTable("customer_b")
 
-    val joined = spark.table("orders_b")
-      .join(spark.table("customer_b"),
-        spark.table("orders_b")("o_custkey") === spark.table("customer_b")("c_custkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
-    assert(joined.count() == 1500)
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          spark.table("orders_b")("o_custkey") === spark.table("customer_b")("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
   }
 }

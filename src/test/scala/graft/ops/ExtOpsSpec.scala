@@ -39,6 +39,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(dot.getDouble(1) == 5.0)
   }
 
+  test("KMV sketch is partition-invariant (mergeable) and sane") {
+    import graft.functions.KmvSketch
+    val kmv = KmvSketch.kmvDistinct(64)
+    val df = (1 to 5000).map(i => ("g", (i % 937).toLong)).toDF("g", "v")
+    def run(parts: Int): Double =
+      df.repartition(parts).groupBy($"g").agg(kmv($"v").as("e"))
+        .collect().head.getAs[Double]("e")
+    val e1 = run(1)
+    val e16 = run(16)
+    assert(e1 == e16) // merge order must not change the sketch
+    assert(math.abs(e1 - 937.0) / 937.0 < 0.3) // within KMV error bounds
+    // under k distinct values -> exact
+    val small = (1 to 40).map(i => ("g", i.toLong)).toDF("g", "v")
+    assert(small.groupBy($"g").agg(kmv($"v").as("e")).collect().head.getAs[Double]("e") == 40.0)
+  }
+
   test("salted aggregation equals plain aggregation (skew-immune form)") {
     // zipfian: one hot key with 10k rows, 10 cold keys
     val rows = (1 to 10000).map(i => ("hot", (i % 7).toDouble)) ++
