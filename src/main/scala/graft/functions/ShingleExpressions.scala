@@ -127,6 +127,41 @@ object ShingleExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** MinHash signature over a shingle-hash array in ONE pass: for
+    * each element, all `ab` permutations update their running minimum
+    * (vs. one interpreted aggregate() walk per permutation). Values
+    * are identical to the per-permutation fold: min over
+    * (a*h + b) mod p with init p.
+    */
+  case class MinHashSignature(child: Expression, ab: Seq[(Long, Long)], p: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val k = ab.size
+      val sig = Array.fill(k)(p)
+      val as = ab.map(_._1).toArray
+      val bs = ab.map(_._2).toArray
+      var i = 0
+      while (i < arr.numElements()) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minHashSignature(hashes: Column, ab: Seq[(Long, Long)], p: Long): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(hashes), ab, p))
+
   def distinctWordShingles(words: Column): Column =
     GraftColumnBridge.column(DistinctWordShingles(GraftColumnBridge.expression(words)))
 

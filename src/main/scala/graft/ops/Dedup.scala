@@ -105,12 +105,8 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** MinHash signature element j over a distinct-shingle-hash array. */
-  private def minhashSig(hs: Column, j: Int): Column = {
-    val (a, b) = MinHashAB(j)
-    aggregate(hs, lit(MinHashP),
-      (acc, h) => least(acc, (lit(a) * h + lit(b)) % lit(MinHashP)))
-  }
+  // (single-pass custom expression computes the whole signature; the
+  // per-permutation fold equivalent lives in ShingleExpressions docs)
 
   /** MinHash+LSH near-duplicate pairs, verified with the exact integer
     * Jaccard test at num/den. Returns (doc_id_a, doc_id_b), a < b.
@@ -131,7 +127,7 @@ object Dedup {
         ShingleExpressions.distinctWordShingles(col("ws")).as("ss"),
         ShingleExpressions.distinctShingleHashes(col("ws")).as("hs"))
     val sig = base.withColumn("sig",
-      array((0 until MinHashAB.size).map(j => minhashSig(col("hs"), j)): _*))
+      ShingleExpressions.minHashSignature(col("hs"), MinHashAB, MinHashP))
     val bands = sig.select(
       col("id"),
       explode(array((0 until Bands).map { b =>
