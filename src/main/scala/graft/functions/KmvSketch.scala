@@ -44,7 +44,7 @@ object KmvSketch {
 
   final case class Buf(hashes: Array[Long])
 
-  class KmvAggregator(k: Int) extends Aggregator[Long, Buf, Double] {
+  class KmvAggregator(k: Int) extends Aggregator[java.lang.Long, Buf, Double] {
 
     override def zero: Buf = Buf(Array.emptyLongArray)
 
@@ -66,7 +66,8 @@ object KmvSketch {
       }
     }
 
-    override def reduce(b: Buf, value: Long): Buf = insert(b, hash(value))
+    override def reduce(b: Buf, value: java.lang.Long): Buf =
+      if (value == null) b else insert(b, hash(value.longValue))
 
     override def merge(b1: Buf, b2: Buf): Buf =
       b2.hashes.foldLeft(b1)((b, h) => insert(b, h))
@@ -79,5 +80,5 @@ object KmvSketch {
 
   /** Untyped column form for use in `groupBy(...).agg(...)`. */
   def kmvDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    org.apache.spark.sql.functions.udaf(new KmvAggregator(k), Encoders.scalaLong)
+    org.apache.spark.sql.functions.udaf(new KmvAggregator(k), Encoders.LONG)
 }

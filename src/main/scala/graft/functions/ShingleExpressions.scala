@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -47,7 +47,9 @@ object ShingleExpressions {
 
   /** Distinct word 3-gram shingle strings. */
   case class DistinctWordShingles(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -70,7 +72,9 @@ object ShingleExpressions {
 
   /** Distinct word 3-gram shingle hashes (poly combine mod 2^31-1). */
   case class DistinctShingleHashes(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -101,7 +105,9 @@ object ShingleExpressions {
     * identical values, same contract as the DuckDB oracle.
     */
   case class SimHash32(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -134,14 +140,16 @@ object ShingleExpressions {
     * (a*h + b) mod p with init p.
     */
   case class MinHashSignature(child: Expression, ab: Seq[(Long, Long)], p: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val as: Array[Long] = ab.map(_._1).toArray
+    @transient private lazy val bs: Array[Long] = ab.map(_._2).toArray
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val k = ab.size
+      val k = as.length
       val sig = Array.fill(k)(p)
-      val as = ab.map(_._1).toArray
-      val bs = ab.map(_._2).toArray
       var i = 0
       while (i < arr.numElements()) {
         val h = arr.getLong(i)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -31,7 +31,9 @@ object VectorExpressions {
 
   /** Sequential dot product of two float vectors, in double. */
   case class FloatDotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -41,7 +43,9 @@ object VectorExpressions {
 
   /** Sequential L2 norm of a float vector, in double. */
   case class FloatL2Norm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]

@@ -62,21 +62,21 @@ object AsOf {
       .select(Seq(col("__k"), col("__t"), col("__tag")) ++
         leftCols.map(col) ++
         Seq(lit(null).cast(payloadSchema).as("__p")) ++
-        tie.map(_ => lit(null).cast("long").as("__tie")): _*)
+        tie.map(t => lit(null).cast(right.schema(t).dataType).as("__tie")): _*)
 
-    // SQL join equality is never true for NULL keys: drop null-key
-    // right rows (they could otherwise match null-key left rows, which
-    // share a window partition) — null-key left rows then correctly
-    // carry a null match.
+    // SQL join equality is never true for NULL keys, and "time <= t"
+    // is never true for NULL times: drop both kinds of right rows up
+    // front (a NULL time would otherwise sort NULLS FIRST and its
+    // payload would be carried into rows with no real match).
     val taggedRight = right
-      .filter(col(rightKey).isNotNull)
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__k", col(rightKey))
       .withColumn("__t", col(rightTime))
       .withColumn("__tag", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__tag")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(struct(payload.map(col): _*).as("__p")) ++
-        tie.map(t => col(t).cast("long").as("__tie")): _*)
+        tie.map(t => col(t).as("__tie")): _*)
 
     val orderCols: Seq[Column] =
       Seq(col("__t").asc, col("__tag").asc) ++

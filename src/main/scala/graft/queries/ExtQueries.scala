@@ -143,7 +143,7 @@ object ExtQueries {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
     // Cube: all grouping-set combinations over two dims.
     "q_cube" -> ((s, d) =>

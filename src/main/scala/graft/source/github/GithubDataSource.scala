@@ -117,6 +117,8 @@ class GithubScan(options: Map[String, String], pushed: Array[Filter])
       .split(",").map(_.trim).filter(_.nonEmpty)
       .filter(allowedRepo)
     val perPartition = options.get("pagesperpartition").flatMap(_.toIntOption)
+    perPartition.foreach(pp => require(pp > 0,
+      s"pagesPerPartition must be positive, got $pp"))
     val opts = GithubDataSource.parseOptions(options)
     repos.flatMap { repo =>
       perPartition match {

@@ -98,6 +98,15 @@ object EventStreams {
             for (e <- sorted) {
               val t = e.ts.getTime
               cur match {
+                // a delayed event more than one gap BEFORE the open
+                // session is a separate (already-complete) session —
+                // emit it standalone rather than fusing across a
+                // larger-than-gap hole. Exact when watermarkDelay ≤
+                // gap; with larger watermarks this is the documented
+                // approximation (single-session state).
+                case Some(s) if t < s.start - gapMillis =>
+                  closed ::= SessionSummary(
+                    userId, new Timestamp(t), new Timestamp(t), 1, e.value)
                 // merge keeps the span monotone: a delayed-but-not-late
                 // event (t < s.last) must extend the session backward,
                 // never move `last` backward (which would re-arm the
