@@ -113,6 +113,15 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
 
+  /** BPE-style pretokenization count: runs of letters / digits /
+    * other, each optionally absorbing one leading space (the GPT-2
+    * pretokenizer shape, ASCII-simplified so Java and RE2 regex
+    * engines agree).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0))).cast("long")
+
   /** Integer-threshold quality bucket (length / stopword presence).
     * The thresholds are illustrative; the point is the shape: pure
     * integer comparisons, no floats, portable to any engine.

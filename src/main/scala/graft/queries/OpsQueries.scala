@@ -58,7 +58,8 @@ object OpsQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextOps.wordCount(col("text")).as("n_ws_tokens"),
-        TextOps.regexTokenCount(col("text")).as("n_re_tokens"))),
+        TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -198,7 +199,8 @@ object OpsQueries {
     "q_token_count" ->
       s"""SELECT doc_id,
             CAST(len($ws) AS BIGINT) AS n_ws_tokens,
-            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_re_tokens
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_re_tokens,
+            CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT) AS n_bpe_tokens
           FROM documents""",
     "q_fingerprint" ->
       s"""SELECT doc_id,
