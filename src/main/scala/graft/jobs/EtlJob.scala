@@ -66,6 +66,29 @@ object EtlJob {
     // midnight stays consistent (main.py:827, 700-702)
     val snapshotDate = Date.valueOf(LocalDate.now(ZoneOffset.UTC))
 
+    if (env.get("GRAFT_USE_DSV2").contains("1")) {
+      // all repos in one distributed read (one input partition per
+      // repo — the 1000-repo scale path), transformed in a single
+      // pass keyed by the repo column
+      import org.apache.spark.sql.functions.{col, from_json}
+      var reader = spark.read.format("github")
+        .option("repos", repos.mkString(","))
+        .option("apiUrl", opts.apiUrl)
+      opts.token.foreach(t => reader = reader.option("token", t))
+      opts.appId.foreach(id => reader = reader.option("appId", id))
+      opts.privateKeyPem.foreach(k => reader = reader.option("privateKey", k))
+      val typed = reader.load()
+        .select(col("repo"),
+          from_json(col("value"), graft.model.GithubSchemas.rawPullRequest).as("pr"))
+        .select((col("repo") +: graft.model.GithubSchemas.rawPullRequest
+          .fieldNames.map(f => col(s"pr.$f"))): _*)
+      val tables = GithubTransform.applyMulti(typed, snapshotDate)
+      repos.foreach(r => SnapshotWriter.deleteSnapshot(spark, outDir, r, snapshotDate))
+      SnapshotWriter.write(tables, outDir)
+      println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
+      return
+    }
+
     for (repo <- repos) {
       // dynamic partition overwrite makes the rerun-delete implicit;
       // the probe is informational parity with main.py:833-839

@@ -82,18 +82,35 @@ object GithubTransform {
       reviewers(raw, repo, snapshotDate),
       comments(raw, repo, snapshotDate))
 
+  /** Multi-repo form: `raw` carries a `repo` string column (as
+    * produced by the DSv2 source) and every output row takes its
+    * `target_repository` from it — one distributed pass transforms
+    * all repos at once instead of a per-repo driver loop.
+    */
+  def applyMulti(rawWithRepo: DataFrame, snapshotDate: Date): GithubTables = {
+    val repoCol = col("repo")
+    GithubTables(
+      pullRequestsFrom(rawWithRepo, repoCol, snapshotDate),
+      commitsFrom(rawWithRepo, repoCol, snapshotDate),
+      reviewersFrom(rawWithRepo, repoCol, snapshotDate),
+      commentsFrom(rawWithRepo, repoCol, snapshotDate))
+  }
+
   private def base(raw: DataFrame): DataFrame =
     raw.filter(col("number").isNotNull)
 
   private def snap(d: Date): Column = lit(d).cast("date").as("snapshot_date")
 
   def pullRequests(raw: DataFrame, repo: String, snapshotDate: Date): DataFrame =
+    pullRequestsFrom(raw, lit(repo), snapshotDate)
+
+  private def pullRequestsFrom(raw: DataFrame, repoCol: Column, snapshotDate: Date): DataFrame =
     base(raw).select(
       col("number").cast("long").as("pull_request_id"),
       col("state").as("current_status"),
       col("created_at").cast("timestamp").as("date_created"),
       col("updated_at").cast("timestamp").as("date_modified"),
-      lit(repo).as("target_repository"),
+      repoCol.as("target_repository"),
       bugId(col("title")).as("bug_id"),
       col("merged_at").cast("timestamp").as("date_landed"),
       // A1 as an array expression — no shuffle (main.py:513-518).
@@ -107,13 +124,17 @@ object GithubTransform {
 
   /** F1: two-level inner explode — grain one row per (commit, file). */
   def commits(raw: DataFrame, repo: String, snapshotDate: Date): DataFrame =
+    commitsFrom(raw, lit(repo), snapshotDate)
+
+  private def commitsFrom(raw: DataFrame, repoCol: Column, snapshotDate: Date): DataFrame =
     base(raw)
       .select(
         col("number").cast("long").as("pull_request_id"),
+        repoCol.as("target_repository"),
         explode(col("commit_data")).as("c"))
       .select(
         col("pull_request_id"),
-        lit(repo).as("target_repository"),
+        col("target_repository"),
         col("c.sha").as("commit_sha"),
         col("c.commit.author.date").cast("timestamp").as("date_created"),
         col("c.commit.author.name").as("author_username"),
@@ -133,13 +154,17 @@ object GithubTransform {
 
   /** F2: one row per review (main.py:496-509). */
   def reviewers(raw: DataFrame, repo: String, snapshotDate: Date): DataFrame =
+    reviewersFrom(raw, lit(repo), snapshotDate)
+
+  private def reviewersFrom(raw: DataFrame, repoCol: Column, snapshotDate: Date): DataFrame =
     base(raw)
       .select(
         col("number").cast("long").as("pull_request_id"),
+        repoCol.as("target_repository"),
         explode(col("reviewer_data")).as("r"))
       .select(
         col("pull_request_id"),
-        lit(repo).as("target_repository"),
+        col("target_repository"),
         col("r.submitted_at").cast("timestamp").as("date_reviewed"),
         lit(null).cast("string").as("reviewer_email"),
         col("r.user.login").as("reviewer_username"),
@@ -154,9 +179,13 @@ object GithubTransform {
     * None lookup); last match wins like dict overwrite.
     */
   def comments(raw: DataFrame, repo: String, snapshotDate: Date): DataFrame =
+    commentsFrom(raw, lit(repo), snapshotDate)
+
+  private def commentsFrom(raw: DataFrame, repoCol: Column, snapshotDate: Date): DataFrame =
     base(raw)
       .select(
         col("number").cast("long").as("pull_request_id"),
+        repoCol.as("target_repository"),
         explode(transform(col("comment_data"), cm => struct(
           cm.getField("id").cast("long").as("comment_id"),
           cm.getField("created_at").as("created_at"),
@@ -170,7 +199,7 @@ object GithubTransform {
             lit(-1)).as("status")))).as("cm"))
       .select(
         col("pull_request_id"),
-        lit(repo).as("target_repository"),
+        col("target_repository"),
         col("cm.comment_id").as("comment_id"),
         col("cm.created_at").cast("timestamp").as("date_created"),
         lit(null).cast("string").as("author_email"),

@@ -234,6 +234,27 @@ class GithubConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("EtlJob DSv2 mode: multi-repo parallel pass equals per-repo loop") {
+    withServer { server =>
+      val outLoop = java.nio.file.Files.createTempDirectory("graft-loop").toString
+      val outDsv2 = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+      val base = Map(
+        "GITHUB_REPOS" -> "o/r1, o/r2",
+        "GITHUB_API_URL" -> server.url,
+        "GITHUB_TOKEN" -> "t")
+      graft.jobs.EtlJob.run(base + ("GRAFT_OUTPUT_DIR" -> outLoop), Some(spark))
+      graft.jobs.EtlJob.run(
+        base + ("GRAFT_OUTPUT_DIR" -> outDsv2) + ("GRAFT_USE_DSV2" -> "1"), Some(spark))
+      for (t <- graft.sink.SnapshotWriter.TableNames) {
+        val a = spark.read.parquet(s"$outLoop/$t")
+        val b = spark.read.parquet(s"$outDsv2/$t")
+        assert(a.count() == b.count(), s"row count mismatch for $t")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"content mismatch for $t")
+      }
+    }
+  }
+
   test("EtlJob fails fast on missing required config") {
     intercept[IllegalArgumentException] {
       graft.jobs.EtlJob.run(Map.empty, Some(spark))
