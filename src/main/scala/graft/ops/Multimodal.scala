@@ -77,4 +77,67 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, decodedSchema)
   }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("thumb", BinaryType)))
+
+  /** STUB resize: a real implementation would decode + rescale to
+    * (targetW, targetH) here. The deterministic fake downsamples the
+    * byte stream by striding so output size is genuinely bounded by
+    * the target dimensions — exercising the real pipeline property
+    * (bounded output payloads regardless of input size).
+    */
+  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        // ??? <- real rescale goes here; deterministic stride stub:
+        val budget = targetW * targetH
+        val thumb =
+          if (payload.length <= budget) payload
+          else {
+            val stride = payload.length / budget
+            Array.tabulate(budget)(i => payload(i * stride))
+          }
+        Row(id, targetW, targetH, thumb)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
+  val framesSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_feature", ArrayType(FloatType))))
+
+  /** STUB frame sampler: a real implementation would demux the video
+    * payload and grab every `everyN`-th frame. The fake treats each
+    * `frameBytes`-sized slice as one "frame" and emits a feature per
+    * sampled frame — one row per (media, frame), the schema and
+    * explode shape a video pipeline needs.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      frameBytes: Int = 64,
+      everyN: Int = 2): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val nFrames = payload.length / frameBytes
+        // ??? <- real demux/decode; deterministic per-slice stub:
+        (0 until nFrames by everyN).map { f =>
+          val slice = payload.slice(f * frameBytes, (f + 1) * frameBytes)
+          val (_, _, feat) = fakeDecode(slice)
+          Row(id, f, feat.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, framesSchema)
+  }
 }

@@ -121,6 +121,22 @@ class OpsSpec extends AnyFunSuite {
     assert(again.getAs[Int]("width") == r0.getAs[Int]("width"))
   }
 
+  test("multimodal resize + frame-sample stubs: bounded output, per-frame rows") {
+    val media = Multimodal.attachBinary(docsDf, "doc_id", "text")
+    val resized = Multimodal.resize(spark, media, targetW = 4, targetH = 4).collect()
+    assert(resized.length == 5)
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]]("thumb").length <= 16) // bounded by target dims
+      assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 4)
+    }
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 16, everyN = 2)
+    val f0 = frames.filter($"media_id" === 0L).collect()
+    val expected = (docs.head._2.length / 16 + 1) / 2 // every 2nd frame
+    assert(f0.length == expected)
+    assert(f0.forall(_.getAs[scala.collection.Seq[Float]]("frame_feature").length == 8))
+    assert(f0.map(_.getAs[Int]("frame_idx")).toSet == (0 until docs.head._2.length / 16 by 2).toSet)
+  }
+
   test("langId picks en for english stopword text, und for none") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
