@@ -55,15 +55,24 @@ object Dedup {
       textCol: String,
       thresholdNum: Int = 1,
       thresholdDen: Int = 2,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      persistPostings: Boolean = false): DataFrame = {
     val sh = tokenized(df, idCol, textCol)
       .select(col("id"), ShingleExpressions.distinctWordShingles(col("ws")).as("ss"))
     // Posting rows carry the doc's set size so no size-lookup join is
     // needed after pair aggregation. The two join sides are identical
     // up to attribute renames, so Catalyst reuses one shuffle exchange
     // for both (ReusedExchange) instead of re-shingling twice.
-    val posting0 = sh
+    // persistPostings shares one shingling pass between the two join
+    // sides when the caller materializes the posting before the join
+    // (multi-action pipelines); within a single action the cache fills
+    // too late to help, so it is opt-in, not default.
+    val posting0raw = sh
       .select(col("id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
+    val posting0 =
+      if (persistPostings)
+        posting0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else posting0raw
     val posting = maxShingleDf match {
       case None => posting0
       case Some(cut) =>
