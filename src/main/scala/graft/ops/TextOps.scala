@@ -100,6 +100,41 @@ object TextOps {
     when(allZero, lit("und")).otherwise(chain)
   }
 
+  /** Character-trigram profiles for the n-gram language-ID variant:
+    * a few high-frequency trigrams per language (with word-boundary
+    * spaces). A production profile carries a few hundred ranked
+    * trigrams per language, loaded the same way.
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent"),
+    "de" -> Seq(" de", "der", "er ", "ie ", " di", "die", "ein", "sch", "und"),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion"))
+
+  /** N-gram (char-trigram) language ID: score = number of profile
+    * trigram OCCURRENCES in the text; argmax, earlier profile wins
+    * ties, "und" when nothing matches. Same decision shape as
+    * [[langId]] but driven by substring statistics instead of token
+    * membership — robust to languages without clean tokenization.
+    */
+  def langIdNgram(text: Column): Column = {
+    def score(trigrams: Seq[String]): Column =
+      trigrams.map { t =>
+        // occurrences of literal t: (len(text) - len(remove(text,t))) / 3
+        ((length(text) - length(regexp_replace(text, lit(java.util.regex.Pattern.quote(t)), lit("")))) / 3)
+          .cast("long")
+      }.reduce(_ + _)
+    val scores = TrigramProfiles.map { case (lang, ts) => lang -> score(ts) }
+    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
+    val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (lang, rest.foldLeft(lit(true))((c, o) => c && s >= o))
+    }.foldRight(lit("und")) { case ((lang, cond), els) =>
+      when(cond, lit(lang)).otherwise(els)
+    }
+    when(allZero, lit("und")).otherwise(chain)
+  }
+
   // --- quality metrics ------------------------------------------------
 
   def wordCount(text: Column): Column = size(words(text)).cast("long")

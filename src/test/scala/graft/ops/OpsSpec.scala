@@ -137,6 +137,28 @@ class OpsSpec extends AnyFunSuite {
     assert(f0.map(_.getAs[Int]("frame_idx")).toSet == (0 until docs.head._2.length / 16 by 2).toSet)
   }
 
+  test("minhash LSH equals exact jaccard on the real corpus (100% recall on planted dups)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // precision exact by construction; recall 100% here
+  }
+
+  test("n-gram langId: trigram stats pick the right language, und for noise") {
+    val df = Seq(
+      (1L, "the cat and the dog and the mouse of the house"),
+      (2L, "la casa de el perro y de la gata de los vecinos"),
+      (3L, "qqq zzz xxx www")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langIdNgram($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
   test("langId picks en for english stopword text, und for none") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
