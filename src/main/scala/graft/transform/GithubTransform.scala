@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * Semantics preserved (SURVEY.md §1.3 null matrix):
   *  - bug_id: first regex match in title order whose numeric value is
   *    < 100000000, else null (main.py:25, 449-454). Oversized digit
-  *    runs that overflow long are dropped via try_cast, matching
-  *    Python's arbitrary-precision compare result.
+  *    runs clamp to Long.MaxValue (ANSI-safe), matching Python's
+  *    arbitrary-precision compare result.
   *  - labels: `labels[].name` (null names kept), null/missing → []
   *    (main.py:465-469).
   *  - date_approved: min submitted_at over APPROVED reviews, null if
