@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftFunctions
+
+/** Convenience session factory: the engine's recommended configuration
+  * (UTC, right-sized shuffle partitions, AQE coalescing, nanos-safe
+  * parquet reads) with the graft SQL functions registered. Users who
+  * manage their own session can instead apply
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or call
+  * `GraftFunctions.register`.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    GraftFunctions.register(spark)
+    spark
+  }
+}

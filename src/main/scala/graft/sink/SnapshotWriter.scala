@@ -82,6 +82,19 @@ object SnapshotWriter {
         .parquet(path)
     }
 
+  /** NDJSON serialization — the exact payload format of the
+    * reference's BigQuery load jobs (main.py:673-677 serializes each
+    * chunk as newline-delimited JSON). Null fields are kept explicit
+    * so downstream schema-on-read matches the parquet tables.
+    */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    if (!df.isEmpty) {
+      df.select(org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(df.columns.map(col): _*),
+        java.util.Collections.singletonMap("ignoreNullFields", "false")).as("value"))
+        .write.mode("overwrite").text(path)
+    }
+
   /** S7 existence probe: partition-pruned scan, LIMIT 1 — metadata +
     * at most one row group touched (main.py:552-601).
     */
