@@ -83,6 +83,45 @@ object PropertySpec extends Properties("graft") {
       got == bruteJaccardPairs(docs)
     }
 
+  // --- KMV sketch vs direct model -------------------------------------
+
+  property("KMV aggregator equals the direct k-minima model") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 3000L))) { values =>
+      import graft.functions.KmvSketch
+      val k = 16
+      val expected = {
+        val minima = values.map(KmvSketch.hash).distinct.sorted.take(k)
+        KmvSketch.estimateFrom(minima, k)
+      }
+      val got =
+        if (values.isEmpty) 0.0
+        else values.map(v => (("g", v))).toDF("g", "v")
+          .groupBy($"g").agg(KmvSketch.kmvDistinct(k)($"v").as("e"))
+          .collect().head.getAs[Double]("e")
+      got == expected
+    }
+
+  // --- simhash column vs direct model ---------------------------------
+
+  property("simHash32 equals the direct per-bit vote model") =
+    Prop.forAll(Gen.listOfN(5, docGen)) { texts =>
+      def model(t: String): Long = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        def wh(w: String): Long =
+          w.codePointCount(0, w.length).toLong * 10007L +
+            w.codePointAt(0).toLong * 101L + w.codePointBefore(w.length).toLong
+        (0 until 32).map { b =>
+          val vote = ws.map(w => ((wh(w) >> b) & 1L) * 2L - 1L).sum
+          if (vote > 0) 1L << b else 0L
+        }.sum
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.simHashes(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+      val want = texts.zipWithIndex.map { case (t, i) => i.toLong -> model(t) }.toMap
+      got == want
+    }
+
   // --- as-of join vs per-row scan model -------------------------------
 
   val rowsGen: Gen[List[(Long, Long)]] = Gen.choose(1, 15).flatMap(n =>
