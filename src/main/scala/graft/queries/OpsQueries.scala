@@ -52,6 +52,7 @@ object OpsQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextOps.langId(col("text")).as("pred_lang"),
+        TextOps.langIdNgram(col("text")).as("pred_lang_ngram"),
         col("lang").as("labeled_lang"))),
 
     "q_token_count" -> ((s, d) =>
@@ -164,6 +165,26 @@ object OpsQueries {
       s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS s_$lang"
     }.mkString(",\n          ")
 
+
+  private def ngramScores: String =
+    TextOps.TrigramProfiles.map { case (lang, ts) =>
+      val terms = ts.map { t =>
+        val esc = t.replace("'", "''")
+        s"CAST((length(text) - length(replace(text, '$esc', ''))) / 3 AS BIGINT)"
+      }.mkString(" + ")
+      s"($terms) AS t_$lang"
+    }.mkString(",\n          ")
+
+  private def ngramCase: String = {
+    val langs = TextOps.TrigramProfiles.map(_._1)
+    val zero = langs.map(l => s"t_$l = 0").mkString(" AND ")
+    val whens = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"t_$l >= t_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
+  }
+
   private def langCase: String = {
     val langs = TextOps.StopwordProfiles.map(_._1)
     val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
@@ -193,9 +214,11 @@ object OpsQueries {
                  WHEN len(ws) >= 10 THEN 'medium' ELSE 'low' END AS quality
           FROM toks""",
     "q_lang_id" ->
-      s"""WITH toks AS (SELECT doc_id, lang, $ws AS ws FROM documents),
-          scored AS (SELECT doc_id, lang, $langScores FROM toks)
-          SELECT doc_id, $langCase AS pred_lang, lang AS labeled_lang FROM scored""",
+      s"""WITH toks AS (SELECT doc_id, lang, text, $ws AS ws FROM documents),
+          scored AS (SELECT doc_id, lang, $langScores,
+          $ngramScores FROM toks)
+          SELECT doc_id, $langCase AS pred_lang, $ngramCase AS pred_lang_ngram,
+                 lang AS labeled_lang FROM scored""",
     "q_token_count" ->
       s"""SELECT doc_id,
             CAST(len($ws) AS BIGINT) AS n_ws_tokens,
