@@ -178,4 +178,42 @@ object ShingleExpressions {
 
   def simHash32(words: Column): Column =
     GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(words)))
+
+  /** Per-language trigram occurrence scores in one pass: for each
+    * profile, counts leftmost non-overlapping occurrences of each of
+    * its trigrams (exactly the `replace`-based length-difference
+    * semantics of the SQL oracle), replacing one regexp_replace
+    * full-text scan per (language, trigram) pair.
+    */
+  case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val out = new Array[Long](profiles.size)
+      var li = 0
+      while (li < profiles.size) {
+        var total = 0L
+        for (t <- profiles(li)) {
+          var from = 0
+          var idx = text.indexOf(t, from)
+          while (idx >= 0) {
+            total += 1
+            from = idx + t.length
+            idx = text.indexOf(t, from)
+          }
+        }
+        out(li) = total
+        li += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def trigramProfileScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(
+      TrigramProfileScores(GraftColumnBridge.expression(text), profiles))
 }

@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped (split keeps them). */
+  /** Whitespace tokens, empties dropped (split keeps them); null text
+    * tokenizes to [] so every derived metric is 0/empty rather than
+    * null — mirrored by the oracle's COALESCE(text, '').
+    */
   def words(text: Column): Column =
-    filter(split(text, " "), w => w =!= lit(""))
+    filter(split(coalesce(text, lit("")), " "), w => w =!= lit(""))
 
   /** Portable per-word hash: length*10007 + first*101 + last. */
   def wordHash(w: Column): Column =
@@ -118,13 +121,13 @@ object TextOps {
     * membership — robust to languages without clean tokenization.
     */
   def langIdNgram(text: Column): Column = {
-    def score(trigrams: Seq[String]): Column =
-      trigrams.map { t =>
-        // occurrences of literal t: (len(text) - len(remove(text,t))) / 3
-        ((length(text) - length(regexp_replace(text, lit(java.util.regex.Pattern.quote(t)), lit("")))) / 3)
-          .cast("long")
-      }.reduce(_ + _)
-    val scores = TrigramProfiles.map { case (lang, ts) => lang -> score(ts) }
+    // one custom-expression pass computes all per-language scores
+    // (replaces 36 regexp_replace full-text scans per row)
+    val scoresArr = graft.functions.ShingleExpressions
+      .trigramProfileScores(coalesce(text, lit("")), TrigramProfiles.map(_._2))
+    val scores = TrigramProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(scoresArr, i + 1)
+    }
     val allZero = scores.map(_._2 === 0L).reduce(_ && _)
     val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
       val rest = scores.drop(i + 1).map(_._2)

@@ -36,17 +36,27 @@ object OpsQueries {
         k = 5)
     }),
 
-    "q_text_quality" -> ((s, d) => {
-      val t = col("text")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextOps.wordCount(t).as("n_words"),
-        TextOps.totalWordChars(t).as("n_word_chars"),
-        TextOps.punctCount(t).as("n_punct"),
-        TextOps.stopwordHits(TextOps.words(t), TextOps.StopwordProfiles.head._2)
-          .as("n_stopwords_en"),
-        TextOps.qualityBucket(t).as("quality"))
-    }),
+    // tokenize ONCE into a column, then derive every metric from it —
+    // the interpreted split+filter walk is the expensive part and
+    // Catalyst doesn't deduplicate HOF subtrees across projections.
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          aggregate(col("ws"), lit(0L),
+            (acc, w) => acc + length(w).cast("long")).as("n_word_chars"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.stopwordHits(col("ws"), TextOps.StopwordProfiles.head._2)
+            .as("n_stopwords_en"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_word_chars"),
+          col("n_punct"), col("n_stopwords_en"),
+          when(col("n_words") >= 30 && col("n_stopwords_en") * 10L >= col("n_words"),
+            lit("high"))
+            .when(col("n_words") >= 10, lit("medium"))
+            .otherwise(lit("low")).as("quality"))),
 
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -80,7 +90,7 @@ object OpsQueries {
   // --- oracle SQL (shared fragments + generated long forms) -----------
 
   /** Whitespace tokens, empties dropped. */
-  private val ws = "list_filter(string_split(text, ' '), w -> w <> '')"
+  private val ws = "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
 
   /** Portable word hash (mirrors TextOps.wordHash), BIGINT. */
   private def wh(w: String): String =
