@@ -1,17 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
+
+/** Benchmark main: every SparkEntry query timed on
+  * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_BENCH_RUNS` repetitions each
+  * (default 3, median reported) so per-query numbers aren't dominated
+  * by one-off codegen/JIT noise. The result JSON line is printed to
+  * stdout AND written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json`) — sbt wraps stdout in `[info]` noise, so the
+  * file is the machine-readable copy.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warmup so the first timed query isn't
@@ -24,15 +32,21 @@ object Bench {
     // Catalyst prune the very expressions being benchmarked (and hide
     // their errors), degenerating projection-only queries to row
     // counts.
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val out = fn(spark, sfDir)
+      out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
+        .agg(max("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          val out = fn(spark, sfDir)
-          out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
-            .agg(max("h")).collect()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
+        try name -> median((1 to runs).map(_ => timeOnce(fn)))
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
@@ -41,7 +55,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
   }
 }

@@ -23,13 +23,14 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects by default; read nanos as long and truncate to
-    * microsecond TimestampType (the data is µs-aligned).
+    * microsecond TimestampType (the data is µs-aligned). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
+    * set by [[GraftSession]]; this loader deliberately does NOT
+    * mutate the caller's session conf behind its back.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

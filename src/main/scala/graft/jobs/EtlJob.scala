@@ -77,15 +77,25 @@ object EtlJob {
       opts.token.foreach(t => reader = reader.option("token", t))
       opts.appId.foreach(id => reader = reader.option("appId", id))
       opts.privateKeyPem.foreach(k => reader = reader.option("privateKey", k))
+      // Persist the parsed rows BEFORE fanning out into four table
+      // writes: the first write action fills the cache (one API
+      // extraction), the other three reuse it. Without this each
+      // write (and each isEmpty probe) would re-run the full
+      // pagination + enrichment — up to 8 extractions, each seeing a
+      // different API state, i.e. a mutually inconsistent snapshot.
       val typed = reader.load()
         .select(col("repo"),
           from_json(col("value"), graft.model.GithubSchemas.rawPullRequest).as("pr"))
         .select((col("repo") +: graft.model.GithubSchemas.rawPullRequest
           .fieldNames.map(f => col(s"pr.$f"))): _*)
-      val tables = GithubTransform.applyMulti(typed, snapshotDate)
-      repos.foreach(r => SnapshotWriter.deleteSnapshot(spark, outDir, r, snapshotDate))
-      SnapshotWriter.write(tables, outDir)
-      println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tables = GithubTransform.applyMulti(typed, snapshotDate)
+        repos.foreach(r => SnapshotWriter.deleteSnapshot(spark, outDir, r, snapshotDate))
+        // skipIfEmpty=false: no per-table isEmpty action on this path
+        SnapshotWriter.write(tables, outDir, skipIfEmpty = false)
+        println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
+      } finally typed.unpersist()
       return
     }
 

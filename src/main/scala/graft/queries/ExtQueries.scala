@@ -238,10 +238,12 @@ object ExtQueries {
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
     "q_kmv_distinct" ->
       s"""WITH h0 AS (SELECT DISTINCT event_type,
-              (${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P}) + ${graft.functions.KmvSketch.HashB}) % ${graft.functions.KmvSketch.P} AS x
-            FROM events),
+              ((${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P}) + ${graft.functions.KmvSketch.HashB}) % ${graft.functions.KmvSketch.P}
+               + ${graft.functions.KmvSketch.P}) % ${graft.functions.KmvSketch.P} AS x
+            FROM events WHERE user_id IS NOT NULL),
           h AS (SELECT DISTINCT event_type,
-              ((x*x % ${graft.functions.KmvSketch.P}) * ${graft.functions.KmvSketch.HashA2} + ${graft.functions.KmvSketch.HashB2}) % ${graft.functions.KmvSketch.P} AS hv
+              (((x*x % ${graft.functions.KmvSketch.P}) * ${graft.functions.KmvSketch.HashA2} + ${graft.functions.KmvSketch.HashB2}) % ${graft.functions.KmvSketch.P}
+               + ${graft.functions.KmvSketch.P}) % ${graft.functions.KmvSketch.P} AS hv
             FROM h0),
           ranked AS (SELECT event_type, hv,
               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,

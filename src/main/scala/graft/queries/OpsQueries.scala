@@ -180,7 +180,9 @@ object OpsQueries {
     TextOps.TrigramProfiles.map { case (lang, ts) =>
       val terms = ts.map { t =>
         val esc = t.replace("'", "''")
-        s"CAST((length(text) - length(replace(text, '$esc', ''))) / 3 AS BIGINT)"
+        // COALESCE mirrors langIdNgram's coalesce(text, '') — a NULL
+        // text must score 0 ('und'), not NULL-propagate to the ELSE arm
+        s"CAST((length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '$esc', ''))) / 3 AS BIGINT)"
       }.mkString(" + ")
       s"($terms) AS t_$lang"
     }.mkString(",\n          ")

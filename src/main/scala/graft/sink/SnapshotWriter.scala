@@ -29,16 +29,21 @@ object SnapshotWriter {
     * the touched (snapshot_date, target_repository) partitions.
     * Empty inputs are skipped (K5: empty per-table list → skip).
     */
-  def write(tables: GithubTables, rootDir: String): Unit = {
+  def write(tables: GithubTables, rootDir: String, skipIfEmpty: Boolean = true): Unit = {
     val dfs = TableNames.zip(Seq(
       tables.pullRequests, tables.commits, tables.reviewers, tables.comments))
     for ((name, df) <- dfs) {
-      writeTable(df, s"$rootDir/$name")
+      writeTable(df, s"$rootDir/$name", skipIfEmpty)
     }
   }
 
-  def writeTable(df: DataFrame, path: String): Unit = {
-    if (!df.isEmpty) {
+  /** `skipIfEmpty=false` drops the `isEmpty` probe action — writing an
+    * empty DataFrame is harmless (no partition directories appear),
+    * and callers whose input is expensive to recompute (the DSv2 API
+    * extraction) must not pay an extra action per table.
+    */
+  def writeTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true): Unit = {
+    if (!skipIfEmpty || !df.isEmpty) {
       df.write
         .mode("overwrite")
         // per-write option, NOT session conf: a shared session must not
@@ -63,7 +68,12 @@ object SnapshotWriter {
       snapshotDate: Date): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val escapedRepo = java.net.URLEncoder.encode(repo, "UTF-8")
+    // Hive-style escaping — the SAME function Spark's writer uses for
+    // partition directories. URLEncoder agrees for '/' but diverges on
+    // space ('+' vs '%20'), '*', '~', ... and a mismatched name would
+    // silently skip the delete, leaving stale rows on rerun.
+    val escapedRepo = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(repo)
     for (table <- TableNames) {
       val dir = new org.apache.hadoop.fs.Path(
         s"$rootDir/$table/snapshot_date=$snapshotDate/target_repository=$escapedRepo")

@@ -51,20 +51,47 @@ class GithubHttp(
   private def isRateLimited(r: GithubResponse): Boolean =
     r.status == 403 && r.header("X-RateLimit-Remaining").map(_.trim).contains("0")
 
-  /** Sleep until the advertised reset second (main.py:380-389). */
-  private def sleepForRateLimit(r: GithubResponse): Unit = {
-    val reset = r.header("X-RateLimit-Reset").flatMap(_.trim.toLongOption).getOrElse(0L)
-    val seconds = math.max(0L, reset - clock())
-    sleeper(seconds * 1000L)
-  }
+  /** Floor applied when the reset header is absent/invalid, or when a
+    * passed reset keeps answering 403 — without it a server that never
+    * advertises a usable reset would be hammered in a zero-sleep loop.
+    */
+  val MinBackoffMs: Long = 5000L
+
+  /** Consecutive rate-limited responses tolerated before the job
+    * aborts; a healthy limiter clears after one sleep, so hitting this
+    * means the advertised reset is not actually resetting.
+    */
+  val MaxRateLimitRetries: Int = 20
+
+  /** Milliseconds until the advertised reset second (main.py:380-389);
+    * None when the header is absent or unparseable.
+    */
+  private def resetDelayMs(r: GithubResponse): Option[Long] =
+    r.header("X-RateLimit-Reset").flatMap(_.trim.toLongOption)
+      .map(reset => math.max(0L, reset - clock()) * 1000L)
+
+  private def sleepForRateLimit(r: GithubResponse, attempt: Int): Unit =
+    resetDelayMs(r) match {
+      case Some(ms) if ms > 0 => sleeper(ms)
+      // reset already passed: retry promptly once (the window usually
+      // HAS reset), then assume a stale header and back off
+      case Some(_) => sleeper(if (attempt <= 1) 0L else MinBackoffMs)
+      case None => sleeper(MinBackoffMs)
+    }
 
   /** GET with the retry-on-rate-limit loop; non-200 aborts the job. */
   def get(url: String, headers: Map[String, String] = Map.empty): GithubResponse = {
+    var rateLimited = 0
     while (true) {
       val resp = send(url, "GET", headers)
       if (resp.status == 200) return resp
-      if (isRateLimited(resp)) sleepForRateLimit(resp)
-      else throw new GithubApiError(
+      if (isRateLimited(resp)) {
+        rateLimited += 1
+        if (rateLimited > MaxRateLimitRetries)
+          throw new GithubApiError(
+            s"GitHub API rate limit did not clear after $MaxRateLimitRetries retries for $url")
+        sleepForRateLimit(resp, rateLimited)
+      } else throw new GithubApiError(
         s"GitHub API error ${resp.status} for $url: ${if (resp.body.isEmpty) "No response text" else resp.body}")
     }
     throw new IllegalStateException("unreachable")
@@ -76,7 +103,7 @@ class GithubHttp(
   def post(url: String, headers: Map[String, String] = Map.empty): GithubResponse = {
     val resp = send(url, "POST", headers)
     if (isRateLimited(resp)) {
-      sleepForRateLimit(resp)
+      sleepForRateLimit(resp, attempt = 1)
       send(url, "POST", headers)
     } else resp
   }

@@ -94,6 +94,28 @@ class GithubConnectorSpec extends AnyFunSuite {
     intercept[GithubApiError](http.get("http://x"))
   }
 
+  test("rate-limited with MISSING reset header backs off instead of busy-looping") {
+    val sleeps = collection.mutable.Buffer[Long]()
+    val http = new CannedHttp(Iterator(
+      GithubResponse(403, "limited", Map("X-RateLimit-Remaining" -> "0")),
+      GithubResponse(403, "limited", Map("X-RateLimit-Remaining" -> "0", "X-RateLimit-Reset" -> "oops")),
+      GithubResponse(200, "ok", Map.empty)), sleeps)
+    assert(http.get("http://x").body == "ok")
+    assert(sleeps.toSeq == Seq(http.MinBackoffMs, http.MinBackoffMs))
+  }
+
+  test("a reset that never clears stops retrying after the cap (no infinite loop)") {
+    val sleeps = collection.mutable.Buffer[Long]()
+    val limited =
+      GithubResponse(403, "limited", Map("X-RateLimit-Remaining" -> "0", "X-RateLimit-Reset" -> "900"))
+    val http = new CannedHttp(Iterator.continually(limited), sleeps)
+    val e = intercept[GithubApiError](http.get("http://x"))
+    assert(e.getMessage.contains("retries"))
+    assert(sleeps.size == http.MaxRateLimitRetries)
+    // passed reset: one prompt retry, then the min backoff floor kicks in
+    assert(sleeps.head == 0L && sleeps.drop(1).forall(_ == http.MinBackoffMs))
+  }
+
   // --- extractor against the in-process mock server -------------------
 
   def withServer[T](f: MockGithubServer => T): T = {
@@ -293,5 +315,23 @@ class GithubConnectorSpec extends AnyFunSuite {
     SnapshotWriter.writeTable(df, s"$out/pull_requests")
     assert(SnapshotWriter.snapshotExists(spark, out, "o/r", d))
     assert(!SnapshotWriter.snapshotExists(spark, out, "o/other", d))
+  }
+
+  test("deleteSnapshot finds the directory Spark actually wrote, even for awkward names") {
+    // space, '*', '~' are exactly where URL-encoding and Hive path
+    // escaping disagree; the delete must mirror the WRITER's escaping
+    // or it silently misses the partition and stale rows survive
+    val out = java.nio.file.Files.createTempDirectory("graft-esc").toString
+    val d = Date.valueOf("2024-03-03")
+    import spark.implicits._
+    for (repo <- Seq("o/r", "weird name/x*y~z")) {
+      val df = Seq((1L, d, repo))
+        .toDF("pull_request_id", "snapshot_date", "target_repository")
+      SnapshotWriter.writeTable(df, s"$out/pull_requests")
+      assert(SnapshotWriter.snapshotExists(spark, out, repo, d))
+      SnapshotWriter.deleteSnapshot(spark, out, repo, d)
+      assert(!SnapshotWriter.snapshotExists(spark, out, repo, d),
+        s"stale partition survived delete for repo '$repo'")
+    }
   }
 }
