@@ -61,10 +61,73 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim i): a fixed integer hash mapped to [-0.5, 0.5). Seedless and
+    * exactly representable in double (k/2^16 - 1/2), so the DuckDB
+    * oracle reproduces it from its decimal literal bit-for-bit.
+    */
+  def planeComponent(p: Int, i: Int): Double = {
+    val h = (p * 73856093L ^ i * 19349663L) & 0xffffL
+    h.toDouble / 65536.0 - 0.5
+  }
+
+  /** Sign-bit LSH bucket over `nPlanes` deterministic hyperplanes:
+    * bit p is set iff the (strictly left-to-right, double-precision)
+    * projection onto plane p is >= 0. One pass over the vector per
+    * plane in a tight loop — the literal expression tree it replaces
+    * was interpreted per-row and sat in the inner loop of every
+    * LSH-blocked similarity join.
+    */
+  case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+
+    @transient private lazy val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, dim)((p, i) => planeComponent(p, i))
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(dim, a.numElements())
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val comp = planes(p)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += a.getFloat(i).toDouble * comp(i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= 1L << p
+        p += 1
+      }
+      bucket
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def floatDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatDotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def floatNorm(a: Column): Column =
     GraftColumnBridge.column(FloatL2Norm(GraftColumnBridge.expression(a)))
+
+  def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    GraftColumnBridge.column(HyperplaneBucket(
+      GraftColumnBridge.expression(v), nPlanes, dim))
+
+  /** DuckDB SQL replicating [[HyperplaneBucket]] for `vec` (a 1-based
+    * FLOAT[] reference like `a.v`): the same strictly left-to-right
+    * double chain per plane, sign bits summed into a BIGINT. Double
+    * literals round-trip exactly (k/2^16 - 1/2 is a dyadic rational).
+    */
+  def bucketSql(vec: String, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { p =>
+      val proj = (0 until dim)
+        .map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*(${planeComponent(p, i)})")
+        .mkString(" + ")
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
 }

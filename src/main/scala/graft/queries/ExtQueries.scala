@@ -27,13 +27,15 @@ object ExtQueries {
           date_format(col("o_orderdate_asof"), "yyyy-MM-dd").as("last_order_date"))
     }),
 
-    // Embedding near-duplicate pairs at cosine >= 0.45 — exact
-    // all-pairs baseline with hoisted norms and the custom
-    // FloatDotProduct expression; LSH blocking is the scale path.
+    // Embedding near-duplicate pairs at cosine >= 0.45 via
+    // hyperplane-LSH blocking (bucket equi-join + 1-bit multiprobe +
+    // exact cosine verify) — the 100 TB shape; the oracle replicates
+    // the bucket arithmetic exactly, and specs measure recall against
+    // the exact-all-pairs ground truth.
     "q_dedup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding").as("v"))
-      Similarity.cosinePairs(e, threshold = 0.45)
+      Similarity.cosinePairsLsh(e, threshold = 0.45)
     }),
 
     // §2.8 JSON surface: typed scalar extraction from a JSON column.
@@ -208,16 +210,22 @@ object ExtQueries {
     })
   )
 
-  private def annPairsSql: String = {
+  /** LSH pairs oracle: the SAME hyperplane bucket arithmetic
+    * (VectorExpressions.bucketSql), the SAME ≤1-bit candidate rule
+    * (Spark probes by 1-bit flips; bit_count(xor) ≤ 1 is the
+    * equivalent pair predicate), the SAME left-to-right cosine.
+    */
+  private def lshPairsSql: String = {
     val dot = (1 to 64)
       .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
     val na = (1 to 64)
       .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(a.v[$i] AS DOUBLE)").mkString(" + ")
     val nb = (1 to 64)
       .map(i => s"CAST(b.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings)
+    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", 8, 64)
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v, $bucket AS bucket FROM embeddings)
         SELECT a.id AS vec_id_a, b.id AS vec_id_b
-        FROM e a JOIN e b ON a.id < b.id
+        FROM e a JOIN e b ON a.id < b.id AND bit_count(xor(a.bucket, b.bucket)) <= 1
         WHERE ($dot) / (sqrt($na) * sqrt($nb)) >= 0.45"""
   }
 
@@ -226,7 +234,7 @@ object ExtQueries {
       """SELECT event_id, user_id, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
          FROM events ASOF LEFT JOIN orders
          ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate""",
-    "q_dedup_embedding" -> annPairsSql,
+    "q_dedup_embedding" -> lshPairsSql,
     "q_join3" ->
       """SELECT l_orderkey AS order_id,
          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue

@@ -36,6 +36,19 @@ object OpsQueries {
         k = 5)
     }),
 
+    // The SCALE path for the same question: hyperplane-LSH bucket join
+    // with 1-bit multiprobe instead of a corpus scan per query. The
+    // hyperplanes are seedless integer hashes, so the oracle replicates
+    // the bucketing (and therefore the exact candidate set) bit-for-bit.
+    "q_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5)
+    }),
+
     // tokenize ONCE into a column, then derive every metric from it —
     // the interpreted split+filter walk is the expensive part and
     // Catalyst doesn't deduplicate HOF subtrees across projections.
@@ -167,6 +180,23 @@ object OpsQueries {
         WHERE rn <= 5"""
   }
 
+  private def annLshSql: String = {
+    val dot = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    val qn = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
+    val nn = (1 to 64)
+      .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", 8, 64)
+    s"""WITH q AS (SELECT vec_id qid, embedding qv, $bucket AS qb FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id nid, embedding nv, $bucket AS nb FROM embeddings),
+        s AS (SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
+              FROM c JOIN q ON bit_count(xor(qb, nb)) <= 1 AND nid <> qid)
+        SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
+          (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
+        WHERE rn <= 5"""
+  }
+
   private val stopEn = TextOps.StopwordProfiles.head._2.map(s => s"'$s'").mkString(", ")
 
   private def langScores: String =
@@ -215,6 +245,7 @@ object OpsQueries {
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_cosine" -> annSql,
+    "q_ann_lsh" -> annLshSql,
     "q_text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,

@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("LSH similarity queries join on buckets — no cartesian product") {
+    for (q <- Seq("q_dedup_embedding", "q_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+  }
+
   test("dedup aggregations keep map-side partial aggregation") {
     // partial_count markers show the two-phase (partial -> final) agg
     assert(plan("q_dedup_exact").contains("partial_"))

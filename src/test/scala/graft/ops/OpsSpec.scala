@@ -103,6 +103,31 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute) || lsh.nonEmpty)
   }
 
+  test("LSH cosine pairs: exact precision, bucket-identical dups always found") {
+    import org.apache.spark.sql.functions.col
+    // two planted EXACT duplicates (ids 100/101): identical vectors get
+    // identical buckets, so LSH can never lose them
+    val withDup = (vecs ++ Seq(
+      100L -> Array.tabulate(8)(d => if (d == 0) 1.0f else 0.25f),
+      101L -> Array.tabulate(8)(d => if (d == 0) 1.0f else 0.25f))).toDF("id", "v")
+    val exact = Similarity.cosinePairs(withDup, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(withDup, threshold = 0.9, nPlanes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (same cosine verify) — LSH
+    // may only LOSE pairs to bucketing, never invent them
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((100L, 101L)))
+    // recall sanity on clustered vectors (same-cluster cosines ~1):
+    assert(lsh.size * 2 >= exact.size, s"recall collapsed: ${lsh.size}/${exact.size}")
+    // a returned pair never repeats (each ≤1-bit pair matches exactly
+    // one probe)
+    val all = Similarity.cosinePairsLsh(withDup, threshold = 0.9, nPlanes = 4, dim = 8)
+      .groupBy(col("vec_id_a"), col("vec_id_b")).count()
+      .filter(col("count") > 1).count()
+    assert(all == 0L)
+  }
+
   test("multimodal decode stub: schema, determinism, batch shape") {
     val media = Multimodal.attachBinary(docsDf, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
