@@ -46,8 +46,23 @@ object Dedup {
     df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 3)
 
+  /** Default posting-list cut: shingles present in more than this many
+    * documents are dropped from the Jaccard universe. A shingle with
+    * document frequency d generates ~d²/2 candidate rows in the
+    * self-join, so ONE boilerplate phrase shared by a million documents
+    * would dominate the entire 100 TB job; with the cut, candidates are
+    * bounded by cut·Σdf — linear in corpus size. 256 is far above any
+    * discriminative shingle's df and far below boilerplate's.
+    */
+  val DefaultMaxShingleDf = 256
+
   /** Exact word-3-gram Jaccard similarity pairs at threshold
     * num/den (default 1/2). Returns (doc_id_a, doc_id_b), a < b.
+    *
+    * `maxShingleDf` defaults to [[DefaultMaxShingleDf]] — the
+    * unbounded form (`None`) is opt-in, for corpora known to carry no
+    * boilerplate. Set sizes are recomputed over surviving postings so
+    * the threshold stays a true Jaccard over the pruned universe.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -55,25 +70,48 @@ object Dedup {
       textCol: String,
       thresholdNum: Int = 1,
       thresholdDen: Int = 2,
-      maxShingleDf: Option[Int] = None,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf),
       persistPostings: Boolean = false): DataFrame = {
+    val posting = jaccardPostings(df, idCol, textCol, maxShingleDf, persistPostings)
+    posting.select(col("id").as("ida"), col("n").as("na"), col("s"))
+      .join(posting.select(col("id").as("idb"), col("n").as("nb"), col("s")), "s")
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // integer Jaccard test: den*shared >= num*(na+nb-shared)
+      .filter(lit(thresholdDen.toLong) * col("shared") >=
+        lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
+      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
+  }
+
+  /** Surviving posting list (id, n, s) — the candidate-generation
+    * input of [[jaccardPairs]], exposed so tests can gate the
+    * candidate count directly.
+    *
+    * Posting rows carry the doc's set size so no size-lookup join is
+    * needed after pair aggregation. The two join sides are identical
+    * up to attribute renames, so Catalyst reuses one shuffle exchange
+    * for both (ReusedExchange) instead of re-shingling twice.
+    * persistPostings shares one shingling pass between the two join
+    * sides when the caller materializes the posting before the join
+    * (multi-action pipelines); within a single action the cache fills
+    * too late to help, so it is opt-in, not default.
+    */
+  private[graft] def jaccardPostings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxShingleDf: Option[Int],
+      persistPostings: Boolean): DataFrame = {
     val sh = tokenized(df, idCol, textCol)
       .select(col("id"), ShingleExpressions.distinctWordShingles(col("ws")).as("ss"))
-    // Posting rows carry the doc's set size so no size-lookup join is
-    // needed after pair aggregation. The two join sides are identical
-    // up to attribute renames, so Catalyst reuses one shuffle exchange
-    // for both (ReusedExchange) instead of re-shingling twice.
-    // persistPostings shares one shingling pass between the two join
-    // sides when the caller materializes the posting before the join
-    // (multi-action pipelines); within a single action the cache fills
-    // too late to help, so it is opt-in, not default.
     val posting0raw = sh
       .select(col("id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
     val posting0 =
       if (persistPostings)
         posting0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else posting0raw
-    val posting = maxShingleDf match {
+    maxShingleDf match {
       case None => posting0
       case Some(cut) =>
         // posting-list cut: drop shingles present in > cut docs (they
@@ -87,15 +125,6 @@ object Dedup {
         pruned.withColumn("n",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
     }
-    posting.select(col("id").as("ida"), col("n").as("na"), col("s"))
-      .join(posting.select(col("id").as("idb"), col("n").as("nb"), col("s")), "s")
-      .filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb"))
-      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-      // integer Jaccard test: den*shared >= num*(na+nb-shared)
-      .filter(lit(thresholdDen.toLong) * col("shared") >=
-        lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
-      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
   }
 
   /** Fixed MinHash parameters: 16 permutations (a·h+b mod p), banded

@@ -119,15 +119,25 @@ object OpsQueries {
     s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
         base AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 3)"""
 
+  /** Replicates jaccardPairs' DEFAULT path including the posting-list
+    * cut: shingles with df > DefaultMaxShingleDf leave the universe,
+    * and per-doc set sizes are recomputed over the survivors (at the
+    * test SFs no shingle reaches the cut, but the oracle must encode
+    * the same semantics at ANY scale, not just coincide at this one).
+    */
   private def jaccardSql: String =
     s"""WITH $toksBase,
         sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
         ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        kept AS (SELECT doc_id, s FROM ex
+                 WHERE s IN (SELECT s FROM ex GROUP BY s
+                             HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         pairs AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS shared
-                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+                  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         sized AS (SELECT p.ida, p.idb, p.shared, sa.n na, sb.n nb FROM pairs p
-                  JOIN (SELECT doc_id, len(ss) n FROM sh) sa ON sa.doc_id = p.ida
-                  JOIN (SELECT doc_id, len(ss) n FROM sh) sb ON sb.doc_id = p.idb)
+                  JOIN sizes sa ON sa.doc_id = p.ida
+                  JOIN sizes sb ON sb.doc_id = p.idb)
         SELECT ida AS doc_id_a, idb AS doc_id_b FROM sized
         WHERE 2*shared >= (na + nb - shared)"""
 

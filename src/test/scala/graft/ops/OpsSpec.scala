@@ -57,6 +57,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L || p._2 == 3L && p._1 != 0L || p._1 == 2L))
   }
 
+  test("default posting cut keeps a hot-shingle corpus sub-quadratic") {
+    // every doc opens with the same boilerplate shingle; its df (300)
+    // exceeds DefaultMaxShingleDf (256), so the DEFAULT path must prune
+    // it — without the cut this corpus alone generates ~45k candidate
+    // rows (C(300,2)); with it, only the planted dup pair's 3 surviving
+    // shingles produce candidates
+    val n = Dedup.DefaultMaxShingleDf + 44
+    val hotDocs = (0L until n.toLong).map { i =>
+      val u = if (i == 1L) 0L else i // doc 1 duplicates doc 0 exactly
+      (i, s"hot1 hot2 hot3 u${u}a u${u}b u${u}c")
+    }.toDF("doc_id", "text")
+    val posting = Dedup.jaccardPostings(hotDocs, "doc_id", "text",
+      maxShingleDf = Some(Dedup.DefaultMaxShingleDf), persistPostings = false)
+    val candidates = posting.select($"id".as("ida"), $"s")
+      .join(posting.select($"id".as("idb"), $"s"), "s")
+      .filter($"ida" < $"idb").count()
+    assert(candidates == 3L, s"hot shingle not cut: $candidates candidate rows")
+    val pairs = Dedup.jaccardPairs(hotDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("minhash LSH pairs agree with exact jaccard on planted dups") {
     val lsh = Dedup.minHashLshPairs(docsDf, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
