@@ -111,13 +111,19 @@ class GithubExtractor(
     * API page. `startPage`/`endPage` bound the walk for page-range
     * partitions (endPage < 0 = follow links to the end, the
     * reference-faithful default).
+    *
+    * `enrich = false` skips the per-PR commit/review/comment fetches
+    * and yields the bare list-page documents — the DSv2 source uses
+    * this when the query's required columns don't include `value`,
+    * turning a (1 + ~4·|PRs|)-request scan into a pages-only walk.
     */
   def pages(
       repo: String,
       chunkSize: Int = 100,
       refreshAuth: () => Unit = () => (),
       startPage: Int = 1,
-      endPage: Int = -1): Iterator[Seq[String]] =
+      endPage: Int = -1,
+      enrich: Boolean = true): Iterator[Seq[String]] =
     new Iterator[Seq[String]] {
       private var page: Option[Int] = Some(startPage)
       private var first = startPage == 1
@@ -135,12 +141,12 @@ class GithubExtractor(
         val enriched = batch.elements.asScala.map { pr =>
           val number = Option(pr.get("number")).filter(n => n.canConvertToLong && n.asLong != 0L)
           number match {
-            case Some(n) =>
+            case Some(n) if enrich =>
               val obj = pr.asInstanceOf[ObjectNode]
               obj.set[JsonNode]("commit_data", extractCommits(repo, n.asLong))
               obj.set[JsonNode]("reviewer_data", extractReviewers(repo, n.asLong))
               obj.set[JsonNode]("comment_data", extractComments(repo, n.asLong))
-            case None => // stays in batch unenriched (main.py:228-230)
+            case _ => // unenriched: no number (main.py:228-230) or pruned value
           }
           mapper.writeValueAsString(pr)
         }.toSeq

@@ -210,6 +210,32 @@ class GithubConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 column pruning reaches the HTTP layer: repo-only scan skips enrichment") {
+    withServer { server =>
+      def freshDf = spark.read.format("github")
+        .option("repos", "o/r")
+        .option("apiUrl", server.url)
+        .option("chunkSize", "3")
+        .load()
+      // full read for comparison: 2 list pages + per-PR enrichment
+      val before = server.requestCount.get
+      assert(freshDf.collect().length == 5)
+      val fullRequests = server.requestCount.get - before
+      assert(fullRequests > 10, s"mock changed? full read used $fullRequests requests")
+
+      val repoOnly = freshDf.select("repo")
+      val plan = repoOnly.queryExecution.executedPlan.toString
+      assert(plan.contains("repo#") && !plan.contains("value#"),
+        s"scan did not prune value:\n$plan")
+      val mid = server.requestCount.get
+      val rows = repoOnly.collect()
+      assert(rows.length == 5 && rows.forall(_.getString(0) == "o/r"))
+      val prunedRequests = server.requestCount.get - mid
+      assert(prunedRequests == 2, // exactly the two list pages
+        s"pruned scan should fetch pages only, used $prunedRequests requests")
+    }
+  }
+
   test("DSv2 page-range partitioning via Link rel=last") {
     withServer { server =>
       val df = spark.read.format("github")
