@@ -97,6 +97,36 @@ object OpsQueries {
         col("meta.format").as("format"),
         col("meta.n_bytes").as("n_bytes"),
         sha2(col("payload"), 256).as("digest"))
+    }),
+
+    // Decode pipeline end-to-end (binary payload → per-partition batch
+    // decode → typed features). The decode stub is deterministic in the
+    // payload bytes, so the oracle replicates it — float arithmetic is
+    // done in FLOAT on both engines, then widened to double (exact).
+    // Feature components are emitted as scalar columns: the compare
+    // canonicalizes scalars, not nested lists.
+    "q_multimodal_decode" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      val dec = Multimodal.decodeFeatures(s, m)
+      val featureCols = (0 until 8).map(i =>
+        element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
+      dec.select(Seq(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bytes")) ++ featureCols: _*)
+    }),
+
+    // Frame-sampling pipeline: one row per sampled frame slice, the
+    // explode shape a video pipeline needs; same oracle discipline.
+    "q_multimodal_frames" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      val fr = Multimodal.sampleFrames(s, m)
+      val featureCols = (0 until 8).map(i =>
+        element_at(col("frame_feature"), i + 1).cast("double").as(s"f$i"))
+      fr.select(Seq(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx")) ++ featureCols: _*)
     })
   )
 
@@ -288,6 +318,40 @@ object OpsQueries {
       """SELECT doc_id AS media_id, 'text/plain' AS format,
          octet_length(CAST(text AS BLOB)) AS n_bytes,
          sha256(text) AS digest
-         FROM documents"""
+         FROM documents""",
+    "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_multimodal_frames" -> multimodalFramesSql
   )
+
+  /** Byte i (0-based) of the ASCII payload as FLOAT/255 widened to
+    * double — the oracle twin of the decode stub's
+    * `payload(i % n).toFloat / 255f` (test corpora are ASCII, so
+    * character position == byte position).
+    */
+  private def byteFeature(pos: String): String =
+    s"CAST(CAST(ord(substr(text, CAST($pos AS INT) + 1, 1)) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)"
+
+  private def multimodalDecodeSql: String = {
+    val fs = (0 until 8)
+      .map(i => s"${byteFeature(s"$i % n")} AS f$i").mkString(",\n            ")
+    s"""WITH b AS (SELECT doc_id AS media_id, text,
+              octet_length(CAST(text AS BLOB)) AS n FROM documents)
+        SELECT media_id,
+            CAST(64 + n % 512 AS BIGINT) AS width,
+            CAST(64 + (n*7) % 512 AS BIGINT) AS height,
+            CAST(n AS BIGINT) AS n_bytes,
+            $fs
+        FROM b"""
+  }
+
+  private def multimodalFramesSql: String = {
+    val fs = (0 until 8)
+      .map(i => s"${byteFeature(s"frame_idx*64 + $i")} AS f$i").mkString(",\n            ")
+    s"""WITH b AS (SELECT doc_id AS media_id, text,
+              octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        fr AS (SELECT media_id, text,
+              CAST(unnest(range(0, n // 64, 2)) AS BIGINT) AS frame_idx FROM b)
+        SELECT media_id, frame_idx, $fs
+        FROM fr"""
+  }
 }
