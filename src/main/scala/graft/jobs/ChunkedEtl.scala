@@ -5,7 +5,7 @@ import java.sql.Date
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.GithubSchemas
-import graft.sink.SnapshotWriter
+import graft.sink.{SnapshotSink, SnapshotWriter}
 import graft.source.github.GithubSource
 import graft.transform.GithubTransform
 
@@ -32,13 +32,13 @@ object ChunkedEtl {
       spark: SparkSession,
       repo: String,
       opts: GithubSource.Options,
-      outDir: String,
+      sink: SnapshotSink,
       snapshotDate: Date): ChunkStats = {
     import spark.implicits._
 
     val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
 
-    SnapshotWriter.deleteSnapshot(spark, outDir, repo, snapshotDate)
+    sink.deleteSnapshot(repo, snapshotDate)
 
     var chunks = 0
     var prs = 0L
@@ -48,11 +48,20 @@ object ChunkedEtl {
       val tables = GithubTransform(raw, repo, snapshotDate)
       for ((name, df) <- SnapshotWriter.TableNames.zip(Seq(
           tables.pullRequests, tables.commits, tables.reviewers, tables.comments))) {
-        SnapshotWriter.appendTable(df, s"$outDir/$name")
+        sink.append(name, df)
       }
       chunks += 1
       prs += chunk.size
     }
     ChunkStats(chunks, prs)
   }
+
+  /** Back-compat parquet form. */
+  def run(
+      spark: SparkSession,
+      repo: String,
+      opts: GithubSource.Options,
+      outDir: String,
+      snapshotDate: Date): ChunkStats =
+    run(spark, repo, opts, new graft.sink.ParquetSnapshotSink(spark, outDir), snapshotDate)
 }

@@ -6,7 +6,7 @@ import java.time.{LocalDate, ZoneOffset}
 import org.apache.spark.sql.SparkSession
 
 import graft.source.github.{GithubAuth, GithubSource}
-import graft.sink.SnapshotWriter
+import graft.sink.{NdjsonSnapshotSink, ParquetSnapshotSink, SnapshotSink}
 import graft.transform.GithubTransform
 
 /** Full ETL run reproducing the reference's `_main()` contract
@@ -66,6 +66,18 @@ object EtlJob {
     // midnight stays consistent (main.py:827, 700-702)
     val snapshotDate = Date.valueOf(LocalDate.now(ZoneOffset.UTC))
 
+    // pluggable destination (X6): GRAFT_SINK=ndjson selects the
+    // BigQuery-wire-shaped sink; GRAFT_EMULATOR_HOST flips it to
+    // streaming inserts, mirroring BIGQUERY_EMULATOR_HOST
+    // (main.py:805-814). Default is the parquet lake.
+    val sink: SnapshotSink = env.get("GRAFT_SINK") match {
+      case Some("ndjson") => new NdjsonSnapshotSink(spark, outDir,
+        streamingInserts = env.contains("GRAFT_EMULATOR_HOST"))
+      case Some(other) if other != "parquet" =>
+        throw new IllegalArgumentException(s"unknown GRAFT_SINK '$other'")
+      case _ => new ParquetSnapshotSink(spark, outDir)
+    }
+
     if (env.get("GRAFT_USE_DSV2").contains("1")) {
       // all repos in one distributed read (one input partition per
       // repo — the 1000-repo scale path), transformed in a single
@@ -91,9 +103,9 @@ object EtlJob {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val tables = GithubTransform.applyMulti(typed, snapshotDate)
-        repos.foreach(r => SnapshotWriter.deleteSnapshot(spark, outDir, r, snapshotDate))
+        repos.foreach(r => sink.deleteSnapshot(r, snapshotDate))
         // skipIfEmpty=false: no per-table isEmpty action on this path
-        SnapshotWriter.write(tables, outDir, skipIfEmpty = false)
+        sink.writeSnapshot(tables, skipIfEmpty = false)
         println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
       } finally typed.unpersist()
       return
@@ -102,13 +114,13 @@ object EtlJob {
     for (repo <- repos) {
       // dynamic partition overwrite makes the rerun-delete implicit;
       // the probe is informational parity with main.py:833-839
-      val existed = SnapshotWriter.snapshotExists(spark, outDir, repo, snapshotDate)
+      val existed = sink.exists(repo, snapshotDate)
       if (existed)
         println(s"[etl] snapshot ($snapshotDate, $repo) exists; overwriting partitions")
       if (env.get("GRAFT_CHUNKED").contains("1")) {
         // reference-faithful bounded-memory mode: extract page →
         // transform → append, one chunk at a time (main.py:871-898)
-        val stats = ChunkedEtl.run(spark, repo, opts, outDir, snapshotDate)
+        val stats = ChunkedEtl.run(spark, repo, opts, sink, snapshotDate)
         println(s"[etl] $repo: wrote snapshot $snapshotDate " +
           s"(${stats.chunks} chunks, ${stats.prs} PRs)")
       } else {
@@ -117,8 +129,8 @@ object EtlJob {
         // explicit up-front delete (K1): dynamic overwrite alone can't
         // clear a partition for a table whose new DataFrame is empty,
         // which would leave stale rows on rerun
-        SnapshotWriter.deleteSnapshot(spark, outDir, repo, snapshotDate)
-        SnapshotWriter.write(tables, outDir)
+        sink.deleteSnapshot(repo, snapshotDate)
+        sink.writeSnapshot(tables)
         println(s"[etl] $repo: wrote snapshot $snapshotDate")
       }
     }

@@ -61,6 +61,22 @@ object SnapshotWriter {
     * first chunk (dynamic overwrite alone can't clear a partition it
     * writes no rows to).
     */
+  /** Hive-style partition directory for (table, repo, date) — uses
+    * the SAME escaping Spark's writer uses for partition directories.
+    * URLEncoder agrees for '/' but diverges on space ('+' vs '%20'),
+    * '*', '~', ... and a mismatched name would silently skip deletes,
+    * leaving stale rows on rerun.
+    */
+  def partitionPath(
+      rootDir: String,
+      table: String,
+      repo: String,
+      snapshotDate: Date): String = {
+    val escapedRepo = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(repo)
+    s"$rootDir/$table/snapshot_date=$snapshotDate/target_repository=$escapedRepo"
+  }
+
   def deleteSnapshot(
       spark: SparkSession,
       rootDir: String,
@@ -68,15 +84,9 @@ object SnapshotWriter {
       snapshotDate: Date): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    // Hive-style escaping — the SAME function Spark's writer uses for
-    // partition directories. URLEncoder agrees for '/' but diverges on
-    // space ('+' vs '%20'), '*', '~', ... and a mismatched name would
-    // silently skip the delete, leaving stale rows on rerun.
-    val escapedRepo = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-      .escapePathName(repo)
     for (table <- TableNames) {
       val dir = new org.apache.hadoop.fs.Path(
-        s"$rootDir/$table/snapshot_date=$snapshotDate/target_repository=$escapedRepo")
+        partitionPath(rootDir, table, repo, snapshotDate))
       if (fs.exists(dir)) fs.delete(dir, true)
     }
   }

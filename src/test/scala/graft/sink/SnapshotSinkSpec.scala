@@ -1,0 +1,91 @@
+package graft.sink
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.transform.GithubTransform.GithubTables
+
+/** The sink CONTRACT (delete-then-append idempotency, untouched
+  * partitions preserved, existence probe) run against every
+  * implementation — a new warehouse sink must pass this suite
+  * unchanged.
+  */
+class SnapshotSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val d1: Date = Date.valueOf("2024-05-01")
+  val d2: Date = Date.valueOf("2024-05-02")
+
+  def rows(repo: String, d: Date, marker: String): DataFrame =
+    Seq((1L, marker, d, repo), (2L, marker, d, repo))
+      .toDF("pull_request_id", "title", "snapshot_date", "target_repository")
+
+  def tablesOf(df: DataFrame): GithubTables = GithubTables(df, df, df, df)
+
+  /** Read back one table's rows as (id, marker, repo) regardless of
+    * the sink's storage format.
+    */
+  def readBack(sinkKind: String, root: String, table: String): Set[(Long, String, String)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$table"))) return Set.empty
+    val normalized = sinkKind match {
+      case "parquet" =>
+        val df = spark.read.parquet(s"$root/$table")
+        df.select(df("pull_request_id").cast("long"), df("title"), df("target_repository"))
+      case _ =>
+        import org.apache.spark.sql.functions.{col, get_json_object}
+        spark.read.textFile(s"$root/$table/*/*/*").toDF("value").select(
+          get_json_object(col("value"), "$.pull_request_id").cast("long").as("id"),
+          get_json_object(col("value"), "$.title").as("title"),
+          get_json_object(col("value"), "$.target_repository").as("repo"))
+    }
+    normalized.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("delete-then-append rerun is idempotent; other partitions untouched") {
+    for ((kind, mk) <- Seq[(String, String => SnapshotSink)](
+        ("parquet", r => new ParquetSnapshotSink(spark, r)),
+        ("ndjson", r => new NdjsonSnapshotSink(spark, r)),
+        ("ndjson-streaming", r => new NdjsonSnapshotSink(spark, r, streamingInserts = true)))) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-sink-$kind").toString
+      val sink = mk(root)
+
+      assert(!sink.exists("o/r", d1), s"[$kind] exists before any write")
+      sink.deleteSnapshot("o/r", d1)
+      sink.writeSnapshot(tablesOf(rows("o/r", d1, "run1")))
+      assert(sink.exists("o/r", d1), s"[$kind] probe after write")
+
+      // a second (repo, date) partition that the rerun must not touch
+      sink.deleteSnapshot("o/other", d2)
+      sink.writeSnapshot(tablesOf(rows("o/other", d2, "keep")))
+
+      // rerun of (o/r, d1) with changed content — the reference crash
+      // recovery path: delete first, then append
+      sink.deleteSnapshot("o/r", d1)
+      sink.writeSnapshot(tablesOf(rows("o/r", d1, "run2")))
+
+      val got = readBack(kind, root, "pull_requests")
+      assert(got == Set(
+        (1L, "run2", "o/r"), (2L, "run2", "o/r"),
+        (1L, "keep", "o/other"), (2L, "keep", "o/other")),
+        s"[$kind] rerun not idempotent: $got")
+
+      // chunked appends accumulate (WRITE_APPEND), delete clears them
+      sink.append("commits", rows("o/r", d1, "chunk2"))
+      val commits = readBack(kind, root, "commits")
+      assert(commits.count(_._2 == "chunk2") == 2, s"[$kind] append lost rows")
+      sink.deleteSnapshot("o/r", d1)
+      assert(!sink.exists("o/r", d1), s"[$kind] delete left the partition")
+    }
+  }
+}
