@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to the real stdout/stderr
+// instead of being re-logged with an `[info] ` prefix — the bench
+// driver parses the Bench JSON line from stdout, and the prefix broke
+// JSON parsing (BENCH_r02.json "parsed": null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
