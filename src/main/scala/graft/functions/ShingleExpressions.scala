@@ -216,4 +216,47 @@ object ShingleExpressions {
   def trigramProfileScores(text: Column, profiles: Seq[Seq[String]]): Column =
     GraftColumnBridge.column(
       TrigramProfileScores(GraftColumnBridge.expression(text), profiles))
+
+  /** Per-language stopword hit counts in one pass over the token
+    * array: word w adds 1 to every profile containing w. Replaces one
+    * interpreted `filter(ws, isin(...))` array walk per language —
+    * and, embedded in an argmax CASE chain, per *reference* — with a
+    * single walk and a hash lookup per token.
+    */
+  case class StopwordProfileScores(child: Expression, profiles: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // word -> indices of profiles listing it (a stopword may belong
+    // to several languages, e.g. "la" in es and fr)
+    @transient private lazy val memberOf: java.util.HashMap[UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      for ((p, i) <- profiles.zipWithIndex; w <- p) {
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+      m
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](profiles.size)
+      var i = 0
+      while (i < arr.numElements()) {
+        val hit = memberOf.get(arr.getUTF8String(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { out(hit(j)) += 1L; j += 1 }
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def stopwordProfileScores(words: Column, profiles: Seq[Seq[String]]): Column =
+    GraftColumnBridge.column(
+      StopwordProfileScores(GraftColumnBridge.expression(words), profiles))
 }

@@ -84,24 +84,43 @@ object TextOps {
   def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
 
-  /** Predicted language: argmax of stopword hits, first-listed wins
-    * ties, "und" (undetermined) when no profile scores at all.
+  /** All per-language stopword scores as one array<long> (one pass
+    * over the token array). Materialize this in a select of its own
+    * before feeding [[argmaxLabel]]: the argmax CASE chain references
+    * each score ~5×, and Catalyst happily duplicates a non-trivial
+    * scoring subtree into every reference when both live in one
+    * projection (CollapseProject never re-inlines a non-cheap
+    * expression across two selects, so the two-phase form evaluates
+    * the scorer exactly once per row).
     */
-  def langId(text: Column): Column = {
-    val ws = words(text)
-    val scores = StopwordProfiles.map { case (lang, sw) => lang -> stopwordHits(ws, sw) }
-    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
-    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
-      val rest = scores.drop(i + 1).map(_._2)
-      (lang, rest.foldLeft(lit(true))((c, o) => c && s >= o), s)
-    }
+  def stopwordProfileScores(text: Column): Column =
+    graft.functions.ShingleExpressions
+      .stopwordProfileScores(words(text), StopwordProfiles.map(_._2))
+
+  /** Argmax over a scores array (1-indexed, parallel to `labels`):
+    * first label whose score is >= all later scores; `und` when every
+    * score is 0. Keep `scores` an attribute reference — the chain
+    * reads it ~5× per row.
+    */
+  def argmaxLabel(scores: Column, labels: Seq[String]): Column = {
+    val s = labels.indices.map(i => element_at(scores, i + 1))
+    val allZero = s.map(_ === 0L).reduce(_ && _)
     // argmax, earlier profile wins ties: lang_i iff s_i >= all later
     // AND s_i > all earlier is implied by CASE order.
-    val chain = cases.foldRight(lit("und")) { case ((lang, cond, _), elseCol) =>
-      when(cond, lit(lang)).otherwise(elseCol)
+    val chain = labels.indices.foldRight(lit("und")) { case (i, elseCol) =>
+      val geLater = s.drop(i + 1).foldLeft(lit(true))((c, o) => c && s(i) >= o)
+      when(geLater, lit(labels(i))).otherwise(elseCol)
     }
     when(allZero, lit("und")).otherwise(chain)
   }
+
+  /** Predicted language: argmax of stopword hits, first-listed wins
+    * ties, "und" (undetermined) when no profile scores at all.
+    * Single-column convenience form; hot paths should select
+    * [[stopwordProfileScores]] first and argmax over the attribute.
+    */
+  def langId(text: Column): Column =
+    argmaxLabel(stopwordProfileScores(text), StopwordProfiles.map(_._1))
 
   /** Character-trigram profiles for the n-gram language-ID variant:
     * a few high-frequency trigrams per language (with word-boundary
@@ -120,23 +139,17 @@ object TextOps {
     * [[langId]] but driven by substring statistics instead of token
     * membership — robust to languages without clean tokenization.
     */
-  def langIdNgram(text: Column): Column = {
-    // one custom-expression pass computes all per-language scores
-    // (replaces 36 regexp_replace full-text scans per row)
-    val scoresArr = graft.functions.ShingleExpressions
+  /** All per-language trigram-occurrence scores as one array<long>
+    * (one custom-expression text scan; replaces 36 regexp_replace
+    * full scans per row). Same two-phase discipline as
+    * [[stopwordProfileScores]].
+    */
+  def trigramProfileScores(text: Column): Column =
+    graft.functions.ShingleExpressions
       .trigramProfileScores(coalesce(text, lit("")), TrigramProfiles.map(_._2))
-    val scores = TrigramProfiles.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> element_at(scoresArr, i + 1)
-    }
-    val allZero = scores.map(_._2 === 0L).reduce(_ && _)
-    val chain = scores.zipWithIndex.map { case ((lang, s), i) =>
-      val rest = scores.drop(i + 1).map(_._2)
-      (lang, rest.foldLeft(lit(true))((c, o) => c && s >= o))
-    }.foldRight(lit("und")) { case ((lang, cond), els) =>
-      when(cond, lit(lang)).otherwise(els)
-    }
-    when(allZero, lit("und")).otherwise(chain)
-  }
+
+  def langIdNgram(text: Column): Column =
+    argmaxLabel(trigramProfileScores(text), TrigramProfiles.map(_._1))
 
   // --- quality metrics ------------------------------------------------
 

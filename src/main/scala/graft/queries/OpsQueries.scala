@@ -71,12 +71,23 @@ object OpsQueries {
             .when(col("n_words") >= 10, lit("medium"))
             .otherwise(lit("low")).as("quality"))),
 
+    // Two-phase on purpose: scores land as attributes before the
+    // argmax CASE chain references them ~5× each — the collapsed form
+    // re-evaluated the full tokenize+score subtree per reference
+    // (measured 5.8s → ~0.3s at sf0.1).
     "q_lang_id" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("pred_lang"),
-        TextOps.langIdNgram(col("text")).as("pred_lang_ngram"),
-        col("lang").as("labeled_lang"))),
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          TextOps.stopwordProfileScores(col("text")).as("sw_scores"),
+          TextOps.trigramProfileScores(col("text")).as("tg_scores"))
+        .select(
+          col("doc_id"),
+          TextOps.argmaxLabel(col("sw_scores"), TextOps.StopwordProfiles.map(_._1))
+            .as("pred_lang"),
+          TextOps.argmaxLabel(col("tg_scores"), TextOps.TrigramProfiles.map(_._1))
+            .as("pred_lang_ngram"),
+          col("lang").as("labeled_lang"))),
 
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
