@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a near-duplicate pair list — the last
+  * stage of a dedup pipeline: pair evidence (from MinHash-LSH, exact
+  * Jaccard, …) is transitive in intent ("A dups B dups C" is one
+  * cluster), so keep-one-per-cluster must group by component, not by
+  * pair, or chains keep one doc per *edge*.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round, a node takes the min of its
+  * own label and its neighbors' labels; fixpoint = the min id of each
+  * component has reached all members. Rounds needed = graph diameter,
+  * and near-dup graphs are diameter-bounded in practice (LSH emits
+  * clique-ish clusters), so the loop runs 2-4 rounds at any corpus
+  * size — each round is one shuffle-join plus one shuffle-agg on the
+  * (node, label) pair list, never on document payloads. Lineage is cut
+  * every round with localCheckpoint, so plans stay O(1) deep rather
+  * than O(rounds).
+  *
+  * Convergence detection is O(1) driver-side: labels only ever
+  * decrease, so Σlabel is strictly decreasing until fixpoint and equal
+  * at it — one cheap agg action per round instead of a changed-rows
+  * anti-join.
+  *
+  * (For adversarial diameters — long path graphs — the classic fix is
+  * large-star/small-star [Kiveris et al., "Connected Components in
+  * MapReduce and Beyond"], which squares distances per round; the
+  * simple propagation is chosen here because dedup-pair graphs are
+  * shallow and the per-round cost is one join smaller.)
+  */
+object Clusters {
+
+  /** Components of the undirected graph given by `pairs`.
+    * Returns (node, comp): comp = min node id in the component.
+    * Only nodes appearing in at least one pair are returned —
+    * singletons are the caller's left-join + coalesce.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = undirected.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint()
+    // Σcomp as exact decimal: overflow-proof signal at any node count
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prev = checksum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = undirected
+        .join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("comp"))
+        .union(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val cur = checksum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      round += 1
+    }
+    undirected.unpersist()
+    labels
+  }
+
+  /** Keep-list form over a full corpus: every document labeled with
+    * its cluster id (= min doc id among its near-duplicates, itself
+    * when it has none) and a 0/1 keeper flag selecting one canonical
+    * doc per cluster. Downstream training-data jobs filter
+    * `is_keeper = 1`.
+    */
+  def dedupClusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol))
+      .join(comps, col(idCol) === col("node"), "left")
+      .select(
+        col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", (col(idCol) === col("cluster_id")).cast("long"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Clusters, Dedup, Multimodal, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -26,6 +26,15 @@ object OpsQueries {
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
+
+    // Pair evidence is transitive in intent — the keep-list must group
+    // by connected component, not by pair, or a chain A~B~C keeps two
+    // of three docs.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Clusters.dedupClusters(docs, "doc_id",
+        Dedup.minHashLshPairs(docs, "doc_id", "text"), "doc_id_a", "doc_id_b")
+    }),
 
     "q_ann_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -278,6 +287,24 @@ object OpsQueries {
     s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
   }
 
+  /** Min-id-per-component via a transitive-closure recursive CTE over
+    * the same LSH pair list minhashSql emits — the closure is the
+    * declarative twin of the engine's min-label propagation fixpoint.
+    */
+  private def clustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashSql),
+        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+        reach(node, root) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.comp, d.doc_id) AS cluster_id,
+               CAST(d.doc_id = COALESCE(c.comp, d.doc_id) AS BIGINT) AS is_keeper
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
   private def langCase: String = {
     val langs = TextOps.StopwordProfiles.map(_._1)
     val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
@@ -294,6 +321,7 @@ object OpsQueries {
          FROM documents GROUP BY md5(text)""",
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql,
+    "q_dedup_clusters" -> clustersSql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,

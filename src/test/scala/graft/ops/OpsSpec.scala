@@ -215,4 +215,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == "en")
     assert(out(2L) == "und")
   }
+
+  test("connected components merge pair chains transitively") {
+    // path 1-2-3-4 (diameter 3: needs >1 propagation round), separate
+    // pair 7-8, plus an out-of-order edge (9,5) — min label must flow
+    // against edge direction too
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (9L, 5L))
+      .toDF("doc_id_a", "doc_id_b")
+    val comp = Clusters.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 5L -> 5L, 9L -> 5L))
+  }
+
+  test("dedupClusters keeps exactly one doc per cluster, singletons kept") {
+    val docs = (1L to 10L).map(i => i -> s"doc $i").toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Clusters.dedupClusters(docs, "doc_id", pairs, "a", "b").collect()
+    assert(out.length == 10)
+    val byId = out.map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Long]("is_keeper"))).toMap
+    assert(byId(1L) == (1L, 1L) && byId(2L) == (1L, 0L) && byId(3L) == (1L, 0L))
+    assert(byId(5L) == (5L, 1L) && byId(6L) == (5L, 0L))
+    // singletons are their own keeper
+    assert(Seq(4L, 7L, 8L, 9L, 10L).forall(i => byId(i) == (i, 1L)))
+    // exactly one keeper per distinct cluster
+    val keepers = out.filter(_.getAs[Long]("is_keeper") == 1L).map(_.getAs[Long]("cluster_id"))
+    assert(keepers.toSet.size == keepers.length)
+  }
 }
