@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: TF-IDF term weighting and BM25 ranking —
+  * the retrieval half of a training-data pipeline (quality-weighted
+  * sampling, query-targeted subcorpus selection, dedup tie-breaking by
+  * informativeness).
+  *
+  * Scale shape: one explode of the token column into (doc, term) and
+  * two hash aggregations (tf by (doc, term), df by term) — both
+  * map-side-combinable; corpus-level scalars (N, avgdl) are 1-row
+  * aggregates broadcast back with a cross join, never a driver
+  * collect. No shuffle carries document payloads, only terms and
+  * counts.
+  *
+  * Determinism discipline (oracle is DuckDB): ranking NEVER orders by
+  * a floating score — top-k terms order by the integer triple
+  * (tf DESC, df ASC, term ASC), so rank boundaries cannot flip on a
+  * last-ulp ln() difference between engines; float scores are emitted
+  * as value columns only, where the gate's %.10g canonicalization
+  * absorbs sub-ulp library differences. Corpus ratios are built from
+  * exact integer sums cast to double, not engine-internal AVG.
+  */
+object Relevance {
+
+  /** (doc_id, term, tf) with tf = occurrence count in the doc. */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Top-k terms per document by TF-IDF, with the integer-deterministic
+    * ordering described above. Output:
+    * (doc_id, term, tf, df, tfidf) where tfidf = tf · ln(N/df),
+    * N = total corpus size (all docs, even token-free ones).
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double"))).as("tfidf"))
+  }
+
+  /** Okapi BM25 score of every document against a fixed term query:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Docs matching no query term
+    * score 0. dl counts ALL tokens of the doc; avgdl = Σdl/N as exact
+    * integer sums divided in double.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val lens = docs.select(
+      col(idCol).as("doc_id"), size(TextOps.words(col(textCol))).cast("long").as("dl"))
+    val corpus = lens.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    val tf = termFreqs(docs, idCol, textCol)
+      .filter(col("term").isin(query: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nD: Column = col("n").cast("double")
+    val avgdl: Column = col("sumdl").cast("double") / nD
+    val idf: Column =
+      log(lit(1.0) + (nD - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD: Column = col("tf").cast("double")
+    val termScore: Column =
+      idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    // One conditional sum per query term (each aggregates a single
+    // row, so partial-agg merge order can't reorder a float sum), then
+    // a FIXED-order addition in query order — bit-deterministic across
+    // partitionings and engines, unlike sum() over the term scores.
+    val perTerm = tf
+      .join(dfreq, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), termScore.as("s"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("term") === query.head, col("s"))).as(s"s_${query.head}"),
+        query.tail.map(t => sum(when(col("term") === t, col("s"))).as(s"s_$t")): _*)
+    val total = query
+      .map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    lens.select(col("doc_id"))
+      .join(perTerm, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(total, lit(0.0)).as("bm25"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Clusters, Dedup, Multimodal, Relevance, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -97,6 +97,12 @@ object OpsQueries {
           TextOps.argmaxLabel(col("tg_scores"), TextOps.TrigramProfiles.map(_._1))
             .as("pred_lang_ngram"),
           col("lang").as("labeled_lang"))),
+
+    "q_tfidf" -> ((s, d) =>
+      Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    "q_bm25" -> ((s, d) =>
+      Relevance.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Query)),
 
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -287,6 +293,61 @@ object OpsQueries {
     s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
   }
 
+  /** Fixed BM25 probe query (terms present in the synthetic corpus). */
+  val Bm25Query: Seq[String] = Seq("spark", "query", "join")
+
+  /** TF-IDF top-k twin. Rank order is the integer triple
+    * (tf DESC, df ASC, term ASC) — floats are value columns only, so a
+    * last-ulp ln() difference between engines can't flip a rank
+    * boundary; %.10g canonicalization absorbs it in the score.
+    */
+  private def tfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        ex AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        ranked AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rk
+                   FROM tf t JOIN dfreq d USING (term))
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               CAST(tf AS DOUBLE) *
+                 ln(CAST((SELECT n FROM n) AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        FROM ranked WHERE rk <= 3"""
+
+  /** BM25 twin: same association order as Relevance.bm25 — one
+    * single-row conditional sum per query term, added in fixed query
+    * order, corpus ratios from exact integer sums divided in double.
+    */
+  private def bm25Sql: String = {
+    val k1 = "1.2"
+    val terms = Bm25Query
+    val condSums = terms.map(t =>
+      s"SUM(CASE WHEN term = '$t' THEN s END) AS s_$t").mkString(",\n               ")
+    val total = terms.map(t => s"COALESCE(p.s_$t, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+        corpus AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+        ex AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM ex
+               WHERE term IN ($inList) GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT t.doc_id, t.term,
+                     ln(1.0 + ((CAST(c.n AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5) /
+                              (CAST(d.df AS DOUBLE) + 0.5)) *
+                     (CAST(t.tf AS DOUBLE) * 2.2) /
+                     (CAST(t.tf AS DOUBLE) + $k1 * (0.25 + 0.75 *
+                        CAST(l.dl AS DOUBLE) /
+                        (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE)))) AS s
+                   FROM tf t JOIN dfreq d USING (term)
+                   JOIN lens l USING (doc_id) CROSS JOIN corpus c),
+        per AS (SELECT doc_id, $condSums FROM scored GROUP BY doc_id)
+        SELECT l.doc_id, COALESCE($total, 0.0) AS bm25
+        FROM lens l LEFT JOIN per p USING (doc_id)"""
+  }
+
   /** Min-id-per-component via a transitive-closure recursive CTE over
     * the same LSH pair list minhashSql emits — the closure is the
     * declarative twin of the engine's min-label propagation fixpoint.
@@ -322,6 +383,8 @@ object OpsQueries {
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_tfidf" -> tfidfSql,
+    "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
