@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Dedup, Multimodal, Relevance, Similarity, TextOps}
+import graft.ops.{Clusters, Dedup, Multimodal, Relevance, RepSignals, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -97,6 +97,9 @@ object OpsQueries {
           TextOps.argmaxLabel(col("tg_scores"), TextOps.TrigramProfiles.map(_._1))
             .as("pred_lang_ngram"),
           col("lang").as("labeled_lang"))),
+
+    "q_rep_signals" -> ((s, d) =>
+      RepSignals.repetitionSignals(Tables.documents(s, d), "doc_id", "text")),
 
     "q_tfidf" -> ((s, d) =>
       Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
@@ -293,6 +296,38 @@ object OpsQueries {
     s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
   }
 
+  /** Repetition-signal twin: same two explode→count passes; fractions
+    * are integer counts divided in double with zero denominators
+    * pinned to 0.0 (not NULL/Inf) on both engines.
+    */
+  private def repSignalsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        wcnt AS (SELECT doc_id, g, count(*) AS cnt
+                 FROM (SELECT doc_id, unnest(ws) AS g FROM toks) GROUP BY 1, 2),
+        wstat AS (SELECT doc_id, max(cnt) AS top_word_n,
+                    COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_word_occ
+                  FROM wcnt GROUP BY doc_id),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS g
+               FROM toks WHERE len(ws) >= 2),
+        bcnt AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        bstat AS (SELECT doc_id, max(cnt) AS top_bigram_n,
+                    COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS dup_bigram_occ,
+                    sum(cnt) AS n_bigrams
+                  FROM bcnt GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS BIGINT) AS n_words,
+               CAST(COALESCE(w.top_word_n, 0) AS BIGINT) AS top_word_n,
+               CASE WHEN len(t.ws) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(w.dup_word_occ, 0) AS DOUBLE) / CAST(len(t.ws) AS DOUBLE)
+               END AS dup_word_frac,
+               CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+               CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(COALESCE(b.dup_bigram_occ, 0) AS DOUBLE) /
+                         CAST(COALESCE(b.n_bigrams, 0) AS DOUBLE)
+               END AS dup_bigram_frac
+        FROM toks t LEFT JOIN wstat w USING (doc_id) LEFT JOIN bstat b USING (doc_id)"""
+
   /** Fixed BM25 probe query (terms present in the synthetic corpus). */
   val Bm25Query: Seq[String] = Seq("spark", "query", "join")
 
@@ -383,6 +418,7 @@ object OpsQueries {
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_rep_signals" -> repSignalsSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,
