@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling. `df.sample()` draws from a
+  * partition-seeded RNG: the sample CHANGES whenever partitioning
+  * changes (repartition, AQE coalesce, a different cluster size), and
+  * no off-engine oracle can replicate it. Keyed hash sampling decides
+  * per ROW from a stable key — reproducible run-to-run, engine-to-
+  * engine, and under any repartitioning, which is what a training-data
+  * pipeline needs (resumable sharding, holdout splits that survive
+  * re-layout).
+  *
+  * The hash is the portable multiplicative congruence
+  * ((key·2654435761 + salt) mod (2^31−1)) — exact in 64-bit integer
+  * arithmetic for keys below ~3.4e9 (document this bound rather than
+  * silently wrapping; 100 TB corpora should key on a 31-bit-bucketed
+  * id or shard first). A row survives iff hash mod den < num.
+  */
+object Sampling {
+
+  val HashA = 2654435761L
+  val HashP = 2147483647L
+
+  /** Portable sampling hash of a long key column. */
+  def sampleHash(key: Column, salt: Long): Column =
+    pmod(key.cast("long") * HashA + salt, lit(HashP))
+
+  /** Keep rows with hash(key) mod den < num (a num/den rate). */
+  def hashSample(df: DataFrame, keyCol: String, num: Int, den: Int,
+      salt: Long = 0L): DataFrame =
+    df.filter(pmod(sampleHash(col(keyCol), salt), lit(den.toLong)) < num.toLong)
+
+  /** Per-stratum rates: rate (num, den) per stratum value, fallback
+    * rate for strata not listed. One predicate, no shuffle — stratified
+    * sampling here is a filter, not a groupBy.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, (Int, Int)],
+      defaultRate: (Int, Int),
+      salt: Long = 0L): DataFrame = {
+    val h = sampleHash(col(keyCol), salt)
+    val keep = rates.toSeq.sortBy(_._1).foldRight(
+      pmod(h, lit(defaultRate._2.toLong)) < defaultRate._1.toLong: Column) {
+      case ((stratum, (num, den)), els) =>
+        when(col(strataCol) === stratum, pmod(h, lit(den.toLong)) < num.toLong)
+          .otherwise(els)
+    }
+    df.filter(keep)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Dedup, Multimodal, Relevance, RepSignals, Similarity, TextOps}
+import graft.ops.{Clusters, Dedup, Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -97,6 +97,37 @@ object OpsQueries {
           TextOps.argmaxLabel(col("tg_scores"), TextOps.TrigramProfiles.map(_._1))
             .as("pred_lang_ngram"),
           col("lang").as("labeled_lang"))),
+
+    // The synthetic corpus carries no real PII, so the query injects
+    // deterministic doc_id-derived PII into every document on BOTH
+    // engines first — the scrub regexes are then genuinely exercised
+    // by the hash compare, not vacuously matched on untouched text.
+    "q_pii_scrub" -> ((s, d) => {
+      val aug = concat(
+        coalesce(col("text"), lit("")),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com call +1-415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" visit https://example.com/u/"), col("doc_id").cast("string"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        Redact.emailCount(aug).as("n_emails"),
+        Redact.urlCount(aug).as("n_urls"),
+        Redact.phoneCount(aug).as("n_phones"),
+        Redact.scrub(aug).as("scrubbed"))
+    }),
+
+    "q_sample_hash" -> ((s, d) =>
+      Sampling.hashSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", num = 1, den = 5)),
+
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedHashSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        rates = Map("de" -> (1, 2), "es" -> (1, 4)),
+        defaultRate = (1, 10))),
 
     "q_rep_signals" -> ((s, d) =>
       RepSignals.repetitionSignals(Tables.documents(s, d), "doc_id", "text")),
@@ -296,6 +327,41 @@ object OpsQueries {
     s"CASE WHEN $zero THEN 'und' $whens ELSE '${langs.last}' END"
   }
 
+  /** PII-scrub twin: identical augmented text, identical pattern
+    * constants (interpolated from Redact so they can't drift), 'g'
+    * flag because DuckDB's regexp_replace is first-match-only by
+    * default while Spark's replaces all.
+    */
+  private def piiScrubSql: String = {
+    val aug =
+      """COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@mail.example.com call +1-415-555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' visit https://example.com/u/' || CAST(doc_id AS VARCHAR)"""
+    s"""WITH aug AS (SELECT doc_id, $aug AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '${Redact.EmailRe}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '${Redact.UrlRe}')) AS BIGINT) AS n_urls,
+          CAST(len(regexp_extract_all(t, '${Redact.PhoneRe}')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '${Redact.EmailRe}', '<EMAIL>', 'g'),
+            '${Redact.UrlRe}', '<URL>', 'g'),
+            '${Redact.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+        FROM aug"""
+  }
+
+  private val sampleHash =
+    s"((doc_id * ${Sampling.HashA}) % ${Sampling.HashP})"
+
+  private def sampleHashSql: String =
+    s"SELECT doc_id, lang FROM documents WHERE $sampleHash % 5 < 1"
+
+  private def sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang FROM documents
+        WHERE CASE WHEN lang = 'de' THEN $sampleHash % 2 < 1
+                   WHEN lang = 'es' THEN $sampleHash % 4 < 1
+                   ELSE $sampleHash % 10 < 1 END"""
+
   /** Repetition-signal twin: same two explode→count passes; fractions
     * are integer counts divided in double with zero denominators
     * pinned to 0.0 (not NULL/Inf) on both engines.
@@ -418,6 +484,9 @@ object OpsQueries {
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql,
     "q_dedup_clusters" -> clustersSql,
+    "q_pii_scrub" -> piiScrubSql,
+    "q_sample_hash" -> sampleHashSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
     "q_rep_signals" -> repSignalsSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
