@@ -157,4 +157,67 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
       .select(col("ida").as("vec_id_a"), col("idb").as("vec_id_b"))
   }
+
+  /** IVF (inverted-file) approximate top-k: the coarse-quantizer
+    * alternative to hyperplane LSH. Corpus vectors are assigned to
+    * their nearest of `nCentroids` coarse centroids (the posting
+    * lists); a query searches only the members of its `nProbe`
+    * nearest lists, exact cosine rank within them.
+    *
+    * Centroids here are the corpus vectors with the `nCentroids`
+    * lowest ids — a deterministic stand-in for a k-means codebook so
+    * the whole index is reproducible cross-engine (a trained codebook
+    * drops in by replacing `centroids`; everything downstream is
+    * unchanged).
+    *
+    * Scale shape: centroids broadcast everywhere; assignment computes
+    * |C|·k cosines in a narrow pass, then argmaxes on a SLIM
+    * (nid, cid, cos) stream — max(struct) hash-agg with map-side
+    * combine, no sort, no vector payloads through the shuffle — and
+    * joins the one-winner-per-vector assignment back to the corpus.
+    * The probe join explodes only the tiny query side ×nProbe. Ties
+    * argmax to the lowest centroid id, so assignment is deterministic
+    * (cosines themselves are bit-stable by the sequential-fold
+    * discipline).
+    */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cent = corpus.filter(col("nid") < nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val c = corpus.withColumn("nnorm", norm(col("nv")))
+    // nearest centroid per corpus vector; max(struct) = max cos, tie
+    // -> max(-cid) = min cid
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("nid"),
+        struct(
+          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+      .groupBy("nid").agg(max(col("sc")).as("m"))
+      .select(col("nid"), col("m.cid").as("cid"))
+    val lists = c.join(assigned, "nid")
+    val q = queries.withColumn("qnorm", norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnorm"), col("cid"))
+    // a corpus vector lives in exactly one list and probe cids are
+    // distinct per query, so a (qid, nid) pair matches at most once —
+    // no candidate dedup needed
+    val joined = lists.join(broadcast(probes), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
 }

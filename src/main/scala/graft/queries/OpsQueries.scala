@@ -58,6 +58,19 @@ object OpsQueries {
         k = 5)
     }),
 
+    // The coarse-quantizer scale path: IVF posting lists from a
+    // deterministic codebook; a query touches nProbe lists, not the
+    // corpus. Assignment + probes + ranks replicate exactly because
+    // every cosine is the same sequential double fold on both engines.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5)
+    }),
+
     // tokenize ONCE into a column, then derive every metric from it —
     // the interpreted split+filter walk is the expensive part and
     // Catalyst doesn't deduplicate HOF subtrees across projections.
@@ -297,6 +310,32 @@ object OpsQueries {
         WHERE rn <= 5"""
   }
 
+  /** IVF twin: same deterministic codebook (lowest 16 ids), same
+    * argmax-by-(cos DESC, cid) assignment, same nProbe=4 probe set,
+    * same exact rank within candidate lists.
+    */
+  private def ivfSql: String = {
+    def dc(a: String, b: String) = (1 to 64)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings WHERE vec_id < 16),
+        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        asn AS (SELECT nid, cid FROM (
+          SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+            ORDER BY (${dc("nv", "cv")}) / (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+          FROM c, cent) t WHERE rn = 1),
+        probes AS (SELECT qid, cid FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY (${dc("qv", "cv")}) / (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+          FROM q, cent) t WHERE rn <= 4),
+        s AS (SELECT qid, nid, (${dc("qv", "nv")}) / (sqrt(${dc("qv", "qv")}) * sqrt(${dc("nv", "nv")})) AS cos
+              FROM c JOIN asn USING (nid) JOIN probes USING (cid) JOIN q USING (qid)
+              WHERE nid <> qid)
+        SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
+          (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
+        WHERE rn <= 5"""
+  }
+
   private val stopEn = TextOps.StopwordProfiles.head._2.map(s => s"'$s'").mkString(", ")
 
   private def langScores: String =
@@ -493,6 +532,7 @@ object OpsQueries {
     "q_dedup_simhash" -> simhashSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> ivfSql,
     "q_text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,

