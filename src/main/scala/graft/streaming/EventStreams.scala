@@ -52,6 +52,42 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the SAME user arriving within [l.ts, l.ts + maxDelay]
+    * — the attribution shape (click within N minutes of an
+    * impression). Both sides carry watermarks and the join condition
+    * bounds r.ts relative to l.ts on both ends, which is what lets
+    * Spark expire buffered state: without the time bounds a
+    * stream-stream join would hold both streams forever.
+    *
+    * Inputs are (possibly renamed) event frames with columns
+    * (user_id, ts, ...) — pass pre-projected frames with disjoint
+    * non-key column names.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      maxDelay: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("l_ts", watermarkDelay)
+    val r = right.withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      expr(s"""l_user = r_user AND
+               r_ts >= l_ts AND
+               r_ts <= l_ts + interval $maxDelay"""))
+  }
+
+  /** Streaming exact dedup on event_id with watermark-bounded state:
+    * re-deliveries inside the watermark horizon are dropped, state for
+    * ids older than the watermark is expired. The streaming twin of
+    * `Dedup.exactByKey` — and the standard at-least-once → effectively-
+    * once repair for event feeds.
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -132,4 +132,54 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(u1(1).n_events == 1 && u1(1).total_value == 4.0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs clicks within the delay window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[EventStreams.Event]
+    val clicks = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.intervalJoin(
+      views.toDF().select(
+        col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("view_id")),
+      clicks.toDF().select(
+        col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("click_id")),
+      maxDelay = "10 minutes", watermarkDelay = "1 minute")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attributed").start()
+    try {
+      views.addData(ev(1, "2024-01-01 10:00:00", 1, "view", 0))
+      clicks.addData(
+        ev(101, "2024-01-01 10:05:00", 1, "click", 0), // in window
+        ev(102, "2024-01-01 10:20:00", 1, "click", 0), // past window
+        ev(103, "2024-01-01 10:04:00", 2, "click", 0)) // other user
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      views.addData(ev(2, "2024-01-01 12:00:00", 9, "view", 0))
+      clicks.addData(ev(104, "2024-01-01 12:00:00", 9, "view", 0))
+      q.processAllAvailable()
+      val pairs = spark.table("attributed").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+      assert(pairs.contains((1L, 101L)))
+      assert(!pairs.contains((1L, 102L)) && !pairs.contains((1L, 103L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val deduped = EventStreams.dedupEvents(input.toDF(), watermarkDelay = "5 minutes")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("deduped").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0), // same-batch dup
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00", 1, "click", 1.0)) // re-delivery
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
 }
