@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOf, Similarity}
+import graft.ops.{AsOf, BloomJoin, Similarity}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -37,6 +37,16 @@ object ExtQueries {
         .select(col("vec_id").as("id"), col("embedding").as("v"))
       Similarity.cosinePairsLsh(e, threshold = 0.45)
     }),
+
+    // Semi join through a distributed bloom prefilter: the probe
+    // (lineitem) is cut down by a broadcast bloom of the build keys
+    // BEFORE the shuffle, exact semi join over survivors — result ≡
+    // plain semi join (which is exactly what the oracle runs).
+    "q_bloom_semi_join" -> ((s, d) =>
+      BloomJoin.bloomSemiJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        Tables.part(s, d).filter(col("p_size") === 15).select(col("p_partkey")),
+        "l_partkey", "p_partkey", expectedItems = 100000L)),
 
     // §2.8 JSON surface: typed scalar extraction from a JSON column.
     "q_json_extract" -> ((s, d) =>
@@ -235,6 +245,9 @@ object ExtQueries {
          FROM events ASOF LEFT JOIN orders
          ON events.user_id = orders.o_custkey AND events.ts >= orders.o_orderdate""",
     "q_dedup_embedding" -> lshPairsSql,
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_partkey FROM lineitem
+         WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)""",
     "q_join3" ->
       """SELECT l_orderkey AS order_id,
          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue

@@ -233,6 +233,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == "und")
   }
 
+  test("bloom semi join ≡ plain semi join, with the bloom in the plan") {
+    val probe = (1L to 1000L).map(i => i -> (i % 7)).toDF("pk", "grp")
+    val build = Seq(3L, 14L, 500L, 999L, 2000L).toDF("bk")
+    val out = BloomJoin.bloomSemiJoin(probe, build, "pk", "bk", expectedItems = 10L)
+    val expected = probe.join(build, $"pk" === $"bk", "left_semi")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      expected.collect().map(_.getLong(0)).sorted.toSeq)
+    // the prefilter must actually be in the executed plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"))
+  }
+
   test("connected components merge pair chains transitively") {
     // path 1-2-3-4 (diameter 3: needs >1 propagation round), separate
     // pair 7-8, plus an out-of-order edge (9,5) — min label must flow
