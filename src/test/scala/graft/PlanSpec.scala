@@ -73,4 +73,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_dedup_exact").contains("partial_"))
     assert(plan("q_agg_lineitem").contains("partial_"))
   }
+
+  test("bloom semi join prefilters the probe before the exact semi join") {
+    val p = plan("q_bloom_semi_join")
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("IVF candidate search is a broadcast hash join on list ids") {
+    // centroid assignment is intentionally corpus × 16-row-broadcast;
+    // the candidate search itself must be an equi-join on cid, and the
+    // assignment argmax must keep map-side partial aggregation
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast-hash:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"assignment argmax lost map-side combine:\n$p")
+  }
+
+  test("relevance and repetition aggregations keep map-side combine") {
+    assert(plan("q_tfidf").contains("partial_"))
+    assert(plan("q_rep_signals").contains("partial_"))
+    assert(plan("q_bm25").contains("partial_"))
+  }
 }
