@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Group-level embedding aggregation: per-group centroids are the
+  * building block for IVF codebook training, per-class prototypes,
+  * and drift monitoring over an embedded corpus.
+  *
+  * Two variants:
+  *  - [[meanCentroids]] — the plain float mean. Right for production,
+  *    but a float sum's value depends on partition merge order, so it
+  *    is library-path only (spec-tested, no cross-engine oracle).
+  *  - [[quantizedCentroids]] — components are first quantized to
+  *    integers (floor(x·2^bits), exact dyadic scaling in double),
+  *    summed exactly in long, and divided back in a fixed order.
+  *    Every step is bit-deterministic under any partitioning and
+  *    bit-identical cross-engine, so this is the oracle-verified path
+  *    — and quantized centroids are themselves a standard trick in
+  *    quantized vector stores.
+  *
+  * Scale shape: posexplode to (grp, pos, component) then one
+  * map-side-combinable hash agg keyed (grp, pos) — shuffle carries
+  * one partial per (group, dimension) per partition, never vectors.
+  */
+object Embeddings {
+
+  /** (grp, pos, centroid, n): exact quantized mean per group and
+    * dimension; pos is 0-based. centroid = (Σ floor(x·2^bits)) / n /
+    * 2^bits — two correctly-rounded double divisions of exact longs.
+    */
+  def quantizedCentroids(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      scaleBits: Int = 10): DataFrame = {
+    val scale = (1L << scaleBits).toDouble
+    df
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("grp"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+      .groupBy("grp", "pos")
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+      .select(
+        col("grp"), col("pos"),
+        ((col("qsum").cast("double") / col("n").cast("double")) / scale)
+          .as("centroid"),
+        col("n"))
+  }
+
+  /** Plain float-mean centroids (production path; see class doc for
+    * why this variant carries no cross-engine oracle).
+    */
+  def meanCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg(avg(col("x").cast("double")).as("centroid"), count(lit(1)).as("n"))
+}

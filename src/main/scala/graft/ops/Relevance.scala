@@ -53,6 +53,28 @@ object Relevance {
           log(col("n").cast("double") / col("df").cast("double"))).as("tfidf"))
   }
 
+  /** Corpus vocabulary: top-k terms by total occurrences (ties broken
+    * by term), with document frequency — the input to tokenizer-vocab
+    * construction and stopword discovery. TakeOrdered top-k: partial
+    * top-k per partition, never a global sort.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    termFreqs(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
+  /** Frequency-of-frequency spectrum: how many terms appear in
+    * exactly d documents — the Zipf-shape fingerprint of a corpus
+    * (and the sanity check that dedup/boilerplate removal worked: a
+    * boilerplated corpus shows a spike at d ≈ corpus size).
+    */
+  def frequencySpectrum(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFreqs(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("n_docs"))
+      .groupBy("n_docs").agg(count(lit(1)).as("n_terms"))
+
   /** Okapi BM25 score of every document against a fixed term query:
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Docs matching no query term

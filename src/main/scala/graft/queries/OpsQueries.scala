@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Dedup, Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
+import graft.ops.{Clusters, Dedup, Embeddings, Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -70,6 +70,14 @@ object OpsQueries {
         e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         k = 5)
     }),
+
+    // Per-label quantized centroids: floor(x·1024) longs summed
+    // exactly, divided back in fixed order — bit-deterministic under
+    // any partitioning, unlike a float mean (library path
+    // Embeddings.meanCentroids carries the production float variant).
+    "q_embed_centroid" -> ((s, d) =>
+      Embeddings.quantizedCentroids(
+        Tables.embeddings(s, d), "label", "embedding")),
 
     // tokenize ONCE into a column, then derive every metric from it —
     // the interpreted split+filter walk is the expensive part and
@@ -147,6 +155,12 @@ object OpsQueries {
 
     "q_tfidf" -> ((s, d) =>
       Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    "q_vocab_topk" -> ((s, d) =>
+      Relevance.vocabulary(Tables.documents(s, d), "doc_id", "text", k = 50)),
+
+    "q_freq_spectrum" -> ((s, d) =>
+      Relevance.frequencySpectrum(Tables.documents(s, d), "doc_id", "text")),
 
     "q_bm25" -> ((s, d) =>
       Relevance.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Query)),
@@ -335,6 +349,20 @@ object OpsQueries {
           (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
         WHERE rn <= 5"""
   }
+
+  /** Quantized-centroid twin: identical floor(x·1024) quantization,
+    * exact long sums, same fixed-order double divisions; pos 0-based
+    * on both engines.
+    */
+  private def embedCentroidSql: String =
+    s"""WITH comp AS (
+          SELECT label AS grp, i AS pos,
+            CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1024) AS BIGINT) AS q
+          FROM embeddings CROSS JOIN range(0, 64) t(i))
+        SELECT grp, CAST(pos AS BIGINT) AS pos,
+          (CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1024 AS centroid,
+          count(*) AS n
+        FROM comp GROUP BY grp, pos"""
 
   private val stopEn = TextOps.StopwordProfiles.head._2.map(s => s"'$s'").mkString(", ")
 
@@ -527,12 +555,26 @@ object OpsQueries {
     "q_sample_hash" -> sampleHashSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_rep_signals" -> repSignalsSql,
+    "q_vocab_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2)
+          SELECT term, sum(tf) AS n_occurrences, count(*) AS n_docs
+          FROM tf GROUP BY term
+          ORDER BY n_occurrences DESC, term ASC LIMIT 50""",
+    "q_freq_spectrum" ->
+      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2),
+          dfreq AS (SELECT term, count(*) AS n_docs FROM tf GROUP BY term)
+          SELECT n_docs, count(*) AS n_terms FROM dfreq GROUP BY n_docs""",
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> ivfSql,
+    "q_embed_centroid" -> embedCentroidSql,
     "q_text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,
