@@ -32,7 +32,9 @@ object Bench {
     // Catalyst prune the very expressions being benchmarked (and hide
     // their errors), degenerating projection-only queries to row
     // counts.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val t0 = System.nanoTime()
       val out = fn(spark, sfDir)
       out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))

@@ -202,7 +202,9 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_filter_project" ->
@@ -233,12 +235,14 @@ object CoreQueries {
          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""",
     "q_cond_min" ->
       """SELECT o_custkey AS cust_id,
-         strftime(MIN(CASE WHEN o_orderstatus = 'F' THEN o_orderdate END), '%Y-%m-%d %H:%M:%S') AS first_f_date,
+         strftime(MIN(CASE WHEN o_orderstatus = 'F' THEN o_orderdate END),
+           '%Y-%m-%d %H:%M:%S') AS first_f_date,
          COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f
          FROM orders GROUP BY o_custkey""",
     "q_semi_exists" ->
       """SELECT c_custkey AS cust_id, c_name AS name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""",
     "q_topk" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS total_price
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
@@ -260,8 +264,10 @@ object CoreQueries {
          FROM documents""",
     "q_array_ops" ->
       """SELECT doc_id,
-         CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_distinct_words,
-         list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))[1] AS first_word
+         CAST(len(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))
+           AS BIGINT) AS n_distinct_words,
+         list_sort(list_distinct(list_filter(string_split(text, ' '), w -> w <> '')))[1]
+           AS first_word
          FROM documents""",
     "q_event_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

@@ -102,7 +102,8 @@ object ExtQueries {
         .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
       words
         .select(explode(expr(
-          "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
+          "CASE WHEN length(w) >= 2 THEN " +
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) " +
           "ELSE array() END")).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
@@ -250,7 +251,9 @@ object ExtQueries {
          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)""",
     "q_join3" ->
       """SELECT l_orderkey AS order_id,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -259,17 +262,20 @@ object ExtQueries {
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
     "q_kmv_distinct" ->
       s"""WITH h0 AS (SELECT DISTINCT event_type,
-              ((${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P}) + ${graft.functions.KmvSketch.HashB}) % ${graft.functions.KmvSketch.P}
+              ((${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P})
+                + ${graft.functions.KmvSketch.HashB}) % ${graft.functions.KmvSketch.P}
                + ${graft.functions.KmvSketch.P}) % ${graft.functions.KmvSketch.P} AS x
             FROM events WHERE user_id IS NOT NULL),
           h AS (SELECT DISTINCT event_type,
-              (((x*x % ${graft.functions.KmvSketch.P}) * ${graft.functions.KmvSketch.HashA2} + ${graft.functions.KmvSketch.HashB2}) % ${graft.functions.KmvSketch.P}
+              (((x*x % ${graft.functions.KmvSketch.P}) * ${graft.functions.KmvSketch.HashA2}
+                + ${graft.functions.KmvSketch.HashB2}) % ${graft.functions.KmvSketch.P}
                + ${graft.functions.KmvSketch.P}) % ${graft.functions.KmvSketch.P} AS hv
             FROM h0),
           ranked AS (SELECT event_type, hv,
               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
               COUNT(*) OVER (PARTITION BY event_type) AS n FROM h),
-          exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS ed FROM events GROUP BY event_type)
+          exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS ed
+                    FROM events GROUP BY event_type)
           SELECT e.event_type,
             CASE WHEN r.n < 64 THEN CAST(r.n AS DOUBLE)
                  ELSE 63.0 * ${graft.functions.KmvSketch.P} / kth.hv END AS kmv_estimate,
@@ -283,7 +289,8 @@ object ExtQueries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-         lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+         lag(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_price
          FROM orders""",
     "q_string_funcs" ->
       """SELECT p_partkey AS part_id,
@@ -302,7 +309,8 @@ object ExtQueries {
          CAST(day(o_orderdate) AS BIGINT) AS d,
          CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
          strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90,
-         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS days_to_2025,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT)
+           AS days_to_2025,
          strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
          FROM orders""",
     "q_pivot" ->

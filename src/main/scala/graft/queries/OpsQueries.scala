@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Clusters, Dedup, Embeddings, Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
+import graft.ops.{
+  Clusters, Dedup, Embeddings, Multimodal, Redact, Relevance, RepSignals,
+  Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -227,10 +229,12 @@ object OpsQueries {
     s"(length($w)*10007 + ord(substr($w,1,1))*101 + ord(substr($w,-1,1)))"
 
   private val shingleStrings =
-    "list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+    "list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
 
   private val shingleHashes =
-    s"list_distinct(list_transform(range(1, len(ws)-1), i -> ((${wh("ws[i]")}*31 + ${wh("ws[i+1]")})*31 + ${wh("ws[i+2]")}) % 2147483647))"
+    s"list_distinct(list_transform(range(1, len(ws)-1), " +
+      s"i -> ((${wh("ws[i]")}*31 + ${wh("ws[i+1]")})*31 + ${wh("ws[i+2]")}) % 2147483647))"
 
   private val toksBase =
     s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
@@ -260,7 +264,8 @@ object OpsQueries {
 
   private def minhashSql: String = {
     val sigTerms = Dedup.MinHashAB.map { case (a, b) =>
-      s"list_aggregate(list_transform(hs, h -> ($a*CAST(h AS BIGINT) + $b) % ${Dedup.MinHashP}), 'min')"
+      s"list_aggregate(list_transform(hs, " +
+        s"h -> ($a*CAST(h AS BIGINT) + $b) % ${Dedup.MinHashP}), 'min')"
     }.mkString("[", ",\n          ", "]")
     val bandRows = (0 until Dedup.Bands).map { b =>
       val key = (1 to Dedup.RowsPerBand)
@@ -284,7 +289,8 @@ object OpsQueries {
 
   private def simhashSql: String = {
     val bits = (0 until 32).map { b =>
-      s"(CASE WHEN list_sum(list_transform(ws, w -> ((${wh("w")} >> $b) & 1)*2 - 1)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform(ws, w -> ((${wh("w")} >> $b) & 1)*2 - 1)) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
         sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks)
@@ -315,7 +321,8 @@ object OpsQueries {
     val nn = (1 to 64)
       .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
     val bucket = graft.functions.VectorExpressions.bucketSql("embedding", 8, 64)
-    s"""WITH q AS (SELECT vec_id qid, embedding qv, $bucket AS qb FROM embeddings WHERE vec_id < 10),
+    s"""WITH q AS (SELECT vec_id qid, embedding qv, $bucket AS qb
+               FROM embeddings WHERE vec_id < 10),
         c AS (SELECT vec_id nid, embedding nv, $bucket AS nb FROM embeddings),
         s AS (SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
               FROM c JOIN q ON bit_count(xor(qb, nb)) <= 1 AND nid <> qid)
@@ -336,13 +343,16 @@ object OpsQueries {
         q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-            ORDER BY (${dc("nv", "cv")}) / (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+            ORDER BY (${dc("nv", "cv")}) /
+              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
           FROM c, cent) t WHERE rn = 1),
         probes AS (SELECT qid, cid FROM (
           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY (${dc("qv", "cv")}) / (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+            ORDER BY (${dc("qv", "cv")}) /
+              (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
           FROM q, cent) t WHERE rn <= 4),
-        s AS (SELECT qid, nid, (${dc("qv", "nv")}) / (sqrt(${dc("qv", "qv")}) * sqrt(${dc("nv", "nv")})) AS cos
+        s AS (SELECT qid, nid, (${dc("qv", "nv")}) /
+                (sqrt(${dc("qv", "qv")}) * sqrt(${dc("nv", "nv")})) AS cos
               FROM c JOIN asn USING (nid) JOIN probes USING (cid) JOIN q USING (qid)
               WHERE nid <> qid)
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
@@ -379,7 +389,8 @@ object OpsQueries {
         val esc = t.replace("'", "''")
         // COALESCE mirrors langIdNgram's coalesce(text, '') — a NULL
         // text must score 0 ('und'), not NULL-propagate to the ELSE arm
-        s"CAST((length(COALESCE(text, '')) - length(replace(COALESCE(text, ''), '$esc', ''))) / 3 AS BIGINT)"
+        s"CAST((length(COALESCE(text, '')) " +
+          s"- length(replace(COALESCE(text, ''), '$esc', ''))) / 3 AS BIGINT)"
       }.mkString(" + ")
       s"($terms) AS t_$lang"
     }.mkString(",\n          ")
@@ -579,10 +590,12 @@ object OpsQueries {
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,
             CAST(len(ws) AS BIGINT) AS n_words,
-            CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+            CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)
+              AS n_word_chars,
             CAST(len(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS n_punct,
             CAST(len(list_filter(ws, w -> w IN ($stopEn))) AS BIGINT) AS n_stopwords_en,
-            CASE WHEN len(ws) >= 30 AND len(list_filter(ws, w -> w IN ($stopEn)))*10 >= len(ws) THEN 'high'
+            CASE WHEN len(ws) >= 30
+                  AND len(list_filter(ws, w -> w IN ($stopEn)))*10 >= len(ws) THEN 'high'
                  WHEN len(ws) >= 10 THEN 'medium' ELSE 'low' END AS quality
           FROM toks""",
     "q_lang_id" ->
@@ -595,7 +608,8 @@ object OpsQueries {
       s"""SELECT doc_id,
             CAST(len($ws) AS BIGINT) AS n_ws_tokens,
             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) AS BIGINT) AS n_re_tokens,
-            CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT) AS n_bpe_tokens
+            CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))
+              AS BIGINT) AS n_bpe_tokens
           FROM documents""",
     "q_fingerprint" ->
       s"""SELECT doc_id,
@@ -618,7 +632,8 @@ object OpsQueries {
     * character position == byte position).
     */
   private def byteFeature(pos: String): String =
-    s"CAST(CAST(ord(substr(text, CAST($pos AS INT) + 1, 1)) AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)"
+    s"CAST(CAST(ord(substr(text, CAST($pos AS INT) + 1, 1)) AS FLOAT) " +
+      s"/ CAST(255 AS FLOAT) AS DOUBLE)"
 
   private def multimodalDecodeSql: String = {
     val fs = (0 until 8)

@@ -92,7 +92,8 @@ class GithubHttp(
             s"GitHub API rate limit did not clear after $MaxRateLimitRetries retries for $url")
         sleepForRateLimit(resp, rateLimited)
       } else throw new GithubApiError(
-        s"GitHub API error ${resp.status} for $url: ${if (resp.body.isEmpty) "No response text" else resp.body}")
+        s"GitHub API error ${resp.status} for $url: " +
+          (if (resp.body.isEmpty) "No response text" else resp.body))
     }
     throw new IllegalStateException("unreachable")
   }
