@@ -115,6 +115,55 @@ object SnapshotWriter {
         .write.mode("overwrite").text(path)
     }
 
+  /** Small-file compaction for one (snapshot_date, repo) partition:
+    * chunked/streaming appends leave one file per micro-batch per
+    * task, and at 100 TB the resulting file-count tax (NameNode/
+    * listing pressure, per-file open cost, tiny row groups defeating
+    * parquet encodings) dominates read cost. Rewrites the partition
+    * as ceil(bytes / targetBytes) files via an atomic
+    * rename-after-write: data rewritten next to the partition, the
+    * old directory swapped out only after the rewrite succeeds —
+    * a crash mid-compaction never loses rows.
+    *
+    * Data is re-read THROUGH the partition directory (not the table
+    * root), so only this partition's files are listed and no other
+    * partition is touched — same isolation contract as
+    * deleteSnapshot.
+    */
+  def compactPartition(
+      spark: SparkSession,
+      rootDir: String,
+      table: String,
+      repo: String,
+      snapshotDate: Date,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = partitionPath(rootDir, table, repo, snapshotDate)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(dirPath)) return
+    val dataFiles = fs.listStatus(dirPath)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    if (dataFiles.length <= 1) return
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + "._precompact")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: current -> old, compacted -> current, drop old
+    if (!fs.rename(dirPath, old)) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    if (!fs.rename(tmp, dirPath)) {
+      fs.rename(old, dirPath) // roll back
+      throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    fs.delete(old, true)
+  }
+
   /** S7 existence probe: partition-pruned scan, LIMIT 1 — metadata +
     * at most one row group touched (main.py:552-601).
     */

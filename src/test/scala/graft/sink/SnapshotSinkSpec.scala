@@ -88,4 +88,39 @@ class SnapshotSinkSpec extends AnyFunSuite {
       assert(!sink.exists("o/r", d1), s"[$kind] delete left the partition")
     }
   }
+
+  test("compaction merges append-fragmented partitions without losing rows") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // 4 chunked appends -> >= 4 files in the (d1, o/r) partition
+    for (chunk <- 1 to 4)
+      SnapshotWriter.appendTable(rows("o/r", d1, s"c$chunk"), s"$root/commits")
+    SnapshotWriter.appendTable(rows("o/other", d1, "keep"), s"$root/commits")
+    def partFiles(repo: String): Int = {
+      val dir = SnapshotWriter.partitionPath(root, "commits", repo, d1)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    val before = partFiles("o/r")
+    assert(before >= 4)
+    val otherBefore = partFiles("o/other")
+    val beforeRows = spark.read.parquet(s"$root/commits")
+      .select("pull_request_id", "title", "target_repository")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    SnapshotWriter.compactPartition(spark, root, "commits", "o/r", d1)
+    assert(partFiles("o/r") == 1, "partition not compacted to target file count")
+    assert(partFiles("o/other") == otherBefore, "untouched partition modified")
+    val afterRows = spark.read.parquet(s"$root/commits")
+      .select("pull_request_id", "title", "target_repository")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(afterRows == beforeRows, "compaction changed the data")
+    // no leftover staging directories
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/commits/snapshot_date=$d1")).map(_.getPath.getName)
+    assert(!leftovers.exists(n => n.endsWith("._compacting") || n.endsWith("._precompact")))
+    // single-file partition: second run is a no-op
+    SnapshotWriter.compactPartition(spark, root, "commits", "o/r", d1)
+    assert(partFiles("o/r") == 1)
+  }
 }
