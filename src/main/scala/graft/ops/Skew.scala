@@ -31,6 +31,33 @@ object Skew {
     * single bucket exactly in the constant-value hot-key case this
     * helper exists for.
     */
+  /** Salted equi-join for a zipfian-keyed fact table: fact rows
+    * scatter over `saltBuckets` sub-keys, the (small) dimension side
+    * is replicated once per salt, and the join runs on
+    * (key, salt) — the hot key's rows land on `saltBuckets` tasks
+    * instead of one. Each fact row matches exactly one replica, so
+    * the RESULT is identical to the plain inner join for any salt
+    * assignment (which is why the nondeterministic id-based scatter
+    * is safe — it only moves rows, never changes matches).
+    *
+    * Costs dimension×saltBuckets shuffle volume; use when one key is
+    * hot enough that AQE's skew split (which needs sort-merge and
+    * post-shuffle stats) can't save the stage.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val f = fact.withColumn("__fsalt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    val d = dim.withColumn("__dsalt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    f.join(d, f(factKey) === d(dimKey) && f("__fsalt") === d("__dsalt"))
+      .drop("__fsalt").drop("__dsalt")
+  }
+
   def saltedSumCount(
       df: DataFrame,
       keyCol: String,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOf, BloomJoin, Similarity}
+import graft.ops.{AsOf, BloomJoin, Similarity, Skew}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -47,6 +47,18 @@ object ExtQueries {
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
         Tables.part(s, d).filter(col("p_size") === 15).select(col("p_partkey")),
         "l_partkey", "p_partkey", expectedItems = 100000L)),
+
+    // Salted fact×dim join: result ≡ plain inner join for ANY salt
+    // assignment (each fact row matches exactly one dim replica), so
+    // the plain join IS the oracle. The salt spreads a zipfian user
+    // over saltBuckets tasks.
+    "q_skew_join" -> ((s, d) =>
+      Skew.saltedJoin(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"))),
 
     // §2.8 JSON surface: typed scalar extraction from a JSON column.
     "q_json_extract" -> ((s, d) =>
@@ -249,6 +261,10 @@ object ExtQueries {
     "q_bloom_semi_join" ->
       """SELECT l_orderkey, l_partkey FROM lineitem
          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)""",
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
     "q_join3" ->
       """SELECT l_orderkey AS order_id,
          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

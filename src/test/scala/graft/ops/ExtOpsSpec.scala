@@ -87,6 +87,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join on zipfian keys") {
+    val fact = ((1 to 5000).map(_ => 1L) ++ (2L to 50L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("row_id", "k")
+    val dim = (1L to 60L).map(k => (k, s"dim$k")).toDF("dk", "payload")
+    val plain = fact.join(dim, $"k" === $"dk")
+      .select($"row_id", $"payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", "dk", saltBuckets = 8)
+      .select($"row_id", $"payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain)
+  }
+
   test("chunked ETL: bounded-memory per-page loop equals collect-all mode") {
     val server = new MockGithubServer
     server.start()
