@@ -53,6 +53,9 @@ object ChunkedEtl {
       chunks += 1
       prs += chunk.size
     }
+    // merge the one-file-per-chunk-per-task debris this loop creates
+    // (no-op for warehouse sinks, and for partitions already compact)
+    sink.finalizeSnapshot(repo, snapshotDate)
     ChunkStats(chunks, prs)
   }
 

@@ -37,6 +37,13 @@ trait SnapshotSink {
 
   /** WRITE_APPEND one chunk of `table` (ChunkedEtl's per-page load). */
   def append(table: String, df: DataFrame): Unit
+
+  /** Post-load maintenance for the (snapshot_date, repo) pair this
+    * run touched. Default no-op — warehouse sinks (BigQuery et al.)
+    * manage their own storage; file-lake sinks override to merge the
+    * per-chunk small files chunked loading leaves behind.
+    */
+  def finalizeSnapshot(repo: String, snapshotDate: Date): Unit = ()
 }
 
 /** Parquet tables partitioned by (snapshot_date, target_repository);
@@ -54,6 +61,9 @@ class ParquetSnapshotSink(spark: SparkSession, rootDir: String) extends Snapshot
     SnapshotWriter.write(tables, rootDir, skipIfEmpty)
   override def append(table: String, df: DataFrame): Unit =
     SnapshotWriter.appendTable(df, s"$rootDir/$table")
+  override def finalizeSnapshot(repo: String, snapshotDate: Date): Unit =
+    for (table <- SnapshotWriter.TableNames)
+      SnapshotWriter.compactPartition(spark, rootDir, table, repo, snapshotDate)
 }
 
 object NdjsonSnapshotSink {
