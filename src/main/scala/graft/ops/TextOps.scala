@@ -153,6 +153,17 @@ object TextOps {
 
   // --- quality metrics ------------------------------------------------
 
+  /** Canonical text normalization for dedup keys and matching:
+    * lowercase, non-alphanumerics to spaces, runs collapsed, ends
+    * trimmed. Kept in the Java-regex/RE2 common subset so the oracle
+    * replicates it; exact-dedup on normalize(text) catches the
+    * case/punctuation near-misses raw md5 dedup misses.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   def wordCount(text: Column): Column = size(words(text)).cast("long")
 
   def totalWordChars(text: Column): Column =

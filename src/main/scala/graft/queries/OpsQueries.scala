@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Clusters, Dedup, Embeddings, Multimodal, Redact, Relevance, RepSignals,
-  Sampling, Similarity, TextOps}
+  Clusters, CorpusFilters, Dedup, Embeddings, Multimodal, Redact, Relevance,
+  RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -154,6 +154,16 @@ object OpsQueries {
 
     "q_rep_signals" -> ((s, d) =>
       RepSignals.repetitionSignals(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_length_band" -> ((s, d) =>
+      CorpusFilters.lengthPercentileBand(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    "q_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.normalize(col("text")).as("norm_text"),
+        md5(TextOps.normalize(col("text")).cast("binary")).as("norm_digest"))),
 
     "q_tfidf" -> ((s, d) =>
       Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
@@ -472,6 +482,28 @@ object OpsQueries {
                END AS dup_bigram_frac
         FROM toks t LEFT JOIN wstat w USING (doc_id) LEFT JOIN bstat b USING (doc_id)"""
 
+  /** Length-band twin: same distinct-length cumulative distribution,
+    * same integer cross-multiplied boundary rule (cum·den ≥ p·n).
+    */
+  private def lengthBandSql: String =
+    s"""WITH lens AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS dl FROM documents),
+        dist AS (SELECT dl, count(*) AS cnt FROM lens GROUP BY dl),
+        cum AS (SELECT dl, sum(cnt) OVER (ORDER BY dl
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dist),
+        tot AS (SELECT count(*) AS n FROM lens),
+        bounds AS (SELECT min(CASE WHEN cum*100 >= n*5 THEN dl END) AS lo,
+                          min(CASE WHEN cum*100 >= n*95 THEN dl END) AS hi
+                   FROM cum, tot)
+        SELECT doc_id, dl FROM lens, bounds WHERE dl >= lo AND dl <= hi"""
+
+  private def textNormalizeSql: String =
+    """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+         md5(trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest
+       FROM documents"""
+
   /** Fixed BM25 probe query (terms present in the synthetic corpus). */
   val Bm25Query: Seq[String] = Seq("spark", "query", "join")
 
@@ -566,6 +598,8 @@ object OpsQueries {
     "q_sample_hash" -> sampleHashSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_rep_signals" -> repSignalsSql,
+    "q_length_band" -> lengthBandSql,
+    "q_text_normalize" -> textNormalizeSql,
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf
