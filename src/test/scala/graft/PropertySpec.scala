@@ -144,4 +144,47 @@ object PropertySpec extends Properties("graft") {
       }.toMap
       got == want
     }
+
+  // --- connected components vs union-find model -----------------------
+
+  /** Plain array union-find — obviously correct, driver-side. */
+  private def unionFindComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  val pairsGen: Gen[List[(Long, Long)]] =
+    Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L))))
+      .map(_.filter(p => p._1 != p._2))
+
+  property("connected components equal union-find on random graphs") =
+    Prop.forAll(pairsGen) { pairs =>
+      pairs.isEmpty || {
+        val got = graft.ops.Clusters
+          .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFindComponents(pairs)
+      }
+    }
+
+  // --- keyed sampling: deterministic and repartition-invariant --------
+
+  property("hash sampling is repartition-invariant and deterministic") =
+    Prop.forAll(Gen.choose(1, 500), Gen.choose(2, 10)) { (n, den) =>
+      val df = (1L to n.toLong).map(i => (i, s"v$i")).toDF("k", "v")
+      val a = graft.ops.Sampling.hashSample(df, "k", 1, den)
+        .collect().map(_.getLong(0)).toSet
+      val b = graft.ops.Sampling.hashSample(df.repartition(7), "k", 1, den)
+        .collect().map(_.getLong(0)).toSet
+      a == b
+    }
 }
