@@ -54,9 +54,12 @@ object BloomJoin {
       BloomFilterMightContain(
         ScalarSubquery(bloom.queryExecution.analyzed), probeHash))
     val prefiltered = probe.filter(mightContain)
-    // exact verify: false positives out, result ≡ plain semi join
+    // exact verify: false positives out, result ≡ plain semi join.
+    // Qualified references: with probeKey == buildKey (the common
+    // case) unqualified col() would be ambiguous against the join.
+    val buildKeys = build.select(col(buildKey)).distinct()
     prefiltered.join(
-      build.select(col(buildKey)).distinct(),
-      col(probeKey) === col(buildKey), "left_semi")
+      buildKeys,
+      prefiltered(probeKey) === buildKeys(buildKey), "left_semi")
   }
 }

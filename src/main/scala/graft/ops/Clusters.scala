@@ -38,12 +38,18 @@ object Clusters {
     * Returns (node, comp): comp = min node id in the component.
     * Only nodes appearing in at least one pair are returned —
     * singletons are the caller's left-join + coalesce.
+    *
+    * Throws if `maxRounds` is exhausted before the fixpoint: silent
+    * non-convergence would report one duplicate family as several
+    * clusters and keep extra "canonical" copies downstream. Raise
+    * `maxRounds` for adversarial diameters (a chain of k serially
+    * templated docs needs ~k rounds).
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -51,9 +57,13 @@ object Clusters {
     var labels = undirected.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint()
-    // Σcomp as exact decimal: overflow-proof signal at any node count
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    // Σcomp as exact decimal: overflow-proof signal at any node count.
+    // Empty graph → null sum → ZERO (and the loop below exits on the
+    // first round's equal checksum without joining anything).
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prev = checksum(labels)
     var round = 0
     var converged = false
@@ -71,6 +81,10 @@ object Clusters {
       round += 1
     }
     undirected.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "graph diameter exceeds the round budget; raise maxRounds")
     labels
   }
 

@@ -88,12 +88,18 @@ object Relevance {
       query: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // dedupe up front: a repeated term would otherwise double-count
+    // through two identical conditional sums (and per-term columns are
+    // index-named below, so terms with dots/quotes are safe too)
+    val terms = query.distinct
     val lens = docs.select(
       col(idCol).as("doc_id"), size(TextOps.words(col(textCol))).cast("long").as("dl"))
+    if (terms.isEmpty)
+      return lens.select(col("doc_id"), lit(0.0).as("bm25"))
     val corpus = lens.agg(
       count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
     val tf = termFreqs(docs, idCol, textCol)
-      .filter(col("term").isin(query: _*))
+      .filter(col("term").isin(terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nD: Column = col("n").cast("double")
     val avgdl: Column = col("sumdl").cast("double") / nD
@@ -108,6 +114,7 @@ object Relevance {
     // row, so partial-agg merge order can't reorder a float sum), then
     // a FIXED-order addition in query order — bit-deterministic across
     // partitionings and engines, unlike sum() over the term scores.
+    def sumCol(t: String, i: Int) = sum(when(col("term") === t, col("s"))).as(s"s_$i")
     val perTerm = tf
       .join(dfreq, "term")
       .join(lens, "doc_id")
@@ -115,10 +122,10 @@ object Relevance {
       .select(col("doc_id"), col("term"), termScore.as("s"))
       .groupBy("doc_id")
       .agg(
-        sum(when(col("term") === query.head, col("s"))).as(s"s_${query.head}"),
-        query.tail.map(t => sum(when(col("term") === t, col("s"))).as(s"s_$t")): _*)
-    val total = query
-      .map(t => coalesce(col(s"s_$t"), lit(0.0)))
+        sumCol(terms.head, 0),
+        terms.tail.zipWithIndex.map { case (t, i) => sumCol(t, i + 1) }: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"s_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     lens.select(col("doc_id"))
       .join(perTerm, Seq("doc_id"), "left")

@@ -67,6 +67,13 @@ object Similarity {
   def hyperplaneBucket(v: Column, nPlanes: Int, dim: Int): Column =
     VectorExpressions.hyperplaneBucket(v, nPlanes, dim)
 
+  /** Probe set for 1-bit multiprobe: the exact bucket plus each
+    * single-plane flip. Shared by [[lshTopK]] and [[cosinePairsLsh]]
+    * so their recall characteristics stay identical by construction.
+    */
+  private def multiprobe1(bucket: Column, nPlanes: Int): Column =
+    array(bucket +: (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+
   /** Approximate top-k with multiprobe: candidates share the query's
     * hyperplane bucket OR any 1-bit-flip neighbor of it (queries near
     * a hyperplane would otherwise miss neighbors across it). Exact
@@ -83,12 +90,10 @@ object Similarity {
     // probe buckets: exact + one per flipped plane bit; a corpus row
     // has a single bucket, so a (qid, nid) pair can match at most one
     // probe — no candidate dedup needed
-    val probes = (c: Column) =>
-      array(c +: (0 until nPlanes).map(p => c.bitwiseXOR(lit(1L << p))): _*)
     val qb = queries
       .withColumn("qnorm", norm(col("qv")))
       .withColumn("bucket",
-        explode(probes(hyperplaneBucket(col("qv"), nPlanes, dim))))
+        explode(multiprobe1(hyperplaneBucket(col("qv"), nPlanes, dim), nPlanes)))
     val cb = corpus.withColumn("bucket", hyperplaneBucket(col("nv"), nPlanes, dim))
       .withColumn("nnorm", norm(col("nv")))
     val joined = cb.join(broadcast(qb), "bucket")
@@ -145,11 +150,9 @@ object Similarity {
     val bucketed = corpus
       .withColumn("n", norm(col("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), nPlanes, dim))
-    val probes = (c: Column) =>
-      array(c +: (0 until nPlanes).map(p => c.bitwiseXOR(lit(1L << p))): _*)
     val a = bucketed.select(
       col("id").as("ida"), col("v").as("va"), col("n").as("na"),
-      explode(probes(col("bucket"))).as("bucket"))
+      explode(multiprobe1(col("bucket"), nPlanes)).as("bucket"))
     val b = bucketed.select(
       col("id").as("idb"), col("v").as("vb"), col("n").as("nb"), col("bucket"))
     a.join(b, "bucket")
@@ -186,7 +189,9 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val cent = corpus.filter(col("nid") < nCentroids)
+    // the nCentroids LOWEST ids (TakeOrdered — not `id < n`, which
+    // yields a short or empty codebook on non-dense id spaces)
+    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
       .select(col("nid").as("cid"), col("nv").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
     val c = corpus.withColumn("nnorm", norm(col("nv")))

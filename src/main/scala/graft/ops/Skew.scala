@@ -17,20 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum/count aggregation with DECIMAL-exact sums:
-    * equivalent to `sum(CAST(value AS DECIMAL(28,6)))` + `count(*)`
-    * per key (values with more than 6 decimal places are rounded by
-    * that cast — the decimal route is what makes the result
-    * independent of partitioning/salting, which a double sum is not).
-    *
-    * The default salt spreads rows round-robin-style via
-    * `monotonically_increasing_id`. Salt values only affect row
-    * DISTRIBUTION, never the re-aggregated result (the aggregate is
-    * algebraic), so the id's nondeterminism under task retries is
-    * harmless — while hashing the value column would collapse to a
-    * single bucket exactly in the constant-value hot-key case this
-    * helper exists for.
-    */
   /** Salted equi-join for a zipfian-keyed fact table: fact rows
     * scatter over `saltBuckets` sub-keys, the (small) dimension side
     * is replicated once per salt, and the join runs on
@@ -58,6 +44,20 @@ object Skew {
       .drop("__fsalt").drop("__dsalt")
   }
 
+  /** Two-phase salted sum/count aggregation with DECIMAL-exact sums:
+    * equivalent to `sum(CAST(value AS DECIMAL(28,6)))` + `count(*)`
+    * per key (values with more than 6 decimal places are rounded by
+    * that cast — the decimal route is what makes the result
+    * independent of partitioning/salting, which a double sum is not).
+    *
+    * The default salt spreads rows round-robin-style via
+    * `monotonically_increasing_id`. Salt values only affect row
+    * DISTRIBUTION, never the re-aggregated result (the aggregate is
+    * algebraic), so the id's nondeterminism under task retries is
+    * harmless — while hashing the value column would collapse to a
+    * single bucket exactly in the constant-value hot-key case this
+    * helper exists for.
+    */
   def saltedSumCount(
       df: DataFrame,
       keyCol: String,

@@ -348,7 +348,8 @@ object OpsQueries {
   private def ivfSql: String = {
     def dc(a: String, b: String) = (1 to 64)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
+                      ORDER BY vec_id LIMIT 16),
         c AS (SELECT vec_id nid, embedding nv FROM embeddings),
         q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS (SELECT nid, cid FROM (

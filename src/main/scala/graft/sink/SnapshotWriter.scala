@@ -94,8 +94,13 @@ object SnapshotWriter {
   /** Per-chunk append (reference WRITE_APPEND, main.py:673-677): used
     * by ChunkedEtl after the up-front deleteSnapshot.
     */
-  def appendTable(df: DataFrame, path: String): Unit =
-    if (!df.isEmpty) {
+  /** `skipIfEmpty=false` for callers whose batches are expensive to
+    * recompute (the streaming bridge: an isEmpty probe is an extra
+    * Spark job per micro-batch, while appending an empty frame is
+    * harmless — no partition directories appear).
+    */
+  def appendTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true): Unit =
+    if (!skipIfEmpty || !df.isEmpty) {
       df.write
         .mode("append")
         .partitionBy("snapshot_date", "target_repository")
@@ -141,18 +146,34 @@ object SnapshotWriter {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // Staging dirs are DOT-prefixed siblings: Spark/Hive listing
+    // skips '.'/'_'-prefixed names at every level, so readers of the
+    // table root never see staged data as a bogus partition (an
+    // unhidden '<leaf>._compacting' sibling WOULD be parsed as a
+    // partition value and double-count every row mid-swap).
+    val parent = dirPath.getParent
+    val leaf = dirPath.getName
+    val tmp = new org.apache.hadoop.fs.Path(parent, s".compact_tmp_$leaf")
+    val old = new org.apache.hadoop.fs.Path(parent, s".compact_old_$leaf")
+    // self-heal a crash between the two swap renames of a previous
+    // run: the live dir is missing but the pre-compaction copy exists
+    if (!fs.exists(dirPath) && fs.exists(old)) {
+      if (!fs.rename(old, dirPath))
+        throw new java.io.IOException(s"compaction recovery failed for $dir")
+    }
     if (!fs.exists(dirPath)) return
     val dataFiles = fs.listStatus(dirPath)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     if (dataFiles.length <= 1) return
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compacting")
-    val old = new org.apache.hadoop.fs.Path(dir + "._precompact")
     fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: current -> old, compacted -> current, drop old
+    // swap: current -> old, compacted -> current, drop old. A crash
+    // before the first rename leaves the original untouched; between
+    // the renames, the hidden old copy is restored by the self-heal
+    // above on the next call; after, only hidden debris remains.
     if (!fs.rename(dirPath, old)) {
       fs.delete(tmp, true)
       throw new java.io.IOException(s"compaction swap failed for $dir")

@@ -48,7 +48,8 @@ object EventStreams {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sink.SnapshotWriter.appendTable(batch.toDF(), path)
+        // skipIfEmpty=false: no extra isEmpty job per micro-batch
+        graft.sink.SnapshotWriter.appendTable(batch.toDF(), path, skipIfEmpty = false)
       }
       .start()
 

@@ -168,12 +168,11 @@ object PropertySpec extends Properties("graft") {
 
   property("connected components equal union-find on random graphs") =
     Prop.forAll(pairsGen) { pairs =>
-      pairs.isEmpty || {
-        val got = graft.ops.Clusters
-          .connectedComponents(pairs.toDF("a", "b"), "a", "b")
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == unionFindComponents(pairs)
-      }
+      // empty pair lists included: components must be empty, not crash
+      val got = graft.ops.Clusters
+        .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFindComponents(pairs)
     }
 
   // --- keyed sampling: deterministic and repartition-invariant --------

@@ -233,6 +233,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == "und")
   }
 
+  test("bloom semi join handles identical key names on both sides") {
+    val probe = (1L to 100L).map(i => i -> s"p$i").toDF("id", "payload")
+    val build = Seq(2L, 50L, 98L).toDF("id")
+    val out = BloomJoin.bloomSemiJoin(probe, build, "id", "id", expectedItems = 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 50L, 98L))
+  }
+
   test("bloom semi join ≡ plain semi join, with the bloom in the plan") {
     val probe = (1L to 1000L).map(i => i -> (i % 7)).toDF("pk", "grp")
     val build = Seq(3L, 14L, 500L, 999L, 2000L).toDF("bk")

@@ -115,10 +115,15 @@ class SnapshotSinkSpec extends AnyFunSuite {
       .select("pull_request_id", "title", "target_repository")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(afterRows == beforeRows, "compaction changed the data")
-    // no leftover staging directories
+    // no leftover staging directories, and nothing partition-visible:
+    // every sibling of the partition dirs must be a real partition or
+    // hidden ('.'/'_'-prefixed, skipped by Spark's listing)
     val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(
       s"$root/commits/snapshot_date=$d1")).map(_.getPath.getName)
-    assert(!leftovers.exists(n => n.endsWith("._compacting") || n.endsWith("._precompact")))
+    assert(!leftovers.exists(n => n.startsWith(".compact_")), leftovers.mkString(","))
+    assert(leftovers.forall(n =>
+      n.startsWith("target_repository=") || n.startsWith(".") || n.startsWith("_")),
+      leftovers.mkString(","))
     // single-file partition: second run is a no-op
     SnapshotWriter.compactPartition(spark, root, "commits", "o/r", d1)
     assert(partFiles("o/r") == 1)
