@@ -106,6 +106,8 @@ object EtlJob {
         repos.foreach(r => sink.deleteSnapshot(r, snapshotDate))
         // skipIfEmpty=false: no per-table isEmpty action on this path
         sink.writeSnapshot(tables, skipIfEmpty = false)
+        // a 32-task write leaves up to 32 files per (date, repo) pair
+        repos.foreach(r => sink.finalizeSnapshot(r, snapshotDate))
         println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
       } finally typed.unpersist()
       return
