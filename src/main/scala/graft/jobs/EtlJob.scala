@@ -102,12 +102,21 @@ object EtlJob {
           .fieldNames.map(f => col(s"pr.$f"))): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val tables = GithubTransform.applyMulti(typed, snapshotDate)
+        val t = GithubTransform.applyMulti(typed, snapshotDate)
+        // one shuffle keyed by the write partitioning → exactly one
+        // file per (date, repo) partition at write time; no post-hoc
+        // compaction pass (which would be |repos|×4 driver-serial
+        // jobs re-reading data this job just wrote)
+        def onePerPartition(df: org.apache.spark.sql.DataFrame) =
+          df.repartition(
+            org.apache.spark.sql.functions.col("snapshot_date"),
+            org.apache.spark.sql.functions.col("target_repository"))
+        val tables = graft.transform.GithubTransform.GithubTables(
+          onePerPartition(t.pullRequests), onePerPartition(t.commits),
+          onePerPartition(t.reviewers), onePerPartition(t.comments))
         repos.foreach(r => sink.deleteSnapshot(r, snapshotDate))
         // skipIfEmpty=false: no per-table isEmpty action on this path
         sink.writeSnapshot(tables, skipIfEmpty = false)
-        // a 32-task write leaves up to 32 files per (date, repo) pair
-        repos.foreach(r => sink.finalizeSnapshot(r, snapshotDate))
         println(s"[etl] ${repos.length} repos via DSv2: wrote snapshot $snapshotDate")
       } finally typed.unpersist()
       return

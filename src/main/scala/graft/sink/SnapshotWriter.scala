@@ -88,13 +88,30 @@ object SnapshotWriter {
       val dir = new org.apache.hadoop.fs.Path(
         partitionPath(rootDir, table, repo, snapshotDate))
       if (fs.exists(dir)) fs.delete(dir, true)
+      // ALSO clear compaction staging siblings: a .compact_old_ copy
+      // left by a crashed swap would otherwise survive the delete and
+      // be "self-healed" back by a later compactPartition — deleted
+      // rows resurrecting is a breach of the K1 delete contract
+      deleteStaging(fs, dir)
+    }
+  }
+
+  /** Remove the hidden compaction staging siblings of a partition
+    * directory (no-op when absent).
+    */
+  private def deleteStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val parent = dir.getParent
+    if (parent != null) {
+      fs.delete(new org.apache.hadoop.fs.Path(parent, s".compact_tmp_${dir.getName}"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(parent, s".compact_old_${dir.getName}"), true)
     }
   }
 
   /** Per-chunk append (reference WRITE_APPEND, main.py:673-677): used
     * by ChunkedEtl after the up-front deleteSnapshot.
-    */
-  /** `skipIfEmpty=false` for callers whose batches are expensive to
+    * `skipIfEmpty=false` for callers whose batches are expensive to
     * recompute (the streaming bridge: an isEmpty probe is an extra
     * Spark job per micro-batch, while appending an empty frame is
     * harmless — no partition directories appear).
@@ -162,12 +179,16 @@ object SnapshotWriter {
         throw new java.io.IOException(s"compaction recovery failed for $dir")
     }
     if (!fs.exists(dirPath)) return
+    // clear staging debris BEFORE the already-compact early return: a
+    // crash after the swap-in but before the old-copy delete leaves a
+    // full hidden pre-compaction copy that would otherwise never be
+    // reaped (doubled storage + a stale-restore hazard)
+    fs.delete(tmp, true); fs.delete(old, true)
     val dataFiles = fs.listStatus(dirPath)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
     if (dataFiles.length <= 1) return
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    fs.delete(tmp, true); fs.delete(old, true)
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: current -> old, compacted -> current, drop old. A crash

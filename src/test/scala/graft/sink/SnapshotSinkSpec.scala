@@ -157,4 +157,21 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(healed == expected, "self-heal lost rows")
     assert(!fs.exists(old))
   }
+
+  test("deleteSnapshot clears crash debris so deleted rows cannot resurrect") {
+    val root = java.nio.file.Files.createTempDirectory("compactdel").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    SnapshotWriter.appendTable(rows("o/r", d1, "stale"), s"$root/commits")
+    val dir = new org.apache.hadoop.fs.Path(
+      SnapshotWriter.partitionPath(root, "commits", "o/r", d1))
+    val old = new org.apache.hadoop.fs.Path(dir.getParent, s".compact_old_${dir.getName}")
+    // crashed swap: data only in the hidden pre-compaction copy
+    assert(fs.rename(dir, old))
+    // K1 delete of the snapshot — must also reap the hidden copy
+    SnapshotWriter.deleteSnapshot(spark, root, "o/r", d1)
+    assert(!fs.exists(old), "delete left crash debris holding deleted rows")
+    // a later maintenance pass must NOT restore the deleted partition
+    SnapshotWriter.compactPartition(spark, root, "commits", "o/r", d1)
+    assert(!fs.exists(dir), "deleted snapshot resurrected from crash debris")
+  }
 }
