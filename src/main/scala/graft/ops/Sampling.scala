@@ -32,6 +32,35 @@ object Sampling {
       salt: Long = 0L): DataFrame =
     df.filter(pmod(sampleHash(col(keyCol), salt), lit(den.toLong)) < num.toLong)
 
+  /** Weight-proportional sampling: row i survives with probability
+    * `rate · w_i / max(w)` — the quality-weighted subsample a training
+    * mix needs (keep more of what scores well) with none of the
+    * nondeterminism of RNG thinning. The keep rule is pure integer
+    * cross-multiplication:
+    *
+    *   (hash(key) mod M) · max(w) · den  <  w_i · M · num
+    *
+    * so the kept set is bit-stable across engines and partitionings.
+    * max(w) is a 1-row aggregate broadcast back via cross join. Rows
+    * with w ≤ 0 never survive; `rate = num/den` is the rate applied
+    * to the maximum-weight rows.
+    */
+  def weightedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      num: Int,
+      den: Int,
+      salt: Long = 0L): DataFrame = {
+    val m = 1L << 20
+    val maxW = df.agg(max(col(weightCol).cast("long")).as("__maxw"))
+    df.crossJoin(broadcast(maxW))
+      .filter(col("__maxw") > 0L &&
+        pmod(sampleHash(col(keyCol), salt), lit(m)) * col("__maxw") * den.toLong <
+          col(weightCol).cast("long") * m * num.toLong)
+      .drop("__maxw")
+  }
+
   /** Per-stratum rates: rate (num, den) per stratum value, fallback
     * rate for strata not listed. One predicate, no shuffle — stratified
     * sampling here is a filter, not a groupBy.

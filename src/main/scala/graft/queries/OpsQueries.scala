@@ -145,6 +145,14 @@ object OpsQueries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "doc_id", num = 1, den = 5)),
 
+    // Quality-weighted subsample: longer (higher-weight) docs survive
+    // at proportionally higher rates; max-weight docs at 1/2.
+    "q_sample_weighted" -> ((s, d) =>
+      Sampling.weightedHashSample(
+        Tables.documents(s, d).select(
+          col("doc_id"), TextOps.wordCount(col("text")).as("w")),
+        "doc_id", "w", num = 1, den = 2)),
+
     "q_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedHashSample(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
@@ -597,6 +605,11 @@ object OpsQueries {
     "q_dedup_clusters" -> clustersSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_hash" -> sampleHashSql,
+    "q_sample_weighted" ->
+      s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),
+          mx AS (SELECT max(w) AS maxw FROM w)
+          SELECT doc_id, w FROM w, mx
+          WHERE maxw > 0 AND ($sampleHash % ${1L << 20}) * maxw * 2 < w * ${1L << 20} * 1""",
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_rep_signals" -> repSignalsSql,
     "q_length_band" -> lengthBandSql,
