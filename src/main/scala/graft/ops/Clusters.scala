@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -77,6 +78,13 @@ object Clusters {
       val cur = checksum(next)
       converged = cur.compareTo(prev) == 0
       prev = cur
+      // `next` is materialized (eager checkpoint + the checksum action),
+      // so the superseded round's blocks are dead weight — free them now
+      // or block-manager memory grows by one labels copy per round and
+      // per call in a long-lived session. Dataset.unpersist() can't do
+      // it (localCheckpoint bypasses the CacheManager); unpersist the
+      // checkpointed RDD behind the LogicalRDD node instead.
+      unpersistCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -87,6 +95,16 @@ object Clusters {
           "graph diameter exceeds the round budget; raise maxRounds")
     labels
   }
+
+  /** Free the block-manager storage behind a locally-checkpointed
+    * frame. Safe only for frames that will never be read again: a
+    * local checkpoint truncates lineage, so its data is gone for good
+    * once unpersisted.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    }
 
   /** Keep-list form over a full corpus: every document labeled with
     * its cluster id (= min doc id among its near-duplicates, itself

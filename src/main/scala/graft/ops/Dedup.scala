@@ -159,10 +159,15 @@ object Dedup {
       textCol: String,
       thresholdNum: Int = 1,
       thresholdDen: Int = 2): DataFrame = {
+    // Verification runs on the distinct shingle-HASH arrays, not the
+    // shingle strings: the verify join ships every candidate doc's set
+    // through the shuffle twice, and 8-byte hashes are severalfold
+    // narrower than word-3-gram strings. Precision is exact up to hash
+    // collisions inside one document pair — negligible, and the DuckDB
+    // oracle replicates the same hash-set semantics.
     val base = tokenized(df, idCol, textCol)
       .select(
         col("id"),
-        ShingleExpressions.distinctWordShingles(col("ws")).as("ss"),
         ShingleExpressions.distinctShingleHashes(col("ws")).as("hs"))
     val sig = base.withColumn("sig",
       ShingleExpressions.minHashSignature(col("hs"), MinHashAB, MinHashP))
@@ -181,13 +186,13 @@ object Dedup {
         Seq("band", "bkey"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    val sets = base.select(col("id"), col("ss"))
+    val sets = base.select(col("id"), col("hs"))
     cand
-      .join(sets.select(col("id").as("ida"), col("ss").as("ssa")), "ida")
-      .join(sets.select(col("id").as("idb"), col("ss").as("ssb")), "idb")
-      .withColumn("shared", size(array_intersect(col("ssa"), col("ssb"))).cast("long"))
-      .withColumn("na", size(col("ssa")).cast("long"))
-      .withColumn("nb", size(col("ssb")).cast("long"))
+      .join(sets.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(sets.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
+      .withColumn("shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("na", size(col("hsa")).cast("long"))
+      .withColumn("nb", size(col("hsb")).cast("long"))
       .filter(lit(thresholdDen.toLong) * col("shared") >=
         lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
       .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))

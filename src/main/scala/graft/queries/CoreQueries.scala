@@ -67,19 +67,23 @@ object CoreQueries {
     // as GithubTransform.digitsToLong: a digit run too long for int64
     // clamps to Long.MaxValue instead of throwing under ANSI mode.
     "q_regex_extract" -> ((s, d) => {
-      def digitsToLong(x: Column): Column = {
-        val stripped = regexp_replace(x, "^0+", "")
-        when(length(stripped) === 0, lit(0L))
-          .when(length(stripped) <= 18, stripped.cast("long"))
-          .otherwise(lit(Long.MaxValue))
-      }
+      // Two nested transforms keep the regex to ONE evaluation per
+      // element: inside a higher-order lambda there is no projection
+      // boundary, so a `val stripped = regexp_replace(...)` referenced
+      // three times is evaluated three times. Materializing the
+      // stripped runs as an array first makes the numeric guard read a
+      // lambda variable, not a regex subtree.
+      val stripped = transform(
+        regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)),
+        x => regexp_replace(x, "^0+", ""))
+      val values = transform(stripped, x =>
+        when(length(x) === 0, lit(0L))
+          .when(length(x) <= 18, x.cast("long"))
+          .otherwise(lit(Long.MaxValue)))
       Tables.events(s, d).select(
         col("event_id"),
-        try_element_at(
-          filter(
-            regexp_extract_all(col("props"), lit("(\\d+)"), lit(1)),
-            x => digitsToLong(x) < 50L),
-          lit(1)).cast("long").as("extracted_id"))
+        try_element_at(filter(values, v => v < 50L), lit(1))
+          .as("extracted_id"))
     }),
 
     // F2/F3 — explode (Generate) + re-aggregation: word counts.

@@ -234,6 +234,21 @@ object OpsQueries {
       fr.select(Seq(
         col("media_id"),
         col("frame_idx").cast("long").as("frame_idx")) ++ featureCols: _*)
+    }),
+
+    // Resize pipeline: bounded thumb payload regardless of input size.
+    // The stride stub is deterministic (integer stride, 0-based byte
+    // picks), so the oracle replicates the exact arithmetic; the thumb
+    // is compared as its ASCII text plus its byte count.
+    "q_multimodal_resize" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      val rs = Multimodal.resize(s, m, targetW = 16, targetH = 16)
+      rs.select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        octet_length(col("thumb")).cast("long").as("n_thumb"),
+        col("thumb").cast("string").as("thumb_text"))
     })
   )
 
@@ -292,14 +307,14 @@ object OpsQueries {
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n          UNION ALL ")
     s"""WITH $toksBase,
-        sh AS (SELECT doc_id, $shingleStrings AS ss, $shingleHashes AS hs FROM base),
+        sh AS (SELECT doc_id, $shingleHashes AS hs FROM base),
         sig AS (SELECT doc_id, $sigTerms AS sig FROM sh),
         bands AS ($bandRows),
         cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bands a
                  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         ver AS (SELECT ida, idb,
-                  len(list_intersect(sa.ss, sb.ss)) AS shared,
-                  len(sa.ss) AS na, len(sb.ss) AS nb
+                  len(list_intersect(sa.hs, sb.hs)) AS shared,
+                  len(sa.hs) AS na, len(sb.hs) AS nb
                 FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
         SELECT ida AS doc_id_a, idb AS doc_id_b FROM ver
         WHERE 2*shared >= (na + nb - shared)"""
@@ -618,7 +633,7 @@ object OpsQueries {
       s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
           tf AS (SELECT doc_id, term, count(*) AS tf
                  FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2)
-          SELECT term, sum(tf) AS n_occurrences, count(*) AS n_docs
+          SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences, count(*) AS n_docs
           FROM tf GROUP BY term
           ORDER BY n_occurrences DESC, term ASC LIMIT 50""",
     "q_freq_spectrum" ->
@@ -671,7 +686,8 @@ object OpsQueries {
          sha256(text) AS digest
          FROM documents""",
     "q_multimodal_decode" -> multimodalDecodeSql,
-    "q_multimodal_frames" -> multimodalFramesSql
+    "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_resize" -> multimodalResizeSql
   )
 
   /** Byte i (0-based) of the ASCII payload as FLOAT/255 widened to
@@ -695,6 +711,23 @@ object OpsQueries {
             $fs
         FROM b"""
   }
+
+  /** Resize twin: same integer stride (n // budget) and 0-based byte
+    * picks as Multimodal.resize's stub, thumb reassembled as text.
+    * Budget fixed at 16×16 = 256 to match the query's target dims.
+    */
+  private def multimodalResizeSql: String =
+    s"""WITH b AS (SELECT doc_id AS media_id, COALESCE(text, '') AS text,
+              octet_length(CAST(COALESCE(text, '') AS BLOB)) AS n FROM documents),
+        s AS (SELECT media_id, text, n, n // 256 AS stride FROM b)
+        SELECT media_id,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CAST(CASE WHEN n <= 256 THEN n ELSE 256 END AS BIGINT) AS n_thumb,
+               CASE WHEN n <= 256 THEN text
+                    ELSE array_to_string(list_transform(range(0, 256),
+                      i -> substr(text, CAST(i*stride AS INT) + 1, 1)), '')
+               END AS thumb_text
+        FROM s"""
 
   private def multimodalFramesSql: String = {
     val fs = (0 until 8)

@@ -265,6 +265,22 @@ class OpsSpec extends AnyFunSuite {
       7L -> 7L, 8L -> 7L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("connected components leave no superseded storage behind") {
+    // The multi-round path (diameter-3 chain forces >1 propagation
+    // round) must free every intermediate checkpoint and the edge
+    // cache: at most ONE persistent RDD — the returned labels frame —
+    // may outlive the call, or a long-lived session accumulates one
+    // labels copy per round per job.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("a", "b")
+    val comp = Clusters.connectedComponents(pairs, "a", "b")
+    assert(comp.count() == 6L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"expected at most the final labels frame persisted, got ${leaked.size}")
+  }
+
   test("dedupClusters keeps exactly one doc per cluster, singletons kept") {
     val docs = (1L to 10L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
