@@ -26,6 +26,22 @@ object GraftSession {
   def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     GraftFunctions.register(spark)
+    // The engine's only unpartitioned window runs over the
+    // distinct-token-count frame (CorpusFilters.lengthPercentileBand),
+    // which is bounded by construction — the per-run "serious
+    // performance degradation" WARN would imply a scale bug that
+    // isn't there, so that one logger is pinned to ERROR. A constant
+    // partition key can't express the bound: EliminateWindowPartitions
+    // folds it away.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    // Likewise Clusters.connectedComponents deliberately unpersists
+    // superseded local checkpoints (they are never read again); the
+    // "lineage has been truncated" WARN per freed round is expected.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -32,7 +32,11 @@ object CorpusFilters {
     val lens = docs.select(
       col(idCol), size(TextOps.words(col(textCol))).cast("long").as("dl"))
     // distribution over DISTINCT lengths — the only windowed frame,
-    // and it is small by construction
+    // and it is small by construction (a constant partition key can't
+    // express that: EliminateWindowPartitions folds it away, so the
+    // planner's single-partition WARN is instead silenced for the
+    // WindowExec logger in GraftSession, where the boundedness
+    // contract is documented)
     val dist = lens.groupBy("dl").agg(count(lit(1)).as("cnt"))
     val cum = dist.withColumn("cum",
       sum(col("cnt")).over(

@@ -21,7 +21,17 @@ object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ ]+"
-  val PhoneRe = "\\+?[0-9][0-9\\-]{6,}[0-9]"
+
+  /** Phone-shaped runs must carry calling-number STRUCTURE — a `+`
+    * country prefix (E.164, 7–16 chars) or NANP 3-3-4 dash groups —
+    * not merely 8+ digits: a bare digit-run rule would also swallow
+    * timestamps, ISBNs, and numeric ids, which is lossy for training
+    * text. Dash-dates (2024-01-01) don't match either alternative
+    * (4-digit lead group, 2-digit tail). Undashed domestic numbers
+    * ("4155550199") are indistinguishable from ids by shape and are
+    * deliberately NOT matched.
+    */
+  val PhoneRe = "\\+[0-9][0-9\\-]{5,14}[0-9]|[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   def scrub(text: Column): Column =
     regexp_replace(

@@ -36,14 +36,21 @@ object Sampling {
     * `rate · w_i / max(w)` — the quality-weighted subsample a training
     * mix needs (keep more of what scores well) with none of the
     * nondeterminism of RNG thinning. The keep rule is pure integer
-    * cross-multiplication:
+    * cross-multiplication over FIXED-POINT weights
+    * (wS = floor(w · 2^20), so fractional quality scores in (0,1)
+    * keep their proportionality instead of truncating to 0):
     *
-    *   (hash(key) mod M) · max(w) · den  <  w_i · M · num
+    *   (hash(key) mod M) · max(wS) · den  <  wS_i · M · num
     *
     * so the kept set is bit-stable across engines and partitionings.
-    * max(w) is a 1-row aggregate broadcast back via cross join. Rows
-    * with w ≤ 0 never survive; `rate = num/den` is the rate applied
-    * to the maximum-weight rows.
+    * For integer weights the fixed-point scaling cancels exactly —
+    * the kept set equals the unscaled rule's. max(wS) is a 1-row
+    * aggregate broadcast back via cross join. Rows with w ≤ 0 never
+    * survive; `rate = num/den` is the rate applied to maximum-weight
+    * rows. Weights must satisfy max(w)·den < 2^22 (≈4.2M — far above
+    * quality scores or token counts) or the 64-bit cross product
+    * would overflow; the predicate fail-fasts via assert_true rather
+    * than silently mis-sampling.
     */
   def weightedHashSample(
       df: DataFrame,
@@ -53,11 +60,16 @@ object Sampling {
       den: Int,
       salt: Long = 0L): DataFrame = {
     val m = 1L << 20
-    val maxW = df.agg(max(col(weightCol).cast("long")).as("__maxw"))
+    def scaled(c: Column): Column = floor(c.cast("double") * m.toDouble).cast("long")
+    val maxW = df.agg(max(scaled(col(weightCol))).as("__maxw"))
+    val guard = assert_true(
+      col("__maxw") <= lit((1L << 42) / den.toLong),
+      lit(s"weightedHashSample: max(weight)*den must stay below 2^22 — " +
+        "pre-bucket or rescale weights"))
     df.crossJoin(broadcast(maxW))
-      .filter(col("__maxw") > 0L &&
+      .filter(guard.isNull && col("__maxw") > 0L &&
         pmod(sampleHash(col(keyCol), salt), lit(m)) * col("__maxw") * den.toLong <
-          col(weightCol).cast("long") * m * num.toLong)
+          scaled(col(weightCol)) * m * num.toLong)
       .drop("__maxw")
   }
 

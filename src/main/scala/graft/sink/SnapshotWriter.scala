@@ -82,8 +82,11 @@ object SnapshotWriter {
       rootDir: String,
       repo: String,
       snapshotDate: Date): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FS from the path, not fs.defaultFS: an s3a:// table
+    // root with an HDFS default would otherwise list/delete against
+    // the wrong filesystem
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (table <- TableNames) {
       val dir = new org.apache.hadoop.fs.Path(
         partitionPath(rootDir, table, repo, snapshotDate))
@@ -151,6 +154,13 @@ object SnapshotWriter {
     * root), so only this partition's files are listed and no other
     * partition is touched — same isolation contract as
     * deleteSnapshot.
+    *
+    * Single-writer only, and NOT safe to run against a live-read
+    * table: between the two swap renames the partition is briefly
+    * absent, so a concurrent reader silently under-reports rows
+    * rather than serving stale data. The post-load ChunkedEtl call
+    * site satisfies both assumptions (compaction runs after the last
+    * append, before the table is handed to readers).
     */
   def compactPartition(
       spark: SparkSession,
@@ -160,9 +170,8 @@ object SnapshotWriter {
       snapshotDate: Date,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val dir = partitionPath(rootDir, table, repo, snapshotDate)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Staging dirs are DOT-prefixed siblings: Spark/Hive listing
     // skips '.'/'_'-prefixed names at every level, so readers of the
     // table root never see staged data as a bogus partition (an
@@ -215,8 +224,8 @@ object SnapshotWriter {
       repo: String,
       snapshotDate: Date): Boolean = {
     val path = s"$rootDir/pull_requests"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) false
     else try {
       !spark.read.parquet(path)

@@ -61,9 +61,10 @@ object EventStreams {
     * Spark expire buffered state: without the time bounds a
     * stream-stream join would hold both streams forever.
     *
-    * Inputs are (possibly renamed) event frames with columns
-    * (user_id, ts, ...) — pass pre-projected frames with disjoint
-    * non-key column names.
+    * The left frame must carry columns (l_user, l_ts, ...) and the
+    * right frame (r_user, r_ts, ...) — rename before calling (the
+    * prefixes keep every column name disjoint across the join, which
+    * stream-stream joins require).
     */
   def intervalJoin(
       left: DataFrame,

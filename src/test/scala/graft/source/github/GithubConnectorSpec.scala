@@ -303,6 +303,37 @@ class GithubConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("reference-scale corpus (250 PRs / 3 pages): plain, chunked, DSv2 agree") {
+    // the reference's integration envelope (mock_github_api.py:271-276,
+    // 300-359): 250 PRs at the default chunk size of 100 → 3 list
+    // pages, seeded 1-20/1-15/0-5/0-10 fan-out, edge cases included
+    val server = new MockGithubServer(scalePrs = 250)
+    server.start()
+    try {
+      val outs = Seq("plain", "chunked", "dsv2")
+        .map(m => m -> java.nio.file.Files.createTempDirectory(s"graft-$m").toString)
+        .toMap
+      val base = Map(
+        "GITHUB_REPOS" -> "o/r",
+        "GITHUB_API_URL" -> server.url,
+        "GITHUB_TOKEN" -> "t")
+      graft.jobs.EtlJob.run(base + ("GRAFT_OUTPUT_DIR" -> outs("plain")), Some(spark))
+      graft.jobs.EtlJob.run(
+        base + ("GRAFT_OUTPUT_DIR" -> outs("chunked")) + ("GRAFT_CHUNKED" -> "1"), Some(spark))
+      graft.jobs.EtlJob.run(
+        base + ("GRAFT_OUTPUT_DIR" -> outs("dsv2")) + ("GRAFT_USE_DSV2" -> "1"), Some(spark))
+      val prs = spark.read.parquet(s"${outs("plain")}/pull_requests")
+      assert(prs.count() == 245) // 250 minus the five number-less PRs
+      for (t <- SnapshotWriter.TableNames; m <- Seq("chunked", "dsv2")) {
+        val a = spark.read.parquet(s"${outs("plain")}/$t")
+        val b = spark.read.parquet(s"${outs(m)}/$t")
+        assert(a.count() == b.count(), s"row count mismatch for $t in $m mode")
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+          s"content mismatch for $t in $m mode")
+      }
+    } finally server.stop()
+  }
+
   test("EtlJob fails fast on missing required config") {
     intercept[IllegalArgumentException] {
       graft.jobs.EtlJob.run(Map.empty, Some(spark))

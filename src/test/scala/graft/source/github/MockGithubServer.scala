@@ -11,8 +11,18 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * pagination, per-PR commits (+detail files), reviews (one null
   * user), issue comments (one null body, one null user), App-auth
   * endpoints, and an optional one-shot 403 rate-limit trip.
+  *
+  * `scalePrs > 0` switches to the reference's INTEGRATION corpus
+  * shape (mock_github_api.py:271-276,300-359): that many PRs paginated
+  * by the caller's per_page (250 at the default chunk size of 100 →
+  * 3 pages), with randomized-but-SEEDED per-PR fan-out in the
+  * reference's envelopes — 1-20 commits, 1-15 files per commit, 0-5
+  * reviews, 0-10 comments — plus the same deterministic edge cases
+  * the small corpus carries (missing `number`, nonstandard timestamp,
+  * null users, empty bodies), so mode-equivalence can be asserted at
+  * real corpus scale.
   */
-class MockGithubServer {
+class MockGithubServer(val scalePrs: Int = 0) {
   val requestCount = new AtomicInteger(0)
   /** Requests per repo name (for pushdown-pruning assertions). */
   val repoRequests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -53,6 +63,104 @@ class MockGithubServer {
          {"id": ${9100 + pr}, "user": null, "body": "dropped", "created_at": "2023-01-0${pr}T16:01:00Z", "pull_request_review_id": null},
          {"id": ${9200 + pr}, "user": {"login": "u${pr}b"}, "body": "", "created_at": "2023-01-0${pr}T16:02:00Z", "pull_request_review_id": null}]"""
 
+  // --- seeded scale-corpus generators ---------------------------------
+  // Multiplicative-congruence hash: "random" fan-out that is identical
+  // across runs and across the three ETL modes.
+  private def h(seed: Long): Int =
+    (((seed * 2654435761L) % 2147483647L) & 0x7fffffffL).toInt
+
+  private def scaleTs(n: Int, nonstandard: Boolean): String = {
+    val month = 1 + n % 12
+    val day = 1 + n % 28
+    if (nonstandard) f"2023-$month%02d-$day%02d 10:30:00Z"
+    else f"2023-$month%02d-$day%02dT10:30:00Z"
+  }
+
+  private def scalePrJson(n: Int): String = {
+    // every 50th-ish PR lacks "number" (must stay unenriched and be
+    // dropped); every 10th-ish uses the nonstandard timestamp format
+    val numberField = if (n % 50 == 17) "" else s""""number": $n,"""
+    val ts = scaleTs(n, nonstandard = n % 10 == 3)
+    val merged = if (n % 2 == 0) "null" else s""""$ts""""
+    val labels = (0 until h(n * 11L) % 4)
+      .map(i => s"""{"name": "L$n-$i"}""").mkString(",")
+    s"""{$numberField "title": "Bug ${1000000 + n} - change $n",
+        "state": "${if (n % 2 == 0) "open" else "closed"}",
+        "created_at": "$ts", "updated_at": "$ts", "merged_at": $merged,
+        "labels": [$labels]}"""
+  }
+
+  private def scaleCommitsJson(pr: Int): String = {
+    val c = 1 + h(pr.toLong) % 20 // reference: randint(1, 20)
+    (1 to c).map { i =>
+      s"""{"sha": "s$pr-$i", "commit": {"author": {"name": "dev$pr",
+          "email": "d@x", "date": "${scaleTs(pr, nonstandard = false)}"}}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  private def scaleCommitDetailJson(sha: String): String = {
+    val seed = sha.foldLeft(7L)((a, c) => a * 31 + c)
+    val f = 1 + h(seed) % 15 // reference: randint(1, 15)
+    val files = (1 to f).map { i =>
+      s"""{"filename": "$sha/f$i.scala", "additions": ${h(seed + i) % 100},
+          "deletions": ${h(seed + i * 2) % 50}, "status": "modified"}"""
+    }.mkString(",")
+    s"""{"sha": "$sha", "files": [$files]}"""
+  }
+
+  private def scaleReviewsJson(pr: Int): String = {
+    val rc = h(pr * 3L) % 6 // reference: randint(0, 5)
+    val states = Seq("APPROVED", "COMMENTED", "CHANGES_REQUESTED")
+    val real = (0 until rc).map { i =>
+      s"""{"id": ${700000 + pr * 10 + i}, "user": {"login": "rev$pr-$i"},
+          "state": "${states(i % 3)}",
+          "submitted_at": "${scaleTs(pr, nonstandard = false)}"}"""
+    }
+    // null-user review always present: the filter must hold at scale
+    val withNull = real :+
+      s"""{"id": ${709999 - pr}, "user": null, "state": "COMMENTED",
+          "submitted_at": "${scaleTs(pr, nonstandard = false)}"}"""
+    withNull.mkString("[", ",", "]")
+  }
+
+  private def scaleCommentsJson(pr: Int): String = {
+    val cc = h(pr * 5L) % 11 // reference: randint(0, 10)
+    val reviewId =
+      if (h(pr * 3L) % 6 > 0) (700000 + pr * 10).toString else "null"
+    val real = (0 until cc).map { i =>
+      s"""{"id": ${900000 + pr * 20 + i}, "user": {"login": "u$pr-$i"},
+          "body": "comment $pr $i",
+          "created_at": "${scaleTs(pr, nonstandard = false)}",
+          "pull_request_review_id": ${if (i % 3 == 0) reviewId else "null"}}"""
+    }
+    val withEdgeCases = real ++ Seq(
+      s"""{"id": ${919999 - pr}, "user": null, "body": "dropped",
+          "created_at": "${scaleTs(pr, nonstandard = false)}",
+          "pull_request_review_id": null}""",
+      s"""{"id": ${929999 - pr}, "user": {"login": "u${pr}e"}, "body": "",
+          "created_at": "${scaleTs(pr, nonstandard = false)}",
+          "pull_request_review_id": null}""")
+    withEdgeCases.mkString("[", ",", "]")
+  }
+
+  private def scalePullsResponse(ex: HttpExchange, query: String): Unit = {
+    val page = "(?:^|&)page=(\\d+)".r
+      .findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(1)
+    val perPage = "(?:^|&)per_page=(\\d+)".r
+      .findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(30)
+    val start = (page - 1) * perPage + 1
+    val end = math.min(start + perPage - 1, scalePrs)
+    val body = (start to end).map(scalePrJson).mkString("[", ",", "]")
+    val lastPage = (scalePrs + perPage - 1) / perPage
+    val lastLink =
+      s"""<$url/repos/o/r/pulls?per_page=$perPage&page=$lastPage>; rel="last""""
+    val link =
+      if (end < scalePrs)
+        s"""<$url/repos/o/r/pulls?per_page=$perPage&page=${page + 1}>; rel="next", $lastLink"""
+      else lastLink
+    respond(ex, 200, body, Map("Link" -> link))
+  }
+
   private def respond(ex: HttpExchange, status: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
     ex.getResponseHeaders.set("X-RateLimit-Remaining", "4999")
@@ -75,6 +183,8 @@ class MockGithubServer {
         "X-RateLimit-Remaining" -> "0",
         "X-RateLimit-Reset" -> (System.currentTimeMillis() / 1000).toString))
     } else path match {
+      case p if p.endsWith("/pulls") && scalePrs > 0 =>
+        scalePullsResponse(ex, query)
       case p if p.endsWith("/pulls") =>
         val page = "(?:^|&)page=(\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(1)
         if (page == 1)
@@ -85,13 +195,18 @@ class MockGithubServer {
           respond(ex, 200, s"[${prJson(4)},${prJson(5)}]",
             Map("Link" -> s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="last""""))
       case p if p.matches(".*/pulls/\\d+/commits") =>
-        respond(ex, 200, commitsJson(p.split("/").takeRight(2).head.toInt))
+        val pr = p.split("/").takeRight(2).head.toInt
+        respond(ex, 200, if (scalePrs > 0) scaleCommitsJson(pr) else commitsJson(pr))
       case p if p.matches(".*/commits/[^/]+") =>
-        respond(ex, 200, commitDetailJson(p.split("/").last))
+        val sha = p.split("/").last
+        respond(ex, 200,
+          if (scalePrs > 0) scaleCommitDetailJson(sha) else commitDetailJson(sha))
       case p if p.matches(".*/pulls/\\d+/reviews") =>
-        respond(ex, 200, reviewsJson(p.split("/").takeRight(2).head.toInt))
+        val pr = p.split("/").takeRight(2).head.toInt
+        respond(ex, 200, if (scalePrs > 0) scaleReviewsJson(pr) else reviewsJson(pr))
       case p if p.matches(".*/issues/\\d+/comments") =>
-        respond(ex, 200, commentsJson(p.split("/").takeRight(2).head.toInt))
+        val pr = p.split("/").takeRight(2).head.toInt
+        respond(ex, 200, if (scalePrs > 0) scaleCommentsJson(pr) else commentsJson(pr))
       case p if p.endsWith("/installation") =>
         respond(ex, 200, """{"id": 42}""")
       case p if p.matches(".*/app/installations/\\d+/access_tokens") =>
