@@ -6,7 +6,8 @@ import java.time.{LocalDate, ZoneOffset}
 import org.apache.spark.sql.SparkSession
 
 import graft.source.github.{GithubAuth, GithubSource}
-import graft.sink.{NdjsonSnapshotSink, ParquetSnapshotSink, SnapshotSink}
+import graft.sink.{BigQuerySnapshotSink, HttpBigQueryTransport, NdjsonSnapshotSink,
+  ParquetSnapshotSink, SnapshotSink}
 import graft.transform.GithubTransform
 
 /** Full ETL run reproducing the reference's `_main()` contract
@@ -67,12 +68,30 @@ object EtlJob {
     val snapshotDate = Date.valueOf(LocalDate.now(ZoneOffset.UTC))
 
     // pluggable destination (X6): GRAFT_SINK=ndjson selects the
-    // BigQuery-wire-shaped sink; GRAFT_EMULATOR_HOST flips it to
-    // streaming inserts, mirroring BIGQUERY_EMULATOR_HOST
-    // (main.py:805-814). Default is the parquet lake.
+    // BigQuery-wire-shaped file sink; GRAFT_SINK=bigquery the REST
+    // adapter against the reference's actual warehouse
+    // (GRAFT_BQ_PROJECT/GRAFT_BQ_DATASET required, GRAFT_BQ_TOKEN
+    // optional bearer auth). GRAFT_EMULATOR_HOST flips either to
+    // streaming inserts and points the REST adapter at the emulator,
+    // mirroring BIGQUERY_EMULATOR_HOST (main.py:805-814). Default is
+    // the parquet lake.
     val sink: SnapshotSink = env.get("GRAFT_SINK") match {
       case Some("ndjson") => new NdjsonSnapshotSink(spark, outDir,
         streamingInserts = env.contains("GRAFT_EMULATOR_HOST"))
+      case Some("bigquery") =>
+        def required(k: String): String = env.getOrElse(k,
+          throw new IllegalArgumentException(s"$k is required for GRAFT_SINK=bigquery"))
+        val emulator = env.get("GRAFT_EMULATOR_HOST")
+        new BigQuerySnapshotSink(
+          spark,
+          new HttpBigQueryTransport(env.get("GRAFT_BQ_TOKEN")),
+          required("GRAFT_BQ_PROJECT"),
+          required("GRAFT_BQ_DATASET"),
+          apiBase = emulator.map(h => s"http://$h/bigquery/v2")
+            .getOrElse("https://bigquery.googleapis.com/bigquery/v2"),
+          uploadBase = emulator.map(h => s"http://$h/upload/bigquery/v2")
+            .getOrElse("https://bigquery.googleapis.com/upload/bigquery/v2"),
+          streamingInserts = emulator.nonEmpty)
       case Some(other) if other != "parquet" =>
         throw new IllegalArgumentException(s"unknown GRAFT_SINK '$other'")
       case _ => new ParquetSnapshotSink(spark, outDir)
