@@ -61,8 +61,10 @@ object Dedup {
     *
     * `maxShingleDf` defaults to [[DefaultMaxShingleDf]] — the
     * unbounded form (`None`) is opt-in, for corpora known to carry no
-    * boilerplate. Set sizes are recomputed over surviving postings so
-    * the threshold stays a true Jaccard over the pruned universe.
+    * boilerplate (it also unbounds the per-shingle posting lists the
+    * pair generator collects, so it is strictly a small-corpus mode).
+    * Set sizes are recomputed over surviving postings so the
+    * threshold stays a true Jaccard over the pruned universe.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -73,11 +75,24 @@ object Dedup {
       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf),
       persistPostings: Boolean = false): DataFrame = {
     val posting = jaccardPostings(df, idCol, textCol, maxShingleDf, persistPostings)
-    posting.select(col("id").as("ida"), col("n").as("na"), col("s"))
-      .join(posting.select(col("id").as("idb"), col("n").as("nb"), col("s")), "s")
-      .filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb"))
-      .agg(count(lit(1)).as("shared"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // Candidate generation GROUPS the posting list per shingle and
+    // explodes ordered pairs out of it, instead of self-joining the
+    // posting frame on shingle. Same candidate set (all co-posted
+    // pairs), but ONE posting pipeline: a self-join evaluates the
+    // whole scan→shingle→explode lineage once per side (exchange
+    // reuse can't always rescue it — a broadcast build side has no
+    // exchange to reuse). List length is bounded by the posting cut,
+    // so the per-row pair fan-out is bounded by cut² — the same bound
+    // the join shape had on its per-shingle candidate rows.
+    posting
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       // integer Jaccard test: den*shared >= num*(na+nb-shared)
       .filter(lit(thresholdDen.toLong) * col("shared") >=
         lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
@@ -89,13 +104,18 @@ object Dedup {
     * candidate count directly.
     *
     * Posting rows carry the doc's set size so no size-lookup join is
-    * needed after pair aggregation. The two join sides are identical
-    * up to attribute renames, so Catalyst reuses one shuffle exchange
-    * for both (ReusedExchange) instead of re-shingling twice.
-    * persistPostings shares one shingling pass between the two join
-    * sides when the caller materializes the posting before the join
-    * (multi-action pipelines); within a single action the cache fills
-    * too late to help, so it is opt-in, not default.
+    * needed after pair aggregation. The posting cut is a windowed
+    * document-frequency count over the shingle partition — ONE linear
+    * pipeline (the old separate distinct-shingle aggregation was a
+    * second full shingling pass joined back in), and spill-safe on
+    * ubiquitous shingles: a window sorts and spills a 100M-doc
+    * boilerplate posting, where an aggregation buffer (e.g.
+    * collect_list-then-filter) would hold it in memory whole. Set
+    * sizes are then RECOMPUTED over the surviving postings (otherwise
+    * `shared` counts pruned shingles out while na/nb still counted
+    * them and true near-dups get dropped). persistPostings
+    * materializes the result for multi-action pipelines; within a
+    * single action it is opt-in, not default.
     */
   private[graft] def jaccardPostings(
       df: DataFrame,
@@ -105,26 +125,23 @@ object Dedup {
       persistPostings: Boolean): DataFrame = {
     val sh = tokenized(df, idCol, textCol)
       .select(col("id"), ShingleExpressions.distinctWordShingles(col("ws")).as("ss"))
-    val posting0raw = sh
-      .select(col("id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
-    val posting0 =
-      if (persistPostings)
-        posting0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else posting0raw
-    maxShingleDf match {
-      case None => posting0
+    val posting = maxShingleDf match {
+      case None =>
+        // unpruned universe: the set size is just the shingle count
+        sh.select(col("id"), size(col("ss")).cast("long").as("n"), explode(col("ss")).as("s"))
       case Some(cut) =>
         // posting-list cut: drop shingles present in > cut docs (they
-        // generate quadratic candidates and carry no discrimination).
-        // The Jaccard universe then becomes "non-ubiquitous shingles"
-        // consistently: set sizes are RECOMPUTED over the surviving
-        // postings, otherwise shared counts pruned shingles out while
-        // na/nb still counted them and true near-dups get dropped.
-        val dfreq = posting0.groupBy("s").count().filter(col("count") <= cut).select("s")
-        val pruned = posting0.drop("n").join(dfreq, "s")
-        pruned.withColumn("n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+        // generate quadratic candidates and carry no discrimination)
+        import org.apache.spark.sql.expressions.Window
+        sh.select(col("id"), explode(col("ss")).as("s"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+          .filter(col("df") <= cut)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+          .select(col("id"), col("n"), col("s"))
     }
+    if (persistPostings)
+      posting.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else posting
   }
 
   /** Fixed MinHash parameters: 16 permutations (a·h+b mod p), banded
