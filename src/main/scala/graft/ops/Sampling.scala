@@ -48,9 +48,12 @@ object Sampling {
     * aggregate broadcast back via cross join. Rows with w ≤ 0 never
     * survive; `rate = num/den` is the rate applied to maximum-weight
     * rows. Weights must satisfy max(w)·den < 2^22 (≈4.2M — far above
-    * quality scores or token counts) or the 64-bit cross product
-    * would overflow; the predicate fail-fasts via assert_true rather
-    * than silently mis-sampling.
+    * quality scores or token counts; rescale first for byte-length-
+    * sized weights) or the 64-bit cross product would overflow; the
+    * predicate fail-fasts via assert_true rather than silently
+    * mis-sampling. NULL-weight rows never survive, and a frame whose
+    * weights are all NULL (or empty) yields an empty sample, not an
+    * error.
     */
   def weightedHashSample(
       df: DataFrame,
@@ -62,10 +65,15 @@ object Sampling {
     val m = 1L << 20
     def scaled(c: Column): Column = floor(c.cast("double") * m.toDouble).cast("long")
     val maxW = df.agg(max(scaled(col(weightCol))).as("__maxw"))
+    // NULL __maxw (empty frame, or every weight NULL) must fall
+    // through to the `__maxw > 0` filter (empty result, the pre-guard
+    // behavior) — assert_true(NULL) would throw, so coalesce the
+    // comparison itself to true
     val guard = assert_true(
-      col("__maxw") <= lit((1L << 42) / den.toLong),
-      lit(s"weightedHashSample: max(weight)*den must stay below 2^22 — " +
-        "pre-bucket or rescale weights"))
+      coalesce(col("__maxw") <= lit((1L << 42) / den.toLong), lit(true)),
+      lit(s"weightedHashSample: max(weight)*den must stay below 2^22 " +
+        "(scaled max(weight)*2^20*den reaches the 2^63 cross-product " +
+        "ceiling past that) — pre-bucket or rescale weights"))
     df.crossJoin(broadcast(maxW))
       .filter(guard.isNull && col("__maxw") > 0L &&
         pmod(sampleHash(col(keyCol), salt), lit(m)) * col("__maxw") * den.toLong <

@@ -80,12 +80,13 @@ class BigQueryApiError(msg: String) extends RuntimeException(msg)
   *
   * Scale note: this adapter is the reference-faithful DIRECT-load
   * path — rows stream through the driver one partition at a time
-  * (`toLocalIterator`, never a whole-table collect), which is the
-  * right shape for chunked ETL loads (a chunk is one API page). A
-  * 100 TB bulk load should instead land parquet in object storage via
-  * `ParquetSnapshotSink` and load from URIs; this class exists for
-  * drop-in parity with the reference's warehouse, not as the bulk
-  * path.
+  * (`toLocalIterator`, never a whole-table collect) and the NDJSON
+  * buffer flushes as its own load job every `loadChunkBytes` (64 MB
+  * default), so driver memory stays bounded regardless of table
+  * size. A 100 TB bulk load should instead land parquet in object
+  * storage via `ParquetSnapshotSink` and load from URIs; this class
+  * exists for drop-in parity with the reference's warehouse, not as
+  * the bulk path.
   */
 class BigQuerySnapshotSink(
     spark: SparkSession,
@@ -97,9 +98,20 @@ class BigQuerySnapshotSink(
     streamingInserts: Boolean = false,
     insertBatchSize: Int = 500,
     sleeper: Long => Unit = Thread.sleep,
-    maxPollAttempts: Int = 120) extends SnapshotSink {
+    maxPollAttempts: Int = 300,
+    pollIntervalMs: Long = 2000L,
+    loadChunkBytes: Int = 64 << 20) extends SnapshotSink {
 
   private val mapper = new ObjectMapper()
+
+  /** Real BigQuery reports a missing dataset in either URL-path form
+    * (`…/datasets/ds`) or prose form (`Not found: Dataset proj:ds`);
+    * both must fail loudly everywhere a 404 is tolerated for a
+    * missing TABLE.
+    */
+  private def isMissingDataset(body: String): Boolean =
+    body.contains(s"datasets/$dataset") ||
+      body.contains(s"Dataset $project:$dataset")
 
   // --- exists (main.py:552-601) ---------------------------------------
 
@@ -110,13 +122,12 @@ class BigQuerySnapshotSink(
           LIMIT 1"""
     val resp = query(sql, snapshotDate, repo)
     if (resp.status == 404) {
-      if (resp.body.contains(s"datasets/$dataset") ||
-          resp.body.contains(s"Dataset $project:$dataset"))
+      if (isMissingDataset(resp.body))
         throw new BigQueryConfigError(
           s"BigQuery dataset '$dataset' not found — check dataset config: ${resp.body}")
       false // missing table: expected on first run, no snapshot yet
     } else {
-      val node = parsed(resp, "existence probe")
+      val node = completedQuery(resp, "existence probe")
       Option(node.get("totalRows")).exists(_.asText("0").toLong > 0) ||
         Option(node.get("rows")).exists(_.size > 0)
     }
@@ -130,11 +141,46 @@ class BigQuerySnapshotSink(
         s"""DELETE FROM `$project.$dataset.$table`
             WHERE snapshot_date = @snapshot_date AND target_repository = @repo"""
       val resp = query(dml, snapshotDate, repo)
-      // a table absent on first run has nothing to delete; any other
-      // failure must abort BEFORE appends or the rerun double-loads
-      if (resp.status == 404 && !resp.body.contains(s"datasets/$dataset")) ()
-      else parsed(resp, s"DELETE from $table"): Unit
+      if (resp.status == 404) {
+        // a missing DATASET is a config error and must abort BEFORE
+        // appends (same detection as exists); a missing TABLE has
+        // nothing to delete and is expected on first run
+        if (isMissingDataset(resp.body))
+          throw new BigQueryConfigError(
+            s"BigQuery dataset '$dataset' not found — check dataset config: ${resp.body}")
+      } else completedQuery(resp, s"DELETE from $table"): Unit
     }
+
+  /** jobs.query is synchronous only up to its server-side timeout: a
+    * 200 with `jobComplete: false` means the statement is STILL
+    * RUNNING. Returning then would let WRITE_APPEND loads race an
+    * in-flight DELETE (BigQuery may apply the delete after the load
+    * commits — an empty snapshot) and would make `exists` report
+    * false for present rows (an incomplete response carries no
+    * totalRows/rows). Poll getQueryResults until the job completes,
+    * as the reference's client library does inside its blocking
+    * query call.
+    */
+  private def completedQuery(resp: BigQueryResponse, what: String): ObjectNode = {
+    var node = parsed(resp, what)
+    var attempts = 0
+    while (!Option(node.get("jobComplete")).forall(_.asBoolean(true))) {
+      attempts += 1
+      if (attempts > maxPollAttempts)
+        throw new BigQueryApiError(
+          s"BigQuery query did not complete after $maxPollAttempts polls during $what")
+      val jobId = node.at("/jobReference/jobId").asText("")
+      if (jobId.isEmpty)
+        throw new BigQueryApiError(
+          s"incomplete BigQuery query returned no jobId during $what")
+      sleeper(pollIntervalMs)
+      node = parsed(
+        transport.request("GET", s"$apiBase/projects/$project/queries/$jobId",
+          "application/json", Array.emptyByteArray),
+        s"query poll during $what")
+    }
+    node
+  }
 
   private def query(sql: String, snapshotDate: Date, repo: String): BigQueryResponse = {
     val body = mapper.createObjectNode()
@@ -172,14 +218,20 @@ class BigQuerySnapshotSink(
       }
       if (batch.nonEmpty) insertAll(table, batch.toSeq)
     } else {
+      // chunked load jobs: flush whenever the buffered NDJSON reaches
+      // loadChunkBytes, so driver memory stays bounded no matter the
+      // table size (WRITE_APPEND makes one-job-per-chunk equivalent to
+      // one big job). Chunks break on line boundaries only.
       val payload = new java.io.ByteArrayOutputStream()
-      var any = false
       while (lines.hasNext) {
         payload.write(lines.next().getString(0).getBytes("UTF-8"))
         payload.write('\n')
-        any = true
+        if (payload.size >= loadChunkBytes) {
+          loadJob(table, payload.toByteArray)
+          payload.reset()
+        }
       }
-      if (any) loadJob(table, payload.toByteArray)
+      if (payload.size > 0) loadJob(table, payload.toByteArray)
     }
   }
 
@@ -235,7 +287,10 @@ class BigQuerySnapshotSink(
   }
 
   /** Follow a job resource to DONE (load jobs are async; the reference
-    * blocks on `load_job.result()` the same way).
+    * blocks on `load_job.result()` the same way). The default budget
+    * is 300 polls × 2 s = 10 minutes — production load jobs routinely
+    * run past one minute under warehouse load, and a spurious timeout
+    * here aborts a run whose job then succeeds server-side.
     */
   private def awaitJob(initial: ObjectNode, table: String): Unit = {
     var node = initial
@@ -245,7 +300,7 @@ class BigQuerySnapshotSink(
       if (attempts > maxPollAttempts)
         throw new BigQueryApiError(
           s"BigQuery load job for $table did not complete after $maxPollAttempts polls")
-      sleeper(500L)
+      sleeper(pollIntervalMs)
       val jobId = node.at("/jobReference/jobId").asText("")
       if (jobId.isEmpty)
         throw new BigQueryApiError(s"BigQuery load job for $table returned no jobId")

@@ -100,6 +100,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("weightedHashSample: all-NULL / empty weights sample empty, oversized fail fast") {
+    val df = Seq((1L, Option.empty[Double]), (2L, None), (3L, None)).toDF("k", "w")
+    assert(Sampling.weightedHashSample(df, "k", "w", 1, 2).count() == 0)
+    assert(Sampling.weightedHashSample(df.filter("k > 99"), "k", "w", 1, 2).count() == 0)
+    // past the 2^22/den cross-product ceiling: abort, never mis-sample
+    val big = Seq((1L, 5.0e6)).toDF("k", "w")
+    val e = intercept[Exception](Sampling.weightedHashSample(big, "k", "w", 1, 2).count())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("weightedHashSample"))
+  }
+
   test("chunked ETL: bounded-memory per-page loop equals collect-all mode") {
     val server = new MockGithubServer
     server.start()

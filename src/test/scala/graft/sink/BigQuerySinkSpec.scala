@@ -49,10 +49,11 @@ class BigQuerySinkSpec extends AnyFunSuite {
   }
 
   def sinkOf(t: BigQueryTransport, streaming: Boolean = false,
-      batch: Int = 500): BigQuerySnapshotSink =
+      batch: Int = 500, chunk: Int = 64 << 20): BigQuerySnapshotSink =
     new BigQuerySnapshotSink(spark, t, "proj", "ds",
       apiBase = "http://bq/bigquery/v2", uploadBase = "http://bq/upload/bigquery/v2",
-      streamingInserts = streaming, insertBatchSize = batch, sleeper = _ => ())
+      streamingInserts = streaming, insertBatchSize = batch, sleeper = _ => (),
+      loadChunkBytes = chunk)
 
   test("delete issues one parameterized DML per table, in order, before loads") {
     val t = new FakeTransport()
@@ -154,6 +155,74 @@ class BigQuerySinkSpec extends AnyFunSuite {
           "Not found: Dataset proj:ds was not found"}}""")
     })
     intercept[BigQueryConfigError](sinkOf(noDataset).exists("o/r", d1))
+  }
+
+  test("jobComplete:false DML is polled to completion before loads may start") {
+    var polls = 0
+    val running =
+      """{"jobComplete": false, "jobReference": {"jobId": "q7"}}"""
+    val t = new FakeTransport({
+      case ("POST", url) if url.endsWith("/queries") =>
+        polls = 0 // each table's DELETE restarts its poll sequence
+        BigQueryResponse(200, running)
+      case ("GET", "http://bq/bigquery/v2/projects/proj/queries/q7") =>
+        polls += 1
+        if (polls < 3) BigQueryResponse(200, running)
+        else BigQueryResponse(200, """{"jobComplete": true}""")
+    })
+    sinkOf(t).deleteSnapshot("o/r", d1)
+    // 4 DELETEs, each followed by 3 getQueryResults polls to done
+    assert(t.requests.count(_._1 == "POST") == 4)
+    assert(t.requests.count(_._1 == "GET") == 12)
+    // POST → GET GET GET strictly interleaved: no delete left running
+    t.requests.map(_._1).grouped(4).foreach(g =>
+      assert(g.toSeq == Seq("POST", "GET", "GET", "GET")))
+  }
+
+  test("jobComplete:false existence probe polls through to the real row count") {
+    var polled = false
+    val t = new FakeTransport({
+      case ("POST", url) if url.endsWith("/queries") =>
+        BigQueryResponse(200, """{"jobComplete": false, "jobReference": {"jobId": "q8"}}""")
+      case ("GET", "http://bq/bigquery/v2/projects/proj/queries/q8") =>
+        polled = true
+        BigQueryResponse(200,
+          """{"jobComplete": true, "totalRows": "1", "rows": [{"f": [{"v": "1"}]}]}""")
+    })
+    // without the poll this reports false (no rows in the incomplete response)
+    assert(sinkOf(t).exists("o/r", d1))
+    assert(polled)
+  }
+
+  test("delete: missing dataset fails loudly in prose form too; missing table no-ops") {
+    val noDataset = new FakeTransport({
+      case ("POST", url) if url.endsWith("/queries") =>
+        BigQueryResponse(404, """{"error": {"message":
+          "Not found: Dataset proj:ds was not found in location US"}}""")
+    })
+    intercept[BigQueryConfigError](sinkOf(noDataset).deleteSnapshot("o/r", d1))
+
+    val noTable = new FakeTransport({
+      case ("POST", url) if url.endsWith("/queries") =>
+        BigQueryResponse(404, """{"error": {"message":
+          "Not found: Table proj:ds.commits"}}""")
+    })
+    sinkOf(noTable).deleteSnapshot("o/r", d1) // nothing to delete: no throw
+    assert(noTable.requests.size == 4)
+  }
+
+  test("load payloads flush as separate WRITE_APPEND jobs at the chunk boundary") {
+    val t = new FakeTransport()
+    // ~80-byte lines against a 64-byte chunk: every row flushes alone
+    sinkOf(t, chunk = 64).append("pull_requests", rows(5))
+    val loads = t.requests.filter(_._2.startsWith("http://bq/upload/"))
+    assert(loads.size == 5, s"expected one chunked job per row, got ${loads.size}")
+    // chunks break on line boundaries and every row lands exactly once
+    val bodies = loads.map(_._4)
+    (1 to 5).foreach { i =>
+      assert(bodies.count(_.contains(s"\"pull_request_id\":$i")) == 1)
+    }
+    assert(bodies.forall(_.contains("\"writeDisposition\":\"WRITE_APPEND\"")))
   }
 
   test("empty tables are skipped by default, loaded when skipIfEmpty=false") {
