@@ -65,6 +65,72 @@ object Relevance {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Corpus n-gram counts, top-k by total occurrences (ties broken by
+    * the n-gram string) — the language-model-style count table
+    * (bigram/trigram frequencies) that drives contamination screens,
+    * boilerplate discovery, and LM-based quality filters. Overlapping
+    * windows, so a w-word doc yields w-n+1 grams. Same shape as
+    * [[vocabulary]]: one explode, one map-side-combinable hash agg,
+    * TakeOrdered top-k (never a global sort).
+    */
+  def ngramTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      k: Int = 50): DataFrame = {
+    require(n >= 1, "n-gram order must be positive")
+    docs
+      .select(TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
+        .as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Per-document token Shannon entropy in nats:
+    * H = ln(N) − (Σ_t c_t·ln c_t)/N over per-term counts c_t — the
+    * "is this text degenerate" quality signal (near-0 entropy = one
+    * token repeated; boilerplate and keyword-stuffed spam sit far
+    * below prose of the same length). Also emits N and the distinct
+    * token count. Token-free documents pin to (0, 0, 0.0).
+    *
+    * Float determinism: a float sum over a shuffled frame is never
+    * partition-stable, so the Σ c·ln c fold runs over the per-doc
+    * count list sorted by term — collect_list is per-doc-bounded (a
+    * doc's vocabulary), and both engines fold the same values in the
+    * same order, so the double is bit-identical up to the ln() ulp the
+    * gate's %.10g canonicalization absorbs (same discipline as BM25).
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val agg = termFreqs(docs, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("term"), col("tf")))).as("tc"))
+    val sumClnC = aggregate(
+      transform(col("tc"), x =>
+        x.getField("tf").cast("double") * log(x.getField("tf").cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+    val entropy =
+      when(col("n_tokens") > 0L,
+        log(col("n_tokens").cast("double")) - sumClnC / col("n_tokens").cast("double"))
+        .otherwise(lit(0.0d))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct_tokens"),
+        coalesce(entropy, lit(0.0d)).as("entropy_nats"))
+  }
+
   /** Frequency-of-frequency spectrum: how many terms appear in
     * exactly d documents — the Zipf-shape fingerprint of a corpus
     * (and the sanity check that dedup/boilerplate removal worked: a

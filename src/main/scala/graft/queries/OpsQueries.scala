@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Clusters, CorpusFilters, Dedup, Embeddings, Multimodal, Redact, Relevance,
-  RepSignals, Sampling, Similarity, TextOps}
+  Clusters, Contamination, CorpusFilters, Dedup, Embeddings, Multimodal,
+  Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -172,6 +172,25 @@ object OpsQueries {
         col("doc_id"),
         TextOps.normalize(col("text")).as("norm_text"),
         md5(TextOps.normalize(col("text")).cast("binary")).as("norm_digest"))),
+
+    // Benchmark decontamination: doc_id % 97 == 0 plays the eval set;
+    // every other doc reports its distinct-shingle overlap with it.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+        "doc_id", "text")
+    }),
+
+    "q_passage_dedup" -> ((s, d) =>
+      Dedup.passageDupStats(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_ngram_counts" -> ((s, d) =>
+      Relevance.ngramTopK(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
+
+    "q_entropy" -> ((s, d) =>
+      Relevance.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
 
     "q_tfidf" -> ((s, d) =>
       Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
@@ -601,6 +620,77 @@ object OpsQueries {
                CAST(d.doc_id = COALESCE(c.comp, d.doc_id) AS BIGINT) AS is_keeper
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
+  /** Decontamination twin: identical shingling on both roles, the
+    * probe side distinct so the join count is the distinct overlap.
+    */
+  private def decontaminateSql: String =
+    s"""WITH $toksBase,
+        sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        probe AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0),
+        hits AS (SELECT e.doc_id, count(*) AS n FROM ex e JOIN probe p ON e.s = p.s
+                 WHERE e.doc_id % 97 <> 0 GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_shingles,
+               CAST(COALESCE(h.n, 0) > 0 AS BIGINT) AS is_contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0"""
+
+  /** Passage-dup twin: same non-overlapping 16-word windows (full
+    * windows only), same md5-of-passage digests.
+    */
+  private def passageDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        pass AS (SELECT doc_id,
+                   unnest(list_transform(range(0, len(ws) // 16),
+                     i -> array_to_string(list_slice(ws, i*16 + 1, i*16 + 16), ' ')))
+                   AS passage
+                 FROM toks WHERE len(ws) >= 16),
+        ph AS (SELECT doc_id, md5(passage) AS ph FROM pass),
+        nd AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM ph GROUP BY ph),
+        per AS (SELECT p.doc_id, count(*) AS n_passages,
+                  sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+                FROM ph p JOIN nd d USING (ph) GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_passages, 0) AS BIGINT) AS n_passages,
+               CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_passages
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+
+  private def ngramCountsSql: String =
+    s"""WITH toks AS (SELECT $ws AS ws FROM documents),
+        g AS (SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS ngram
+              FROM toks WHERE len(ws) >= 2)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram ASC LIMIT 50"""
+
+  /** Entropy twin: the Σ c·ln c fold runs over counts ordered by term
+    * (list(... ORDER BY term)), prepend-0 left fold — the exact
+    * operation order of the engine's sorted-struct aggregate, so the
+    * double agrees to the ulp the %.10g canon absorbs.
+    */
+  private def entropySql: String =
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS c
+               FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2),
+        agg AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_distinct,
+                  list(CAST(c AS DOUBLE) ORDER BY term) AS cs
+                FROM tf GROUP BY doc_id),
+        res AS (SELECT doc_id, n_tokens, n_distinct,
+                  ln(CAST(n_tokens AS DOUBLE)) -
+                    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                      list_transform(cs, x -> x * ln(x))), (a, b) -> a + b)
+                    / CAST(n_tokens AS DOUBLE) AS h
+                FROM agg)
+        SELECT d.doc_id,
+               COALESCE(r.n_tokens, 0) AS n_tokens,
+               COALESCE(r.n_distinct, 0) AS n_distinct_tokens,
+               COALESCE(r.h, 0.0) AS entropy_nats
+        FROM documents d LEFT JOIN res r ON r.doc_id = d.doc_id"""
+
   private def langCase: String = {
     val langs = TextOps.StopwordProfiles.map(_._1)
     val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
@@ -642,6 +732,10 @@ object OpsQueries {
                  FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2),
           dfreq AS (SELECT term, count(*) AS n_docs FROM tf GROUP BY term)
           SELECT n_docs, count(*) AS n_terms FROM dfreq GROUP BY n_docs""",
+    "q_decontaminate" -> decontaminateSql,
+    "q_passage_dedup" -> passageDedupSql,
+    "q_ngram_counts" -> ngramCountsSql,
+    "q_entropy" -> entropySql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,
@@ -715,6 +809,13 @@ object OpsQueries {
   /** Resize twin: same integer stride (n // budget) and 0-based byte
     * picks as Multimodal.resize's stub, thumb reassembled as text.
     * Budget fixed at 16×16 = 256 to match the query's target dims.
+    *
+    * ASCII bound (shared with the decode/frames twins): the engine
+    * strides BYTES of the UTF-8 payload while substr() here strides
+    * CHARACTERS — identical only while byte position == character
+    * position, which holds for the seeded corpus (verified
+    * ASCII-only). A multi-byte corpus would need the oracle to index
+    * the BLOB by byte instead.
     */
   private def multimodalResizeSql: String =
     s"""WITH b AS (SELECT doc_id AS media_id, COALESCE(text, '') AS text,

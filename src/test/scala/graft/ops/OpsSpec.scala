@@ -93,6 +93,57 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
   }
 
+  test("contamination report counts probe-shared shingles, flags only overlap") {
+    // probe = doc 0; doc 3 is its exact dup (fully contaminated),
+    // doc 1 a near-dup (partial), docs 2/4 clean
+    val report = Contamination.contaminationReport(
+      docsDf.filter($"doc_id" =!= 0L), docsDf.filter($"doc_id" === 0L),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report(3L)._1 == 12L && report(3L)._2 == 1L) // 14 words → 12 distinct shingles
+    assert(report(1L)._1 > 0L && report(1L)._1 < 12L && report(1L)._2 == 1L)
+    assert(report(2L) == (0L, 0L))
+    assert(report(4L) == (0L, 0L)) // < 3 words: cannot shingle, never flagged
+  }
+
+  test("passage dup stats: copied window flagged across docs, tail ignored") {
+    val w = (1 to 40).map(i => s"w$i").mkString(" ") // 40 words: 2 full 16-windows
+    val other = (1 to 16).map(i => s"v$i").mkString(" ")
+    val pd = Seq(
+      (0L, w),                                    // both windows unique to 0… until 1 copies one
+      (1L, (1 to 16).map(i => s"w$i").mkString(" ") + " " + other), // copies 0's first window
+      (2L, "tiny doc under sixteen words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(pd, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (2L, 1L)) // 40 words → 2 full windows, first duplicated
+    assert(out(1L) == (2L, 1L))
+    assert(out(2L) == (0L, 0L)) // too short for any full window
+  }
+
+  test("ngram top-k counts overlapping bigrams with deterministic tie order") {
+    val g = Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text")
+    val out = Relevance.ngramTopK(g, "doc_id", "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b" ×3 (twice in doc 0, once in doc 1); then ties at 1 by string
+    assert(out.head == ("a b", 3L))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("token entropy: uniform max, degenerate zero, empty pinned to zero") {
+    val e = Seq(
+      (0L, "a b c d"),     // uniform: H = ln(4)
+      (1L, "a a a a"),     // degenerate: H = 0
+      (2L, ""))            // token-free: pinned 0
+      .toDF("doc_id", "text")
+    val out = Relevance.tokenEntropy(e, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._1 == 4L && out(0L)._2 == 4L)
+    assert(math.abs(out(0L)._3 - math.log(4.0)) < 1e-12)
+    assert(out(1L) == (4L, 1L, 0.0))
+    assert(out(2L) == (0L, 0L, 0.0))
+  }
+
   val vecs: Seq[(Long, Array[Float])] = (0L until 20L).map { i =>
     // deterministic vectors: cluster k = i % 4 with small per-i jitter
     i -> Array.tabulate(8)(d => (if (d == (i % 4)) 1.0f else 0.0f) + 0.01f * ((i * 7 + d) % 5))
