@@ -131,6 +131,56 @@ object Relevance {
         coalesce(entropy, lit(0.0d)).as("entropy_nats"))
   }
 
+  /** Corpus-LM document scoring: the average conditional bigram
+    * log-probability ln(c(w1,w2)/c(w1·)) over a document's bigram
+    * occurrences, with the counts estimated from the corpus itself —
+    * the KenLM-style fluency filter of a training pipeline (word-soup
+    * and shuffled text score far below prose under the same
+    * vocabulary). No smoothing is needed: scoring the corpus against
+    * its own counts means every bigram was observed at least once.
+    * Documents under two tokens pin to (0, 0.0).
+    *
+    * Scale shape: one bigram explode feeding three
+    * map-side-combinable hash aggs (bigram counts, prefix counts from
+    * the bigram table — vocabulary-bounded, not corpus-bounded — and
+    * the per-doc rollup); joins carry (doc, w1, w2) triples, never
+    * text. The per-doc Σ lp folds over the bigram list sorted by
+    * (w1, w2) — duplicates carry identical lp values, so the double
+    * accumulation is order-stable across engines and partitionings
+    * (same discipline as [[tokenEntropy]]).
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(
+          element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    val agg = bg
+      .join(cb, Seq("w1", "w2"))
+      .join(cp, Seq("w1"))
+      .select(col("doc_id"), col("w1"), col("w2"),
+        log(col("cb").cast("double") / col("cp").cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("w1"), col("w2"), col("lp")))).as("ls"))
+    val total = aggregate(
+      transform(col("ls"), x => x.getField("lp")), lit(0.0d), (a, v) => a + v)
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0L, total / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0d)).as("avg_logprob"))
+  }
+
   /** Frequency-of-frequency spectrum: how many terms appear in
     * exactly d documents — the Zipf-shape fingerprint of a corpus
     * (and the sanity check that dedup/boilerplate removal worked: a

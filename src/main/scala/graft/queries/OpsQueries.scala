@@ -192,6 +192,9 @@ object OpsQueries {
     "q_entropy" -> ((s, d) =>
       Relevance.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
 
+    "q_lm_score" -> ((s, d) =>
+      Relevance.lmScore(Tables.documents(s, d), "doc_id", "text")),
+
     "q_tfidf" -> ((s, d) =>
       Relevance.tfIdfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)),
 
@@ -691,6 +694,35 @@ object OpsQueries {
                COALESCE(r.h, 0.0) AS entropy_nats
         FROM documents d LEFT JOIN res r ON r.doc_id = d.doc_id"""
 
+  /** LM-score twin: same self-estimated bigram/prefix counts, the
+    * per-doc Σ ln(cb/cp) folded over bigrams ordered by (w1, w2) —
+    * ties are identical values, so the fold matches the engine's
+    * sorted-struct aggregate bit-for-bit up to the ln ulp.
+    */
+  private def lmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        bi AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+               FROM toks WHERE len(ws) >= 2),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        cp AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM cb GROUP BY 1),
+        sc AS (SELECT doc_id, g.w1, g.w2,
+                 ln(CAST(c.cb AS DOUBLE) / CAST(p.cp AS DOUBLE)) AS lp
+               FROM bg g JOIN cb c ON g.w1 = c.w1 AND g.w2 = c.w2
+               JOIN cp p ON g.w1 = p.w1),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  list(lp ORDER BY w1, w2) AS ls
+                FROM sc GROUP BY doc_id),
+        res AS (SELECT doc_id, n_bigrams,
+                  list_reduce(list_prepend(CAST(0 AS DOUBLE), ls), (a, b) -> a + b)
+                    / CAST(n_bigrams AS DOUBLE) AS alp
+                FROM agg)
+        SELECT d.doc_id,
+               COALESCE(r.n_bigrams, 0) AS n_bigrams,
+               COALESCE(r.alp, 0.0) AS avg_logprob
+        FROM documents d LEFT JOIN res r ON r.doc_id = d.doc_id"""
+
   private def langCase: String = {
     val langs = TextOps.StopwordProfiles.map(_._1)
     val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
@@ -736,6 +768,7 @@ object OpsQueries {
     "q_passage_dedup" -> passageDedupSql,
     "q_ngram_counts" -> ngramCountsSql,
     "q_entropy" -> entropySql,
+    "q_lm_score" -> lmScoreSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,

@@ -130,6 +130,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("lm score: repeated corpus bigrams score higher than one-off transitions") {
+    val lm = Seq(
+      (0L, "a b a b"),   // bigrams: ab, ba, ab — all high-probability
+      (1L, "a c"),       // a→c once vs a→b twice: lower prob
+      (2L, "solo"))      // < 2 tokens: pinned
+      .toDF("doc_id", "text")
+    val out = Relevance.lmScore(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 == 3L && out(1L)._1 == 1L)
+    assert(out(2L) == (0L, 0.0))
+    // corpus: c(a,b)=2, c(a,c)=1, cp(a)=3; c(b,a)=1, cp(b)=1
+    val exp0 = (math.log(2.0 / 3.0) + math.log(2.0 / 3.0) + math.log(1.0)) / 3.0
+    assert(math.abs(out(0L)._2 - exp0) < 1e-12)
+    assert(math.abs(out(1L)._2 - math.log(1.0 / 3.0)) < 1e-12)
+    assert(out(0L)._2 > out(1L)._2)
+  }
+
   test("token entropy: uniform max, degenerate zero, empty pinned to zero") {
     val e = Seq(
       (0L, "a b c d"),     // uniform: H = ln(4)
