@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.ops.{AsOf, Dedup}
+import graft.ops.{AsOf, Contamination, Dedup, Relevance}
 import graft.transform.GithubTransform
 
 /** Property-based checks: operators are compared against independent,
@@ -173,6 +173,71 @@ object PropertySpec extends Properties("graft") {
         .connectedComponents(pairs.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFindComponents(pairs)
+    }
+
+  // --- passage dup stats vs direct window model -----------------------
+
+  property("passageDupStats equals the direct window model") =
+    Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val w = 3
+      def passages(t: String): Seq[String] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        (0 until ws.length / w).map(i => ws.slice(i * w, i * w + w).mkString(" "))
+      }
+      val all = docs.map { case (id, t) => id -> passages(t) }
+      val docsPer = all
+        .flatMap { case (id, ps) => ps.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).distinct.size }
+      val want = all.map { case (id, ps) =>
+        id -> ((ps.size.toLong, ps.count(p => docsPer(p) > 1).toLong))
+      }.toMap
+      val got = Dedup
+        .passageDupStats(docs.toDF("doc_id", "text"), "doc_id", "text", window = w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == want
+    }
+
+  // --- contamination report vs direct shingle-overlap model -----------
+
+  property("contaminationReport equals the direct shingle-overlap model") =
+    Prop.forAll(Gen.listOfN(6, docGen), Gen.listOfN(2, docGen)) { (corpusTexts, probeTexts) =>
+      def shingles(t: String): Set[String] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 3) Set.empty else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val probeSet = probeTexts.flatMap(shingles).toSet
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val probe = probeTexts.zipWithIndex.map { case (t, i) => ((i + 100).toLong, t) }
+      val want = corpus.map { case (id, t) =>
+        val n = (shingles(t) & probeSet).size.toLong
+        id -> ((n, if (n > 0) 1L else 0L))
+      }.toMap
+      val got = Contamination.contaminationReport(
+        corpus.toDF("doc_id", "text"), probe.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == want
+    }
+
+  // --- token entropy vs closed-form model ------------------------------
+
+  property("tokenEntropy matches the closed-form model within fp tolerance") =
+    Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Relevance.tokenEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      docs.forall { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        val n = ws.length.toLong
+        val counts = ws.groupBy(identity).view.mapValues(_.length).toMap
+        val h =
+          if (n == 0L) 0.0
+          else math.log(n.toDouble) -
+            counts.values.map(c => c * math.log(c.toDouble)).sum / n
+        val (gn, gd, gh) = got(id)
+        gn == n && gd == counts.size.toLong && math.abs(gh - h) < 1e-9
+      }
     }
 
   // --- keyed sampling: deterministic and repartition-invariant --------
