@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOf, BloomJoin, Similarity, Skew}
+import graft.ops.{AsOf, BloomJoin, Sessions, Similarity, Skew, SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -14,6 +14,28 @@ import graft.ops.{AsOf, BloomJoin, Similarity, Skew}
 object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based batch sessionization (30-min gap) — the batch twin of
+    // the streaming sessionize; one shuffle on user_id.
+    "q_sessionize" -> ((s, d) =>
+      Sessions.sessionize(Tables.events(s, d), "user_id", "ts", "event_id")),
+
+    // CDC-style snapshot diff: two deterministic order "snapshots"
+    // (keys mod-filtered, prices nudged on a third residue class) →
+    // per-key added/removed/changed/unchanged.
+    "q_snapshot_diff" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val prev = orders
+        .filter(pmod(col("o_orderkey"), lit(3L)) =!= 0L)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val cur = orders
+        .filter(pmod(col("o_orderkey"), lit(5L)) =!= 0L)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") +
+            when(pmod(col("o_orderkey"), lit(7L)) === 0L, lit(1.0))
+              .otherwise(lit(0.0))).as("o_totalprice"))
+      SnapshotDiff.diffSnapshots(prev, cur, Seq("o_orderkey"), Seq("o_totalprice"))
+    }),
+
     // As-of (backward) join: each event picks up the latest order of
     // "its" customer at event time. Composed union+window operator —
     // one shuffle, no range explosion (see graft.ops.AsOf).
@@ -253,6 +275,34 @@ object ExtQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same unique (ts, event_id) ordering, integer-µs gap test, ROWS
+    // running sum — window semantics replicate exactly
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                              THEN 1 ELSE 0 END AS nf FROM m),
+         s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seq FROM f)
+         SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(event_id) AS first_event_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                (max(us) - min(us)) // 1000000 AS duration_sec
+         FROM s GROUP BY user_id, seq""",
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+                    WHERE o_orderkey % 3 <> 0),
+         n AS (SELECT o_orderkey AS k,
+                 o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS v
+               FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT COALESCE(o.k, n.k) AS o_orderkey,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.v IS NOT DISTINCT FROM n.v THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+         FROM o FULL OUTER JOIN n ON o.k = n.k""",
     "q_asof_join" ->
       """SELECT event_id, user_id, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
          FROM events ASOF LEFT JOIN orders

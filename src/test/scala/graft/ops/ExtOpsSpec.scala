@@ -100,6 +100,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("batch sessionize splits on the gap, aggregates per session") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      (10L, 1L, ts(0)),    // user 1, session 1
+      (11L, 1L, ts(100)),  // same session (gap 100s < 1800s)
+      (12L, 1L, ts(2000)), // gap 1900s > 1800s → session 2
+      (20L, 2L, ts(50)))   // user 2, own session
+      .toDF("event_id", "user_id", "ts")
+    val out = Sessions.sessionize(ev, "user_id", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(out((1L, 1L)) == (2L, 10L, 100L)) // 2 events, 100s duration
+    assert(out((1L, 2L)) == (1L, 12L, 0L))
+    assert(out((2L, 1L)) == (1L, 20L, 0L))
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged, null-safe") {
+    val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val cur = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, None), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val out = SnapshotDiff.diffSnapshots(prev, cur, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("weightedHashSample: all-NULL / empty weights sample empty, oversized fail fast") {
     val df = Seq((1L, Option.empty[Double]), (2L, None), (3L, None)).toDF("k", "w")
     assert(Sampling.weightedHashSample(df, "k", "w", 1, 2).count() == 0)
