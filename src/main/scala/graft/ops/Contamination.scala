@@ -13,13 +13,14 @@ import graft.functions.ShingleExpressions
   *
   * Scale shape: the probe set is SMALL relative to the corpus (eval
   * suites are thousands of documents against billions), so its
-  * distinct shingle set broadcasts; the corpus side is one
+  * distinct shingle set broadcasts; the corpus text flows through one
   * scan→shingle→explode pipeline probed by a broadcast hash join — no
-  * shuffle ever carries corpus text, and the corpus is touched exactly
-  * once. If the probe set outgrows broadcast, swap the broadcast for
-  * [[BloomJoin.bloomSemiJoin]]'s prefilter shape (the Bloom false
-  * positives would make the report approximate, so it is not the
-  * default).
+  * shuffle ever carries corpus text. (A second, id-column-only corpus
+  * scan restores the zero rows for clean/short documents; it moves one
+  * pruned column, not text.) If the probe set outgrows broadcast, swap
+  * the broadcast for [[BloomJoin.bloomSemiJoin]]'s prefilter shape
+  * (the Bloom false positives would make the report approximate, so
+  * it is not the default).
   *
   * Both sides shingle with the same distinct word-3-gram expression as
   * [[Dedup]], so the DuckDB oracle replicates the overlap counts

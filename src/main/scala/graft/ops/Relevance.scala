@@ -75,7 +75,6 @@ object Relevance {
     */
   def ngramTopK(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       n: Int = 2,
       k: Int = 50): DataFrame = {

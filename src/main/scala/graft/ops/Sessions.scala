@@ -46,7 +46,11 @@ object Sessions {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("event_id")).as("first_event_id"),
+        // the id of the session-OPENING event (temporally first, same
+        // unique (ts, id) order the session split used) — not min(id),
+        // which diverges when ids aren't assigned in timestamp order
+        min_by(col("event_id"), struct(col("us"), col("event_id")))
+          .as("first_event_id"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         floor((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long")
           .as("duration_sec"))

@@ -284,13 +284,15 @@ object ExtQueries {
          f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
                               THEN 1 ELSE 0 END AS nf FROM m),
          s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS seq FROM f)
+                 ROWS UNBOUNDED PRECEDING) AS seq FROM f),
+         s2 AS (SELECT *, first_value(event_id) OVER (PARTITION BY user_id, seq
+                  ORDER BY ts, event_id) AS fid FROM s)
          SELECT user_id, CAST(seq AS BIGINT) AS session_seq,
                 CAST(count(*) AS BIGINT) AS n_events,
-                min(event_id) AS first_event_id,
+                min(fid) AS first_event_id,
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                 (max(us) - min(us)) // 1000000 AS duration_sec
-         FROM s GROUP BY user_id, seq""",
+         FROM s2 GROUP BY user_id, seq""",
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
                     WHERE o_orderkey % 3 <> 0),

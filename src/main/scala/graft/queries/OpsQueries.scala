@@ -187,7 +187,7 @@ object OpsQueries {
       Dedup.passageDupStats(Tables.documents(s, d), "doc_id", "text")),
 
     "q_ngram_counts" -> ((s, d) =>
-      Relevance.ngramTopK(Tables.documents(s, d), "doc_id", "text", n = 2, k = 50)),
+      Relevance.ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50)),
 
     "q_entropy" -> ((s, d) =>
       Relevance.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),

@@ -106,7 +106,9 @@ class ExtOpsSpec extends AnyFunSuite {
       (10L, 1L, ts(0)),    // user 1, session 1
       (11L, 1L, ts(100)),  // same session (gap 100s < 1800s)
       (12L, 1L, ts(2000)), // gap 1900s > 1800s → session 2
-      (20L, 2L, ts(50)))   // user 2, own session
+      (20L, 2L, ts(50)),   // user 2, own session
+      (31L, 3L, ts(100)),  // user 3: ids NOT in timestamp order —
+      (30L, 3L, ts(200)))  // the session-OPENING id is 31, not min=30
       .toDF("event_id", "user_id", "ts")
     val out = Sessions.sessionize(ev, "user_id", "ts", "event_id")
       .collect()
@@ -115,6 +117,7 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out((1L, 1L)) == (2L, 10L, 100L)) // 2 events, 100s duration
     assert(out((1L, 2L)) == (1L, 12L, 0L))
     assert(out((2L, 1L)) == (1L, 20L, 0L))
+    assert(out((3L, 1L)) == (2L, 31L, 100L)) // temporally first, not min
   }
 
   test("snapshot diff classifies added/removed/changed/unchanged, null-safe") {

@@ -123,7 +123,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("ngram top-k counts overlapping bigrams with deterministic tie order") {
     val g = Seq((0L, "a b a b c"), (1L, "a b x")).toDF("doc_id", "text")
-    val out = Relevance.ngramTopK(g, "doc_id", "text", n = 2, k = 3)
+    val out = Relevance.ngramTopK(g, "text", n = 2, k = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // "a b" ×3 (twice in doc 0, once in doc 1); then ties at 1 by string
     assert(out.head == ("a b", 3L))
