@@ -240,6 +240,42 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // --- batch sessionize vs direct scan model ---------------------------
+
+  val eventsGen: Gen[List[(Long, Long)]] = Gen.choose(1, 25).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 10000L))))
+
+  property("batch sessionize equals the sequential gap-scan model") =
+    Prop.forAll(eventsGen) { rows =>
+      val gap = 1000L // seconds
+      val ev = rows.zipWithIndex.map { case ((u, sec), i) =>
+        (i.toLong, u, new Timestamp(1704067200000L + sec * 1000L))
+      }
+      // driver model: per user, walk events in (ts, id) order and split
+      val want = ev.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._1))
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Timestamp)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._3.getTime - cur.head._3.getTime <= gap * 1000L =>
+              (e :: cur) :: rest // cur.head is the session's LAST event
+            case _ => List(e) :: acc
+          }
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, i.toLong + 1L) ->
+            ((s.size.toLong, s.head._1,
+              (s.last._3.getTime - s.head._3.getTime) / 1000L))
+        }
+      }.toMap
+      val got = graft.ops.Sessions
+        .sessionize(ev.toDF("event_id", "user_id", "ts"), "user_id", "ts", "event_id",
+          gapSeconds = gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+      got == want
+    }
+
   // --- keyed sampling: deterministic and repartition-invariant --------
 
   property("hash sampling is repartition-invariant and deterministic") =
