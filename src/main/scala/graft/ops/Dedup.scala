@@ -236,10 +236,12 @@ object Dedup {
     * no near-dup of anything, yet 40% of it is junk).
     *
     * Scale shape: one explode into (doc, passage-hash) — the shuffle
-    * key is a 16-byte digest, never passage text — then a hash agg per
-    * digest for the distinct-doc count and a hash agg per doc; the
-    * digest join is co-partitioned with the agg that produced it, so
-    * the digest shuffle happens once. All outputs are integers.
+    * key is a 16-byte digest, never passage text — aggregated FIRST to
+    * distinct (digest, doc, occurrences) rows. Both downstream
+    * consumers (the per-digest doc count and the per-doc rollup's join
+    * side) read that same aggregate, so the scan→explode→digest
+    * pipeline runs once and Spark reuses its exchange; only slim
+    * digest rows shuffle after. All outputs are integers.
     */
   def passageDupStats(
       df: DataFrame,
@@ -257,12 +259,15 @@ object Dedup {
             slice(col("ws"), (i * window + 1L).cast("int"), lit(window)))))
           .as("passage"))
       .select(col("id"), md5(col("passage").cast("binary")).as("ph"))
-    val docsPerHash = p.groupBy(col("ph")).agg(countDistinct(col("id")).as("nd"))
-    val per = p.join(docsPerHash, Seq("ph"))
+    // (digest, doc) pairs with occurrence counts: the shared frame both
+    // consumers below derive from (identical subtree → ReusedExchange)
+    val pairs = p.groupBy(col("ph"), col("id")).agg(count(lit(1)).as("occ"))
+    val docsPerHash = pairs.groupBy(col("ph")).agg(count(lit(1)).as("nd"))
+    val per = pairs.join(docsPerHash, Seq("ph"))
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_passages"),
-        sum((col("nd") > 1L).cast("long")).as("n_dup"))
+        sum(col("occ")).as("n_passages"),
+        sum(when(col("nd") > 1L, col("occ")).otherwise(0L)).as("n_dup"))
     df.select(col(idCol).as("id"))
       .join(per, Seq("id"), "left")
       .select(
