@@ -34,7 +34,14 @@ object EtlJob {
         sys.exit(1)
     }
 
-  def run(env: Map[String, String], sparkOpt: Option[SparkSession] = None): Unit = {
+  /** `bqTransport` injects the warehouse transport for tests (the
+    * same recorded-request seam the sink spec uses); production runs
+    * leave it None and get the real HTTP client.
+    */
+  def run(
+      env: Map[String, String],
+      sparkOpt: Option[SparkSession] = None,
+      bqTransport: Option[graft.sink.BigQueryTransport] = None): Unit = {
     val repos = env.getOrElse("GITHUB_REPOS",
       throw new IllegalArgumentException("GITHUB_REPOS environment variable is required"))
       .split(",").map(_.trim).filter(_.nonEmpty)
@@ -84,7 +91,7 @@ object EtlJob {
         val emulator = env.get("GRAFT_EMULATOR_HOST")
         new BigQuerySnapshotSink(
           spark,
-          new HttpBigQueryTransport(env.get("GRAFT_BQ_TOKEN")),
+          bqTransport.getOrElse(new HttpBigQueryTransport(env.get("GRAFT_BQ_TOKEN"))),
           required("GRAFT_BQ_PROJECT"),
           required("GRAFT_BQ_DATASET"),
           apiBase = emulator.map(h => s"http://$h/bigquery/v2")

@@ -341,6 +341,52 @@ class GithubConnectorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.jobs.EtlJob.run(Map("GITHUB_REPOS" -> " , "), Some(spark))
     }
+    // warehouse mode has its own required keys
+    intercept[IllegalArgumentException] {
+      graft.jobs.EtlJob.run(Map(
+        "GITHUB_REPOS" -> "o/r", "GRAFT_OUTPUT_DIR" -> "/tmp/x",
+        "GRAFT_SINK" -> "bigquery"), Some(spark))
+    }
+  }
+
+  test("EtlJob warehouse mode: mock GitHub through the BigQuery wire, deletes before loads") {
+    // the reference's integration shape (mock API + BigQuery emulator):
+    // full ETL against the mock server, warehouse calls recorded
+    withServer { server =>
+      val requests =
+        collection.mutable.Buffer[(String, String, String)]()
+      val fake = new graft.sink.BigQueryTransport {
+        override def request(method: String, url: String, contentType: String,
+            body: Array[Byte]): graft.sink.BigQueryResponse = {
+          requests.synchronized {
+            requests += ((method, url, new String(body, "UTF-8")))
+          }
+          graft.sink.BigQueryResponse(200,
+            """{"jobComplete": true, "jobReference": {"jobId": "j1"},
+               "status": {"state": "DONE"}}""")
+        }
+      }
+      graft.jobs.EtlJob.run(Map(
+        "GITHUB_REPOS" -> "o/r",
+        "GRAFT_OUTPUT_DIR" -> java.nio.file.Files
+          .createTempDirectory("graft-bq").toString, // unused by this sink
+        "GITHUB_API_URL" -> server.url,
+        "GITHUB_TOKEN" -> "t",
+        "GRAFT_SINK" -> "bigquery",
+        "GRAFT_BQ_PROJECT" -> "proj",
+        "GRAFT_BQ_DATASET" -> "ds"), Some(spark), bqTransport = Some(fake))
+      val urls = requests.map(_._2).toSeq
+      // existence probe + 4 DML deletes hit jobs.query first…
+      val queryIdx = urls.zipWithIndex.filter(_._1.endsWith("/queries")).map(_._2)
+      assert(queryIdx.size == 5, s"expected probe + 4 deletes, got $queryIdx")
+      // …every load job strictly after every delete
+      val loadIdx = urls.zipWithIndex.filter(_._1.contains("/upload/")).map(_._2)
+      assert(loadIdx.nonEmpty && loadIdx.min > queryIdx.max)
+      // the loads carry the mock corpus's rows over the NDJSON wire
+      val loadBodies = requests.filter(_._2.contains("/upload/")).map(_._3)
+      assert(loadBodies.exists(_.contains("\"tableId\":\"pull_requests\"")))
+      assert(loadBodies.exists(_.contains("\"target_repository\":\"o/r\"")))
+    }
   }
 
   // --- snapshot writer partition semantics ----------------------------
