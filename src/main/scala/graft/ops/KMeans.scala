@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions.{floatDot, floatNorm}
+
+/** Lloyd's k-means codebook training over a float-embedding corpus —
+  * the trainer for the coarse quantizer that [[Similarity.ivfTopK]]
+  * documents as "drops in by replacing `centroids`".
+  *
+  * Every step is bit-deterministic under any partitioning and exactly
+  * replicable cross-engine, which is what makes a trained codebook
+  * oracle-checkable at all:
+  *  - **Init**: the `k` lowest-id vectors, cluster ids 0..k-1 in id
+  *    order (same deterministic seeding discipline as the IVF
+  *    stand-in codebook).
+  *  - **Assign**: nearest centroid by cosine, computed as the strict
+  *    left-to-right double fold ([[graft.functions.VectorExpressions]]);
+  *    ties break to the lowest cluster id via a max(struct) hash
+  *    aggregation — no sort, map-side combinable.
+  *  - **Update**: per-dimension quantized means, the
+  *    [[Embeddings.quantizedCentroids]] discipline — components scaled
+  *    by 2^scaleBits, floored to exact longs, summed (order-free),
+  *    divided back in fixed order, then rounded once to float so the
+  *    next round's cosine fold sees identical inputs on both engines.
+  *    A float sum would be partition-order-dependent; this is not.
+  *  - **Empty clusters** carry the previous round's centroid forward
+  *    with `n = 0` (no respawn heuristic — those are RNG-bound and
+  *    unreplicable).
+  *
+  * Scale shape: the codebook (k rows) is broadcast to the assignment
+  * cross join, so each round is one narrow |C|·k cosine pass plus one
+  * (cid, pos)-keyed hash agg whose shuffle carries k·dim partials per
+  * partition — never vectors, never the corpus. Each round's codebook
+  * is eagerly `localCheckpoint`ed (a k-row frame) so round r+1 rescans
+  * the corpus once rather than replaying rounds 1..r, and the
+  * superseded round's blocks are freed immediately — the
+  * [[Clusters.connectedComponents]] lesson.
+  */
+object KMeans {
+
+  /** Train on `corpus` = (idCol, vecCol) and return the codebook
+    * exploded to (cid, pos, centroid, n): cluster id, 0-based
+    * dimension, component as double, and member count from the final
+    * update round (0 for a carried-forward empty cluster).
+    */
+  def kmeansCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scaleBits: Int = 10): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val scale = (1L << scaleBits).toDouble
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vnorm", floatNorm(col("v")))
+
+    // seeds: k lowest ids, cid = 0-based rank in id order (the seed
+    // frame is k rows, so the unpartitioned window is bounded by
+    // construction — WindowExec's single-partition WARN is silenced in
+    // GraftSession with that contract documented)
+    var cent = c.orderBy(col("id").asc).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(col("id").asc)).cast("long") - 1L)
+      .select(col("cid"), col("v").as("cv"), lit(0L).as("n"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val withNorm = cent.select(
+        col("cid"), col("cv"), floatNorm(col("cv")).as("cnorm"))
+      // nearest centroid per vector; max(struct) = max cos, tie -> min cid
+      val assigned = c.crossJoin(broadcast(withNorm))
+        .select(col("id"),
+          struct(
+            (floatDot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
+            (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+        .groupBy("id").agg(max(col("sc")).as("m"))
+        .select(col("id"), col("m.cid").as("cid"))
+      // exact quantized per-dimension mean, rounded once to float
+      val upd = c.join(assigned, "id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cid"), col("pos"),
+          floor(col("x").cast("double") * scale).cast("long").as("q"))
+        .groupBy("cid", "pos")
+        .agg(sum(col("q")).as("qsum"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+          ((col("qsum").cast("double") / col("cnt").cast("double")) / scale)
+            .cast("float").as("x"),
+          col("cnt"))
+        .groupBy("cid")
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+            s => s("x")).as("ucv"),
+          max(col("cnt")).as("un"))
+      val next = cent.select(col("cid"), col("cv"))
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ucv"), col("cv")).as("cv"),
+          coalesce(col("un"), lit(0L)).as("n"))
+        .localCheckpoint()
+      unpersistCheckpoint(cent)
+      cent = next
+    }
+
+    cent
+      .select(col("cid"), col("n"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("centroid"), col("n"))
+  }
+
+  /** Same as [[Clusters]]' helper: free the block-manager storage
+    * behind a superseded locally-checkpointed frame.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
+      lr.rdd.unpersist(blocking = false)
+    }
+}

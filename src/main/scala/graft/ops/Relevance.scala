@@ -65,6 +65,34 @@ object Relevance {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Inverted index: one row per term with its document frequency and
+    * the first `headK` posting-list entries (lowest doc ids, emitted
+    * as a comma-joined string so the row is fixed-width). The bounded
+    * [[graft.functions.TopKRows]] aggregator keeps the min-k ids with
+    * map-side partial merge, so the term shuffle carries ≤ headK ids
+    * per (term, partition) — a full `collect_list` would ship every
+    * posting of every hot term through the exchange and buffer it
+    * unbounded on the reduce side. Doc ids must fit 2^53 (the
+    * aggregator's double sort key; ids here are far below).
+    */
+  def postingLists(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      headK: Int = 8): DataFrame = {
+    val minK = graft.functions.TopKRows.topK(headK, asc = true)
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.words(col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        minK(col("doc_id").cast("double"), col("doc_id"), lit(0L)).as("tk"))
+      .select(col("term"), col("n_docs"),
+        array_join(transform(col("tk"), e => e("t1").cast("string")), ",")
+          .as("doc_heads"))
+  }
+
   /** Corpus n-gram counts, top-k by total occurrences (ties broken by
     * the n-gram string) — the language-model-style count table
     * (bigram/trigram frequencies) that drives contamination screens,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build: collapse an
+  * event log of attribute observations into validity intervals —
+  * one row per (key, attribute run) with [valid_from, valid_to) and a
+  * current flag. The warehouse-side twin of [[SnapshotDiff]]: diff
+  * answers "what changed between two snapshots", this answers "what
+  * was true when" over the full log.
+  *
+  * Scale shape: one shuffle on the key; both windows (change
+  * detection via lag, interval close via lead) share the same
+  * partitioning and sort order, so Catalyst plans ONE exchange and
+  * ONE sort feeding two Window operators. No joins, no state beyond
+  * the sort.
+  *
+  * Determinism: rows order by (ts, ordCol) — callers pass a unique
+  * tie-break column so duplicate timestamps cannot flip run
+  * boundaries between engines. Change detection is null-safe
+  * (`<=>`): a null attribute is a value, and a null→null step is NOT
+  * a change.
+  */
+object Scd {
+
+  /** (key, attr, valid_from, valid_to, is_current): `valid_to` is the
+    * ts of the next change (exclusive bound), null on the open run.
+    */
+  def scd2History(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    log
+      .select(col(keyCol), col(tsCol), col(ordCol), col(attrCol))
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .withColumn("is_change",
+        lag(col(ordCol), 1).over(w).isNull || !(col("prev_attr") <=> col(attrCol)))
+      .filter(col("is_change"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(
+        col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

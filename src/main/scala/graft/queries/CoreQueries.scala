@@ -147,6 +147,28 @@ object CoreQueries {
         .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("total_price"))
     }),
 
+    // Per-group top-k WITHOUT a window sort: the bounded TopKRows
+    // aggregator reduces every map partition to ≤k entries per group
+    // before the exchange, so the shuffle carries O(groups·k) rows
+    // where row_number().over(...) ships and sorts the whole fact
+    // table. Same result as the window form (the oracle IS the window
+    // form) — the difference is purely the physical plan.
+    "q_group_topk" -> ((s, d) => {
+      val top3 = graft.functions.TopKRows.topK(3, asc = false)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(top3(
+          col("l_extendedprice").cast("double"),
+          col("l_orderkey"),
+          col("l_linenumber").cast("long")).as("tk"))
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+          posexplode(col("tk")).as(Seq("i", "e")))
+        .select(col("flag"), col("status"),
+          (col("i") + 1).cast("long").as("rank"),
+          col("e.t1").as("order_id"), col("e.t2").as("line_no"),
+          col("e.v").as("price"))
+    }),
+
     // §2.10 — window function (first-3-orders-per-customer).
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -250,6 +272,14 @@ object CoreQueries {
     "q_topk" ->
       """SELECT o_orderkey AS order_id, o_totalprice AS total_price
          FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q_group_topk" ->
+      """SELECT flag, status, rank, order_id, line_no, price FROM (
+           SELECT l_returnflag AS flag, l_linestatus AS status,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank,
+             l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+             l_extendedprice AS price
+           FROM lineitem) t WHERE rank <= 3""",
     "q_window_rank" ->
       """SELECT o_custkey AS cust_id, o_orderkey AS order_id, rn FROM
          (SELECT o_custkey, o_orderkey,

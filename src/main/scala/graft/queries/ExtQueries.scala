@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOf, BloomJoin, Sessions, Similarity, Skew, SnapshotDiff}
+import graft.ops.{AsOf, BloomJoin, RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -35,6 +35,24 @@ object ExtQueries {
               .otherwise(lit(0.0))).as("o_totalprice"))
       SnapshotDiff.diffSnapshots(prev, cur, Seq("o_orderkey"), Seq("o_totalprice"))
     }),
+
+    // SCD type-2 history: collapse the event log into per-user
+    // event_type validity intervals — one key shuffle, one sort, two
+    // windows (see graft.ops.Scd).
+    "q_scd2" -> ((s, d) =>
+      Scd.scd2History(Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(
+          col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current").cast("int").cast("long").as("is_current"))),
+
+    // Pure-range join (no equi-key): ±60s neighbor counts via δ-bin
+    // blocking — bin equi-join + residual filter instead of the
+    // cartesian Catalyst would otherwise plan (see graft.ops.RangeJoin).
+    "q_range_join" -> ((s, d) =>
+      RangeJoin.neighborCounts(Tables.events(s, d), "event_id", "ts",
+        deltaSeconds = 60L)),
 
     // As-of (backward) join: each event picks up the latest order of
     // "its" customer at event time. Composed union+window operator —
@@ -305,6 +323,26 @@ object ExtQueries {
                 WHEN o.v IS NOT DISTINCT FROM n.v THEN 'unchanged'
                 ELSE 'changed' END AS change_type
          FROM o FULL OUTER JOIN n ON o.k = n.k""",
+    "q_scd2" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+              lag(event_type) OVER w AS prev_attr,
+              lag(event_id) OVER w AS prev_ord
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          ch AS (SELECT user_id, ts, event_id, event_type FROM m
+                 WHERE prev_ord IS NULL OR prev_attr IS DISTINCT FROM event_type)
+          SELECT user_id, event_type,
+            strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+            strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+            CAST(valid_to IS NULL AS BIGINT) AS is_current
+          FROM (SELECT user_id, event_type, ts AS valid_from,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                FROM ch) t""",
+    "q_range_join" ->
+      """WITH t AS (SELECT event_id AS id, epoch_us(ts) AS t FROM events)
+         SELECT a.id AS event_id, count(b.id) AS n_neighbors
+         FROM t a LEFT JOIN t b
+           ON b.t BETWEEN a.t - 60000000 AND a.t + 60000000 AND b.id <> a.id
+         GROUP BY a.id""",
     "q_asof_join" ->
       """SELECT event_id, user_id, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
          FROM events ASOF LEFT JOIN orders

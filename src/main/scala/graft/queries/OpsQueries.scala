@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Clusters, Contamination, CorpusFilters, Dedup, Embeddings, Multimodal,
-  Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
+  Clusters, Contamination, CorpusFilters, Dedup, Embeddings, KMeans,
+  Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -80,6 +80,14 @@ object OpsQueries {
     "q_embed_centroid" -> ((s, d) =>
       Embeddings.quantizedCentroids(
         Tables.embeddings(s, d), "label", "embedding")),
+
+    // Trained coarse quantizer for the IVF path: two Lloyd rounds from
+    // the lowest-id seeds, cosine assignment and quantized-mean update
+    // both bit-deterministic, so the full training loop (not just one
+    // pass) hash-matches the unrolled oracle.
+    "q_kmeans_codebook" -> ((s, d) =>
+      KMeans.kmeansCodebook(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)),
 
     // tokenize ONCE into a column, then derive every metric from it —
     // the interpreted split+filter walk is the expensive part and
@@ -203,6 +211,12 @@ object OpsQueries {
 
     "q_freq_spectrum" -> ((s, d) =>
       Relevance.frequencySpectrum(Tables.documents(s, d), "doc_id", "text")),
+
+    // Inverted-index build: df + bounded posting-list heads per term
+    // via the TopKRows aggregator (min-k ids, map-side combine — no
+    // unbounded collect_list through the shuffle).
+    "q_posting_lists" -> ((s, d) =>
+      Relevance.postingLists(Tables.documents(s, d), "doc_id", "text", headK = 8)),
 
     "q_bm25" -> ((s, d) =>
       Relevance.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Query)),
@@ -420,6 +434,47 @@ object OpsQueries {
     * exact long sums, same fixed-order double divisions; pos 0-based
     * on both engines.
     */
+  /** Unrolled Lloyd iterations replicating [[graft.ops.KMeans]]:
+    * assignment = ROW_NUMBER over the same left-to-right cosine fold
+    * (ties to lowest cid), update = quantized per-dimension means
+    * rounded once to FLOAT, empty clusters carried forward with n=0.
+    */
+  private def kmeansSql: String = {
+    val (k, iters, dim, scale) = (8, 2, 64, 1024L)
+    def dc(a: String, b: String) = (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    def round(r: Int, prevCent: String): String =
+      s"""a$r AS (SELECT id, cid FROM (
+            SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+              ORDER BY (${dc("v", "cv")}) /
+                (sqrt(${dc("v", "v")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+            FROM c, $prevCent) t WHERE rn = 1),
+          u$r AS (SELECT cid, pos,
+              CAST((CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / $scale
+                AS FLOAT) AS x,
+              count(*) AS n
+            FROM (SELECT cid, i AS pos,
+                    CAST(floor(CAST(v[i + 1] AS DOUBLE) * $scale) AS BIGINT) AS q
+                  FROM c JOIN a$r USING (id) CROSS JOIN range(0, $dim) t(i))
+            GROUP BY cid, pos),
+          cent$r AS (SELECT s.cid,
+              CASE WHEN count(u.x) = 0 THEN any_value(s.cv)
+                   ELSE list(u.x ORDER BY u.pos) END AS cv,
+              COALESCE(max(u.n), 0) AS n
+            FROM $prevCent s LEFT JOIN u$r u USING (cid) GROUP BY s.cid)"""
+    val rounds = (1 to iters)
+      .map(r => round(r, if (r == 1) "seeds" else s"cent${r - 1}"))
+      .mkString(",\n          ")
+    s"""WITH seeds AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+        c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        $rounds
+        SELECT cid, CAST(i AS BIGINT) AS pos,
+          CAST(cv[i + 1] AS DOUBLE) AS centroid, n
+        FROM cent$iters CROSS JOIN range(0, $dim) t(i)"""
+  }
+
   private def embedCentroidSql: String =
     s"""WITH comp AS (
           SELECT label AS grp, i AS pos,
@@ -764,6 +819,12 @@ object OpsQueries {
                  FROM (SELECT doc_id, unnest(ws) AS term FROM toks) GROUP BY 1, 2),
           dfreq AS (SELECT term, count(*) AS n_docs FROM tf GROUP BY term)
           SELECT n_docs, count(*) AS n_terms FROM dfreq GROUP BY n_docs""",
+    "q_posting_lists" ->
+      s"""WITH post AS (SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id, unnest($ws) AS term FROM documents))
+          SELECT term, count(*) AS n_docs,
+            array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS doc_heads
+          FROM post GROUP BY term""",
     "q_decontaminate" -> decontaminateSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_ngram_counts" -> ngramCountsSql,
@@ -776,6 +837,7 @@ object OpsQueries {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> ivfSql,
     "q_embed_centroid" -> embedCentroidSql,
+    "q_kmeans_codebook" -> kmeansSql,
     "q_text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,
