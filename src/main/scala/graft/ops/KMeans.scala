@@ -69,16 +69,7 @@ object KMeans {
       .localCheckpoint()
 
     for (_ <- 1 to iters) {
-      val withNorm = cent.select(
-        col("cid"), col("cv"), floatNorm(col("cv")).as("cnorm"))
-      // nearest centroid per vector; max(struct) = max cos, tie -> min cid
-      val assigned = c.crossJoin(broadcast(withNorm))
-        .select(col("id"),
-          struct(
-            (floatDot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
-            (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-        .groupBy("id").agg(max(col("sc")).as("m"))
-        .select(col("id"), col("m.cid").as("cid"))
+      val assigned = assignStep(c, cent)
       // exact quantized per-dimension mean, rounded once to float
       val upd = c.join(assigned, "id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -109,6 +100,26 @@ object KMeans {
       .select(col("cid"), col("n"), posexplode(col("cv")).as(Seq("pos", "x")))
       .select(col("cid"), col("pos").cast("long").as("pos"),
         col("x").cast("double").as("centroid"), col("n"))
+  }
+
+  /** One Lloyd assignment pass: (id, cid) nearest-centroid over a
+    * broadcast codebook — corpus × k-row broadcast, then a slim
+    * (id, struct)-argmax hash agg with map-side combine. Public so
+    * plan audits can gate the INNER round's physical shape (the
+    * trained codebook itself is a checkpointed RDD whose plan no
+    * longer shows the training pipeline).
+    */
+  def assignStep(c: DataFrame, cent: DataFrame): DataFrame = {
+    val withNorm = cent.select(
+      col("cid"), col("cv"), floatNorm(col("cv")).as("cnorm"))
+    // max(struct) = max cos, tie -> max(-cid) = min cid
+    c.crossJoin(broadcast(withNorm))
+      .select(col("id"),
+        struct(
+          (floatDot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+      .groupBy("id").agg(max(col("sc")).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
   }
 
   /** Same as [[Clusters]]' helper: free the block-manager storage

@@ -96,4 +96,45 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_rep_signals").contains("partial_"))
     assert(plan("q_bm25").contains("partial_"))
   }
+
+  test("range join blocks on bins — equi-join, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pure-range predicate degenerated to an all-pairs join:\n$p")
+  }
+
+  test("group top-k aggregates partially before the exchange — no window sort") {
+    val p = plan("q_group_topk")
+    // ObjectHashAggregate carries the TopKRows aggregator in both the
+    // partial (pre-shuffle) and final phases; the window alternative
+    // would show WindowExec + a full sort of the fact table
+    assert(p.contains("ObjectHashAggregate"), s"typed aggregator not planned:\n$p")
+    assert(p.contains("partial_"), s"map-side combine lost:\n$p")
+    assert(!p.contains("Window"), s"unexpected window sort:\n$p")
+  }
+
+  test("scd2 plans one exchange and one sort feeding both windows") {
+    val p = plan("q_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"extra shuffles in scd2 plan:\n$p")
+    assert("Sort \\[".r.findAllIn(p).length == 1,
+      s"second sort appeared — windows not sharing order:\n$p")
+  }
+
+  test("kmeans assignment broadcasts the codebook and keeps partial argmax") {
+    // the trained codebook is a checkpointed RDD (its plan is opaque
+    // by design), so gate the inner round's assignment step directly
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = Tables.embeddings(spark, sf)
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("vnorm", graft.functions.VectorExpressions.floatNorm(col("v")))
+    val cent = e.orderBy(col("vec_id").asc).limit(8)
+      .select(lit(0L).as("cid"), col("embedding").as("cv"))
+    val p = graft.ops.KMeans.assignStep(c, cent)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"assignment argmax lost map-side combine:\n$p")
+  }
 }
