@@ -45,8 +45,15 @@ object Bench {
       val s = xs.sorted
       s(s.size / 2)
     }
+    // optional comma-separated subset for isolated measurements
+    // (pollution bisection: a query that is fast alone but slow in the
+    // full sweep is being slowed by an earlier query's session litter)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         try name -> median((1 to runs).map(_ => timeOnce(fn)))
         catch {
           case e: Throwable =>
