@@ -21,6 +21,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's typed Aggregators (TopKRows, KmvSketch) carry
+      // small bounded buffers (≤ k entries), so the default 128-entry
+      // ObjectHashAggregate map→sort spill is far too conservative —
+      // a posting-list build with millions of terms would sort-agg
+      // every partition. 64k entries of ~100-byte buffers ≈ 6 MB per
+      // task: safely inside executor memory at any scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,6 +21,12 @@ import org.apache.spark.sql.GraftColumnBridge
   * expressions produce identical results with a tight loop over the
   * array data (~100 ns/shingle), a ~40× end-to-end speedup for the
   * shingle-producing stage.
+  *
+  * Codegen: these bodies use JVM collections (hash sets, rolling
+  * windows), so instead of inlining Java they generate a direct
+  * `evalCore(childValue)` call on a referenced instance — one virtual
+  * call per row, with codegen'd children and NO CodegenFallback row
+  * materialization, so the surrounding whole-stage span stays fused.
   *
   * Semantics (must stay bit-identical to the DuckDB oracle in
   * graft.queries.OpsQueries):
@@ -48,7 +54,7 @@ object ShingleExpressions {
 
   /** Distinct word 3-gram shingle strings. */
   case class DistinctWordShingles(child: Expression)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -68,12 +74,17 @@ object ShingleExpressions {
         new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
       }
     }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
   /** Distinct word 3-gram shingle hashes (poly combine mod 2^31-1). */
   case class DistinctShingleHashes(child: Expression)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -96,6 +107,11 @@ object ShingleExpressions {
         new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
       }
     }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -106,7 +122,7 @@ object ShingleExpressions {
     * identical values, same contract as the DuckDB oracle.
     */
   case class SimHash32(child: Expression)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
@@ -131,6 +147,11 @@ object ShingleExpressions {
       }
       out
     }
+    def evalCore(v: Any): Long = nullSafeEval(v).asInstanceOf[Long]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -141,7 +162,7 @@ object ShingleExpressions {
     * (a*h + b) mod p with init p.
     */
   case class MinHashSignature(child: Expression, ab: Seq[(Long, Long)], p: Long)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -163,6 +184,11 @@ object ShingleExpressions {
         i += 1
       }
       new GenericArrayData(sig)
+    }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -187,7 +213,7 @@ object ShingleExpressions {
     * full-text scan per (language, trigram) pair.
     */
   case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
@@ -210,6 +236,11 @@ object ShingleExpressions {
       }
       new GenericArrayData(out)
     }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -225,7 +256,7 @@ object ShingleExpressions {
     * single walk and a hash lookup per token.
     */
   case class StopwordProfileScores(child: Expression, profiles: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     // word -> indices of profiles listing it (a stopword may belong
@@ -252,6 +283,11 @@ object ShingleExpressions {
         i += 1
       }
       new GenericArrayData(out)
+    }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

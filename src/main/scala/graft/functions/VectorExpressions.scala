@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   * bit-identical across engines and partitionings. The tight loop is
   * ~50× faster than the interpreted higher-order-function chain on
   * the all-pairs similarity workloads.
+  *
+  * All three expressions implement `doGenCode` (the loop inlines into
+  * the generated Java), so they stay INSIDE whole-stage codegen spans
+  * instead of forcing a CodegenFallback row materialization in the
+  * middle of every similarity kernel.
   */
 object VectorExpressions {
 
@@ -32,19 +37,32 @@ object VectorExpressions {
 
   /** Sequential dot product of two float vectors, in double. */
   case class FloatDotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = ${ev.value}_acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
   /** Sequential L2 norm of a float vector, in double. */
   case class FloatL2Norm(child: Expression)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes =
       Seq(ArrayType(FloatType))
     override def dataType: DataType = DoubleType
@@ -59,6 +77,19 @@ object VectorExpressions {
       }
       math.sqrt(acc)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val x = ctx.freshName("x")
+        s"""
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  ${ev.value}_acc += $x * $x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt(${ev.value}_acc);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
@@ -80,7 +111,7 @@ object VectorExpressions {
     * LSH-blocked similarity join.
     */
   case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
-      extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = LongType
 
@@ -104,6 +135,29 @@ object VectorExpressions {
         p += 1
       }
       bucket
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val comp = ctx.freshName("comp")
+        s"""
+           |int $n = java.lang.Math.min($dim, $a.numElements());
+           |long ${ev.value}_b = 0L;
+           |for (int $p = 0; $p < $nPlanes; $p++) {
+           |  double[] $comp = $planesRef[$p];
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $a.getFloat($i) * $comp[$i];
+           |  }
+           |  if ($acc >= 0) ${ev.value}_b |= 1L << $p;
+           |}
+           |${ev.value} = ${ev.value}_b;
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
