@@ -44,41 +44,57 @@ object KmvSketch {
 
   final case class Buf(hashes: Array[Long])
 
-  class KmvAggregator(k: Int) extends Aggregator[java.lang.Long, Buf, Double] {
-
-    override def zero: Buf = Buf(Array.emptyLongArray)
-
-    private def insert(buf: Buf, h: Long): Buf = {
-      val a = buf.hashes
-      val pos = java.util.Arrays.binarySearch(a, h)
-      if (pos >= 0) buf // already present
+  private def insert(buf: Buf, h: Long, k: Int): Buf = {
+    val a = buf.hashes
+    val pos = java.util.Arrays.binarySearch(a, h)
+    if (pos >= 0) buf // already present
+    else {
+      val ins = -pos - 1
+      if (ins >= k) buf // larger than current k minima
       else {
-        val ins = -pos - 1
-        if (ins >= k) buf // larger than current k minima
-        else {
-          val n = math.min(a.length + 1, k)
-          val out = new Array[Long](n)
-          System.arraycopy(a, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
-          Buf(out)
-        }
+        val n = math.min(a.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(a, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(a, ins, out, ins + 1, n - ins - 1)
+        Buf(out)
       }
     }
+  }
 
+  abstract class KmvAggregatorBase[OUT](k: Int)
+      extends Aggregator[java.lang.Long, Buf, OUT] {
+    override def zero: Buf = Buf(Array.emptyLongArray)
     override def reduce(b: Buf, value: java.lang.Long): Buf =
-      if (value == null) b else insert(b, hash(value.longValue))
-
+      if (value == null) b else insert(b, hash(value.longValue), k)
     override def merge(b1: Buf, b2: Buf): Buf =
-      b2.hashes.foldLeft(b1)((b, h) => insert(b, h))
-
-    override def finish(b: Buf): Double = estimateFrom(b.hashes.toSeq, k)
-
+      b2.hashes.foldLeft(b1)((b, h) => insert(b, h, k))
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
+  class KmvAggregator(k: Int) extends KmvAggregatorBase[Double](k) {
+    override def finish(b: Buf): Double = estimateFrom(b.hashes.toSeq, k)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Sketch-valued variant: returns the sorted k-minimum hash array
+    * itself, so sketches can be STORED (per day / per shard) and
+    * merged later without re-scanning — the union of per-group
+    * k-minima contains the global k minima, so a downstream
+    * distinct+sort+slice over collected sketches reproduces the exact
+    * whole-corpus sketch. See `q_kmv_merge`.
+    */
+  class KmvHashesAggregator(k: Int) extends KmvAggregatorBase[Seq[Long]](k) {
+    override def finish(b: Buf): Seq[Long] = b.hashes.toSeq
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
   /** Untyped column form for use in `groupBy(...).agg(...)`. */
   def kmvDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvAggregator(k), Encoders.LONG)
+
+  /** Untyped column form of [[KmvHashesAggregator]]. */
+  def kmvHashes(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvHashesAggregator(k), Encoders.LONG)
 }

@@ -217,6 +217,39 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
 
+    // Explicit GROUPING SETS (the general form cube/rollup sugar): two
+    // one-dimension marginals + grand total, with grouping() flags to
+    // disambiguate a NULL group value from a rolled-up row. SQL-first
+    // entry point — the same text runs on the registered temp view.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+          count(*) AS n_orders,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }),
+
+    // Two-pass equi-width histogram: exact bounds from one min/max
+    // scan broadcast back, fixed-arithmetic binning (identical double
+    // ops both engines), top bin right-closed.
+    "q_histogram" -> ((s, d) => {
+      val nb = 20
+      val o = Tables.orders(s, d)
+      val bounds = o.agg(
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(
+          floor((col("o_totalprice") - col("lo")) /
+            ((col("hi") - col("lo")) / nb.toDouble)),
+          lit((nb - 1).toDouble)).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // Set ops: intersect / except over key sets.
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -241,6 +274,33 @@ object ExtQueries {
         .groupBy(col("event_type"))
         .agg(kmv(col("user_id")).as("kmv_estimate"),
           countDistinct(col("user_id")).as("exact_distinct"))
+    }),
+
+    // Sketch MERGE — the property that makes sketches matter at
+    // 100 TB (sketch per shard/day, combine without re-scan): the
+    // per-group k-minimum-value sketches union to the exact global
+    // sketch (any global k-minimum is one of its group's k minima), so
+    // the merged estimate is deterministic and fully oracle-verified
+    // against the from-scratch global sketch.
+    "q_kmv_merge" -> ((s, d) => {
+      val K = 64
+      val kmvh = graft.functions.KmvSketch.kmvHashes(K)
+      val perGroup = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(kmvh(col("user_id")).as("sketch"))
+      val merged = perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sketch"))))),
+          1, K).as("mh"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      merged.crossJoin(exact).select(
+        col("n_groups"),
+        when(size(col("mh")) < K, size(col("mh")).cast("double"))
+          .otherwise(lit((K - 1).toDouble) *
+            lit(graft.functions.KmvSketch.P.toDouble) /
+            element_at(col("mh"), K).cast("double")).as("kmv_estimate"),
+        col("exact_distinct"))
     }),
 
     // Approximate aggregates (sketches): HLL distinct count and KLL
@@ -366,6 +426,29 @@ object ExtQueries {
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY l_orderkey
          ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+    // merged per-group sketches == the from-scratch global sketch, so
+    // the oracle recomputes the global k minima directly
+    "q_kmv_merge" -> {
+      import graft.functions.KmvSketch.{HashA, HashA2, HashB, HashB2, P}
+      s"""WITH h0 AS (SELECT DISTINCT
+              (($HashA*(user_id % $P) + $HashB) % $P + $P) % $P AS x
+            FROM events WHERE user_id IS NOT NULL),
+          h AS (SELECT DISTINCT
+              (((x*x % $P) * $HashA2 + $HashB2) % $P + $P) % $P AS hv
+            FROM h0),
+          ranked AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+                            COUNT(*) OVER () AS n FROM h)
+          SELECT
+            (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+              AS n_groups,
+            CASE WHEN (SELECT max(n) FROM ranked) < 64
+                 THEN CAST((SELECT max(n) FROM ranked) AS DOUBLE)
+                 ELSE 63.0 * 2147483647.0 /
+                   CAST((SELECT hv FROM ranked WHERE rn = 64) AS DOUBLE) END
+              AS kmv_estimate,
+            (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+              AS exact_distinct"""
+    },
     "q_kmv_distinct" ->
       s"""WITH h0 AS (SELECT DISTINCT event_type,
               ((${graft.functions.KmvSketch.HashA}*(user_id % ${graft.functions.KmvSketch.P})
@@ -431,6 +514,21 @@ object ExtQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         count(*) AS n_orders,
+         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "q_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+                    FROM orders)
+         SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)),
+                           19.0) AS BIGINT) AS bin,
+                count(*) AS n_orders
+         FROM orders, b GROUP BY 1""",
     "q_intersect" ->
       """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
          INTERSECT

@@ -55,6 +55,26 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(small.groupBy($"g").agg(kmv($"v").as("e")).collect().head.getAs[Double]("e") == 40.0)
   }
 
+  test("merged per-group KMV sketches reproduce the from-scratch global sketch") {
+    import org.apache.spark.sql.functions.{
+      array_distinct, array_sort, collect_list, flatten, slice}
+    import graft.functions.KmvSketch
+    val k = 16
+    // 3 groups with overlapping value sets, more than k distinct overall
+    val df = (1 to 3000)
+      .map(i => (s"g${i % 3}", (i % 211).toLong)).toDF("g", "v")
+    val mergedHashes = df.groupBy($"g")
+      .agg(KmvSketch.kmvHashes(k)($"v").as("sk"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list($"sk")))), 1, k)
+        .as("mh"))
+      .as[Seq[Long]].head()
+    val globalHashes = df.agg(KmvSketch.kmvHashes(k)($"v").as("sk"))
+      .as[Seq[Long]].head()
+    assert(mergedHashes == globalHashes)
+    assert(KmvSketch.estimateFrom(mergedHashes, k) ==
+      KmvSketch.estimateFrom(globalHashes, k))
+  }
+
   test("NDJSON sink round-trips rows with explicit nulls; GraftSession registers SQL functions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ndjson").toString
     val df = Seq((1L, "a", Option("x")), (2L, "b", None))
