@@ -35,6 +35,29 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Windowed distinct-user KMV sketch: the same mergeable
+    * [[graft.functions.KmvSketch]] aggregator that powers the batch
+    * queries, running inside a watermarked streaming aggregation —
+    * micro-batch partials merge into window state in constant memory
+    * (k hashes per window), and because the sketch is deterministic
+    * and order-free the emitted estimate is identical to the batch
+    * run over the same data (spec-gated). The streaming form of
+    * "distinct users per hour" that exact countDistinct cannot
+    * express incrementally without unbounded state.
+    */
+  def hourlyDistinctUsers(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.KmvSketch.kmvDistinct(k)(col("user_id"))
+        .as("approx_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("approx_users"))
+
   /** Streaming → snapshot-sink bridge (reference K3, the
     * streaming-insert path): each micro-batch appends into the
     * partitioned snapshot layout via foreachBatch. Append semantics

@@ -54,6 +54,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct-user sketch equals the batch run over the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.hourlyDistinctUsers(input.toDF(), "5 minutes", k = 8)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("kmv_stream").start()
+    // 12 distinct users (> k=8, so the estimator path is exercised)
+    // split across two micro-batches within the same hour
+    val batch1 = (1 to 7).map(i =>
+      ev(i.toLong, "2024-01-01 10:0%d:00".format(i), i.toLong, "click", 1.0))
+    val batch2 = (8 to 12).map(i =>
+      ev(i.toLong, "2024-01-01 10:%d:00".format(10 + i), i.toLong, "click", 1.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 12:00:00", 99, "click", 1.0)) // close 10:00
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batch = (batch1 ++ batch2).toDF()
+        .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH").as("hour"))
+        .agg(graft.functions.KmvSketch.kmvDistinct(8)(col("user_id"))
+          .as("approx_users"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(streamed("2024-01-01 10") == batch("2024-01-01 10"))
+    } finally q.stop()
+  }
+
   test("foreachBatch snapshot sink appends each micro-batch to the partitioned layout") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
