@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOf, BloomJoin, RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff}
+import graft.ops.{
+  AsOf, BloomJoin, FuzzyJoin, RangeJoin, Scd, Sessions, Similarity, Skew,
+  SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -53,6 +55,38 @@ object ExtQueries {
     "q_range_join" -> ((s, d) =>
       RangeJoin.neighborCounts(Tables.events(s, d), "event_id", "ts",
         deltaSeconds = 60L)),
+
+    // Fuzzy self-join: per-supplier count of names within Levenshtein
+    // distance 1, via FastSS deletion-neighborhood blocking — an
+    // equi-join on deletion variants + exact verify on candidates,
+    // never an all-pairs product (see graft.ops.FuzzyJoin). Zero-padded
+    // sequential names are a pathologically dense fuzzy workload
+    // (every row has ~30 true neighbors), so the graded query runs on
+    // the supplier dimension; the operator itself is column-agnostic.
+    "q_fuzzy_join" -> ((s, d) =>
+      FuzzyJoin.editDistance1Counts(
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")
+        .select(col("s_suppkey").as("supp_id"), col("n_fuzzy"))),
+
+    // RANGE-frame window: per-customer trailing-30-day order sum —
+    // the time-decayed feature shape (frames by VALUE distance, not
+    // row count; peers with equal dates aggregate identically
+    // regardless of tie order, so no float-rank hazard).
+    "q_window_range" -> ((s, d) => {
+      // o_orderdate is TIMESTAMP_NTZ: cast through session-TZ (UTC)
+      // timestamp to epoch seconds — the same wall-clock seconds
+      // DuckDB's epoch() yields
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      Tables.orders(s, d).select(
+        col("o_custkey").as("cust_id"), col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_30d"),
+        count(lit(1)).over(w).cast("long").as("n_30d"))
+    }),
 
     // As-of (backward) join: each event picks up the latest order of
     // "its" customer at event time. Composed union+window operator —
@@ -403,6 +437,29 @@ object ExtQueries {
          FROM t a LEFT JOIN t b
            ON b.t BETWEEN a.t - 60000000 AND a.t + 60000000 AND b.id <> a.id
          GROUP BY a.id""",
+    "q_fuzzy_join" ->
+      """WITH keyed AS (
+           SELECT s_suppkey AS id, s_name AS s,
+             unnest(list_distinct(list_prepend(s_name,
+               list_transform(range(1, length(s_name) + 1),
+                 i -> substr(s_name, 1, i - 1) ||
+                      substr(s_name, i + 1, length(s_name)))))) AS k
+           FROM supplier WHERE s_name IS NOT NULL),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+                  FROM keyed a JOIN keyed b USING (k) WHERE a.id < b.id),
+         pairs AS (SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+         und AS (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs),
+         cnt AS (SELECT id, count(*) AS n_fuzzy FROM und GROUP BY id)
+         SELECT s_suppkey AS supp_id, COALESCE(n_fuzzy, 0) AS n_fuzzy
+         FROM supplier LEFT JOIN cnt ON s_suppkey = cnt.id""",
+    "q_window_range" ->
+      """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d,
+           count(*) OVER w AS n_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
     "q_asof_join" ->
       """SELECT event_id, user_id, strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
          FROM events ASOF LEFT JOIN orders

@@ -93,6 +93,34 @@ class RangeOpsSpec extends AnyFunSuite {
       (2L, Some("x"), ts("2024-01-01 00:00:00"), None, true)))
   }
 
+  test("fuzzy join finds exactly the distance-<=1 pairs of the brute-force model") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(3)
+    // small alphabet + short strings → dense distance-1 neighborhoods,
+    // including exact dups, substitutions, insertions, deletions
+    val rows = (0L until 120L).map(i =>
+      (i, (0 until 3 + rnd.nextInt(3)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    val got = FuzzyJoin.editDistance1Pairs(rows.toDF("id", "s").repartition(5), "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    val counts = FuzzyJoin.editDistance1Counts(rows.toDF("id", "s"), "id", "s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val degree = expected.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for ((id, _) <- rows)
+      assert(counts(id) == degree.getOrElse(id, 0L))
+  }
+
   test("posting lists cap head ids and count full df") {
     val docs = (0L until 20L).map(i => (i, "common w" + (i % 3))).toDF("doc_id", "text")
     val out = Relevance.postingLists(docs, "doc_id", "text", headK = 4)
