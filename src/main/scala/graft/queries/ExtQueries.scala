@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  AsOf, BloomJoin, FuzzyJoin, RangeJoin, Scd, Sessions, Similarity, Skew,
-  SnapshotDiff}
+  AsOf, BloomJoin, FuzzyJoin, Graphs, RangeJoin, Scd, Sessions, Similarity,
+  Skew, SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -55,6 +55,23 @@ object ExtQueries {
     "q_range_join" -> ((s, d) =>
       RangeJoin.neighborCounts(Tables.events(s, d), "event_id", "ts",
         deltaSeconds = 60L)),
+
+    // Integer PageRank (3 rounds) over the symmetrized supplier↔part
+    // bipartite graph from lineitem — entity-importance scoring with
+    // exact long arithmetic, so the full iteration hash-matches the
+    // unrolled oracle (see graft.ops.Graphs). Node ids: 2·part for
+    // parts, 2·supp+1 for suppliers (disjoint id spaces).
+    "q_pagerank" -> ((s, d) => {
+      // recent-shipments slice: the business question is "who matters
+      // NOW", and the filter pushes to the scan — rank cost follows
+      // the slice, not history
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionAll(li.select(col("pn").as("src"), col("sn").as("dst")))
+      Graphs.integerPageRank(edges, "src", "dst", iters = 3)
+    }),
 
     // Fuzzy self-join: per-supplier count of names within Levenshtein
     // distance 1, via FastSS deletion-neighborhood blocking — an
@@ -437,6 +454,31 @@ object ExtQueries {
          FROM t a LEFT JOIN t b
            ON b.t BETWEEN a.t - 60000000 AND a.t + 60000000 AND b.id <> a.id
          GROUP BY a.id""",
+    "q_pagerank" -> {
+      val S = graft.ops.Graphs.Scale
+      def round(r: Int, prev: String): String =
+        s"""c$r AS (SELECT e.dst AS node, sum(p.r // d.outdeg) AS s
+              FROM edges e JOIN $prev p ON e.src = p.node
+              JOIN deg d ON e.src = d.src GROUP BY e.dst),
+            r$r AS (SELECT n.node,
+                ${15L * S / 100L} + (85 * COALESCE(c.s, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c$r c USING (node))"""
+      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM li
+              UNION ALL
+              SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM li)),
+          nodes AS (SELECT DISTINCT src AS node FROM edges
+                    UNION SELECT DISTINCT dst FROM edges),
+          deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+          r0 AS (SELECT node, CAST($S AS BIGINT) AS r FROM nodes),
+          ${round(1, "r0")},
+          ${round(2, "r1")},
+          ${round(3, "r2")}
+          SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
+    },
     "q_fuzzy_join" ->
       """WITH keyed AS (
            SELECT s_suppkey AS id, s_name AS s,
