@@ -52,6 +52,46 @@ object ShingleExpressions {
     s.codePointCount(0, s.length).toLong * 10007L + first.toLong * 101L + last.toLong
   }
 
+  /** Whitespace tokenizer: the non-empty runs between single spaces —
+    * exactly `filter(split(s, " "), w -> w != "")`, as one byte-scan
+    * pass (0x20 never occurs inside a UTF-8 multi-byte sequence, so
+    * byte-level splitting is code-point-safe). Exists because the
+    * higher-order-function formulation is CodegenFallback: it forced
+    * every tokenize-hosting Project in the engine out of its
+    * whole-stage span, and it re-walked an interpreted expression
+    * tree per row in the hottest path the engine has (TextOps.words
+    * feeds ~20 queries).
+    */
+  case class WhitespaceWords(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val b = s.getBytes
+      val out = new java.util.ArrayList[UTF8String]()
+      var start = 0
+      var i = 0
+      while (i <= b.length) {
+        if (i == b.length || b(i) == 0x20) {
+          if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  def whitespaceWords(text: Column): Column =
+    GraftColumnBridge.column(WhitespaceWords(GraftColumnBridge.expression(text)))
+
   /** Distinct word 3-gram shingle strings. */
   case class DistinctWordShingles(child: Expression)
       extends UnaryExpression with ImplicitCastInputTypes {

@@ -21,7 +21,7 @@ object TextOps {
     * null — mirrored by the oracle's COALESCE(text, '').
     */
   def words(text: Column): Column =
-    filter(split(coalesce(text, lit("")), " "), w => w =!= lit(""))
+    graft.functions.ShingleExpressions.whitespaceWords(coalesce(text, lit("")))
 
   /** Portable per-word hash: length*10007 + first*101 + last. */
   def wordHash(w: Column): Column =

@@ -121,6 +121,28 @@ class PlanSpec extends AnyFunSuite {
       s"second sort appeared — windows not sharing order:\n$p")
   }
 
+  test("custom expressions stay inside whole-stage codegen spans") {
+    // a CodegenFallback expression forces its host Project out of the
+    // fused span: the plan line loses its `*(n)` codegen marker. Gate
+    // that the similarity kernel's dot/norm and the shingle family
+    // codegen (round-4 doGenCode upgrade) keep their stages fused.
+    // AQE assigns codegen stages only as query stages materialize, so
+    // run the query first and read the FINAL adaptive plan.
+    for ((q, marker) <- Seq(
+        "q_ann_cosine" -> "floatdotproduct",
+        "q_dedup_simhash" -> "simhash32",
+        "q_dedup_minhash" -> "distinctshinglehashes")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true") || !p.contains("AdaptiveSparkPlan"))
+      val lines = p.linesIterator.filter(_.contains(marker)).toSeq
+      assert(lines.nonEmpty, s"$q plan lost the $marker expression")
+      assert(lines.exists(_.trim.matches("^[+:|\\- ]*\\*\\(\\d+\\).*")),
+        s"$q: no codegen'd ($marker) stage:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("kmeans assignment broadcasts the codebook and keeps partial argmax") {
     // the trained codebook is a checkpointed RDD (its plan is opaque
     // by design), so gate the inner round's assignment step directly

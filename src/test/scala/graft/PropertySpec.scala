@@ -276,6 +276,21 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  // --- whitespace tokenizer: custom expression vs HOF model -----------
+
+  property("whitespaceWords equals filter(split(s,' '), nonEmpty) incl. unicode") =
+    Prop.forAll(
+      Gen.listOf(Gen.oneOf(
+        Gen.const(" "), Gen.const("  "), Gen.const("a"), Gen.const("béta"),
+        Gen.const("日本語"), Gen.const("x y"), Gen.const("\tz"),
+        Gen.alphaNumStr.map(_.take(6)))).map(_.mkString)) { s =>
+      val want = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val got = Seq(Tuple1(s)).toDF("t")
+        .select(graft.ops.TextOps.words(col("t")).as("ws"))
+        .as[Seq[String]].head()
+      got == want
+    }
+
   // --- keyed sampling: deterministic and repartition-invariant --------
 
   property("hash sampling is repartition-invariant and deterministic") =
