@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  AsOf, BloomJoin, FuzzyJoin, Graphs, RangeJoin, Scd, Sessions, Similarity,
-  Skew, SnapshotDiff}
+  AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, RangeJoin, Scd,
+  Sessions, Similarity, Skew, SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -20,6 +20,19 @@ object ExtQueries {
     // the streaming sessionize; one shuffle on user_id.
     "q_sessionize" -> ((s, d) =>
       Sessions.sessionize(Tables.events(s, d), "user_id", "ts", "event_id")),
+
+    // Ordered funnel signup → click → purchase with a 7-day conversion
+    // window: one exchange + one sort for the whole step cascade
+    // (see graft.ops.Funnels).
+    "q_funnel" -> ((s, d) =>
+      Funnels.funnel(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", Seq("signup", "click", "purchase"))),
+
+    // Weekly cohort retention: cohort via window-min over the user
+    // partition (no second pass over the log), then a two-phase
+    // distinct-user count per (cohort, offset) cell.
+    "q_retention" -> ((s, d) =>
+      Cohorts.weeklyRetention(Tables.events(s, d), "user_id", "ts")),
 
     // CDC-style snapshot diff: two deterministic order "snapshots"
     // (keys mod-filtered, prices nudged on a third residue class) →
@@ -422,6 +435,43 @@ object ExtQueries {
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                 (max(us) - min(us)) // 1000000 AS duration_sec
          FROM s2 GROUP BY user_id, seq""",
+    // same (us, eid) ordering and ROWS [unbounded, -1] frames; each
+    // window layer is a CTE because window functions can't nest
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS etype, epoch_us(ts) AS us,
+                    event_id AS eid FROM events),
+         t1 AS (SELECT *, CASE WHEN etype = 'signup' THEN us END AS q1 FROM e),
+         t2 AS (SELECT *, min(q1) OVER wp AS r1 FROM t1
+                WINDOW wp AS (PARTITION BY user_id ORDER BY us, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         t3 AS (SELECT *, CASE WHEN etype = 'click' AND r1 IS NOT NULL
+                     AND us - r1 <= 604800000000 THEN us END AS q2 FROM t2),
+         t4 AS (SELECT *, min(q2) OVER wp AS r2 FROM t3
+                WINDOW wp AS (PARTITION BY user_id ORDER BY us, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         t5 AS (SELECT *, CASE WHEN etype = 'purchase' AND r2 IS NOT NULL
+                     AND us - r1 <= 604800000000 THEN us END AS q3 FROM t4),
+         pu AS (SELECT user_id, min(q1) AS m1, min(q2) AS m2, min(q3) AS m3
+                FROM t5 GROUP BY user_id),
+         tot AS (SELECT
+             CAST(count(m1) AS BIGINT) AS n1,
+             CAST(count(m2) AS BIGINT) AS n2,
+             CAST(count(m3) AS BIGINT) AS n3 FROM pu)
+         SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, n1 AS n_users,
+                CAST(n1 AS DOUBLE) / n1 AS pct_of_first FROM tot
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', n2, CAST(n2 AS DOUBLE) / n1 FROM tot
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM tot""",
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS event_week FROM events),
+         c AS (SELECT *, min(event_week) OVER (PARTITION BY user_id) AS cohort_week
+               FROM e)
+         SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                CAST((event_week - cohort_week) // 7 AS BIGINT) AS week_offset,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM c GROUP BY 1, (event_week - cohort_week) // 7""",
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
                     WHERE o_orderkey % 3 <> 0),

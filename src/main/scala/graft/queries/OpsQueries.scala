@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Clusters, Contamination, CorpusFilters, Dedup, Embeddings, KMeans,
+  Chunking, Clusters, Contamination, CorpusFilters, Dedup, Embeddings, KMeans,
   Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
@@ -227,6 +227,12 @@ object OpsQueries {
         TextOps.wordCount(col("text")).as("n_ws_tokens"),
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // Sliding 50-token windows at stride 30 with a coverage-clamped
+    // final chunk — LLM context prep; shuffle-free Generate chain
+    // (see graft.ops.Chunking).
+    "q_doc_chunks" -> ((s, d) =>
+      Chunking.tokenWindows(Tables.documents(s, d), "doc_id", "text")),
 
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -856,6 +862,20 @@ object OpsQueries {
           $ngramScores FROM toks)
           SELECT doc_id, $langCase AS pred_lang, $ngramCase AS pred_lang_ngram,
                  lang AS labeled_lang FROM scored""",
+    // same start arithmetic: regular starts 1+i·30, final start
+    // clamped to f+1 so coverage is total and full-width
+    "q_doc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $ws AS ws FROM documents),
+          n AS (SELECT doc_id, ws, greatest(len(ws) - 50, 0) AS f FROM w),
+          k AS (SELECT *, (f + 29) // 30 AS k FROM n),
+          c AS (SELECT doc_id, ws, f, k, unnest(range(0, k + 1)) AS chunk_id FROM k),
+          s AS (SELECT doc_id, chunk_id,
+                  CASE WHEN chunk_id < k THEN 1 + chunk_id*30 ELSE f + 1 END AS st, ws
+                FROM c)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 CAST(len(list_slice(ws, st, st + 49)) AS BIGINT) AS n_tokens,
+                 array_to_string(list_slice(ws, st, st + 49), ' ') AS chunk_text
+          FROM s""",
     "q_token_count" ->
       s"""SELECT doc_id,
             CAST(len($ws) AS BIGINT) AS n_ws_tokens,
