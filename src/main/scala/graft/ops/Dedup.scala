@@ -218,6 +218,68 @@ object Dedup {
       .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
   }
 
+  /** EXACT all-pairs Jaccard join at threshold num/den via lossless
+    * prefix filtering (the AP-SS / ppjoin family: Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08) — the third point in the similarity
+    * design space: `jaccardPairs` prunes the UNIVERSE (df cut ⇒
+    * approximate at boilerplate scale), `minHashLshPairs` prunes
+    * CANDIDATES probabilistically (LSH ⇒ recall < 1), this prunes
+    * candidates LOSSLESSLY: with every doc's shingle-hash set sorted
+    * by a global rarity order (ascending df, then hash), any pair with
+    * J ≥ τ must share a token inside both docs' first
+    * |x| − ⌈τ·|x|⌉ + 1 tokens, so joining prefixes only loses nothing.
+    *
+    * Scale shape: the prefix join's fan-out concentrates on RARE
+    * tokens by construction — ubiquitous boilerplate shingles sit at
+    * the end of the canonical order and never enter a prefix, which is
+    * the same skew-killer the df cut buys, without changing the
+    * result. The length filter (min ≥ τ·max) prunes candidates before
+    * the distinct; verification ships integer hash arrays only.
+    *
+    * @return (doc_id_a, doc_id_b, shared, n_union), a < b, exact.
+    */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 7,
+      thresholdDen: Int = 10): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen >= thresholdNum,
+      "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val num = thresholdNum.toLong
+    val den = thresholdDen.toLong
+    val base = tokenized(df, idCol, textCol)
+      .select(col("id"), ShingleExpressions.distinctShingleHashes(col("ws")).as("hs"))
+    val toks = base.select(
+      col("id"), size(col("hs")).cast("long").as("n"), explode(col("hs")).as("h"))
+    val prefix = toks
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      // p = n − ⌈num·n/den⌉ + 1 (exact integer ceil-div)
+      .filter(col("pos") <= col("n") -
+        ((lit(num) * col("n") + lit(den - 1L)) / lit(den)).cast("long") + 1L)
+      .select(col("id"), col("n"), col("h"))
+    val cand = prefix.select(col("id").as("ida"), col("n").as("na"), col("h"))
+      .join(prefix.select(col("id").as("idb"), col("n").as("nb"), col("h")), "h")
+      .filter(col("ida") < col("idb"))
+      // length filter: J ≥ τ forces min ≥ τ·max
+      .filter(lit(den) * least(col("na"), col("nb")) >=
+        lit(num) * greatest(col("na"), col("nb")))
+      .select("ida", "idb").distinct()
+    val sets = base.select(col("id"), col("hs"))
+    cand
+      .join(sets.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
+      .join(sets.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
+      .withColumn("shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("hsa")).cast("long") + size(col("hsb")).cast("long") - col("shared"))
+      .filter(lit(den) * col("shared") >= lit(num) * col("n_union"))
+      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"),
+        col("shared"), col("n_union"))
+  }
+
   /** SimHash signatures (+ top-16-bit blocking key) per document. */
   def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

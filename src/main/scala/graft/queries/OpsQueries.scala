@@ -29,6 +29,12 @@ object OpsQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
 
+    // EXACT thresholded similarity join via lossless prefix filtering
+    // (AP-SS) — the oracle is the O(n²) brute force, which the prefix
+    // join must reproduce verbatim (see Dedup.allPairsJaccard).
+    "q_simjoin_exact" -> ((s, d) =>
+      Dedup.allPairsJaccard(Tables.documents(s, d), "doc_id", "text")),
+
     // Pair evidence is transitive in intent — the keep-list must group
     // by connected component, not by pair, or a chain A~B~C keeps two
     // of three docs.
@@ -800,6 +806,17 @@ object OpsQueries {
          FROM documents GROUP BY md5(text)""",
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql,
+    // brute force on the same hash sets — deliberately NOT the prefix
+    // algorithm, so the filter's losslessness is what's being checked
+    "q_simjoin_exact" ->
+      s"""WITH $toksBase,
+          sh AS (SELECT doc_id, $shingleHashes AS hs FROM base),
+          p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                  CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS shared,
+                  CAST(len(a.hs) AS BIGINT) AS na, CAST(len(b.hs) AS BIGINT) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT doc_id_a, doc_id_b, shared, na + nb - shared AS n_union
+          FROM p WHERE 10*shared >= 7*(na + nb - shared)""",
     "q_dedup_clusters" -> clustersSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_hash" -> sampleHashSql,

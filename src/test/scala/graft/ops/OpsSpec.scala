@@ -349,6 +349,70 @@ class OpsSpec extends AnyFunSuite {
       s"expected at most the final labels frame persisted, got ${leaked.size}")
   }
 
+  test("allPairsJaccard is lossless vs brute force across graded similarity") {
+    // corpora of word sequences with controlled overlap: doc i shares
+    // a sliding fraction of its 30 words with doc 0, sweeping Jaccard
+    // through the 0.7 threshold from both sides — the regime where a
+    // LOSSY prefix filter would actually drop pairs.
+    val vocab = (0 until 400).map(i => s"w$i")
+    val corpus = (0 until 40).map { i =>
+      // doc i = 30 words starting at offset i: consecutive docs overlap
+      // heavily, distant docs not at all
+      (i.toLong, (0 until 30).map(j => vocab(i + j)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // brute force over the same distinct-shingle-hash sets
+    val base = corpus
+      .select(col("doc_id").as("id"),
+        graft.functions.ShingleExpressions.distinctShingleHashes(
+          TextOps.words(col("text"))).as("hs"))
+    val brute = base.select(col("id").as("ida"), col("hs").as("hsa"))
+      .crossJoin(base.select(col("id").as("idb"), col("hs").as("hsb")))
+      .filter(col("ida") < col("idb"))
+      .withColumn("shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("hsa")).cast("long") + size(col("hsb")).cast("long") - col("shared"))
+      .filter(lit(10L) * col("shared") >= lit(7L) * col("n_union"))
+      .select(col("ida"), col("idb"), col("shared"), col("n_union"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(got == brute, "prefix-filtered join diverged from brute force")
+    assert(brute.nonEmpty, "test corpus produced no qualifying pairs")
+    // and the sweep really crosses the threshold: some adjacent pairs
+    // qualify, some overlapping-but-distant pairs don't
+    val bruteIds = brute.map(t => (t._1, t._2))
+    assert(!bruteIds.contains((0L, 5L)) || !bruteIds.contains((0L, 10L)))
+  }
+
+  test("prefix filtering prunes the candidate join below full posting fan-out") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = sfDocs
+      .select(col("doc_id").as("id"),
+        graft.functions.ShingleExpressions.distinctShingleHashes(
+          TextOps.words(col("text"))).as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("id"), size(col("hs")).cast("long").as("n"), explode(col("hs")).as("h"))
+    // candidate volume of a FULL posting self-join vs the 0.7-prefix
+    def pairCount(toks: org.apache.spark.sql.DataFrame): Long =
+      toks.select(col("id").as("ida"), col("h"))
+        .join(toks.select(col("id").as("idb"), col("h")), "h")
+        .filter(col("ida") < col("idb")).count()
+    import org.apache.spark.sql.expressions.Window
+    val prefix = base
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .filter(col("pos") <= col("n") -
+        ((lit(7L) * col("n") + lit(9L)) / lit(10L)).cast("long") + 1L)
+      .select(col("id"), col("h"))
+    val full = pairCount(base.select(col("id"), col("h")))
+    val pruned = pairCount(prefix)
+    assert(pruned * 2 < full,
+      s"prefix join should cut candidates at least 2x: $pruned vs $full")
+  }
+
   test("dedupClusters keeps exactly one doc per cluster, singletons kept") {
     val docs = (1L to 10L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
