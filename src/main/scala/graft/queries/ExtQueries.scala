@@ -86,6 +86,23 @@ object ExtQueries {
       Graphs.integerPageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Per-node triangle counts + clustering coefficient over the
+    // part co-purchase graph (parts sharing an order) — degree
+    // orientation bounds wedge fan-out at O(√m) per node
+    // (see Graphs.triangleCounts).
+    "q_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.groupBy(col("o")).agg(collect_list(col("p")).as("ps"))
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pa") < col("pb"))
+      Graphs.triangleCounts(edges, "pa", "pb")
+        .select(col("node").as("part_id"), col("degree"),
+          col("n_triangles"), col("clustering"))
+    }),
+
     // Fuzzy self-join: per-supplier count of names within Levenshtein
     // distance 1, via FastSS deletion-neighborhood blocking — an
     // equi-join on deletion variants + exact verify on candidates,
@@ -529,6 +546,29 @@ object ExtQueries {
           ${round(3, "r2")}
           SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
     },
+    // canonical a<b edges make each triangle (u<v<w) appear exactly
+    // once in the plain 3-way join — no orientation needed for the
+    // oracle, which is the point: the engine's degree-oriented plan
+    // must reproduce the naive semantics
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS a, b.p AS b
+               FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                 FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
+                 GROUP BY v),
+         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                 FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                 JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         pn AS (SELECT x AS node, count(*) AS t
+                FROM (SELECT u AS x FROM tri UNION ALL SELECT v FROM tri
+                      UNION ALL SELECT w FROM tri) q GROUP BY x)
+         SELECT d.v AS part_id, d.deg AS degree,
+                CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+                CASE WHEN d.deg >= 2
+                     THEN 2.0 * COALESCE(t, 0) / (d.deg * (d.deg - 1))
+                     ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN pn ON d.v = pn.node""",
     "q_fuzzy_join" ->
       """WITH keyed AS (
            SELECT s_suppkey AS id, s_name AS s,

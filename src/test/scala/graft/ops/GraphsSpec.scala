@@ -59,4 +59,46 @@ class GraphsSpec extends AnyFunSuite {
     assert(out == model(Seq((1L, 2L)), 2))
     assert(out.values.forall(_ >= 15L * Graphs.Scale / 100L))
   }
+
+  /** Sequential triangle model: brute-force over all node triples. */
+  private def triModel(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = (e.map(_._1) ++ e.map(_._2)).toSeq.distinct
+    val deg = nodes.map(n => n -> e.count(p => p._1 == n || p._2 == n).toLong).toMap
+    val tri = nodes.map { n =>
+      val nbrs = e.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+      n -> nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => e.contains((x min y, x max y))
+      }.toLong
+    }.toMap
+    nodes.map(n => n -> (deg(n), tri(n))).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)], parts: Int): Map[Long, (Long, Long, Double)] =
+    Graphs.triangleCounts(edges.toDF("a", "b").repartition(parts), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("triangle counts match brute force; hub-heavy graph and duplicates handled") {
+    // K4 plus a star hub: node 9 connected to everything (a skewed
+    // degree distribution — the case degree orientation exists for),
+    // duplicate + reversed + self edges thrown in
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val hub = (1L to 4L).map(i => (9L, i))
+    val noise = Seq((2L, 1L), (1L, 2L), (7L, 7L), (9L, 1L))
+    val edges = k4 ++ hub ++ noise
+    val want = triModel(edges)
+    for (parts <- Seq(1, 5)) {
+      val got = runTri(edges, parts)
+      assert(got.view.mapValues(v => (v._1, v._2)).toMap == want)
+      // K4+hub: every pair of node 1..4 is connected and all see the hub
+      assert(got(9L) == ((4L, 6L, 1.0))) // hub: C(4,2) triangles, all closed
+      assert(got(1L)._1 == 4L && got(1L)._2 == 6L)
+    }
+    // star-only graph has no triangles
+    val star = runTri((1L to 5L).map(i => (0L, i)), 3)
+    assert(star.values.forall(_._2 == 0L))
+    assert(star(0L)._3 == 0.0)
+  }
 }
