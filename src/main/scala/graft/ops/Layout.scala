@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderExpression
+
+/** Multi-dimensional data layout: z-order clustering for write-side
+  * file skipping.
+  *
+  * A parquet table sorted on one column skips files only for
+  * predicates on that column; every other dimension's min/max spans
+  * the whole domain in every file. Clustering by the Morton
+  * interleave of two dimension keys bounds BOTH dimensions per file:
+  * a (x-range AND y-range) box predicate prunes on file statistics
+  * in both axes, and single-axis predicates still prune (each file's
+  * z-range confines each axis to a fraction of its domain).
+  *
+  * At 100 TB this is a write-amplification-free layout choice — the
+  * cluster step is one range-repartition + within-partition sort (the
+  * same cost any sorted write pays), the key is a branch-free
+  * codegen'd expression, and downstream file skipping is ordinary
+  * parquet min/max pruning, no index structure to maintain.
+  */
+object Layout {
+
+  /** The 62-bit Morton key of two pre-scaled [0, 2^31) dimensions. */
+  def zKey(x: Column, y: Column): Column =
+    ZOrderExpression.zOrderKey(x.cast("long"), y.cast("long"))
+
+  /** Repartition into `numFiles` z-contiguous ranges and sort within
+    * each — the physical layout step before a parquet write. The key
+    * column is dropped from the result: it is a layout device, not
+    * data.
+    */
+  def clusterByZOrder(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__zkey", zKey(xCol, yCol))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+}

@@ -86,6 +86,18 @@ object ExtQueries {
       Graphs.integerPageRank(edges, "src", "dst", iters = 3)
     }),
 
+    // Morton z-order layout key over (customer, order-day) — the
+    // 2-d file-skipping sort key; branch-free codegen'd interleave
+    // (see graft.ops.Layout / functions.ZOrderExpression; LayoutSpec
+    // measures the file-skipping win over a 1-d sort).
+    "q_zorder" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        graft.ops.Layout.zKey(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long")).as("zkey"))),
+
     // Per-node triangle counts + clustering coefficient over the
     // part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out at O(√m) per node
@@ -546,6 +558,19 @@ object ExtQueries {
           ${round(3, "r2")}
           SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
     },
+    // bit-identical Morton interleave, written as the naive 31-term
+    // OR — deliberately not the shift-magic the engine uses
+    "q_zorder" -> {
+      val terms = (0 until 31).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT o_orderkey AS order_id,
+            o_custkey & 2147483647 AS x,
+            (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 2147483647 AS y
+          FROM orders)
+          SELECT order_id, CAST($terms AS BIGINT) AS zkey FROM b"""
+    },
+
     // canonical a<b edges make each triangle (u<v<w) appear exactly
     // once in the plain 3-way join — no orientation needed for the
     // oracle, which is the point: the engine's degree-oriented plan

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ZOrderExpression
+
+/** Z-order layout: key correctness against a naive bit model, and the
+  * actual file-skipping claim — a z-clustered write bounds BOTH
+  * dimensions per file, so multi-dimension predicates touch fewer
+  * files than under a 1-d sort (measured on real per-file min/max
+  * stats, the same statistics parquet footer pruning uses).
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("zOrderKey matches the naive per-bit interleave incl. masking") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(0L, 1L, 2L, 3L, 0x7FFFFFFFL, -1L, Long.MaxValue) ++
+      (1 to 200).map(_ => rnd.nextLong())
+    def naive(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val df = cases.zip(cases.reverse).toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrderExpression.zOrderKey(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == naive(r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) >= 0L, "62-bit key must be non-negative")
+    }
+  }
+
+  test("z-clustered files prune better than a 1-d sort for 2-d predicates") {
+    val n = 32
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("od"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val zDir = tmp.resolve("z").toString
+    val cDir = tmp.resolve("c").toString
+    Layout.clusterByZOrder(orders, col("o_custkey"), col("od"), n)
+      .write.mode("overwrite").parquet(zDir)
+    orders.repartitionByRange(n, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(cDir)
+
+    case class FileBox(xlo: Long, xhi: Long, ylo: Long, yhi: Long)
+    def stats(dir: String): Seq[FileBox] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+          min("od").as("ylo"), max("od").as("yhi"))
+        .collect()
+        .map(r => FileBox(r.getAs[Long]("xlo"), r.getAs[Long]("xhi"),
+          r.getAs[Long]("ylo"), r.getAs[Long]("yhi"))).toSeq
+    val zStats = stats(zDir)
+    val cStats = stats(cDir)
+    assert(zStats.size == n && cStats.size == n)
+
+    val bounds = orders.agg(min("o_custkey"), max("o_custkey"),
+      min("od"), max("od")).head()
+    val (xmin, xmax, ymin, ymax) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+    def touched(s: Seq[FileBox], xlo: Long, xhi: Long, ylo: Long, yhi: Long): Int =
+      s.count(b => b.xlo <= xhi && b.xhi >= xlo && b.ylo <= yhi && b.yhi >= ylo)
+    def mid(lo: Long, hi: Long, num: Int, den: Int): Long = lo + (hi - lo) * num / den
+
+    // date-only slice (middle eighth of the date domain): the
+    // custkey-sorted layout cannot prune AT ALL, z-order can
+    val (dlo, dhi) = (mid(ymin, ymax, 7, 16), mid(ymin, ymax, 9, 16))
+    val zDate = touched(zStats, xmin, xmax, dlo, dhi)
+    val cDate = touched(cStats, xmin, xmax, dlo, dhi)
+    assert(cDate == n, s"1-d custkey sort should touch all $n files, got $cDate")
+    assert(zDate * 2 <= n, s"z-order should skip >= half the files, touched $zDate/$n")
+
+    // 2-d box (middle eighth in both dims): z-order must also prune
+    val (klo, khi) = (mid(xmin, xmax, 7, 16), mid(xmin, xmax, 9, 16))
+    val zBox = touched(zStats, klo, khi, dlo, dhi)
+    assert(zBox * 2 <= n, s"z-order box touched $zBox/$n files")
+  }
+}
