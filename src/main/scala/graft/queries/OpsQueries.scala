@@ -234,6 +234,34 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Count-min heavy hitters: a 4×32 mergeable sketch over the word
+    // stream + the exact top-20 twin IN the same query — fixed affine
+    // hashes make sketch contents and collision noise bit-replicable,
+    // so this sketch is fully hash-verified cross-engine (unlike
+    // HLL/KLL whose internals are engine-private).
+    "q_cms_topk" -> ((s, d) => {
+      import graft.functions.CmsSketch
+      val W = 32
+      val D = 4
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .select(col("w"), TextOps.wordHash(col("w")).as("v"))
+      val sketch = toks.agg(CmsSketch.cmsSketch(W, D)(col("v")).as("sk"))
+      val cand = toks.groupBy(col("w"))
+        .agg(count(lit(1)).as("c"), first(col("v")).as("v"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+      val ests = (0 until D).map { r =>
+        val (a, b) = CmsSketch.RowAB(r)
+        element_at(col("sk"),
+          (lit(r * W) +
+            (lit(a) * pmod(col("v"), lit(CmsSketch.P)) + lit(b)) % lit(CmsSketch.P)
+              % lit(W.toLong)).cast("int") + 1)
+      }
+      cand.crossJoin(broadcast(sketch))
+        .select(col("w").as("word"), col("c").as("n_exact"),
+          least(ests: _*).as("n_est"))
+    }),
+
     // Sliding 50-token windows at stride 30 with a coverage-clamped
     // final chunk — LLM context prep; shuffle-free Generate chain
     // (see graft.ops.Chunking).
@@ -879,6 +907,31 @@ object OpsQueries {
           $ngramScores FROM toks)
           SELECT doc_id, $langCase AS pred_lang, $ngramCase AS pred_lang_ngram,
                  lang AS labeled_lang FROM scored""",
+    // the full sketch replicated relationally: per-row bucket sums
+    // over the exact word counts ARE the CMS counters
+    "q_cms_topk" -> {
+      val W = 32
+      val P = graft.functions.CmsSketch.P
+      def bkt(r: Int, v: String): String = {
+        val (a, b) = graft.functions.CmsSketch.RowAB(r)
+        s"((($a * ($v % $P) + $b) % $P) % $W)"
+      }
+      val rows = (0 until 4).map(r =>
+        s"b$r AS (SELECT ${bkt(r, "v")} AS bkt, sum(c) AS s FROM wc GROUP BY 1)")
+        .mkString(",\n          ")
+      val joins = (0 until 4).map(r =>
+        s"JOIN b$r s$r ON ${bkt(r, "cand.v")} = s$r.bkt").mkString("\n          ")
+      s"""WITH tk AS (SELECT unnest($ws) AS w FROM documents),
+          h AS (SELECT w, ${wh("w")} AS v FROM tk),
+          wc AS (SELECT w, any_value(v) AS v, count(*) AS c FROM h GROUP BY w),
+          $rows,
+          cand AS (SELECT w, v, c FROM wc ORDER BY c DESC, w LIMIT 20)
+          SELECT cand.w AS word, CAST(c AS BIGINT) AS n_exact,
+            CAST(least(s0.s, s1.s, s2.s, s3.s) AS BIGINT) AS n_est
+          FROM cand
+          $joins"""
+    },
+
     // same start arithmetic: regular starts 1+i·30, final start
     // clamped to f+1 so coverage is total and full-width
     "q_doc_chunks" ->

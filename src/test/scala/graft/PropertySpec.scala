@@ -291,6 +291,27 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  // --- count-min sketch: one-sided error + partition invariance -------
+
+  property("CMS estimate >= exact count and sketch is partition-invariant") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 40L)),
+      Gen.chooseNum(1, 7)) { (vals, parts) =>
+      import graft.functions.CmsSketch
+      val w = 32
+      val d = 4
+      def sketchOf(p: Int): Seq[Long] = vals.toDF("v").repartition(p)
+        .agg(CmsSketch.cmsSketch(w, d)(col("v")))
+        .head().getSeq[Long](0)
+      val sk = sketchOf(parts)
+      val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val estOk = exact.forall { case (v, c) =>
+        val est = (0 until d).map(r => sk(r * w + CmsSketch.bucket(v, r, w))).min
+        est >= c
+      }
+      estOk && sk == sketchOf(1)
+    }
+
   // --- keyed sampling: deterministic and repartition-invariant --------
 
   property("hash sampling is repartition-invariant and deterministic") =
