@@ -101,4 +101,46 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Rebalance a corpus to a TARGET class mixture — the data-mixing
+    * step of a training pipeline ("50% web, 30% books, 20% code"),
+    * downsampling only (never duplicating rows). Classes get integer
+    * weights; with W = Σw the achievable total is maximized subject to
+    * no class oversampling: T = min_c ⌊n_c·W/w_c⌋, per-class target
+    * t_c = ⌊w_c·T/W⌋, and rows are kept by the deterministic hash
+    * predicate at rate t_c/n_c (fixed-point threshold
+    * ⌊t_c·2^20/n_c⌋ — the binding class keeps everything exactly).
+    * Classes absent from `weights` (or weighted 0) are dropped.
+    *
+    * Scale shape: the class-count pass scans ONLY the class column
+    * (parquet column pruning) into a tiny aggregate; thresholds flow
+    * back as a broadcast join — no driver collect, no shuffle of the
+    * corpus itself, and the keep test is one codegen'd comparison per
+    * row. Everything is exact integer arithmetic: the kept set is
+    * bit-stable across engines and partitionings.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      keyCol: String,
+      classCol: String,
+      weights: Map[String, Long],
+      salt: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "mixToTarget needs at least one class weight")
+    require(weights.values.forall(_ >= 0L), "class weights must be non-negative")
+    val w = weights.values.sum
+    require(w > 0L, "at least one class weight must be positive")
+    val d = 1L << 20
+    val wMap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", element_at(wMap, col(classCol)))
+      .filter(col("__w").isNotNull && col("__w") > 0L)
+    val tRow = counts.agg(min(expr(s"__n * $w div __w")).as("__t"))
+    val thr = counts.crossJoin(broadcast(tRow))
+      .select(col(classCol),
+        expr(s"((__w * __t div $w) * $d) div __n").as("__thr"))
+    df.join(broadcast(thr), Seq(classCol))
+      .filter(pmod(sampleHash(col(keyCol), salt), lit(d)) < col("__thr"))
+      .drop("__thr")
+  }
 }

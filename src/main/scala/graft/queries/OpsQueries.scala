@@ -234,6 +234,14 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Target-mixture rebalancing over the source column (weights
+    // cycle 1..4): deterministic downsample-only mixing, thresholds
+    // derived in-plan and broadcast back (see Sampling.mixToTarget).
+    "q_mix_sources" -> ((s, d) =>
+      Sampling.mixToTarget(Tables.documents(s, d), "doc_id", "source",
+        MixWeights.toMap)
+        .select(col("doc_id"), col("source"))),
+
     // Count-min heavy hitters: a 4×32 mergeable sketch over the word
     // stream + the exact top-20 twin IN the same query — fixed affine
     // hashes make sketch contents and collision noise bit-replicable,
@@ -327,6 +335,10 @@ object OpsQueries {
         col("thumb").cast("string").as("thumb_text"))
     })
   )
+
+  /** Mixture weights for q_mix_sources, shared by query and oracle. */
+  private val MixWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong)
 
   // --- oracle SQL (shared fragments + generated long forms) -----------
 
@@ -907,6 +919,25 @@ object OpsQueries {
           $ngramScores FROM toks)
           SELECT doc_id, $langCase AS pred_lang, $ngramCase AS pred_lang_ngram,
                  lang AS labeled_lang FROM scored""",
+    // same integer derivation: T = min floor(n*W/w), t_c = floor(w*T/W),
+    // fixed-point threshold floor(t_c*2^20/n_c)
+    "q_mix_sources" -> {
+      val values = MixWeights.sortBy(_._1)
+        .map { case (s, wt) => s"('$s', $wt)" }.mkString(", ")
+      val w = MixWeights.map(_._2).sum
+      val d = 1L << 20
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS v(src, wt)),
+          c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          cw AS (SELECT c.source, n, wt FROM c JOIN w ON c.source = w.src
+                 WHERE wt > 0),
+          t AS (SELECT min(n * $w // wt) AS tt FROM cw),
+          thr AS (SELECT source, ((wt * tt // $w) * $d) // n AS thr FROM cw, t)
+          SELECT d.doc_id, d.source FROM documents d
+          JOIN thr ON d.source = thr.source
+          WHERE (doc_id * ${graft.ops.Sampling.HashA}) %
+                ${graft.ops.Sampling.HashP} % $d < thr"""
+    },
+
     // the full sketch replicated relationally: per-row bucket sums
     // over the exact word counts ARE the CMS counters
     "q_cms_topk" -> {

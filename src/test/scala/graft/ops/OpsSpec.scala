@@ -413,6 +413,30 @@ class OpsSpec extends AnyFunSuite {
       s"prefix join should cut candidates at least 2x: $pruned vs $full")
   }
 
+  test("mixToTarget hits the target mixture, keeps the binding class whole, drops weight-0") {
+    // skewed corpus: 600 of a, 300 of b, 100 of c, 50 of d
+    val rows = (1L to 600L).map((_, "a")) ++ (601L to 900L).map((_, "b")) ++
+      (901L to 1000L).map((_, "c")) ++ (1001L to 1050L).map((_, "d"))
+    val df = rows.toDF("id", "cls")
+    // target 1:1:2 over a:b:c — c is binding (100 docs / share 0.5 →
+    // T = 200); d is unweighted and must vanish
+    val out = Sampling.mixToTarget(df, "id", "cls", Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+    val got = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("d"))
+    // binding class kept in full: t_c = floor(2*200/4) = 100 = n_c
+    assert(got("c") == 100L)
+    // a and b target 50 each at hash rate 50/600, 50/300 — binomial-ish
+    // tolerance around the fixed-point threshold
+    assert(math.abs(got.getOrElse("a", 0L) - 50L) <= 20L, s"a: ${got.get("a")}")
+    assert(math.abs(got.getOrElse("b", 0L) - 50L) <= 20L, s"b: ${got.get("b")}")
+    // deterministic and repartition-invariant
+    val again = Sampling.mixToTarget(df.repartition(7), "id", "cls",
+      Map("a" -> 1L, "b" -> 1L, "c" -> 2L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("dedupClusters keeps exactly one doc per cluster, singletons kept") {
     val docs = (1L to 10L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
