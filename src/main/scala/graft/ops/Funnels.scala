@@ -29,17 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Funnels {
 
-  /** @return K rows: (step BIGINT 1-based, step_name, n_users BIGINT,
-    *         pct_of_first DOUBLE).
+  /** Per-user earliest completion time of each step prefix:
+    * (user_id, m1..mK) with m_i = earliest qualifying step-i event
+    * time in µs, null if never reached. The shared core of the
+    * aggregate [[funnel]] and the per-user [[userSteps]].
     */
-  def funnel(
+  private def perUserReach(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       idCol: String,
       typeCol: String,
       steps: Seq[String],
-      horizonSeconds: Long = 7L * 24 * 3600): DataFrame = {
+      horizonSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(horizonSeconds > 0L, "conversion horizon must be positive")
     val horizonUs = horizonSeconds * 1000000L
@@ -69,11 +71,49 @@ object Funnels {
             col("us")))
     }
 
-    val totals = cur
+    cur
       .groupBy(col("user_id"))
       .agg(
         min(col("q1")).as("m1"),
         (2 to k).map(i => min(col(s"q$i")).as(s"m$i")): _*)
+  }
+
+  /** Per-user step-completion rows (user_id, step BIGINT, step_name,
+    * reached_us BIGINT) — one row per step a user actually reached;
+    * the batch twin of the streaming funnel's transition feed.
+    */
+  def userSteps(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      horizonSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    val per = perUserReach(events, userCol, tsCol, idCol, typeCol, steps, horizonSeconds)
+    val stackArgs = steps.indices
+      .map(i => s"${i + 1}L, '${steps(i)}', m${i + 1}")
+      .mkString(", ")
+    per
+      .select(col("user_id"),
+        expr(s"stack(${steps.size}, $stackArgs) AS (step, step_name, reached_us)"))
+      .filter(col("reached_us").isNotNull)
+  }
+
+  /** @return K rows: (step BIGINT 1-based, step_name, n_users BIGINT,
+    *         pct_of_first DOUBLE).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      horizonSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    val k = steps.size
+    val totals = perUserReach(
+      events, userCol, tsCol, idCol, typeCol, steps, horizonSeconds)
       .agg(
         sum(col("m1").isNotNull.cast("long")).as("n1"),
         (2 to k).map(i => sum(col(s"m$i").isNotNull.cast("long")).as(s"n$i")): _*)

@@ -130,6 +130,92 @@ object EventStreams {
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
+  final case class FunnelStep(
+      user_id: Long, step: Long, step_name: String, reached_ts: Timestamp)
+
+  /** Per-user funnel-progression state: earliest qualifying (µs, id)
+    * per step, Long.MaxValue = unreached (public: the state encoder's
+    * generated code must be able to construct it).
+    */
+  final case class FunnelState(us: Array[Long], eid: Array[Long])
+
+  /** Streaming ordered-funnel tracking — the streaming twin of
+    * [[graft.ops.Funnels.userSteps]]: emits (user, step, reached_ts)
+    * the first time a user completes each step prefix, with the same
+    * strictly-precedes (µs, event_id) qualification and the same
+    * conversion horizon anchored at the user's first step-1 event.
+    *
+    * Scale shape: state per user is two fixed K-long arrays, and it is
+    * DROPPED as soon as the funnel completes or the event-time
+    * timeout passes first-step-1 + horizon (nothing can qualify
+    * after) — so live state is bounded by users currently inside
+    * their conversion window, not by history. Exact vs the batch twin
+    * when events arrive in event-time order across micro-batches
+    * (within-batch disorder is sorted away); late cross-batch
+    * arrivals inside the watermark refine state silently but cannot
+    * retract an already-emitted first-completion (append semantics —
+    * the documented approximation, same as sessionize's).
+    */
+  def funnelSteps(
+      events: Dataset[Event],
+      steps: Seq[String],
+      horizonSeconds: Long = 7L * 24 * 3600,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelStep] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val horizonUs = horizonSeconds * 1000000L
+    val unset = Long.MaxValue
+    def evUs(e: Event): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(
+              FunnelState(Array.fill(k)(unset), Array.fill(k)(unset)))
+            val us = st.us.clone()
+            val eid = st.eid.clone()
+            def before(aUs: Long, aId: Long, bUs: Long, bId: Long): Boolean =
+              aUs < bUs || (aUs == bUs && aId < bId)
+            val out = List.newBuilder[FunnelStep]
+            for (e <- rows.toSeq.sortBy(e => (evUs(e), e.event_id))) {
+              val t = evUs(e)
+              val idx = steps.indexOf(e.event_type)
+              if (idx >= 0) {
+                val qualifies =
+                  if (idx == 0) true
+                  else us(idx - 1) != unset &&
+                    before(us(idx - 1), eid(idx - 1), t, e.event_id) &&
+                    t - us(0) <= horizonUs
+                if (qualifies && before(t, e.event_id, us(idx), eid(idx))) {
+                  if (us(idx) == unset)
+                    out += FunnelStep(userId, idx + 1L, steps(idx),
+                      new Timestamp(t / 1000L))
+                  us(idx) = t
+                  eid(idx) = e.event_id
+                }
+              }
+            }
+            if (us(0) == unset) out.result().iterator // never entered the funnel
+            else if (us(k - 1) != unset) {
+              state.remove() // funnel complete: no further emissions possible
+              out.result().iterator
+            } else {
+              state.update(FunnelState(us, eid))
+              state.setTimeoutTimestamp(us(0) / 1000L + horizonSeconds * 1000L)
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapMillis` of the last one
     * (enforced by event-time timeout against the watermark). Emits one

@@ -196,6 +196,62 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch userSteps twin and bounds state by completion") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    // user 1: clean completion; user 2: purchase BEFORE click (never
+    // qualifies past step 2 until a later click→purchase pair — which
+    // doesn't come); user 3: click precedes signup (out of order, step
+    // 2 only qualifies from the post-signup click); user 4: completes
+    // but outside the 1-hour horizon; user 5: same-ts tie, id order
+    // decides strict precedence
+    val all = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "signup", 0),
+      ev(2, "2024-01-01 10:05:00", 1, "click", 0),
+      ev(3, "2024-01-01 10:10:00", 1, "purchase", 0),
+      ev(4, "2024-01-01 10:00:00", 2, "signup", 0),
+      ev(5, "2024-01-01 10:01:00", 2, "purchase", 0),
+      ev(6, "2024-01-01 10:02:00", 2, "click", 0),
+      ev(7, "2024-01-01 09:50:00", 3, "click", 0),
+      ev(8, "2024-01-01 10:00:00", 3, "signup", 0),
+      ev(9, "2024-01-01 10:20:00", 3, "click", 0),
+      ev(10, "2024-01-01 10:00:00", 4, "signup", 0),
+      ev(11, "2024-01-01 11:30:00", 4, "click", 0), // past 1h horizon
+      ev(12, "2024-01-01 10:00:00", 5, "signup", 0),
+      ev(13, "2024-01-01 10:00:00", 5, "click", 0)) // same ts, higher id → qualifies
+    val (batch1, batch2) = all.partition(_.ts.getTime < ts("2024-01-01 10:10:00").getTime)
+
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelSteps(input.toDS(), steps, horizonSeconds = 3600L,
+      watermarkDelay = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_steps").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_steps").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step"),
+          r.getAs[String]("step_name"), r.getAs[Timestamp]("reached_ts").getTime))
+        .toSet
+      val batch = graft.ops.Funnels.userSteps(
+        all.toDF(), "user_id", "ts", "event_id", "event_type", steps,
+        horizonSeconds = 3600L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step"),
+          r.getAs[String]("step_name"), r.getAs[Long]("reached_us") / 1000L))
+        .toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      // the scenarios actually bite: user 1 completes, user 2 stops at
+      // click, user 5's tie qualifies
+      assert(streamed.exists(t => t._1 == 1L && t._2 == 3L))
+      assert(!streamed.exists(t => t._1 == 2L && t._2 == 3L))
+      assert(!streamed.exists(t => t._1 == 4L && t._2 == 2L))
+      assert(streamed.exists(t => t._1 == 5L && t._2 == 2L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
