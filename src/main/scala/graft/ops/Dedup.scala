@@ -173,25 +173,23 @@ object Dedup {
     * shuffle); bucketing shuffles only (id, band, 4-long key); the
     * verify join touches only candidate pairs.
     */
-  def minHashLshPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      thresholdNum: Int = 1,
-      thresholdDen: Int = 2): DataFrame = {
-    // Verification runs on the distinct shingle-HASH arrays, not the
-    // shingle strings: the verify join ships every candidate doc's set
-    // through the shuffle twice, and 8-byte hashes are severalfold
-    // narrower than word-3-gram strings. Precision is exact up to hash
-    // collisions inside one document pair — negligible, and the DuckDB
-    // oracle replicates the same hash-set semantics.
-    val base = tokenized(df, idCol, textCol)
+  /** Per-doc signature frame (id, hs, sig): the distinct shingle-hash
+    * set and the MinHash signature — computed ONCE at ingest and
+    * meant to be STORED next to the corpus, so later batches dedup
+    * against it without re-scanning corpus text
+    * (see [[minHashLshIncremental]]).
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(df, idCol, textCol)
       .select(
         col("id"),
         ShingleExpressions.distinctShingleHashes(col("ws")).as("hs"))
-    val sig = base.withColumn("sig",
-      ShingleExpressions.minHashSignature(col("hs"), MinHashAB, MinHashP))
-    val bands = sig.select(
+      .withColumn("sig",
+        ShingleExpressions.minHashSignature(col("hs"), MinHashAB, MinHashP))
+
+  /** (id, band, bkey) rows — one per banded signature slice. */
+  private def bandFrame(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("id"),
       explode(array((0 until Bands).map { b =>
         struct(
@@ -201,21 +199,77 @@ object Dedup {
               x => x.cast("string")), "_").as("bkey"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.select(col("id").as("ida"), col("band"), col("bkey"))
-      .join(bands.select(col("id").as("idb"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val sets = base.select(col("id"), col("hs"))
+
+  /** Exact integer-Jaccard verification of candidate (ida, idb) pairs
+    * against the signature frame's hash sets.
+    *
+    * Verification runs on the distinct shingle-HASH arrays, not the
+    * shingle strings: the verify join ships every candidate doc's set
+    * through the shuffle twice, and 8-byte hashes are severalfold
+    * narrower than word-3-gram strings. Precision is exact up to hash
+    * collisions inside one document pair — negligible, and the DuckDB
+    * oracle replicates the same hash-set semantics.
+    */
+  private def verifyPairs(
+      cand: DataFrame, sigs: DataFrame, num: Int, den: Int): DataFrame = {
+    val sets = sigs.select(col("id"), col("hs"))
     cand
       .join(sets.select(col("id").as("ida"), col("hs").as("hsa")), "ida")
       .join(sets.select(col("id").as("idb"), col("hs").as("hsb")), "idb")
       .withColumn("shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
       .withColumn("na", size(col("hsa")).cast("long"))
       .withColumn("nb", size(col("hsb")).cast("long"))
-      .filter(lit(thresholdDen.toLong) * col("shared") >=
-        lit(thresholdNum.toLong) * (col("na") + col("nb") - col("shared")))
+      .filter(lit(den.toLong) * col("shared") >=
+        lit(num.toLong) * (col("na") + col("nb") - col("shared")))
       .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
+  }
+
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    val sig = signatures(df, idCol, textCol)
+    val bands = bandFrame(sig)
+    val cand = bands.select(col("id").as("ida"), col("band"), col("bkey"))
+      .join(bands.select(col("id").as("idb"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    verifyPairs(cand, sig, thresholdNum, thresholdDen)
+  }
+
+  /** INCREMENTAL near-dup detection: which docs of a NEW batch
+    * duplicate the existing corpus (or each other), given only the
+    * corpus's STORED signature frame — the continuously-ingested-
+    * corpus shape: at 100 TB the corpus text is never re-scanned and
+    * never re-shuffled; only the batch is shingled, and the band join
+    * + verify touch signatures alone. Corpus-internal pairs are known
+    * from ingest time and are deliberately not re-derived.
+    *
+    * `corpusSigs` must come from [[signatures]] over ids disjoint
+    * from the batch. Returns (doc_id_a, doc_id_b), a < b, each pair
+    * involving at least one batch doc.
+    */
+  def minHashLshIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    val newSigs = signatures(newDocs, idCol, textCol)
+    val all = corpusSigs.select(col("id"), col("hs"), col("sig"))
+      .unionByName(newSigs)
+    val bNew = bandFrame(newSigs).select(col("id").as("na"), col("band"), col("bkey"))
+    val bAll = bandFrame(all).select(col("id").as("nb"), col("band"), col("bkey"))
+    val cand = bNew.join(bAll, Seq("band", "bkey"))
+      .filter(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("ida"),
+        greatest(col("na"), col("nb")).as("idb"))
+      .distinct()
+    verifyPairs(cand, all, thresholdNum, thresholdDen)
   }
 
   /** EXACT all-pairs Jaccard join at threshold num/den via lossless

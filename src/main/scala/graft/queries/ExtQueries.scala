@@ -103,14 +103,18 @@ object ExtQueries {
     // orientation bounds wedge fan-out at O(√m) per node
     // (see Graphs.triangleCounts).
     "q_triangles" -> ((s, d) => {
+      // collect_set dedups (order, part) in the same agg that builds
+      // the per-order list — no separate distinct pre-shuffle
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val edges = li.groupBy(col("o")).agg(collect_list(col("p")).as("ps"))
+      val edges = li.groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
         .select(explode(col("ps")).as("pa"), col("ps"))
         .select(col("pa"), explode(col("ps")).as("pb"))
         .filter(col("pa") < col("pb"))
-      Graphs.triangleCounts(edges, "pa", "pb")
+      // 1.2M slim edges at sf0.1 — comfortably broadcastable, which
+      // fuses wedge generation, closure probe, and partial count into
+      // one stage (no 41M-row wedge shuffle)
+      Graphs.triangleCounts(edges, "pa", "pb", broadcastClosure = true)
         .select(col("node").as("part_id"), col("degree"),
           col("n_triangles"), col("clustering"))
     }),

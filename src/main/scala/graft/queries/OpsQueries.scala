@@ -29,6 +29,17 @@ object OpsQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
 
+    // Incremental dedup: the doc_id%5==0 slice plays the incoming
+    // batch, deduped against STORED signatures of the rest — corpus
+    // text is never re-scanned (see Dedup.minHashLshIncremental).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      Dedup.minHashLshIncremental(batch, "doc_id", "text",
+        Dedup.signatures(corpus, "doc_id", "text"))
+    }),
+
     // EXACT thresholded similarity join via lossless prefix filtering
     // (AP-SS) — the oracle is the O(n²) brute force, which the prefix
     // join must reproduce verbatim (see Dedup.allPairsJaccard).
@@ -234,6 +245,25 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // End-to-end curation in ONE pass: every per-doc signal (token
+    // count, quality bucket, normalized digest) is a narrow
+    // single-pass projection, normalized-dedup is one window min on
+    // the digest, and the quality gate is a filter — the whole
+    // pipeline is a single exchange over the corpus. Integration
+    // evidence that the curation ops COMPOSE without extra scans.
+    "q_curate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("source"),
+          TextOps.wordCount(col("text")).as("n_tokens"),
+          TextOps.qualityBucket(col("text")).as("quality"),
+          md5(TextOps.normalize(col("text")).cast("binary")).as("nd"))
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("nd"))))
+        .filter(col("doc_id") === col("keeper") && col("quality") =!= "low")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    }),
+
     // Target-mixture rebalancing over the source column (weights
     // cycle 1..4): deterministic downsample-only mixing, thresholds
     // derived in-plan and broadcast back (see Sampling.mixToTarget).
@@ -383,7 +413,11 @@ object OpsQueries {
         SELECT ida AS doc_id_a, idb AS doc_id_b FROM sized
         WHERE 2*shared >= (na + nb - shared)"""
 
-  private def minhashSql: String = {
+  /** `candFilter`: extra AND-condition on the LSH candidate pairs —
+    * used by the incremental variant to keep only batch-involving
+    * pairs.
+    */
+  private def minhashSql(candFilter: String = ""): String = {
     val sigTerms = Dedup.MinHashAB.map { case (a, b) =>
       s"list_aggregate(list_transform(hs, " +
         s"h -> ($a*CAST(h AS BIGINT) + $b) % ${Dedup.MinHashP}), 'min')"
@@ -399,7 +433,8 @@ object OpsQueries {
         sig AS (SELECT doc_id, $sigTerms AS sig FROM sh),
         bands AS ($bandRows),
         cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bands a
-                 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id $candFilter),
         ver AS (SELECT ida, idb,
                   len(list_intersect(sa.hs, sb.hs)) AS shared,
                   len(sa.hs) AS na, len(sb.hs) AS nb
@@ -717,7 +752,7 @@ object OpsQueries {
     * declarative twin of the engine's min-label propagation fixpoint.
     */
   private def clustersSql: String =
-    s"""WITH RECURSIVE pairs AS ($minhashSql),
+    s"""WITH RECURSIVE pairs AS (${minhashSql()}),
         edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
         reach(node, root) AS (
@@ -845,7 +880,11 @@ object OpsQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
     "q_dedup_jaccard" -> jaccardSql,
-    "q_dedup_minhash" -> minhashSql,
+    "q_dedup_minhash" -> minhashSql(),
+    // identical signature pipeline; only batch-involving candidates
+    // survive (corpus-internal pairs are ingest-time knowledge)
+    "q_dedup_incremental" ->
+      minhashSql("AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"),
     // brute force on the same hash sets — deliberately NOT the prefix
     // algorithm, so the filter's losslessness is what's being checked
     "q_simjoin_exact" ->
@@ -919,6 +958,20 @@ object OpsQueries {
           $ngramScores FROM toks)
           SELECT doc_id, $langCase AS pred_lang, $ngramCase AS pred_lang_ngram,
                  lang AS labeled_lang FROM scored""",
+    "q_curate" ->
+      s"""WITH s AS (SELECT doc_id, source,
+            CAST(len($ws) AS BIGINT) AS n_tokens,
+            CASE WHEN len($ws) >= 30
+                  AND len(list_filter($ws, w -> w IN ($stopEn)))*10 >= len($ws)
+                 THEN 'high'
+                 WHEN len($ws) >= 10 THEN 'medium' ELSE 'low' END AS quality,
+            md5(trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nd
+          FROM documents),
+          k AS (SELECT *, min(doc_id) OVER (PARTITION BY nd) AS keeper FROM s)
+          SELECT doc_id, source, n_tokens, quality FROM k
+          WHERE doc_id = keeper AND quality <> 'low'""",
+
     // same integer derivation: T = min floor(n*W/w), t_c = floor(w*T/W),
     // fixed-point threshold floor(t_c*2^20/n_c)
     "q_mix_sources" -> {

@@ -349,6 +349,30 @@ class OpsSpec extends AnyFunSuite {
       s"expected at most the final labels frame persisted, got ${leaked.size}")
   }
 
+  test("incremental minhash equals full-corpus pairs restricted to the batch") {
+    // planted corpus: batch = {0}, stored corpus = {1,2,3,4} — the
+    // batch doc's near-dup (1) and exact dup (3) must surface, and
+    // nothing corpus-internal (1,3) may
+    val batch = docsDf.filter(col("doc_id") === 0L)
+    val corpus = docsDf.filter(col("doc_id") =!= 0L)
+    val inc = Dedup.minHashLshIncremental(batch, "doc_id", "text",
+      Dedup.signatures(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((0L, 1L), (0L, 3L)))
+
+    // and on the real corpus: incremental == full pairs restricted to
+    // batch-involving ones (identical candidate generation + verify)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc2 = Dedup.minHashLshIncremental(
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0L), "doc_id", "text",
+      Dedup.signatures(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2 == full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0))
+  }
+
   test("allPairsJaccard is lossless vs brute force across graded similarity") {
     // corpora of word sequences with controlled overlap: doc i shares
     // a sliding fraction of its 30 words with doc 0, sweeping Jaccard
