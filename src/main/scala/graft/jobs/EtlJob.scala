@@ -80,8 +80,9 @@ object EtlJob {
     // (GRAFT_BQ_PROJECT/GRAFT_BQ_DATASET required, GRAFT_BQ_TOKEN
     // optional bearer auth). GRAFT_EMULATOR_HOST flips either to
     // streaming inserts and points the REST adapter at the emulator,
-    // mirroring BIGQUERY_EMULATOR_HOST (main.py:805-814). Default is
-    // the parquet lake.
+    // mirroring BIGQUERY_EMULATOR_HOST (main.py:805-814).
+    // GRAFT_SINK=orc selects the ORC file lake (same lifecycle as
+    // parquet). Default is the parquet lake.
     val sink: SnapshotSink = env.get("GRAFT_SINK") match {
       case Some("ndjson") => new NdjsonSnapshotSink(spark, outDir,
         streamingInserts = env.contains("GRAFT_EMULATOR_HOST"))
@@ -99,6 +100,7 @@ object EtlJob {
           uploadBase = emulator.map(h => s"http://$h/upload/bigquery/v2")
             .getOrElse("https://bigquery.googleapis.com/upload/bigquery/v2"),
           streamingInserts = emulator.nonEmpty)
+      case Some("orc") => new graft.sink.OrcSnapshotSink(spark, outDir)
       case Some(other) if other != "parquet" =>
         throw new IllegalArgumentException(s"unknown GRAFT_SINK '$other'")
       case _ => new ParquetSnapshotSink(spark, outDir)

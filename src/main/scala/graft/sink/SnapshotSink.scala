@@ -52,19 +52,32 @@ trait SnapshotSink {
   * for tables whose new content is empty — overwrite can't clear a
   * partition it writes no rows to).
   */
-class ParquetSnapshotSink(spark: SparkSession, rootDir: String) extends SnapshotSink {
+class ParquetSnapshotSink(
+    spark: SparkSession,
+    rootDir: String,
+    fmt: String = "parquet") extends SnapshotSink {
   override def exists(repo: String, snapshotDate: Date): Boolean =
-    SnapshotWriter.snapshotExists(spark, rootDir, repo, snapshotDate)
+    SnapshotWriter.snapshotExists(spark, rootDir, repo, snapshotDate, fmt)
   override def deleteSnapshot(repo: String, snapshotDate: Date): Unit =
     SnapshotWriter.deleteSnapshot(spark, rootDir, repo, snapshotDate)
   override def writeSnapshot(tables: GithubTables, skipIfEmpty: Boolean): Unit =
-    SnapshotWriter.write(tables, rootDir, skipIfEmpty)
+    SnapshotWriter.write(tables, rootDir, skipIfEmpty, fmt)
   override def append(table: String, df: DataFrame): Unit =
-    SnapshotWriter.appendTable(df, s"$rootDir/$table")
+    SnapshotWriter.appendTable(df, s"$rootDir/$table", fmt = fmt)
   override def finalizeSnapshot(repo: String, snapshotDate: Date): Unit =
     for (table <- SnapshotWriter.TableNames)
-      SnapshotWriter.compactPartition(spark, rootDir, table, repo, snapshotDate)
+      SnapshotWriter.compactPartition(spark, rootDir, table, repo, snapshotDate,
+        fmt = fmt)
 }
+
+/** Same file-lake contract over ORC (built into Spark's jars — no
+  * extra dependency): dynamic partition overwrite, explicit delete,
+  * per-chunk append, and rename-swap compaction are all
+  * format-agnostic file-source behaviors, so the whole lifecycle
+  * rides the parquet implementation with a different codec.
+  */
+class OrcSnapshotSink(spark: SparkSession, rootDir: String)
+  extends ParquetSnapshotSink(spark, rootDir, "orc")
 
 object NdjsonSnapshotSink {
   /** One NDJSON line per row, every field explicit (null included) —

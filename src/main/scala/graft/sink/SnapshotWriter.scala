@@ -29,11 +29,12 @@ object SnapshotWriter {
     * the touched (snapshot_date, target_repository) partitions.
     * Empty inputs are skipped (K5: empty per-table list → skip).
     */
-  def write(tables: GithubTables, rootDir: String, skipIfEmpty: Boolean = true): Unit = {
+  def write(tables: GithubTables, rootDir: String, skipIfEmpty: Boolean = true,
+      fmt: String = "parquet"): Unit = {
     val dfs = TableNames.zip(Seq(
       tables.pullRequests, tables.commits, tables.reviewers, tables.comments))
     for ((name, df) <- dfs) {
-      writeTable(df, s"$rootDir/$name", skipIfEmpty)
+      writeTable(df, s"$rootDir/$name", skipIfEmpty, fmt)
     }
   }
 
@@ -42,7 +43,8 @@ object SnapshotWriter {
     * and callers whose input is expensive to recompute (the DSv2 API
     * extraction) must not pay an extra action per table.
     */
-  def writeTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true): Unit = {
+  def writeTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true,
+      fmt: String = "parquet"): Unit = {
     if (!skipIfEmpty || !df.isEmpty) {
       df.write
         .mode("overwrite")
@@ -50,7 +52,7 @@ object SnapshotWriter {
         // be left in dynamic mode behind the caller's back
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshot_date", "target_repository")
-        .parquet(path)
+        .format(fmt).save(path)
     }
   }
 
@@ -119,12 +121,13 @@ object SnapshotWriter {
     * Spark job per micro-batch, while appending an empty frame is
     * harmless — no partition directories appear).
     */
-  def appendTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true): Unit =
+  def appendTable(df: DataFrame, path: String, skipIfEmpty: Boolean = true,
+      fmt: String = "parquet"): Unit =
     if (!skipIfEmpty || !df.isEmpty) {
       df.write
         .mode("append")
         .partitionBy("snapshot_date", "target_repository")
-        .parquet(path)
+        .format(fmt).save(path)
     }
 
   /** NDJSON serialization — the exact payload format of the
@@ -168,7 +171,8 @@ object SnapshotWriter {
       table: String,
       repo: String,
       snapshotDate: Date,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      fmt: String = "parquet"): Unit = {
     val dir = partitionPath(rootDir, table, repo, snapshotDate)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -198,8 +202,8 @@ object SnapshotWriter {
     if (dataFiles.length <= 1) return
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    spark.read.format(fmt).load(dir).repartition(nFiles)
+      .write.mode("overwrite").format(fmt).save(tmp.toString)
     // swap: current -> old, compacted -> current, drop old. A crash
     // before the first rename leaves the original untouched; between
     // the renames, the hidden old copy is restored by the self-heal
@@ -222,13 +226,14 @@ object SnapshotWriter {
       spark: SparkSession,
       rootDir: String,
       repo: String,
-      snapshotDate: Date): Boolean = {
+      snapshotDate: Date,
+      fmt: String = "parquet"): Boolean = {
     val path = s"$rootDir/pull_requests"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) false
     else try {
-      !spark.read.parquet(path)
+      !spark.read.format(fmt).load(path)
         .filter(col("snapshot_date") === lit(snapshotDate) &&
           col("target_repository") === lit(repo))
         .limit(1)

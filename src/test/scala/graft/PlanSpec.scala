@@ -121,6 +121,40 @@ class PlanSpec extends AnyFunSuite {
       s"second sort appeared — windows not sharing order:\n$p")
   }
 
+  test("round-4 operators keep their designed exchange budgets") {
+    // executed (final AQE) plans; ReusedExchange doesn't count — it is
+    // the point. Budgets are the DESIGN, not an observation: funnel is
+    // one corpus shuffle + a 1-row rollup, chunking and z-order keys
+    // are shuffle-free map work, curation is exactly one digest
+    // shuffle.
+    def finalPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // the adaptive plan string repeats every operator under
+      // "== Initial Plan ==" — count the final section only
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    def exchanges(p: String): Int =
+      p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange") &&
+          !l.contains("BroadcastExchange"))
+    val budgets = Seq(
+      "q_funnel" -> 2, // user-key shuffle + one-row global rollup
+      "q_doc_chunks" -> 0, // narrow Generate chain
+      "q_zorder" -> 0, // pure projection
+      "q_curate" -> 1) // the digest window only
+    for ((q, budget) <- budgets) {
+      val p = finalPlan(q)
+      assert(exchanges(p) <= budget,
+        s"$q exceeded its exchange budget $budget:\n$p")
+    }
+    // mixing never shuffles the corpus itself: thresholds arrive by
+    // broadcast, so no SortMergeJoin may appear
+    val mix = finalPlan("q_mix_sources")
+    assert(!mix.contains("SortMergeJoin"),
+      s"q_mix_sources corpus join must be broadcast:\n$mix")
+  }
+
   test("custom expressions stay inside whole-stage codegen spans") {
     // a CodegenFallback expression forces its host Project out of the
     // fused span: the plan line loses its `*(n)` codegen marker. Gate

@@ -39,8 +39,8 @@ class SnapshotSinkSpec extends AnyFunSuite {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$table"))) return Set.empty
     val normalized = sinkKind match {
-      case "parquet" =>
-        val df = spark.read.parquet(s"$root/$table")
+      case "parquet" | "orc" =>
+        val df = spark.read.format(sinkKind).load(s"$root/$table")
         df.select(df("pull_request_id").cast("long"), df("title"), df("target_repository"))
       case _ =>
         import org.apache.spark.sql.functions.{col, get_json_object}
@@ -55,6 +55,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   test("delete-then-append rerun is idempotent; other partitions untouched") {
     for ((kind, mk) <- Seq[(String, String => SnapshotSink)](
         ("parquet", r => new ParquetSnapshotSink(spark, r)),
+        ("orc", r => new OrcSnapshotSink(spark, r)),
         ("ndjson", r => new NdjsonSnapshotSink(spark, r)),
         ("ndjson-streaming", r => new NdjsonSnapshotSink(spark, r, streamingInserts = true)))) {
       val root = java.nio.file.Files.createTempDirectory(s"graft-sink-$kind").toString
