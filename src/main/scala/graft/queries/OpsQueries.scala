@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{
   Chunking, Clusters, Contamination, CorpusFilters, Dedup, Embeddings, KMeans,
-  Multimodal, Redact, Relevance, RepSignals, Sampling, Similarity, TextOps}
+  Multimodal, Packing, Redact, Relevance, RepSignals, Sampling, Similarity,
+  TextOps}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -299,6 +300,11 @@ object OpsQueries {
         .select(col("w").as("word"), col("c").as("n_exact"),
           least(ests: _*).as("n_est"))
     }),
+
+    // GPT-style sequence packing: per-bucket token-stream concat,
+    // split at 512-token boundaries (see graft.ops.Packing).
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id", "text")),
 
     // Sliding 50-token windows at stride 30 with a coverage-clamped
     // final chunk — LLM context prep; shuffle-free Generate chain
@@ -1015,6 +1021,24 @@ object OpsQueries {
           FROM cand
           $joins"""
     },
+
+    // same cumsum-and-split arithmetic over the (bucket, id) order
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS n,
+            doc_id % 16 AS bucket FROM documents),
+          c AS (SELECT *, CAST(COALESCE(sum(n) OVER (PARTITION BY bucket
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM t),
+          f AS (SELECT * FROM c WHERE n > 0),
+          e AS (SELECT bucket, doc_id, n, cum,
+                  unnest(range(cum // 512, (cum + n - 1) // 512 + 1)) AS seq_id
+                FROM f)
+          SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+            greatest(cum, seq_id * 512) - cum AS doc_offset,
+            least(cum + n, (seq_id + 1) * 512) - greatest(cum, seq_id * 512)
+              AS n_tokens
+          FROM e""",
 
     // same start arithmetic: regular starts 1+i·30, final start
     // clamped to f+1 so coverage is total and full-width

@@ -437,6 +437,39 @@ class OpsSpec extends AnyFunSuite {
       s"prefix join should cut candidates at least 2x: $pruned vs $full")
   }
 
+  test("sequence packing: full coverage, exactly-full sequences, boundary splits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = Packing.packSequences(docs, "doc_id", "text", seqLen = 64, buckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every doc's spans cover its tokens exactly, in order
+    val byDoc = spans.groupBy(_._3)
+    val counts = docs
+      .select(col("doc_id"), TextOps.wordCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((doc, ss) <- byDoc) {
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.map(_._5).sum == counts(doc), s"doc $doc coverage")
+      assert(sorted.head._4 == 0L, s"doc $doc must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 + a._5 == b._4, s"doc $doc spans must be contiguous")
+          assert(a._2 + 1 == b._2, s"doc $doc spans must hit consecutive seqs")
+        case _ =>
+      }
+    }
+    // every sequence except each bucket's last is exactly full
+    for ((bucket, ss) <- spans.groupBy(_._1)) {
+      val bySeq = ss.groupBy(_._2).view.mapValues(_.map(_._5).sum)
+      val lastSeq = bySeq.keys.max
+      for ((seq, tot) <- bySeq)
+        if (seq != lastSeq) assert(tot == 64L, s"bucket $bucket seq $seq not full: $tot")
+        else assert(tot <= 64L)
+    }
+    // at least one doc actually crosses a boundary at this seqLen
+    assert(byDoc.values.exists(_.length > 1), "no boundary split exercised")
+  }
+
   test("mixToTarget hits the target mixture, keeps the binding class whole, drops weight-0") {
     // skewed corpus: 600 of a, 300 of b, 100 of c, 50 of d
     val rows = (1L to 600L).map((_, "a")) ++ (601L to 900L).map((_, "b")) ++
