@@ -365,6 +365,26 @@ object ExtQueries {
     // DETERMINISTIC under the portable hash — so unlike HLL it is
     // fully oracle-verified (the SQL twin recomputes the k smallest
     // distinct hashes and the same estimator).
+    // Deterministic hash-reservoir quantile estimates — the third
+    // fully-hash-verified sketch family (KMV discipline applied to
+    // value sampling): per-group sample = values of the 64 smallest-
+    // hash order keys, quantiles are positional reads on it. Where
+    // q_approx_quantiles (KLL) is rows-only checkable, these
+    // estimates hash-match the oracle bit-for-bit.
+    "q_quantile_reservoir" -> ((s, d) => {
+      val res = graft.functions.ReservoirSketch.reservoir(64)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(res(col("o_orderkey"), col("o_totalprice")).as("vs"))
+        .select(
+          col("o_orderpriority"),
+          size(col("vs")).cast("long").as("m"),
+          element_at(col("vs"),
+            (floor(lit(0.5) * (size(col("vs")) - 1)) + 1).cast("int")).as("p50_est"),
+          element_at(col("vs"),
+            (floor(lit(0.9) * (size(col("vs")) - 1)) + 1).cast("int")).as("p90_est"))
+    }),
+
     "q_kmv_distinct" -> ((s, d) => {
       val kmv = graft.functions.KmvSketch.kmvDistinct(64)
       Tables.events(s, d)
@@ -666,6 +686,28 @@ object ExtQueries {
               AS kmv_estimate,
             (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
               AS exact_distinct"""
+    },
+    "q_quantile_reservoir" -> {
+      val P = graft.functions.KmvSketch.P
+      val A = graft.functions.KmvSketch.HashA
+      val B = graft.functions.KmvSketch.HashB
+      val A2 = graft.functions.KmvSketch.HashA2
+      val B2 = graft.functions.KmvSketch.HashB2
+      s"""WITH h0 AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+              (($A*(o_orderkey % $P) + $B) % $P + $P) % $P AS x
+            FROM orders WHERE o_orderkey IS NOT NULL),
+          h AS (SELECT g, v,
+              (((x*x % $P) * $A2 + $B2) % $P + $P) % $P AS hv FROM h0),
+          d AS (SELECT g, hv, min(v) AS v FROM h GROUP BY g, hv),
+          r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+                FROM d),
+          s AS (SELECT g, v FROM r WHERE rn <= 64),
+          q AS (SELECT g, CAST(count(*) AS BIGINT) AS m,
+                  list_sort(list(v)) AS vs FROM s GROUP BY g)
+          SELECT g AS o_orderpriority, m,
+            vs[CAST(floor(0.5*(m-1)) AS BIGINT) + 1] AS p50_est,
+            vs[CAST(floor(0.9*(m-1)) AS BIGINT) + 1] AS p90_est
+          FROM q"""
     },
     "q_kmv_distinct" ->
       s"""WITH h0 AS (SELECT DISTINCT event_type,

@@ -312,6 +312,24 @@ object PropertySpec extends Properties("graft") {
       estOk && sk == sketchOf(1)
     }
 
+  // --- hash-reservoir sample: model equality + partition invariance ---
+
+  property("hash reservoir equals the k-smallest-hash model incl. collisions") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 500L), Gen.chooseNum(-5.0, 5.0))),
+      Gen.chooseNum(1, 6)) { (rows, parts) =>
+      import graft.functions.{KmvSketch, ReservoirSketch}
+      val k = 8
+      val want = rows
+        .groupBy { case (key, _) => KmvSketch.hash(key) }
+        .map { case (h, g) => h -> g.map(_._2).min } // min value per hash
+        .toSeq.sortBy(_._1).take(k).map(_._2).sorted
+      val got = rows.toDF("k", "v").repartition(parts)
+        .agg(ReservoirSketch.reservoir(k)(col("k"), col("v")))
+        .head().getSeq[Double](0)
+      got == want
+    }
+
   // --- keyed sampling: deterministic and repartition-invariant --------
 
   property("hash sampling is repartition-invariant and deterministic") =
