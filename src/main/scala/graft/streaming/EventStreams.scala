@@ -58,6 +58,30 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("approx_users"))
 
+  /** Windowed per-user-activity count-min sketch: the same mergeable
+    * [[graft.functions.CmsSketch]] aggregator as `q_cms_topk`,
+    * running inside a watermarked streaming aggregation — micro-batch
+    * partial sketches sum element-wise into window state in constant
+    * memory (d·w counters per window), and because the counters are
+    * exact sums of deterministic bucket hits, the emitted sketch is
+    * IDENTICAL to the batch run over the same data (spec-gated, same
+    * discipline as the streaming KMV). Downstream heavy-hitter reads
+    * are point lookups against stored candidate sets.
+    */
+  def hourlyUserSketch(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      width: Int = 32,
+      depth: Int = 4): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.CmsSketch.cmsSketch(width, depth)(col("user_id"))
+        .as("cms"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("cms"))
+
   /** Streaming → snapshot-sink bridge (reference K3, the
     * streaming-insert path): each micro-batch appends into the
     * partitioned snapshot layout via foreachBatch. Append semantics

@@ -86,6 +86,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch equals the batch run over the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.hourlyUserSketch(input.toDF(), "5 minutes",
+      width = 16, depth = 4)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cms_stream").start()
+    // repeated users across two micro-batches (counts must SUM across
+    // batches, not overwrite — the mergeability claim)
+    val batch1 = (1 to 6).map(i =>
+      ev(i.toLong, "2024-01-01 10:0%d:00".format(i), (i % 3).toLong, "click", 1.0))
+    val batch2 = (7 to 12).map(i =>
+      ev(i.toLong, "2024-01-01 10:%d:00".format(i + 10), (i % 5).toLong, "click", 1.0))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 12:00:00", 99, "click", 1.0)) // close 10:00
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = (batch1 ++ batch2).toDF()
+        .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH").as("hour"))
+        .agg(graft.functions.CmsSketch.cmsSketch(16, 4)(col("user_id")).as("cms"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed("2024-01-01 10") == batch("2024-01-01 10"))
+      assert(streamed("2024-01-01 10").sum == 4L * 12) // every event counted once per row
+    } finally q.stop()
+  }
+
   test("foreachBatch snapshot sink appends each micro-batch to the partitioned layout") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
