@@ -82,6 +82,33 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("cms"))
 
+  /** Windowed value-quantile estimates from the deterministic
+    * hash-reservoir sample ([[graft.functions.ReservoirSketch]]) —
+    * the third mergeable sketch running under a watermark next to KMV
+    * and count-min: per-window state is the k-smallest-hash sample,
+    * merged across micro-batches order-free, so the emitted p50/p90
+    * equal the batch run over the same data (spec-gated). Exact
+    * windowed percentiles would need every value in state; this needs
+    * k·16 bytes per window.
+    */
+  def hourlyValueQuantiles(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      k: Int = 64): DataFrame = {
+    val res = graft.functions.ReservoirSketch.reservoir(k)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(res(col("event_id"), col("value")).as("vs"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        size(col("vs")).cast("long").as("m"),
+        element_at(col("vs"),
+          (floor(lit(0.5) * (size(col("vs")) - 1)) + 1).cast("int")).as("p50_est"),
+        element_at(col("vs"),
+          (floor(lit(0.9) * (size(col("vs")) - 1)) + 1).cast("int")).as("p90_est"))
+  }
+
   /** Streaming → snapshot-sink bridge (reference K3, the
     * streaming-insert path): each micro-batch appends into the
     * partitioned snapshot layout via foreachBatch. Append semantics

@@ -119,6 +119,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming reservoir quantiles equal the batch run over the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val agg = EventStreams.hourlyValueQuantiles(input.toDF(), "5 minutes", k = 8)
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("quant_stream").start()
+    // 14 values (> k=8, sample path exercised) across two micro-batches
+    val batch1 = (1 to 7).map(i =>
+      ev(i.toLong, "2024-01-01 10:0%d:00".format(i), i.toLong, "click", i * 1.5))
+    val batch2 = (8 to 14).map(i =>
+      ev(i.toLong, "2024-01-01 10:%d:00".format(i + 10), i.toLong, "click", i * 1.5))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 12:00:00", 99, "click", 1.0)) // close 10:00
+      q.processAllAvailable()
+      val streamed = spark.table("quant_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val res = graft.functions.ReservoirSketch.reservoir(8)
+      val batch = (batch1 ++ batch2).toDF()
+        .groupBy(date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH").as("hour"))
+        .agg(res(col("event_id"), col("value")).as("vs"))
+        .select(col("hour"), size(col("vs")).cast("long").as("m"),
+          element_at(col("vs"),
+            (floor(lit(0.5) * (size(col("vs")) - 1)) + 1).cast("int")).as("p50"),
+          element_at(col("vs"),
+            (floor(lit(0.9) * (size(col("vs")) - 1)) + 1).cast("int")).as("p90"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      assert(streamed("2024-01-01 10") == batch("2024-01-01 10"))
+      assert(streamed("2024-01-01 10")._1 == 8L) // sample capped at k
+    } finally q.stop()
+  }
+
   test("foreachBatch snapshot sink appends each micro-batch to the partitioned layout") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
