@@ -365,6 +365,14 @@ object ExtQueries {
     // DETERMINISTIC under the portable hash — so unlike HLL it is
     // fully oracle-verified (the SQL twin recomputes the k smallest
     // distinct hashes and the same estimator).
+    // Distributed closed-form OLS per return flag: a model fit as ONE
+    // aggregation pass (five exact integer sufficient statistics +
+    // constant-time solve — see graft.ops.Regression).
+    "q_ols_fit" -> ((s, d) =>
+      graft.ops.Regression.olsFit(Tables.lineitem(s, d),
+        yCol = "l_extendedprice", xCol = "l_quantity",
+        groupCols = Seq("l_returnflag"))),
+
     // Deterministic hash-reservoir quantile estimates — the third
     // fully-hash-verified sketch family (KMV discipline applied to
     // value sampling): per-group sample = values of the 64 smallest-
@@ -687,6 +695,30 @@ object ExtQueries {
             (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
               AS exact_distinct"""
     },
+    // same cent-quantized integer sums; formulas parenthesized to the
+    // identical IEEE operation sequence
+    "q_ols_fit" ->
+      """WITH t AS (SELECT l_returnflag AS g,
+            CAST(floor(l_quantity*100) AS BIGINT) AS xq,
+            CAST(floor(l_extendedprice*100) AS BIGINT) AS yq FROM lineitem),
+         s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) AS DOUBLE) AS nd,
+            CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+            CAST(sum(xq*xq) AS DOUBLE) AS sxx,
+            CAST(sum(xq*yq) AS DOUBLE) AS sxy,
+            CAST(sum(yq*yq) AS DOUBLE) AS syy
+          FROM t GROUP BY g),
+         s2 AS (SELECT g, n, nd, sx, sy,
+            nd*sxx - sx*sx AS varx, nd*syy - sy*sy AS vary,
+            nd*sxy - sx*sy AS cov FROM s),
+         s3 AS (SELECT *, CASE WHEN varx = 0 THEN 0.0 ELSE cov/varx END AS beta1
+                FROM s2)
+         SELECT g AS l_returnflag, n,
+           (sy - beta1*sx)/nd/100.0 AS beta0, beta1,
+           CASE WHEN varx = 0 OR vary = 0 THEN 0.0
+                ELSE (cov*cov)/(varx*vary) END AS r2
+         FROM s3""",
+
     "q_quantile_reservoir" -> {
       val P = graft.functions.KmvSketch.P
       val A = graft.functions.KmvSketch.HashA

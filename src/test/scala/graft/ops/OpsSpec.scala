@@ -437,6 +437,24 @@ class OpsSpec extends AnyFunSuite {
       s"prefix join should cut candidates at least 2x: $pruned vs $full")
   }
 
+  test("OLS fit recovers an exact linear relation; zero-variance pinned; partition-invariant") {
+    // y = 3 + 2x exactly (values in cents-friendly units)
+    val exact = (1 to 50).map(i => ("a", i.toDouble, 3.0 + 2.0 * i)) ++
+      (1 to 20).map(_ => ("b", 4.0, 7.5)) // zero x-variance group
+    val df = exact.toDF("g", "x", "y")
+    for (parts <- Seq(1, 7)) {
+      val out = Regression.olsFit(df.repartition(parts), "y", "x", Seq("g"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val (na, b0, b1, r2) = out("a")
+      assert(na == 50L)
+      assert(math.abs(b1 - 2.0) < 1e-9 && math.abs(b0 - 3.0) < 1e-7)
+      assert(math.abs(r2 - 1.0) < 1e-12)
+      // zero x-variance: slope 0, intercept = mean(y), r2 = 0
+      assert(out("b") == ((20L, 7.5, 0.0, 0.0)))
+    }
+  }
+
   test("sequence packing: full coverage, exactly-full sequences, boundary splits") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val spans = Packing.packSequences(docs, "doc_id", "text", seqLen = 64, buckets = 4)
