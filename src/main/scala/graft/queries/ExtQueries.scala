@@ -98,6 +98,19 @@ object ExtQueries {
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long")).as("zkey"))),
 
+    // Deterministic 3-step walks from every supplier node over the
+    // symmetrized supplier↔part graph — pseudo-random neighbor choice
+    // by portable hash, no RNG (see Graphs.deterministicWalks).
+    "q_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionAll(li.select(col("pn").as("src"), col("sn").as("dst")))
+      Graphs.deterministicWalks(edges, "src", "dst",
+        li.select(col("sn")), "sn", steps = 3)
+    }),
+
     // Per-node triangle counts + clustering coefficient over the
     // part co-purchase graph (parts sharing an order) — degree
     // orientation bounds wedge fan-out at O(√m) per node
@@ -590,6 +603,38 @@ object ExtQueries {
           ${round(3, "r2")}
           SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3"""
     },
+    // unrolled 3 rounds; per-walk min over the packed (hash<<31 | n)
+    // long, so no arg_min tie-break semantics leak in
+    "q_walks" -> {
+      val P = 2147483647L
+      val A = 1610612741L
+      val B = 805306457L
+      val A2 = 1566083941L
+      val B2 = 12345L
+      val pk = 2147483648L
+      def step(t: Int, prev: String): String =
+        s"""w$t AS (SELECT s.start, e.dst AS n,
+              ((s.start*131 + ${17L * t} + e.dst) % $P) AS v
+            FROM $prev s JOIN edges e ON e.src = s.c),
+           x$t AS (SELECT start, n, (($A*v + $B) % $P) AS x FROM w$t),
+           y$t AS (SELECT start, n, (((x*x % $P)*$A2 + $B2) % $P) AS y FROM x$t),
+           s$t AS (SELECT start, min(y*$pk + n) % $pk AS c FROM y$t GROUP BY start)"""
+      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          edges AS (SELECT DISTINCT src, dst FROM (
+            SELECT 2*l_suppkey+1 AS src, 2*l_partkey AS dst FROM li
+            UNION ALL SELECT 2*l_partkey AS src, 2*l_suppkey+1 AS dst FROM li)),
+          s0 AS (SELECT DISTINCT 2*l_suppkey+1 AS start,
+                   2*l_suppkey+1 AS c FROM li),
+          ${step(1, "s0")},
+          ${step(2, "s1")},
+          ${step(3, "s2")}
+          SELECT start AS start_node, CAST(0 AS BIGINT) AS step, c AS node FROM s0
+          UNION ALL SELECT start, 1, c FROM s1
+          UNION ALL SELECT start, 2, c FROM s2
+          UNION ALL SELECT start, 3, c FROM s3"""
+    },
+
     // bit-identical Morton interleave, written as the naive 31-term
     // OR — deliberately not the shift-magic the engine uses
     "q_zorder" -> {

@@ -60,6 +60,52 @@ class GraphsSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= 15L * Graphs.Scale / 100L))
   }
 
+  /** Sequential walk model with the identical portable hash. */
+  private def walkModel(
+      edges: Seq[(Long, Long)], starts: Seq[Long], steps: Int): Set[(Long, Long, Long)] = {
+    val P = 2147483647L
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def h(start: Long, t: Int, n: Long): Long = {
+      val v = (start * 131L + 17L * t + n) % P
+      val x = (1610612741L * v + 805306457L) % P
+      (((x * x) % P) * 1566083941L + 12345L) % P
+    }
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for (s0 <- starts.distinct) {
+      var c = s0
+      out += ((s0, 0L, c))
+      var t = 1
+      var alive = true
+      while (t <= steps && alive) {
+        adj.get(c) match {
+          case Some(ns) =>
+            c = ns.minBy(n => (h(s0, t, n), n))
+            out += ((s0, t.toLong, c))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("deterministic walks match the sequential model and are partition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b } :+ (30L, 31L) // 31 is a sink
+    val starts = (0L to 24L) :+ 30L
+    val want = walkModel(edges, starts, 3)
+    for (parts <- Seq(1, 6)) {
+      val got = Graphs.deterministicWalks(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst",
+        starts.toDF("n"), "n", steps = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    }
+    // the sink's walk stops after one hop
+    assert(want.filter(_._1 == 30L).map(_._2).max == 1L)
+  }
+
   /** Sequential triangle model: brute-force over all node triples. */
   private def triModel(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
     val e = edges.map { case (a, b) => (a min b, a max b) }
