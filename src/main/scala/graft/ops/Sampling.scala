@@ -81,6 +81,26 @@ object Sampling {
       .drop("__maxw")
   }
 
+  /** Leakage-safe train/validation/test label from a long GROUP key:
+    * every row sharing the key lands in the same split, so duplicates
+    * (or any other grouping — host, author, dedup cluster) can never
+    * straddle a split boundary and leak evaluation data into training.
+    * Key on the group's representative id (e.g. min doc_id per
+    * content digest) rather than the row id. Fractions are
+    * numerators over `den`: train gets [0, numTrain), validation
+    * [numTrain, numTrain+numVal), test the rest. Pure arithmetic on
+    * the row — no shuffle, no RNG, bit-stable across engines.
+    */
+  def splitLabel(groupKey: Column, numTrain: Int, numVal: Int, den: Int,
+      salt: Long = 0L): Column = {
+    require(numTrain > 0 && numVal >= 0 && numTrain + numVal < den,
+      "need 0 < numTrain and numTrain+numVal < den (test must be non-empty)")
+    val h = pmod(sampleHash(groupKey, salt), lit(den.toLong))
+    when(h < numTrain.toLong, "train")
+      .when(h < (numTrain + numVal).toLong, "validation")
+      .otherwise("test")
+  }
+
   /** Per-stratum rates: rate (num, den) per stratum value, fallback
     * rate for strata not listed. One predicate, no shuffle — stratified
     * sampling here is a filter, not a groupBy.

@@ -161,6 +161,62 @@ object Similarity {
       .select(col("ida").as("vec_id_a"), col("idb").as("vec_id_b"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    * then drop near-duplicates WITHIN each cluster — the cluster
+    * bound is what makes embedding dedup tractable at corpus scale,
+    * because candidate pairs fall from |C|²/2 to Σ_k |cluster_k|²/2
+    * and k grows with the corpus.
+    *
+    * Output: the KEPT rows as (id, cid). A row is dropped iff some
+    * lower-id member of its cluster sits at cosine ≥ threshold — the
+    * same greedy keep-lowest-id discipline as the MinHash/SimHash
+    * dedups, deterministic under any partitioning (cosines are the
+    * bit-stable sequential fold).
+    *
+    * The default codebook is the `nCentroids` lowest-id vectors with
+    * argmax-cosine assignment (ties to lowest cid) — the [[ivfTopK]]
+    * stand-in, reproducible cross-engine; a trained
+    * [[KMeans.kmeansCodebook]] drops in by replacing `cent`.
+    *
+    * Scale shape: codebook broadcast; assignment argmaxes a SLIM
+    * (id, cid, cos) stream with map-side combine; the within-cluster
+    * pair join is a cid EQUI-join (no cartesian in the plan); dropped
+    * ids are a slim distinct anti-joined back. Skewed clusters are the
+    * operator's one pressure point — at 100 TB pick nCentroids so the
+    * expected cluster fits a partition (the paper's k ≈ √|C|), and the
+    * cid shuffle then bounds every pair list.
+    */
+  def semanticDedup(
+      corpus: DataFrame, // (id, v)
+      threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val cent = corpus.orderBy(col("id").asc).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val c = corpus.withColumn("vnorm", norm(col("v")))
+    // nearest centroid per vector; max(struct) = max cos, tie ->
+    // max(-cid) = min cid (the ivfTopK assignment, verbatim)
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("id"),
+        struct(
+          (dot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+      .groupBy("id").agg(max(col("sc")).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+    val members = c.join(assigned, "id")
+    val a = members.select(col("cid"), col("id").as("ida"),
+      col("v").as("va"), col("vnorm").as("na"))
+    val b = members.select(col("cid"), col("id").as("idb"),
+      col("v").as("vb"), col("vnorm").as("nb"))
+    val dropped = a.join(b, "cid")
+      .filter(col("ida") < col("idb"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("idb").as("id")).distinct()
+    members.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"))
+  }
+
   /** IVF (inverted-file) approximate top-k: the coarse-quantizer
     * alternative to hyperplane LSH. Corpus vectors are assigned to
     * their nearest of `nCentroids` coarse centroids (the posting

@@ -107,6 +107,30 @@ object OpsQueries {
       KMeans.kmeansCodebook(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)),
 
+    // SemDeDup: coarse-quantizer clusters bound the candidate pairs,
+    // near-dups (cos ≥ 0.45, the q_dedup_embedding threshold) are
+    // dropped keep-lowest-id WITHIN each cluster.
+    "q_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("v")),
+        threshold = 0.45)
+        .select(col("id").as("vec_id"), col("cid"))),
+
+    // Leakage-safe splits: the group key is the exact-dedup cluster
+    // representative (min doc_id per normalized-content digest), so
+    // byte-duplicate documents can never straddle train/val/test.
+    "q_split_groups" -> ((s, d) => {
+      val g = Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(TextOps.normalize(col("text")).cast("binary")).as("dg"))
+      val reps = g.groupBy("dg").agg(min(col("doc_id")).as("grp"))
+      g.join(reps, "dg")
+        .select(col("doc_id"), col("grp"),
+          Sampling.splitLabel(col("grp"), numTrain = 8, numVal = 1, den = 10)
+            .as("split"))
+    }),
+
     // tokenize ONCE into a column, then derive every metric from it —
     // the interpreted split+filter walk is the expensive part and
     // Catalyst doesn't deduplicate HOF subtrees across projections.
@@ -521,6 +545,47 @@ object OpsQueries {
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
           (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
         WHERE rn <= 5"""
+  }
+
+  /** SemDeDup twin: the ivfSql codebook + assignment, then the greedy
+    * keep-lowest-id rule as a NOT-EXISTS over within-cluster pairs at
+    * the exact cosine threshold.
+    */
+  private def semanticDedupSql: String = {
+    def dc(a: String, b: String) = (1 to 64)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
+                      ORDER BY vec_id LIMIT 16),
+        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        asn AS (SELECT nid, cid FROM (
+          SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+            ORDER BY (${dc("nv", "cv")}) /
+              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+          FROM c, cent) t WHERE rn = 1),
+        m AS (SELECT nid, cid, nv FROM c JOIN asn USING (nid)),
+        dropped AS (SELECT DISTINCT b.nid AS nid
+          FROM m a JOIN m b ON a.cid = b.cid AND a.nid < b.nid
+          WHERE (${dc("a.nv", "b.nv")}) /
+            (sqrt(${dc("a.nv", "a.nv")}) * sqrt(${dc("b.nv", "b.nv")})) >= 0.45)
+        SELECT nid AS vec_id, cid FROM m
+        WHERE nid NOT IN (SELECT nid FROM dropped)"""
+  }
+
+  /** Leakage-safe split twin: min-doc_id group representative per
+    * normalized-content md5, split label from the same portable
+    * sampling hash of the representative.
+    */
+  private def splitGroupsSql: String = {
+    val norm = """trim(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+    val h = s"(((grp * ${Sampling.HashA}) % ${Sampling.HashP}) % 10)"
+    s"""WITH g AS (SELECT doc_id, md5($norm) AS dg FROM documents),
+        r AS (SELECT dg, min(doc_id) AS grp FROM g GROUP BY dg)
+        SELECT doc_id, grp,
+          CASE WHEN $h < 8 THEN 'train'
+               WHEN $h < 9 THEN 'validation'
+               ELSE 'test' END AS split
+        FROM g JOIN r USING (dg)"""
   }
 
   /** Quantized-centroid twin: identical floor(x·1024) quantization,
@@ -946,6 +1011,8 @@ object OpsQueries {
     "q_ann_ivf" -> ivfSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,
+    "q_dedup_semantic" -> semanticDedupSql,
+    "q_split_groups" -> splitGroupsSql,
     "q_text_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $ws AS ws FROM documents)
           SELECT doc_id,

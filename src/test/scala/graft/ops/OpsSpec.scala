@@ -512,6 +512,40 @@ class OpsSpec extends AnyFunSuite {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("semanticDedup drops the planted within-cluster near-dup, keeps lowest id") {
+    // two well-separated directions A/B; the two lowest ids seed the
+    // codebook, one per direction. 12 near-duplicates 10 (direction A)
+    // and must drop; 13 shares direction B with 11 but sits below the
+    // threshold (cos ≈ 0.8) and survives.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (10L, v(1, 0, 0.01, 0)), (11L, v(0, 1, 0, 0.01)),
+      (12L, v(1, 0.01, 0, 0)), (13L, v(0.6, 0.8, 0, 0)))
+      .toDF("id", "v")
+    val kept = Similarity.semanticDedup(vecs, threshold = 0.9, nCentroids = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cid")).toMap
+    assert(kept.keySet == Set(10L, 11L, 13L))
+    assert(kept(10L) == 10L && kept(11L) == 11L && kept(13L) == 11L)
+    // repartition-invariant
+    val again = Similarity.semanticDedup(vecs.repartition(5), 0.9, 2)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == Set(10L, 11L, 13L))
+  }
+
+  test("splitLabel is group-coherent and covers all three splits") {
+    val rows = (1L to 300L).map(i => (i, i % 50L)).toDF("id", "grp")
+    val out = rows.select(col("id"), col("grp"),
+      Sampling.splitLabel(col("grp"), 8, 1, 10).as("split"))
+    // every group maps to exactly one split
+    val perGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perGroup.forall(_.getAs[Long]("n") == 1L))
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    assert(bySplit("train") > bySplit("test"))
+  }
+
   test("dedupClusters keeps exactly one doc per cluster, singletons kept") {
     val docs = (1L to 10L).map(i => i -> s"doc $i").toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")

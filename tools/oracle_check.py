@@ -19,6 +19,27 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Types that round-trip identically through every plausible driver
+# canonicalization (fetchall/str, pandas, pyarrow). Anything else —
+# HUGEINT (DuckDB sum(BIGINT)!), DECIMAL, FLOAT (float32 formatting),
+# unsigned ints, TIME, INTERVAL — has bitten or could bite the driver's
+# hash compare even when the local str() compare passes, so flag it.
+SAFE_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+              "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+
+def risky_types(con, sql):
+    """Column (name, type) pairs whose DuckDB type isn't hash-safe."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for name, typ, *_ in desc:
+        base = typ.split("(")[0].strip()
+        if base.endswith("[]"):
+            base = base[:-2]
+        if base not in SAFE_TYPES:
+            bad.append((name, typ))
+    return bad
+
 
 def canon(rows, cols):
     """Order-insensitive canonical form: sort columns by name, then rows."""
@@ -62,6 +83,11 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        for side, sql in (("spark", f"SELECT * FROM read_parquet({files!r})"),
+                          ("oracle", oracle[name])):
+            for cname, typ in risky_types(con, sql):
+                print(f"WARN {name}: {side} column {cname} has "
+                      f"hash-risky type {typ}")
         mc, mr = canon(mine, mine_cols)
         rc, rr = canon(ref, ref_cols)
         if mc != rc:
