@@ -164,6 +164,70 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  final case class DocArrival(doc_id: Long, ts: Timestamp, simhash: Long)
+
+  /** Per-bucket recently-seen simhashes (public: the state encoder's
+    * generated code must be able to construct it).
+    */
+  final case class NearDupState(hashes: Array[Long])
+
+  /** Streaming NEAR-dup suppression — the streaming twin of
+    * [[graft.ops.Dedup.simHashes]]: a document is dropped when a
+    * recently-seen document in its simhash BUCKET (the batch blocking
+    * key: top 16 of 32 bits) sits within `maxHamming` bits of its
+    * simhash. Exact-id dedup ([[dedupEvents]]) can't see re-crawls
+    * and boilerplate edits; this catches them on arrival with the
+    * same hash and the same blocking recall tradeoff as the batch
+    * operator (a pair straddling two buckets is missed).
+    *
+    * Scale shape: one shuffle on the bucket key; state per bucket is
+    * a bounded long array (`maxPerBucket` cap — beyond it, oldest
+    * hashes are evicted first, a documented recall cut, never a
+    * correctness risk for kept rows), expired wholesale by event-time
+    * timeout once a bucket goes quiet for `stateTtl`. Within a
+    * micro-batch, arrivals apply in (ts, doc_id) order, so the kept
+    * set is deterministic under re-execution; like the batch greedy
+    * rule, the FIRST arrival of a near-dup family survives.
+    */
+  def dedupNearDocsWithinWatermark(
+      docs: DataFrame, // (doc_id, ts, text)
+      watermarkDelay: String = "10 minutes",
+      maxHamming: Int = 3,
+      stateTtlMillis: Long = 60 * 60 * 1000L,
+      maxPerBucket: Int = 256): Dataset[DocArrival] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        graft.ops.TextOps.simHash32(col("text")).as("simhash"))
+      .as[DocArrival]
+      .groupByKey(d => d.simhash >> 16)
+      .flatMapGroupsWithState[NearDupState, DocArrival](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[DocArrival], state: GroupState[NearDupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.hashes.toVector).getOrElse(Vector.empty)
+            val kept = Vector.newBuilder[DocArrival]
+            var lastMs = 0L
+            for (d <- rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))) {
+              lastMs = math.max(lastMs, d.ts.getTime)
+              val dup = seen.exists(h =>
+                java.lang.Long.bitCount(h ^ d.simhash) <= maxHamming)
+              if (!dup) {
+                kept += d
+                seen = (if (seen.length >= maxPerBucket) seen.tail else seen) :+ d.simhash
+              }
+            }
+            state.update(NearDupState(seen.toArray))
+            state.setTimeoutTimestamp(lastMs + stateTtlMillis)
+            kept.result().iterator
+          }
+      }
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

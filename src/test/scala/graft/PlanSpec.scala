@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite {
       s"second sort appeared — windows not sharing order:\n$p")
   }
 
+  test("semantic dedup bounds pairs to clusters; split broadcasts group reps") {
+    // assignment is corpus × 16-row codebook broadcast BY DESIGN; the
+    // within-cluster pair join and the dropped-id anti join must both
+    // be real equi-joins — a cartesian would mean the cluster bound
+    // (the whole point of SemDeDup) fell out of the plan
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join leaked:\n$p")
+    assert(p.contains("LeftAnti"), s"dropped-id anti join missing:\n$p")
+    assert(p.contains("partial_"), s"assignment argmax lost map-side combine:\n$p")
+    val sp = plan("q_split_groups")
+    assert(!sp.contains("CartesianProduct"))
+    assert(sp.contains("partial_min"),
+      s"group-representative min lost map-side combine:\n$sp")
+  }
+
   test("round-4 operators keep their designed exchange budgets") {
     // executed (final AQE) plans; ReusedExchange doesn't count — it is
     // the point. Budgets are the DESIGN, not an observation: funnel is

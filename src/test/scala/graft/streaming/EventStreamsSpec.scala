@@ -7,6 +7,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Top-level so spark.implicits can derive an Encoder. */
+final case class SpecDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class EventStreamsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -322,6 +325,47 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(!streamed.exists(t => t._1 == 2L && t._2 == 3L))
       assert(!streamed.exists(t => t._1 == 4L && t._2 == 2L))
       assert(streamed.exists(t => t._1 == 5L && t._2 == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup suppression equals the batch greedy rule on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      3L -> "completely different content about spark catalyst optimizer internals here",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      5L -> "another unrelated report on parquet encodings and column pruning details")
+    val docs = texts.zipWithIndex.map { case ((id, t), i) =>
+      SpecDoc(id, ts(f"2024-01-01 10:0$i%d:00"), t)
+    }
+    // batch reference: same simhash, same bucket, same greedy
+    // first-arrival-wins rule, in plain Scala
+    val hashed = docs.toDF().select($"doc_id",
+        graft.ops.TextOps.simHash32($"text").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = hashed.foldLeft(Map.empty[Long, Vector[Long]] -> Set.empty[Long]) {
+      case ((buckets, kept), (id, sh)) =>
+        val b = sh >> 16
+        val seen = buckets.getOrElse(b, Vector.empty)
+        if (seen.exists(h => java.lang.Long.bitCount(h ^ sh) <= 3)) (buckets, kept)
+        else (buckets.updated(b, seen :+ sh), kept + id)
+    }._2
+    assert(expected.size < docs.size, "fixture must contain a near-dup collision")
+
+    val input = MemoryStream[SpecDoc]
+    val out = EventStreams.dedupNearDocsWithinWatermark(
+      input.toDF(), watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup").start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*) // cross-batch arrivals hit stored state
+      q.processAllAvailable()
+      val keptIds = spark.table("neardup").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(keptIds == expected)
     } finally q.stop()
   }
 
