@@ -341,6 +341,51 @@ object Dedup {
       TextOps.simHash32(col(textCol)).as("simhash"),
       shiftright(TextOps.simHash32(col(textCol)), 16).as("simhash_bucket"))
 
+  /** SimHash near-duplicate PAIRS within Hamming distance `maxDist`,
+    * found EXACTLY (no missed pairs) without an all-pairs comparison —
+    * the Manku/Jain/Sarma web-crawl dedup shape: split the fingerprint
+    * into `maxDist + 1` bit-bands; two fingerprints within distance d
+    * differ in at most d bands, so by pigeonhole they agree on at
+    * least one band. Candidates = pairs sharing any (band, band-bits)
+    * key; each candidate is then verified with an exact popcount on
+    * the XOR, so precision AND recall are both exact — banding only
+    * bounds the comparison count.
+    *
+    * Scale shape: the fingerprint rides along with the band explode,
+    * so candidate pairs verify inline — no join back to the corpus and
+    * the shuffle carries (id, 8-byte fingerprint) only. Candidate
+    * volume is Σ_buckets |bucket|²; with a 32-bit fingerprint the band
+    * keys are 8-bit and a billion-doc corpus would flood the buckets —
+    * at that scale widen the fingerprint (64-bit, 16-bit bands, same
+    * operator shape) and run AFTER exact dedup so identical texts
+    * (identical fingerprints) don't concentrate in one bucket.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 32 / nBands
+    val mask = (1L << width) - 1
+    val sigs = df.select(col(idCol).as("id"), TextOps.simHash32(col(textCol)).as("sh"))
+    val bands = sigs.select(col("id"), col("sh"), explode(array(
+      (0 until nBands).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("sh"), b * width).bitwiseAND(lit(mask)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct() // a close pair can agree on several bands
+      .withColumn("dist", bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"), col("dist"))
+  }
+
   /** Cross-document passage-level duplication stats: each document is
     * cut into NON-OVERLAPPING `window`-word passages (full windows
     * only — the ragged tail can't be compared fairly), each passage

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: URL decomposition, per-domain corpus
+  * statistics, and domain blocklist filtering — the C4/RefinedWeb-style
+  * source-level hygiene pass that runs before any per-document scoring
+  * (a domain-level decision removes millions of documents with one
+  * broadcast join, where a per-document classifier would pay a full
+  * corpus scan).
+  *
+  * Scale shape: `host`/`registeredDomain` are codegen'd built-ins
+  * (`parse_url` + array ops) evaluated inline in the scan projection;
+  * `domainStats` shuffles one short string key per document; the
+  * blocklist filter is a broadcast LEFT ANTI join (the blocklist is
+  * always tiny relative to the corpus). The corpus-share column is
+  * integer parts-per-million — no float division, so results are
+  * bit-stable across partitionings and replicable in the oracle.
+  */
+object Web {
+
+  /** Lower-cased URL authority (host[:port] stripped to host). */
+  def host(url: Column): Column =
+    lower(parse_url(url, lit("HOST")))
+
+  /** Approximate registered domain: the last two dot-labels of the
+    * host. A production pass would consult the public-suffix list
+    * (where "co.uk" counts as one label); the two-label rule is the
+    * deterministic, list-free approximation and the operator seam is
+    * the same.
+    */
+  def registeredDomain(hostCol: Column): Column =
+    concat_ws(".", slice(split(hostCol, "\\."), -2, 2))
+
+  /** Per-registered-domain corpus stats: document count, total
+    * characters, and integer parts-per-million share of the corpus
+    * document count. One hash aggregation on the domain string plus a
+    * broadcast 1-row total — no second scan, no float division.
+    */
+  def domainStats(df: DataFrame, urlCol: String, charsCol: String): DataFrame = {
+    val base = df.select(
+      registeredDomain(host(col(urlCol))).as("domain"),
+      col(charsCol).cast("long").as("__chars"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    base.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("n_chars"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("(n_docs * CAST(1000000 AS BIGINT)) div __n"))
+      .drop("__n")
+  }
+
+  /** Drop documents whose registered domain appears in `blocked`
+    * (1-column frame `domain`): broadcast LEFT ANTI join, so the
+    * corpus is scanned once and never shuffled.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String, blocked: DataFrame): DataFrame =
+    df.withColumn("__dom", registeredDomain(host(col(urlCol))))
+      .join(broadcast(blocked.select(col("domain").as("__dom"))), Seq("__dom"), "left_anti")
+      .drop("__dom")
+}

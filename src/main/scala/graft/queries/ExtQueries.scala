@@ -414,6 +414,18 @@ object ExtQueries {
           countDistinct(col("user_id")).as("exact_distinct"))
     }),
 
+    // Custom HLL whose registers AND integer fixed-point estimate are
+    // replicated in the oracle — the hash-verified twin of the
+    // rows-only q_approx_distinct (see graft.functions.HllSketch).
+    "q_hll_custom" -> ((s, d) => {
+      val hll = graft.functions.HllSketch.hllFp20()
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll(col("user_id")).as("hll_fp20"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+        .withColumn("hll_est", expr("hll_fp20 div 1048576"))
+    }),
+
     // Sketch MERGE — the property that makes sketches matter at
     // 100 TB (sketch per shard/day, combine without re-scan): the
     // per-group k-minimum-value sketches union to the exact global
@@ -439,6 +451,41 @@ object ExtQueries {
             lit(graft.functions.KmvSketch.P.toDouble) /
             element_at(col("mh"), K).cast("double")).as("kmv_estimate"),
         col("exact_distinct"))
+    }),
+
+    // KMV set-operation estimates between group sketches (Beyer et
+    // al. 2007): union sketch = k smallest of the two sketches'
+    // union; Jaccard = |A∩B∩U|/|U|; intersection size = J·union_est.
+    // At 100 TB the pair fan-out is |groups|²/2 over k-bounded sketch
+    // rows — never over data — so comparing every pair of shards/days
+    // is driver-cheap after one corpus scan.
+    "q_kmv_intersect" -> ((s, d) => {
+      val K = 64
+      val P = graft.functions.KmvSketch.P
+      val kmvh = graft.functions.KmvSketch.kmvHashes(K)
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(kmvh(col("user_id")).as("sk"))
+      per.select(col("event_type").as("group_a"), col("sk").as("ska"))
+        .crossJoin(broadcast(
+          per.select(col("event_type").as("group_b"), col("sk").as("skb"))))
+        .filter(col("group_a") < col("group_b"))
+        .withColumn("mh",
+          slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, K))
+        .withColumn("usize", size(col("mh")).cast("long"))
+        .withColumn("shared_k",
+          size(array_intersect(array_intersect(col("ska"), col("skb")), col("mh")))
+            .cast("long"))
+        .withColumn("union_est",
+          when(col("usize") < K, col("usize").cast("double"))
+            .otherwise(lit((K - 1).toDouble * P.toDouble) /
+              element_at(col("mh"), K).cast("double")))
+        .withColumn("jaccard_est",
+          col("shared_k").cast("double") / col("usize").cast("double"))
+        .withColumn("intersect_est",
+          col("union_est") * col("shared_k").cast("double") /
+            col("usize").cast("double"))
+        .select(col("group_a"), col("group_b"), col("shared_k"), col("usize"),
+          col("union_est"), col("jaccard_est"), col("intersect_est"))
     }),
 
     // Approximate aggregates (sketches): HLL distinct count and KLL
@@ -810,6 +857,87 @@ object ExtQueries {
           JOIN (SELECT DISTINCT event_type, n FROM ranked) r ON r.event_type = e.event_type
           LEFT JOIN (SELECT event_type, hv FROM ranked WHERE rn = 64) kth
             ON kth.event_type = e.event_type""",
+    // registers: bucket = hash % 64, rho = leftmost-1 position in the
+    // 25-bit window (via length(bin(...))); estimate = raw HLL in
+    // 2^-20 fixed point, one floor division — see HllSketch scaladoc
+    "q_hll_custom" -> {
+      val P = graft.functions.KmvSketch.P
+      val A = graft.functions.KmvSketch.HashA
+      val B = graft.functions.KmvSketch.HashB
+      val A2 = graft.functions.KmvSketch.HashA2
+      val B2 = graft.functions.KmvSketch.HashB2
+      val alpha = graft.functions.HllSketch.AlphaFp20
+      s"""WITH h0 AS (SELECT DISTINCT event_type,
+              ((($A*(user_id % $P) + $B) % $P) + $P) % $P AS x
+            FROM events WHERE user_id IS NOT NULL),
+          h AS (SELECT DISTINCT event_type,
+              ((((x*x % $P) * $A2 + $B2) % $P) + $P) % $P AS hv FROM h0),
+          br AS (SELECT event_type, hv % 64 AS bucket,
+                   CASE WHEN hv // 64 = 0 THEN 26
+                        ELSE 26 - length(bin(hv // 64)) END AS rho FROM h),
+          regs AS (SELECT event_type, bucket, max(rho) AS reg
+                   FROM br GROUP BY 1, 2),
+          z AS (SELECT event_type,
+                  sum(CAST(1 AS BIGINT) << (26 - reg)) AS zs,
+                  count(*) AS nb FROM regs GROUP BY 1),
+          est AS (SELECT event_type,
+                    (CAST($alpha AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << 26))
+                      // (zs + (64 - nb) * (CAST(1 AS BIGINT) << 26)) AS fp
+                  FROM z),
+          exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS ed
+                    FROM events GROUP BY event_type)
+          SELECT e.event_type, CAST(s.fp AS BIGINT) AS hll_fp20,
+                 CAST(e.ed AS BIGINT) AS exact_distinct,
+                 CAST(s.fp // 1048576 AS BIGINT) AS hll_est
+          FROM exact e JOIN est s ON s.event_type = e.event_type"""
+    },
+    // per-group k-min sketches, pairwise union sketch via ROW_NUMBER,
+    // shared = |A∩B∩U|; float formulas sequenced exactly as the engine
+    "q_kmv_intersect" -> {
+      val P = graft.functions.KmvSketch.P
+      val A = graft.functions.KmvSketch.HashA
+      val B = graft.functions.KmvSketch.HashB
+      val A2 = graft.functions.KmvSketch.HashA2
+      val B2 = graft.functions.KmvSketch.HashB2
+      s"""WITH h0 AS (SELECT DISTINCT event_type,
+              ((($A*(user_id % $P) + $B) % $P) + $P) % $P AS x
+            FROM events WHERE user_id IS NOT NULL),
+          h AS (SELECT DISTINCT event_type,
+              ((((x*x % $P) * $A2 + $B2) % $P) + $P) % $P AS hv FROM h0),
+          r AS (SELECT event_type, hv,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) rn
+                FROM h),
+          sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+          g AS (SELECT DISTINCT event_type FROM sk),
+          pairs AS (SELECT a.event_type ga, b.event_type gb
+                    FROM g a, g b WHERE a.event_type < b.event_type),
+          uh AS (SELECT DISTINCT p.ga, p.gb, s.hv FROM pairs p
+                 JOIN sk s ON s.event_type = p.ga OR s.event_type = p.gb),
+          u AS (SELECT ga, gb, hv,
+                  ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hv) rn
+                FROM uh),
+          uk AS (SELECT ga, gb, hv, rn FROM u WHERE rn <= 64),
+          us AS (SELECT ga, gb, count(*) usize,
+                   max(CASE WHEN rn = 64 THEN hv END) kth FROM uk GROUP BY 1, 2),
+          sh AS (SELECT uk.ga, uk.gb, count(*) c
+                 FROM uk
+                 JOIN sk sa ON sa.event_type = uk.ga AND sa.hv = uk.hv
+                 JOIN sk sb ON sb.event_type = uk.gb AND sb.hv = uk.hv
+                 GROUP BY 1, 2)
+          SELECT us.ga AS group_a, us.gb AS group_b,
+            CAST(COALESCE(sh.c, 0) AS BIGINT) AS shared_k,
+            CAST(us.usize AS BIGINT) AS usize,
+            (CASE WHEN us.usize < 64 THEN CAST(us.usize AS DOUBLE)
+                  ELSE (63.0 * 2147483647.0) / CAST(us.kth AS DOUBLE) END)
+              AS union_est,
+            CAST(COALESCE(sh.c, 0) AS DOUBLE) / CAST(us.usize AS DOUBLE)
+              AS jaccard_est,
+            (CASE WHEN us.usize < 64 THEN CAST(us.usize AS DOUBLE)
+                  ELSE (63.0 * 2147483647.0) / CAST(us.kth AS DOUBLE) END)
+              * CAST(COALESCE(sh.c, 0) AS DOUBLE) / CAST(us.usize AS DOUBLE)
+              AS intersect_est
+          FROM us LEFT JOIN sh ON sh.ga = us.ga AND sh.gb = us.gb"""
+    },
     "q_window_running" ->
       """SELECT o_custkey AS cust_id, o_orderkey AS order_id,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

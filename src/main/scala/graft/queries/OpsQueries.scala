@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Chunking, Clusters, Contamination, CorpusFilters, Dedup, Embeddings, KMeans,
-  Multimodal, Packing, Redact, Relevance, RepSignals, Sampling, Similarity,
-  TextOps}
+  Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
+  Embeddings, KMeans, Multimodal, Packing, Redact, Relevance, RepSignals,
+  Sampling, Similarity, TextOps, Web}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -29,6 +29,11 @@ object OpsQueries {
 
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact Hamming-≤3 pair join via pigeonhole banding — candidates
+    // from 4×8-bit band agreement, verified by popcount (no misses).
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text")),
 
     // Incremental dedup: the doc_id%5==0 slice plays the incoming
     // batch, deduped against STORED signatures of the rest — corpus
@@ -188,6 +193,32 @@ object OpsQueries {
         Redact.urlCount(aug).as("n_urls"),
         Redact.phoneCount(aug).as("n_phones"),
         Redact.scrub(aug).as("scrubbed"))
+    }),
+
+    // Hashed-BoW linear quality classifier (fastText model shape,
+    // deterministic pseudo-weights — see graft.ops.Classifier).
+    "q_quality_classifier" -> ((s, d) =>
+      Classifier.score(Tables.documents(s, d), "doc_id", "text")),
+
+    // Domain-level web curation: deterministic synthetic URLs (the
+    // corpus has no url column — same injection discipline as
+    // q_pii_scrub), blocklist anti-join, then per-domain stats with an
+    // integer ppm corpus share.
+    "q_web_domains" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val url = concat(
+        lit("https://"), coalesce(col("source"), lit("x")),
+        pmod(col("doc_id"), lit(23L)).cast("string"),
+        lit(".example-"), pmod(col("doc_id"), lit(7L)).cast("string"), lit("."),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, "com")
+          .when(pmod(col("doc_id"), lit(3L)) === 1L, "org").otherwise("net"),
+        lit("/"), coalesce(col("lang"), lit("und")),
+        lit("/"), col("doc_id").cast("string"))
+      val withUrl = docs.select(col("doc_id"), col("n_chars"), url.as("url"))
+      val blocked = Seq("example-0.com", "example-3.org").toDF("domain")
+      Web.domainStats(
+        Web.filterBlockedDomains(withUrl, "url", blocked), "url", "n_chars")
     }),
 
     "q_sample_hash" -> ((s, d) =>
@@ -481,6 +512,26 @@ object OpsQueries {
     s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
         sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM toks)
         SELECT doc_id, simhash, simhash >> 16 AS simhash_bucket FROM sh"""
+  }
+
+  /** Pigeonhole-banded Hamming-pair twin: same 4×8-bit band keys, same
+    * popcount verify, DISTINCT for multi-band agreements.
+    */
+  private def simhashPairsSql: String = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(ws, w -> ((${wh("w")} >> $b) & 1)*2 - 1)) > 0 " +
+        s"THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+        sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM toks),
+        bands AS (SELECT doc_id, sh, b, (sh >> (8*b)) & 255 AS key
+                  FROM sh, (VALUES (0), (1), (2), (3)) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb, a.sh sa, b.sh sb
+                 FROM bands a JOIN bands b
+                 ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT ida AS doc_id_a, idb AS doc_id_b,
+               CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
   }
 
   private def annSql: String = {
@@ -969,6 +1020,33 @@ object OpsQueries {
           FROM p WHERE 10*shared >= 7*(na + nb - shared)""",
     "q_dedup_clusters" -> clustersSql,
     "q_pii_scrub" -> piiScrubSql,
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents)
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+            CAST(COALESCE(list_sum(list_transform(ws,
+              w -> (((${wh("w")} % 4096) * 2654435761) % 2003) - 1001)), 0)
+              AS BIGINT) AS score_fp,
+            CAST(CASE WHEN COALESCE(list_sum(list_transform(ws,
+              w -> (((${wh("w")} % 4096) * 2654435761) % 2003) - 1001)), 0) >= 0
+              THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM toks""",
+    "q_web_domains" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+           'https://' || COALESCE(source, 'x') || CAST(doc_id % 23 AS VARCHAR)
+             || '.example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+             || '/' || COALESCE(lang, 'und') || '/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         d AS (SELECT doc_id, n_chars, sp[-2] || '.' || sp[-1] AS domain
+               FROM (SELECT doc_id, n_chars,
+                       string_split(lower(split_part(url, '/', 3)), '.') sp FROM u)),
+         f AS (SELECT * FROM d
+               WHERE domain NOT IN ('example-0.com', 'example-3.org')),
+         t AS (SELECT count(*) AS n FROM f)
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST((count(*) * 1000000) // (SELECT n FROM t) AS BIGINT) AS share_ppm
+         FROM f GROUP BY domain""",
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),
@@ -1006,6 +1084,7 @@ object OpsQueries {
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_dedup_simhash" -> simhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> ivfSql,

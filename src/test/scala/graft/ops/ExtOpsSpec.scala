@@ -55,6 +55,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(small.groupBy($"g").agg(kmv($"v").as("e")).collect().head.getAs[Double]("e") == 40.0)
   }
 
+  test("HLL sketch is partition-invariant, matches the register model, sane accuracy") {
+    import graft.functions.{HllSketch, KmvSketch}
+    val hll = HllSketch.hllFp20()
+    val n = 937L
+    val df = (1 to 5000).map(i => ("g", (i % n).toLong)).toDF("g", "v")
+    def run(parts: Int): Long =
+      df.repartition(parts).groupBy($"g").agg(hll($"v").as("e"))
+        .collect().head.getAs[Long]("e")
+    val e1 = run(1)
+    val e16 = run(16)
+    assert(e1 == e16) // elementwise-max merge is order-free
+    // independent register model on the driver
+    val regs = new Array[Int](HllSketch.M)
+    (0L until n).foreach { v =>
+      val h = KmvSketch.hash(v)
+      val i = HllSketch.bucketOf(h)
+      regs(i) = math.max(regs(i), HllSketch.rhoOf(h))
+    }
+    assert(e1 == HllSketch.estFp20(regs))
+    val est = e1.toDouble / (1L << 20).toDouble
+    assert(math.abs(est - n.toDouble) / n.toDouble < 0.35) // raw-HLL m=64 error regime
+  }
+
   test("merged per-group KMV sketches reproduce the from-scratch global sketch") {
     import org.apache.spark.sql.functions.{
       array_distinct, array_sort, collect_list, flatten, slice}

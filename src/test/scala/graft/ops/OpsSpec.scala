@@ -93,6 +93,64 @@ class OpsSpec extends AnyFunSuite {
     assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
   }
 
+  test("simhash pairs: banded join equals brute-force popcount (pigeonhole exact)") {
+    // a varied corpus: seeded token soup so fingerprints spread across
+    // buckets, plus planted exact/near dups that must surface
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = base ++ Seq((100L, base(5)._2), (101L, base(5)._2 + " mu"))
+    val df = planted.toDF("doc_id", "text")
+    val got = Dedup.simHashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Dedup.simHashes(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash"))
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+    assert(got == brute, "banded hamming join diverged from brute force")
+    assert(got.contains((5L, 100L, 0L)), "planted exact dup missing")
+  }
+
+  test("hashed linear classifier: score matches driver model, keep = sign, empty text = 0") {
+    val withEmpty = docsDf.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val got = Classifier.score(withEmpty, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def model(text: String): (Long, Long) = {
+      val ws = Option(text).getOrElse("").split(" ").filter(_.nonEmpty)
+      val s = ws.map { w =>
+        val h = w.length.toLong * 10007L + w.head.toLong * 101L + w.last.toLong
+        ((h % Classifier.NumBuckets) * Classifier.WeightMul) % Classifier.WeightMod -
+          Classifier.WeightShift
+      }.sum
+      (ws.length.toLong, s)
+    }
+    docs.foreach { case (id, text) =>
+      val (n, s) = model(text)
+      assert(got(id) == ((n, s, if (s >= 0L) 1L else 0L)), s"doc $id")
+    }
+    assert(got(9L) == ((0L, 0L, 1L))) // null text: no tokens, score 0, kept
+  }
+
+  test("web domain curation: blocklist anti-join, two-label domains, integer ppm shares") {
+    val rows = Seq(
+      (1L, 10L, "https://a.foo.com/x"),
+      (2L, 20L, "https://B.FOO.com/y"), // case-folded to the same domain
+      (3L, 30L, "https://deep.sub.bar.org/z"), // registered domain = last two labels
+      (4L, 40L, "https://blocked.bad.net/w")).toDF("id", "nc", "url")
+    val blocked = Seq("bad.net").toDF("domain")
+    val kept = Web.filterBlockedDomains(rows, "url", blocked)
+    assert(kept.count() == 3)
+    val stats = Web.domainStats(kept, "url", "nc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(stats("foo.com") == ((2L, 30L, 666666L)))
+    assert(stats("bar.org") == ((1L, 30L, 333333L)))
+  }
+
   test("contamination report counts probe-shared shingles, flags only overlap") {
     // probe = doc 0; doc 3 is its exact dup (fully contaminated),
     // doc 1 a near-dup (partial), docs 2/4 clean
