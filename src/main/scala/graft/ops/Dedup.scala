@@ -436,4 +436,46 @@ object Dedup {
         coalesce(col("n_passages"), lit(0L)).as("n_passages"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup_passages"))
   }
+
+  /** C4-style corpus-global LINE dedup (Raffel et al. 2020): every
+    * newline-delimited line that occurs more than once in the corpus
+    * is kept only at its FIRST occurrence (ordered by (doc id, line
+    * position) — deterministic under any partitioning) and dropped
+    * everywhere else; documents are reassembled from their surviving
+    * lines in original order.
+    *
+    * Returns (idCol, n_kept, n_dropped, clean_text). Documents whose
+    * lines all lose keep an empty clean_text rather than vanishing —
+    * the caller decides whether to drop empties.
+    *
+    * Scale shape: one explode, one shuffle partitioned by the line
+    * value carrying (line, doc, pos) — the line text must cross the
+    * wire once anyway for reassembly — then one hash agg back on doc
+    * id. First-occurrence election is a row_number over the line
+    * partition; line-frequency groups are tiny (a handful of docs
+    * share a line), so the per-group sort is bounded — no global sort
+    * anywhere. A corpus with pathological boilerplate (one line in
+    * millions of docs) would skew the line partition; salt the
+    * election the way [[Skew.saltedSumCount]] does (min-of-mins) if
+    * that regime appears.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val elected = lines.withColumn("rn",
+      row_number().over(Window.partitionBy(col("line")).orderBy(col("id"), col("pos"))))
+    elected.groupBy(col("id"))
+      .agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("n_kept"), col("n_dropped"), col("clean_text"))
+  }
 }

@@ -59,4 +59,30 @@ object Web {
     df.withColumn("__dom", registeredDomain(host(col(urlCol))))
       .join(broadcast(blocked.select(col("domain").as("__dom"))), Seq("__dom"), "left_anti")
       .drop("__dom")
+
+  /** Keep at most `maxDocs` documents per registered domain — the
+    * RefinedWeb-style anti-concentration cap that stops one boilerplate
+    * host from dominating the mixture. Keeps the `maxDocs` LOWEST
+    * `idCol` values per domain (deterministic under any partitioning)
+    * and returns the input columns plus `domain`.
+    *
+    * Scale shape: one shuffle on the domain key; the per-domain
+    * election is a row_number (per-group sort bounded by the domain's
+    * doc count). A corpus where single domains reach billions of rows
+    * should elect via [[graft.functions.TopKRows]] instead — the
+    * bounded mergeable heap keeps the shuffle at O(domains · maxDocs);
+    * the window form is the right default below that regime.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      maxDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("domain", registeredDomain(host(col(urlCol))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col(idCol))))
+      .filter(col("__rn") <= maxDocs)
+      .drop("__rn")
+  }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, RangeJoin, Scd,
-  Sessions, Similarity, Skew, SnapshotDiff}
+  Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, RangeJoin,
+  Scd, Sessions, Similarity, Skew, SnapshotDiff}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -359,6 +359,48 @@ object ExtQueries {
         .groupBy("bin")
         .agg(count(lit(1)).as("n_orders"))
     }),
+
+    // Equi-DEPTH histogram (optimizer-statistics companion to the
+    // equi-width q_histogram): exact bucket bounds from the cumulative
+    // distribution over DISTINCT values — the lengthPercentileBand
+    // discipline — so no global sort of rows; ties (equal values)
+    // always land in one bucket, so bucket populations are only
+    // approximately n/B, exactly as real NDV-aware stats collectors
+    // behave.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val nb = 8
+      val docs = Tables.documents(s, d).select(col("n_chars").cast("long").as("v"))
+      val dist = docs.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val cum = dist.withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      val total = docs.agg(count(lit(1)).as("__n"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("bucket", expr(s"((cum - cnt) * $nb) div __n"))
+        .groupBy("bucket")
+        .agg(min("v").as("lo"), max("v").as("hi"), sum("cnt").as("n_rows"))
+    }),
+
+    // Trailing-24-observation integer z-score anomaly scan over hourly
+    // per-type event volumes (see graft.ops.Anomaly — the flag is
+    // exact 64-bit arithmetic, no float mean/stddev).
+    "q_anomaly" -> ((s, d) =>
+      Anomaly.hourlyAnomalies(Tables.events(s, d), "event_type", "ts", 24, 3)),
+
+    // UNPIVOT (inverse of q_pivot): wide per-flag metric columns
+    // melted to (metric, value) rows via the stack generator —
+    // shuffle-free on the already-aggregated frame, exact cent longs.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+            .as("qty_cents"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+            .as("price_cents"),
+          count(lit(1)).as("n_items"))
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'qty_cents', qty_cents, 'price_cents', price_cents, " +
+            "'n_items', n_items) AS (metric, value)"))),
 
     // Set ops: intersect / except over key sets.
     "q_intersect" -> ((s, d) => {
@@ -994,6 +1036,47 @@ object ExtQueries {
                            19.0) AS BIGINT) AS bin,
                 count(*) AS n_orders
          FROM orders, b GROUP BY 1""",
+    "q_histogram_eqdepth" ->
+      """WITH dv AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS cnt
+                     FROM documents GROUP BY 1),
+          c AS (SELECT v, cnt, sum(cnt) OVER
+                  (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum FROM dv),
+          t AS (SELECT count(*) AS n FROM documents)
+         SELECT CAST(((cum - cnt) * 8) // n AS BIGINT) AS bucket,
+                CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+                CAST(sum(cnt) AS BIGINT) AS n_rows
+         FROM c, t GROUP BY 1""",
+    "q_anomaly" ->
+      """WITH h AS (SELECT event_type AS series, strftime(ts, '%Y-%m-%d %H') AS hour,
+                      count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+          w AS (SELECT series, hour, cnt,
+                  sum(cnt) OVER win AS s,
+                  sum(cnt*cnt) OVER win AS sxx,
+                  count(*) OVER win AS nb
+                FROM h WINDOW win AS (PARTITION BY series ORDER BY hour
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT series, hour, CAST(cnt AS BIGINT) AS cnt,
+           CAST(s AS BIGINT) AS baseline_sum,
+           CAST(24*cnt - s AS BIGINT) AS dev,
+           CAST(24*sxx - s*s AS BIGINT) AS var_nsq,
+           CAST(CASE WHEN (24*cnt - s)*(24*cnt - s) > 9*(24*sxx - s*s)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM w WHERE nb = 24""",
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS qty_cents,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS price_cents,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM a
+         UNION ALL
+         SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM a""",
     "q_intersect" ->
       """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
          INTERSECT

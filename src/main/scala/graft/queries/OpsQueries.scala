@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
+  Bpe, Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
   Embeddings, KMeans, Multimodal, Packing, Redact, Relevance, RepSignals,
   Sampling, Similarity, TextOps, Web}
 
@@ -207,19 +207,40 @@ object OpsQueries {
     "q_web_domains" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val url = concat(
-        lit("https://"), coalesce(col("source"), lit("x")),
-        pmod(col("doc_id"), lit(23L)).cast("string"),
-        lit(".example-"), pmod(col("doc_id"), lit(7L)).cast("string"), lit("."),
-        when(pmod(col("doc_id"), lit(3L)) === 0L, "com")
-          .when(pmod(col("doc_id"), lit(3L)) === 1L, "org").otherwise("net"),
-        lit("/"), coalesce(col("lang"), lit("und")),
-        lit("/"), col("doc_id").cast("string"))
-      val withUrl = docs.select(col("doc_id"), col("n_chars"), url.as("url"))
+      val withUrl = docs.select(col("doc_id"), col("n_chars"), syntheticUrl.as("url"))
       val blocked = Seq("example-0.com", "example-3.org").toDF("domain")
       Web.domainStats(
         Web.filterBlockedDomains(withUrl, "url", blocked), "url", "n_chars")
     }),
+
+    // Per-domain anti-concentration cap (keep ≤ 20 lowest doc_ids per
+    // registered domain) over the same synthetic URL injection.
+    "q_domain_cap" -> ((s, d) => {
+      val withUrl = Tables.documents(s, d)
+        .select(col("doc_id"), syntheticUrl.as("url"))
+      Web.capPerDomain(withUrl, "url", "doc_id", 20)
+        .select(col("doc_id"), col("domain"))
+    }),
+
+    // C4-style corpus-global line dedup over deterministic 12-word
+    // lines (the corpus text has no newlines — injected with the same
+    // discipline as q_pii_scrub; planted duplicate documents make the
+    // shared lines real).
+    "q_line_dedup" -> ((s, d) => {
+      val ws = TextOps.words(col("text"))
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        when(size(ws) === 0, lit(""))
+          .otherwise(array_join(
+            transform(
+              sequence(lit(0), floor((size(ws) + lit(11)) / lit(12.0)).cast("int") - 1),
+              i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")),
+            "\n")).as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text")
+    }),
+
+    // Distributed BPE merge learning, 3 rounds (see graft.ops.Bpe).
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.documents(s, d), "text", 3)),
 
     "q_sample_hash" -> ((s, d) =>
       Sampling.hashSample(
@@ -431,6 +452,30 @@ object OpsQueries {
   private val MixWeights: Seq[(String, Long)] =
     (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong)
 
+  /** Deterministic synthetic URL for the web-curation queries (the
+    * corpus has no url column — injected like q_pii_scrub's PII).
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("https://"), coalesce(col("source"), lit("x")),
+    pmod(col("doc_id"), lit(23L)).cast("string"),
+    lit(".example-"), pmod(col("doc_id"), lit(7L)).cast("string"), lit("."),
+    when(pmod(col("doc_id"), lit(3L)) === 0L, "com")
+      .when(pmod(col("doc_id"), lit(3L)) === 1L, "org").otherwise("net"),
+    lit("/"), coalesce(col("lang"), lit("und")),
+    lit("/"), col("doc_id").cast("string"))
+
+  /** DuckDB twin of [[syntheticUrl]] + registered-domain extraction. */
+  private val urlDomainSql: String =
+    """u AS (SELECT doc_id, n_chars,
+           'https://' || COALESCE(source, 'x') || CAST(doc_id % 23 AS VARCHAR)
+             || '.example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+             || '/' || COALESCE(lang, 'und') || '/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         d AS (SELECT doc_id, n_chars, sp[-2] || '.' || sp[-1] AS domain
+               FROM (SELECT doc_id, n_chars,
+                       string_split(lower(split_part(url, '/', 3)), '.') sp FROM u))"""
+
   // --- oracle SQL (shared fragments + generated long forms) -----------
 
   /** Whitespace tokens, empties dropped. */
@@ -532,6 +577,40 @@ object OpsQueries {
         SELECT ida AS doc_id_a, idb AS doc_id_b,
                CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+  }
+
+  /** 3-round unrolled BPE merge-learning twin (see graft.ops.Bpe):
+    * vocab-weighted adjacent-pair counts, deterministic (n DESC, pair)
+    * argmax, and the sentinel-string replace merge — Java and DuckDB
+    * `replace` share left-to-right non-rescanning continuation, so the
+    * greedy merge is bit-identical.
+    */
+  private def bpeMergesSql: String = {
+    def pairsOf(s: String, p: String, c: String, b: String) =
+      s"""$p AS (SELECT wc, unnest(list_transform(range(1, len(sym)),
+             i -> sym[i] || ' ' || sym[i+1])) AS pair
+           FROM (SELECT wc, string_split(trim(seq), ' ') AS sym FROM $s)),
+          $c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM $p GROUP BY 1),
+          $b AS (SELECT pair, n FROM $c ORDER BY n DESC, pair LIMIT 1)"""
+    def mergeStep(prev: String, b: String, next: String) =
+      s"""$next AS (SELECT wc, replace(seq,
+            ' ' || (SELECT pair FROM $b) || ' ',
+            ' ' || replace((SELECT pair FROM $b), ' ', '') || ' ') AS seq
+          FROM $prev)"""
+    def out(r: Int, b: String) =
+      s"""SELECT CAST($r AS BIGINT) AS round,
+          string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
+          replace(pair, ' ', '') AS merged, n AS n_occurrences FROM $b"""
+    s"""WITH w0 AS (SELECT unnest($ws) AS w FROM documents),
+        v AS (SELECT w, count(*) AS wc FROM w0 GROUP BY 1),
+        s0 AS (SELECT wc, ' ' || array_to_string(list_transform(range(1, length(w)+1),
+                 i -> substr(w, i, 1)), ' ') || ' ' AS seq FROM v),
+        ${pairsOf("s0", "p1", "c1", "b1")},
+        ${mergeStep("s0", "b1", "s1")},
+        ${pairsOf("s1", "p2", "c2", "b2")},
+        ${mergeStep("s1", "b2", "s2")},
+        ${pairsOf("s2", "p3", "c3", "b3")}
+        ${out(1, "b1")} UNION ALL ${out(2, "b2")} UNION ALL ${out(3, "b3")}"""
   }
 
   private def annSql: String = {
@@ -1031,15 +1110,7 @@ object OpsQueries {
               THEN 1 ELSE 0 END AS BIGINT) AS keep
           FROM toks""",
     "q_web_domains" ->
-      """WITH u AS (SELECT doc_id, n_chars,
-           'https://' || COALESCE(source, 'x') || CAST(doc_id % 23 AS VARCHAR)
-             || '.example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
-             || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
-             || '/' || COALESCE(lang, 'und') || '/' || CAST(doc_id AS VARCHAR) AS url
-           FROM documents),
-         d AS (SELECT doc_id, n_chars, sp[-2] || '.' || sp[-1] AS domain
-               FROM (SELECT doc_id, n_chars,
-                       string_split(lower(split_part(url, '/', 3)), '.') sp FROM u)),
+      s"""WITH $urlDomainSql,
          f AS (SELECT * FROM d
                WHERE domain NOT IN ('example-0.com', 'example-3.org')),
          t AS (SELECT count(*) AS n FROM f)
@@ -1047,6 +1118,33 @@ object OpsQueries {
                 CAST(sum(n_chars) AS BIGINT) AS n_chars,
                 CAST((count(*) * 1000000) // (SELECT n FROM t) AS BIGINT) AS share_ppm
          FROM f GROUP BY domain""",
+    "q_domain_cap" ->
+      s"""WITH $urlDomainSql,
+         r AS (SELECT doc_id, domain,
+                 ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+               FROM d)
+         SELECT doc_id, domain FROM r WHERE rn <= 20""",
+    "q_line_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+         lined AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN ''
+             ELSE array_to_string(list_transform(
+                    range(0, CAST(ceil(len(ws) / 12.0) AS BIGINT)),
+                    i -> array_to_string(ws[i*12+1 : i*12+12], ' ')), chr(10))
+             END AS text FROM toks),
+         l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(ln)+1),
+               i -> {'pos': i, 'line': ln[i]})) AS u
+             FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined))),
+         e AS (SELECT doc_id, pos, line,
+                 ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+               FROM l)
+         SELECT doc_id,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+         FROM e GROUP BY doc_id""",
+    "q_bpe_merges" -> bpeMergesSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),

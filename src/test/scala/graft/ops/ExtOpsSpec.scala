@@ -187,6 +187,83 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(chain(e).contains("weightedHashSample"))
   }
 
+  test("line dedup keeps first occurrence and reassembles in order") {
+    val docs = Seq(
+      (1L, "alpha beta\ngamma delta"),
+      (2L, "gamma delta\nepsilon zeta"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 owns both its lines; doc 2 loses "gamma delta" to doc 1;
+    // doc 3 loses its only line to doc 1 and keeps empty text
+    assert(out(1L) == ((2L, 0L, "alpha beta\ngamma delta")))
+    assert(out(2L) == ((1L, 1L, "epsilon zeta")))
+    assert(out(3L) == ((0L, 1L, "")))
+  }
+
+  test("BPE learns the classic low/lower/newest merges with tie-breaks") {
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "text", 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: "l o" and "o w" tie at 5; pair-string ascending keeps "l o"
+    assert(m(0) == ((1L, "l", "o", "lo", 5L)))
+    assert(m(1) == ((2L, "lo", "w", "low", 5L)))
+    // round 3: "e r" (2, in lower) beats "low e" (2) on the tie-break
+    assert(m(2) == ((3L, "e", "r", "er", 2L)))
+  }
+
+  test("BPE greedy merge on overlapping runs matches the replace contract") {
+    // " a a a a " merges left-to-right without rescanning: [aa, a, a]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "text", 2).orderBy("round").collect()
+    assert(m(0).getString(3) == "aa" && m(0).getLong(4) == 3L)
+    // round 2 counts pairs of [aa, a, a]: "a a" (1) ties "aa a" (1), asc wins
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) == (("a", "a", 1L)))
+  }
+
+  test("capPerDomain keeps the lowest ids per registered domain") {
+    val docs = Seq(
+      (1L, "https://a.example.com/x"), (2L, "https://b.example.com/x"),
+      (3L, "https://c.example.com/x"), (4L, "https://other.net/y"),
+      (5L, "https://www.other.net/z")).toDF("doc_id", "url")
+    val kept = Web.capPerDomain(docs, "url", "doc_id", 2)
+      .select("doc_id", "domain").as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "example.com"), (2L, "example.com"),
+      (4L, "other.net"), (5L, "other.net")))
+  }
+
+  test("anomaly flags an exact-integer spike over a trailing baseline") {
+    // 26 hourly click buckets: constant 10, except 30 at hour 24;
+    // one stray view hour that never accumulates a full history
+    val rows = (0 until 26).flatMap { h =>
+      val cnt = if (h == 24) 30 else 10
+      (0 until cnt).map(i => (h, i, "click"))
+    } ++ (0 until 10).map(i => (0, i, "view"))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = rows.toDF("h", "i", "event_type").select(
+      (lit(base).cast("long") + col("h") * 3600L + col("i"))
+        .cast("timestamp").as("ts"),
+      col("event_type"))
+    val out = Anomaly.hourlyAnomalies(events, "event_type", "ts", 24, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // only click hours 24 and 25 carry a full 24-observation history
+    assert(out.length == 2 && out.forall(_._1 == "click"))
+    // hour 24: dev = 24*30 - 240 = 480 on a zero-variance baseline
+    val spike = out.find(_._3 == 30L).get
+    assert(spike._2 == "2024-01-02 00" && spike._4 == 480L &&
+      spike._5 == 0L && spike._6 == 1L)
+    // hour 25's baseline contains the spike: S = 23*10 + 30 = 260,
+    // Sxx = 23*100 + 900 = 3200, dev = 240 - 260 = -20,
+    // var_nsq = 24*3200 - 260^2 = 9200; 400 <= 9*9200 -> calm
+    val calm = out.find(_._3 == 10L).get
+    assert(calm._2 == "2024-01-02 01" && calm._4 == -20L &&
+      calm._5 == 9200L && calm._6 == 0L)
+  }
+
   test("chunked ETL: bounded-memory per-page loop equals collect-all mode") {
     val server = new MockGithubServer
     server.start()
