@@ -74,19 +74,30 @@ object Graphs {
     *
     * Scale shape: the classic degree-orientation trick — each
     * undirected edge is directed from its (degree, id)-smaller
-    * endpoint to the larger, so every triangle is generated by exactly
-    * ONE wedge at its smallest vertex and the wedge fan-out per node
-    * is bounded by the ORIENTED out-degree, O(√m) on any graph. The
-    * hub that would generate deg²/2 wedges in a naive self-join
-    * generates almost none: all its edges point INTO it. Wedge
-    * generation groups oriented adjacency per source and explodes
-    * ordered neighbor pairs (one pipeline, no posting self-join —
-    * the [[Dedup.jaccardPairs]] shape), then one equi-join against
-    * the oriented edge set closes the wedges.
+    * endpoint to the larger, so a triangle u→v, u→w, v→w is found
+    * exactly ONCE: at its u→v edge, as a member of
+    * N⁺(u) ∩ N⁺(v). The hub that would own deg²/2 wedges in a naive
+    * self-join owns almost none: all its edges point INTO it, and
+    * per-node work is bounded by the ORIENTED out-degree, O(√m) on
+    * any graph. The closure never materializes the wedge stream (the
+    * Σ outdeg² rows that dominate every join-based formulation —
+    * measured 41M wedges on a 1.2M-edge graph, 15× the row count of
+    * this plan): oriented adjacency lists are aggregated once, the
+    * edge frame picks up both endpoints' lists with two equi-joins,
+    * and one codegen'd `array_intersect` per EDGE closes all of that
+    * edge's triangles at once. Witness credits (the third vertex)
+    * come from exploding the intersection — #triangles rows, not
+    * #wedges.
     *
     * Determinism: counts are exact longs; the coefficient
     * 2T/(d(d−1)) is one double division of exact longs.
     *
+    * @param broadcastAdjacency broadcast the oriented adjacency-list
+    *        frame (Σ oriented outdeg ≈ m longs) so the closure runs
+    *        without shuffling the edge frame — right whenever the
+    *        edge list fits executor memory; at graphs beyond that
+    *        (the 100 TB general case) leave false and the two
+    *        adjacency joins shuffle on node id.
     * @return (node, degree BIGINT, n_triangles BIGINT,
     *         clustering DOUBLE) for every node in the edge set.
     */
@@ -94,21 +105,20 @@ object Graphs {
       edgesIn: DataFrame,
       aCol: String,
       bCol: String,
-      broadcastClosure: Boolean = false): DataFrame = {
+      broadcastAdjacency: Boolean = false): DataFrame = {
     val e = edgesIn
       .select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // materialize the canonical edge list ONCE: five consumers read
-      // it (degrees ×2 sides, both orientation joins, the closure
-      // probe, the final rollup) — without this the whole
-      // scan→derive→distinct lineage replicates per consumer. The
-      // checkpoint backs the returned frame, so like integerPageRank's
-      // final ranks it is the one persistent RDD that outlives the
-      // call; at 100 TB this is the "write the edge list" step every
-      // triangle job does.
+      // materialize the canonical edge list ONCE (degrees read both
+      // sides, the orientation joins read it again) — without this
+      // the whole scan→derive→distinct lineage replicates per
+      // consumer. Unlike integerPageRank's final ranks this
+      // checkpoint does NOT outlive the call: once the sorted
+      // adjacency frame is materialized everything downstream derives
+      // from adj, so e is freed then.
       .localCheckpoint()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -118,57 +128,59 @@ object Graphs {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst"),
-          col("da").as("sd"), col("db").as("dd")))
-        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-          col("db").as("sd"), col("da").as("dd"))).as("o"))
-      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.dd").as("dd"))
-    // wedges at the smallest vertex: ordered out-neighbor pairs (v, w)
-    // with (deg, id)(v) < (deg, id)(w). A plain self-equi-join on the
-    // source — both sides are slim (3 longs) projections of the
-    // CHECKPOINTED edge list, so unlike the posting-list shape there
-    // is no lineage to re-evaluate and nothing wide to duplicate (a
-    // grouped-adjacency explode was measured carrying each node's
-    // whole neighbor array per exploded row: GiBs materialized at
-    // 41M wedges where this join carries 41M × 3 longs).
-    val wedges = oriented.select(col("src"), col("dst").as("v"), col("dd").as("vd"))
-      .join(oriented.select(col("src"), col("dst").as("w"), col("dd").as("wd")),
-        Seq("src"))
-      .filter(col("vd") < col("wd") ||
-        (col("vd") === col("wd") && col("v") < col("w")))
-      .select(col("src").as("u"), col("v"), col("w"))
-    // closure probe: wedges greatly outnumber edges (Σ outdeg² vs m),
-    // so when the slim (src, dst) edge set fits executor memory,
-    // broadcasting it means the wedge stream is generated, probed, and
-    // partially aggregated in ONE fused stage — the 41M-wedge shuffle
-    // disappears. Opt-in: at graphs whose edge list exceeds memory
-    // (the 100 TB general case) leave false and let the closure
-    // shuffle-join. When node ids fit in 31 bits (checked against the
-    // materialized edge list — one tiny job), the probe key is the
-    // PACKED single long (v<<31 | w): a long-keyed hash relation
-    // probes measurably faster than a two-column generic one on a
-    // 41M-wedge stream (measured ~1.6×).
-    val bounds = e.agg(
-      min(least(col("a"), col("b"))).as("mn"),
-      max(greatest(col("a"), col("b"))).as("mx")).head()
-    val packable = !bounds.isNullAt(0) &&
-      bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
-    val closed =
-      if (packable) {
-        val closure = oriented
-          .select((shiftleft(col("src"), 31) + col("dst")).as("vw"))
-        val probe = if (broadcastClosure) broadcast(closure) else closure
-        wedges.withColumn("vw", shiftleft(col("v"), 31) + col("w"))
-          .join(probe, Seq("vw"))
-      } else {
-        val closure = oriented.select(col("src").as("v"), col("dst").as("w"))
-        val probe = if (broadcastClosure) broadcast(closure) else closure
-        wedges.join(probe, Seq("v", "w"))
-      }
-    val tris = closed
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("t"))
-    val out = deg.select(col("v").as("node"), col("deg"))
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    // one SORTED adjacency aggregation, materialized (it is tiny —
+    // one row per non-sink node, Σ lengths = m): every later piece
+    // reads this frame, so the deg-join lineage above runs once. The
+    // sort is paid per NODE and amortized over every per-EDGE merge
+    // walk below.
+    val adj = oriented.groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    // adj is the only frame the rest of the plan (and the returned
+    // frame) reads — free the wider edge-list checkpoint now
+    unpersistCheckpoint(e)
+    // the closure's edge stream is adj itself re-exploded (2 slim
+    // longs per row — no second derivation of the scan→distinct→join
+    // lineage); src's list arrives by equi-join, dst's by left join
+    // (a sink has no list → []).
+    val edgeStream = adj.select(col("src"), explode(col("nbrs")).as("dst"))
+    val adjU = adj.select(col("src"), col("nbrs").as("nu"))
+    val adjV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+    val (probeU, probeV) =
+      if (broadcastAdjacency) (broadcast(adjU), broadcast(adjV))
+      else (adjU, adjV)
+    // per-edge closure: every w ∈ N⁺(src) ∩ N⁺(dst) closes one
+    // triangle (src, dst, w), each counted exactly once here. Credits:
+    // src and dst earn the intersection SIZE, each witness earns 1 —
+    // posexploded from one flat long array (positions 0-1 are the
+    // endpoints) straight into the partial agg; rows = 2·edges +
+    // #triangles, never #wedges.
+    val tris = edgeStream
+      .join(probeU, Seq("src"))
+      .join(probeV, Seq("dst"), "left")
+      .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
+        col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
+      .withColumn("c", size(col("ws")).cast("long"))
+      .filter(col("c") > 0L)
+      .select(col("c"),
+        posexplode(concat(array(col("src"), col("dst")), col("ws")))
+          .as(Seq("pos", "node")))
+      .select(col("node"),
+        when(col("pos") < 2, col("c")).otherwise(lit(1L)).as("t"))
+      .groupBy(col("node")).agg(sum(col("t")).as("t"))
+    // rollup degree re-derived from adj (NOT deg — that would keep
+    // the freed e checkpoint reachable): each undirected edge appears
+    // exactly once in the oriented lists, so degree = outdeg + indeg.
+    val degFromAdj = adj
+      .select(col("src").as("node"), size(col("nbrs")).cast("long").as("od"))
+      .join(adj.select(explode(col("nbrs")).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("ind")), Seq("node"), "full")
+      .select(col("node"),
+        (coalesce(col("od"), lit(0L)) + coalesce(col("ind"), lit(0L))).as("deg"))
+    val out = degFromAdj
       .join(tris, Seq("node"), "left")
       .select(
         col("node"),

@@ -124,10 +124,10 @@ object ExtQueries {
         .select(explode(col("ps")).as("pa"), col("ps"))
         .select(col("pa"), explode(col("ps")).as("pb"))
         .filter(col("pa") < col("pb"))
-      // 1.2M slim edges at sf0.1 — comfortably broadcastable, which
-      // fuses wedge generation, closure probe, and partial count into
-      // one stage (no 41M-row wedge shuffle)
-      Graphs.triangleCounts(edges, "pa", "pb", broadcastClosure = true)
+      // 20k adjacency lists (~1.2M longs) at sf0.1 — comfortably
+      // broadcastable, so the per-edge intersection closure runs
+      // without shuffling the edge frame
+      Graphs.triangleCounts(edges, "pa", "pb", broadcastAdjacency = true)
         .select(col("node").as("part_id"), col("degree"),
           col("n_triangles"), col("clustering"))
     }),
