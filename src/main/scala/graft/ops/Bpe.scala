@@ -88,6 +88,38 @@ object Bpe {
     acc.toSeq.toDF("round", "lhs", "rhs", "merged", "n_occurrences")
   }
 
+  /** Apply an ordered merge table to the corpus and return the token
+    * frequency spectrum after all merges: (token, n_occurrences) —
+    * the tokenizer-APPLY half of the pipeline (learnMerges is the
+    * TRAIN half), and the spectrum is the vocabulary-coverage report
+    * a tokenizer rollout reads first.
+    *
+    * Scale shape: the corpus is scanned once into the weighted word
+    * vocabulary; the merge chain is a fixed stack of codegen'd
+    * `replace` calls over the vocab frame (merges are literals — no
+    * join, no broadcast); the final explode is over vocab symbols,
+    * weighted by word count, so corpus token volume never re-enters.
+    */
+  def encodeTokens(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("w"))), i =>
+          col("w").substr(i, lit(1))), " "),
+        lit(" ")).as("seq"))
+    val merged = merges.foldLeft(col("seq")) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    vocab
+      .select(col("wc"), explode(split(trim(merged), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(sum(col("wc")).as("n_occurrences"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

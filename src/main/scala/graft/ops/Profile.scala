@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: per-column row/null/NDV counts,
+  * min/max, and total string length, computed in ONE pass over the
+  * table — the statistics collection a catalog runs before an
+  * optimizer can cost joins, and the first report a data engineer
+  * pulls on an unfamiliar 100 TB table.
+  *
+  * Scale shape: a single aggregation; the multi-column exact
+  * `count(distinct)` plans as Catalyst's Expand (one input row fans
+  * out once per profiled column pre-shuffle, each carrying only that
+  * column's value), so the shuffle moves partial aggregates, never
+  * rows. The per-column result pivot (`stack`) runs on the one
+  * aggregated row. Profiling k columns therefore costs one scan +
+  * one k-way Expand — not k scans. For tables where exact NDV's
+  * Expand is too hot, the KMV/HLL sketches
+  * ([[graft.functions.KmvSketch]], `approx_count_distinct`) are the
+  * drop-in cheaper NDV; this operator is the exact-answer variant.
+  *
+  * Determinism: min/max are computed on the NATIVE type and cast to
+  * string after (so numeric columns order numerically), which
+  * round-trips identically in DuckDB for longs, decimals, and
+  * pre-formatted date strings — the caller pre-projects columns to
+  * those deterministic types, mirroring the oracle discipline used
+  * throughout `graft.queries`.
+  */
+object Profile {
+
+  /** One row per profiled column: (column_name, n_rows, n_nulls,
+    * n_distinct, min_str, max_str, total_strlen). `n_distinct`
+    * excludes nulls; `total_strlen` sums string-cast lengths with
+    * nulls contributing 0.
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    def nn(c: String): Column = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        nn(c).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"),
+        sum(coalesce(length(col(c).cast("string")), lit(0)).cast("long"))
+          .as(s"__len_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __n, __nulls_$c, __ndv_$c, __min_$c, __max_$c, __len_$c"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str, total_strlen)"))
+  }
+}

@@ -386,6 +386,31 @@ object ExtQueries {
     "q_anomaly" -> ((s, d) =>
       Anomaly.hourlyAnomalies(Tables.events(s, d), "event_type", "ts", 24, 3)),
 
+    // Exact multi-point grouped quantiles (p25/p50/p75/p90) from the
+    // distinct-value cumulative distribution — the q_median_disc
+    // positional rule generalized: the quantile is the smallest value
+    // whose cumulative count reaches q·n, tested in exact integer
+    // arithmetic (cum·den ≥ num·n). No global row sort; the window
+    // runs over distinct (group, value) pairs and one conditional-min
+    // aggregation reads off all four points.
+    "q_quantiles_exact" -> ((s, d) => {
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      val dist = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), cents.as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      val cum = dist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("g")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      cum.groupBy(col("g").as("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25_cents"),
+          min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_cents"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("p75_cents"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))
+    }),
+
     // UNPIVOT (inverse of q_pivot): wide per-flag metric columns
     // melted to (metric, value) rows via the stack generator —
     // shuffle-free on the already-aggregated frame, exact cent longs.
@@ -1064,6 +1089,22 @@ object ExtQueries {
            CAST(CASE WHEN (24*cnt - s)*(24*cnt - s) > 9*(24*sxx - s*s)
                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          FROM w WHERE nb = 24""",
+    "q_quantiles_exact" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT g, v, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+           FROM d)
+         SELECT g AS l_returnflag,
+           CAST(min(CASE WHEN cum*4 >= n THEN v END) AS BIGINT) AS p25_cents,
+           CAST(min(CASE WHEN cum*2 >= n THEN v END) AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cum*4 >= n*3 THEN v END) AS BIGINT) AS p75_cents,
+           CAST(min(CASE WHEN cum*10 >= n*9 THEN v END) AS BIGINT) AS p90_cents
+         FROM c GROUP BY 1""",
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
              CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))

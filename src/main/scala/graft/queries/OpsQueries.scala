@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{
   Bpe, Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
-  Embeddings, KMeans, Multimodal, Packing, Redact, Relevance, RepSignals,
-  Sampling, Similarity, TextOps, Web}
+  Embeddings, KMeans, Multimodal, Packing, Profile, Redact, Relevance,
+  RepSignals, Sampling, Similarity, TextOps, Web}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -241,6 +241,31 @@ object OpsQueries {
     // Distributed BPE merge learning, 3 rounds (see graft.ops.Bpe).
     "q_bpe_merges" -> ((s, d) =>
       Bpe.learnMerges(Tables.documents(s, d), "text", 3)),
+
+    // Tokenizer APPLY: learn 3 merges, then encode the corpus with
+    // them and report the resulting token frequency spectrum. The
+    // merge table rides into the encode plan as literals (3-row
+    // head(), the same O(1)-row driver action learnMerges itself
+    // uses per round).
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.learnMerges(docs, "text", 3)
+        .orderBy(col("round")).head(3)
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeTokens(docs, "text", merges)
+    }),
+
+    // ANALYZE-style one-pass per-column statistics over a
+    // deterministically-typed projection of orders (see
+    // graft.ops.Profile).
+    "q_stats_collect" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price_dec"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date_str"))
+      Profile.tableStats(t, t.columns.toSeq)
+    }),
 
     "q_sample_hash" -> ((s, d) =>
       Sampling.hashSample(
@@ -579,13 +604,14 @@ object OpsQueries {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
   }
 
-  /** 3-round unrolled BPE merge-learning twin (see graft.ops.Bpe):
+  /** Shared 3-round unrolled BPE CTE chain (see graft.ops.Bpe):
     * vocab-weighted adjacent-pair counts, deterministic (n DESC, pair)
     * argmax, and the sentinel-string replace merge — Java and DuckDB
     * `replace` share left-to-right non-rescanning continuation, so the
-    * greedy merge is bit-identical.
+    * greedy merge is bit-identical. Ends at `s3`, the vocab with all
+    * three merges applied; `b1..b3` hold the chosen merges.
     */
-  private def bpeMergesSql: String = {
+  private def bpeCtes: String = {
     def pairsOf(s: String, p: String, c: String, b: String) =
       s"""$p AS (SELECT wc, unnest(list_transform(range(1, len(sym)),
              i -> sym[i] || ' ' || sym[i+1])) AS pair
@@ -597,11 +623,7 @@ object OpsQueries {
             ' ' || (SELECT pair FROM $b) || ' ',
             ' ' || replace((SELECT pair FROM $b), ' ', '') || ' ') AS seq
           FROM $prev)"""
-    def out(r: Int, b: String) =
-      s"""SELECT CAST($r AS BIGINT) AS round,
-          string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
-          replace(pair, ' ', '') AS merged, n AS n_occurrences FROM $b"""
-    s"""WITH w0 AS (SELECT unnest($ws) AS w FROM documents),
+    s"""w0 AS (SELECT unnest($ws) AS w FROM documents),
         v AS (SELECT w, count(*) AS wc FROM w0 GROUP BY 1),
         s0 AS (SELECT wc, ' ' || array_to_string(list_transform(range(1, length(w)+1),
                  i -> substr(w, i, 1)), ' ') || ' ' AS seq FROM v),
@@ -609,8 +631,49 @@ object OpsQueries {
         ${mergeStep("s0", "b1", "s1")},
         ${pairsOf("s1", "p2", "c2", "b2")},
         ${mergeStep("s1", "b2", "s2")},
-        ${pairsOf("s2", "p3", "c3", "b3")}
+        ${pairsOf("s2", "p3", "c3", "b3")},
+        ${mergeStep("s2", "b3", "s3")}"""
+  }
+
+  private def bpeMergesSql: String = {
+    def out(r: Int, b: String) =
+      s"""SELECT CAST($r AS BIGINT) AS round,
+          string_split(pair, ' ')[1] AS lhs, string_split(pair, ' ')[2] AS rhs,
+          replace(pair, ' ', '') AS merged, n AS n_occurrences FROM $b"""
+    s"""WITH $bpeCtes
         ${out(1, "b1")} UNION ALL ${out(2, "b2")} UNION ALL ${out(3, "b3")}"""
+  }
+
+  /** Token spectrum after the three learned merges are applied. */
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeCtes
+        SELECT sym AS token, CAST(sum(wc) AS BIGINT) AS n_occurrences
+        FROM (SELECT wc, unnest(string_split(trim(seq), ' ')) AS sym FROM s3)
+        WHERE sym <> '' GROUP BY 1"""
+
+  /** Per-column UNION ALL twin of [[graft.ops.Profile.tableStats]]
+    * over the deterministically-typed orders projection.
+    */
+  private def statsSql: String = {
+    val proj =
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS o_price_dec,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date_str
+         FROM orders"""
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_price_dec", "o_date_str")
+    val perCol = cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_str,
+            CAST(max($c) AS VARCHAR) AS max_str,
+            CAST(sum(COALESCE(length(CAST($c AS VARCHAR)), 0)) AS BIGINT)
+              AS total_strlen
+          FROM t"""
+    }.mkString(" UNION ALL ")
+    s"WITH t AS ($proj) $perCol"
   }
 
   private def annSql: String = {
@@ -1145,6 +1208,8 @@ object OpsQueries {
                                ORDER BY pos), '') AS clean_text
          FROM e GROUP BY doc_id""",
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_encode" -> bpeEncodeSql,
+    "q_stats_collect" -> statsSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),

@@ -224,6 +224,48 @@ class ExtOpsSpec extends AnyFunSuite {
     assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) == (("a", "a", 1L)))
   }
 
+  test("BPE encode applies merges in order and reports the spectrum") {
+    val docs = Seq((1L, "low low low"), (2L, "lower")).toDF("doc_id", "text")
+    val got = Bpe.encodeTokens(docs, "text", Seq(("l", "o"), ("lo", "w")))
+      .as[(String, Long)].collect().toMap
+    // "low"×3 -> [low]; "lower" -> [low, e, r]
+    assert(got == Map("low" -> 4L, "e" -> 1L, "r" -> 1L))
+  }
+
+  test("tableStats profiles nulls, NDV, min/max, and lengths in one pass") {
+    val t = Seq(
+      (Some(1L), Some("aa")), (Some(2L), None), (Some(2L), Some("bbb")),
+      (None, Some("aa"))).toDF("k", "s")
+    val got = Profile.tableStats(t, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6)))).toMap
+    assert(got("k") == ((4L, 1L, 2L, "1", "2", 3L)))
+    assert(got("s") == ((4L, 1L, 2L, "aa", "bbb", 7L)))
+  }
+
+  test("exact grouped quantiles pick the positional value") {
+    // group g: values 10,20,30,40 -> p25=10 (cum 1*4>=4), p50=20,
+    // p75=30, p90=40; ties collapse to one distinct row
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 30L), ("g", 40L))
+      .toDF("g", "v")
+    val dist = df.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = dist
+      .withColumn("cum", sum(col("cnt")).over(
+        w.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(Long.MinValue, 0)))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy(col("g"))))
+    val row = cum.groupBy(col("g"))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("p75"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
+      .collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((10L, 20L, 30L, 40L)))
+  }
+
   test("capPerDomain keeps the lowest ids per registered domain") {
     val docs = Seq(
       (1L, "https://a.example.com/x"), (2L, "https://b.example.com/x"),
