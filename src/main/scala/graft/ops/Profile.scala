@@ -37,16 +37,24 @@ object Profile {
   def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
     def nn(c: String): Column = sum(when(col(c).isNull, 1L).otherwise(0L))
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // TWO single-row aggregations, cross-joined: a string-typed
+    // min/max buffer disqualifies HashAggregate, and fused with the
+    // NDVs that sort-agg fallback would SORT the k-way Expand output
+    // on string keys (measured 4× the whole profile's cost). Split,
+    // the NDV Expand keeps pure long buffers (hash agg) and the
+    // min/max pass is an ungrouped fold — the sorts vanish.
+    val ndvAggs: Seq[Column] =
+      cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
+    val foldAggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         nn(c).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"),
         sum(coalesce(length(col(c).cast("string")), lit(0)).cast("long"))
           .as(s"__len_$c"))
     } :+ count(lit(1)).as("__n")
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(foldAggs.head, foldAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val stacked = cols.map { c =>
       s"'$c', __n, __nulls_$c, __ndv_$c, __min_$c, __max_$c, __len_$c"
     }.mkString(", ")
