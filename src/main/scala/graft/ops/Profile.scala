@@ -62,4 +62,43 @@ object Profile {
       s"stack(${cols.size}, $stacked) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str, total_strlen)"))
   }
+
+  /** χ² contingency cells for two categorical columns — the
+    * feature-selection / independence screen (is language correlated
+    * with quality bucket?) over a labeled corpus. Returns the FULL
+    * a×b grid (zero-observation cells included — they carry χ² mass)
+    * with exact integer evidence and the one float at the end:
+    * (a, b, obs, row_total, col_total, n_total,
+    * chi_term = (n·obs − r·c)² / (n·r·c)), so Σ chi_term = χ².
+    *
+    * Determinism: all counts are exact longs; the squared numerator
+    * is exact decimal(38) (n·obs−r·c can reach n², whose square
+    * overflows a long); each cell's term is ONE double division of
+    * two exactly-rounded doubles — bit-stable under any partitioning
+    * and replicated verbatim in the oracle.
+    *
+    * Scale shape: one hash agg over the table to cell counts; row and
+    * column totals re-aggregate the CELL frame (|a|·|b| rows, not
+    * corpus rows); the grid is a cross join of the two tiny marginal
+    * frames.
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy("a").agg(sum(col("obs")).as("row_total"))
+    val colT = cells.groupBy("b").agg(sum(col("obs")).as("col_total"))
+    val total = cells.agg(sum(col("obs")).as("n_total"))
+    val diff = col("n_total") * col("obs") - col("row_total") * col("col_total")
+    rowT.crossJoin(colT).crossJoin(broadcast(total))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("__d", diff)
+      .select(
+        col("a"), col("b"), col("obs"),
+        col("row_total"), col("col_total"), col("n_total"),
+        ((col("__d").cast("decimal(38,0)") * col("__d")).cast("double") /
+          (col("n_total") * col("row_total") * col("col_total")).cast("double"))
+          .as("chi_term"))
+  }
 }

@@ -48,4 +48,42 @@ object Scd {
         col("valid_to"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Point-in-time lookup against an SCD2 history: for each fact row,
+    * the single history version whose half-open validity interval
+    * [valid_from, valid_to) contains the fact timestamp (null
+    * valid_to = open run). The warehouse "as the dimension WAS when
+    * the fact happened" join — distinct from [[graft.ops.AsOf]],
+    * which takes the latest event ≤ ts with no interval semantics:
+    * a fact BEFORE the key's first version matches nothing here (left
+    * join → null attr) instead of silently binding a later version.
+    *
+    * Scale shape: one equi-join on the key with the interval test as
+    * the join residual — versions per key are few (that is what SCD2
+    * compaction is for), so the residual filters a short run per
+    * probe, never a range explosion. Intervals are disjoint by
+    * construction, so at most one version matches (exactly one for
+    * in-range probes); empty intervals from same-timestamp changes
+    * can never match a half-open test.
+    *
+    * @return fact (key, ts) plus the matched version's attr and
+    *         valid_from (null when the probe predates the history).
+    */
+  def pointInTime(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCol: String): DataFrame = {
+    val h = history.select(
+      col(keyCol).as("__hk"), col(attrCol),
+      col("valid_from"), col("valid_to"))
+    facts.select(col(keyCol), col(tsCol))
+      .join(h,
+        col(keyCol) === col("__hk") &&
+          col("valid_from") <= col(tsCol) &&
+          (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+        "left")
+      .select(col(keyCol), col(tsCol), col(attrCol), col("valid_from"))
+  }
 }

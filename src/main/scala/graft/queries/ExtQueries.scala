@@ -62,6 +62,22 @@ object ExtQueries {
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("is_current").cast("int").cast("long").as("is_current"))),
 
+    // Point-in-time SCD2 lookup: every 37th event probes "which
+    // event_type regime was this user in at that instant" against the
+    // history built from the full log — key equi-join with the
+    // half-open interval test as residual (see Scd.pointInTime).
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hist = Scd.scd2History(ev, "user_id", "ts", "event_id", "event_type")
+      val facts = ev.filter(pmod(col("event_id"), lit(37L)) === 0L)
+      Scd.pointInTime(facts, hist, "user_id", "ts", "event_type")
+        .select(
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"))
+    }),
+
     // Pure-range join (no equi-key): ±60s neighbor counts via δ-bin
     // blocking — bin equi-join + residual filter instead of the
     // cartesian Catalyst would otherwise plan (see graft.ops.RangeJoin).
@@ -590,6 +606,22 @@ object ExtQueries {
     * (Spark probes by 1-bit flips; bit_count(xor) ≤ 1 is the
     * equivalent pair predicate), the SAME left-to-right cosine.
     */
+  /** Shared SCD2 history CTE chain ending at `h` (user_id,
+    * event_type, valid_from, valid_to) — the q_scd2 build, reused by
+    * the point-in-time lookup oracle.
+    */
+  private val scdHistCtes: String =
+    """m AS (SELECT user_id, ts, event_id, event_type,
+            lag(event_type) OVER w AS prev_attr,
+            lag(event_id) OVER w AS prev_ord
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        ch AS (SELECT user_id, ts, event_id, event_type FROM m
+               WHERE prev_ord IS NULL OR prev_attr IS DISTINCT FROM event_type),
+        h AS (SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to
+              FROM ch)"""
+
   private def lshPairsSql: String = {
     val dot = (1 to 64)
       .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
@@ -673,19 +705,22 @@ object ExtQueries {
                 ELSE 'changed' END AS change_type
          FROM o FULL OUTER JOIN n ON o.k = n.k""",
     "q_scd2" ->
-      """WITH m AS (SELECT user_id, ts, event_id, event_type,
-              lag(event_type) OVER w AS prev_attr,
-              lag(event_id) OVER w AS prev_ord
-            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          ch AS (SELECT user_id, ts, event_id, event_type FROM m
-                 WHERE prev_ord IS NULL OR prev_attr IS DISTINCT FROM event_type)
+      s"""WITH $scdHistCtes
           SELECT user_id, event_type,
             strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
             strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
             CAST(valid_to IS NULL AS BIGINT) AS is_current
-          FROM (SELECT user_id, event_type, ts AS valid_from,
-                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-                FROM ch) t""",
+          FROM h""",
+    "q_scd2_lookup" ->
+      s"""WITH $scdHistCtes,
+          f AS (SELECT user_id, ts FROM events WHERE event_id % 37 = 0)
+          SELECT f.user_id,
+            strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+            h.event_type,
+            strftime(h.valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from
+          FROM f LEFT JOIN h
+            ON f.user_id = h.user_id AND h.valid_from <= f.ts
+               AND (h.valid_to IS NULL OR f.ts < h.valid_to)""",
     "q_range_join" ->
       """WITH t AS (SELECT event_id AS id, epoch_us(ts) AS t FROM events)
          SELECT a.id AS event_id, count(b.id) AS n_neighbors

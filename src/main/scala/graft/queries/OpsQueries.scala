@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{
   Bpe, Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
-  Embeddings, KMeans, Multimodal, Packing, Profile, Redact, Relevance,
+  Embeddings, KMeans, Multimodal, Packing, Pca, Profile, Redact, Relevance,
   RepSignals, Sampling, Similarity, TextOps, Web}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
@@ -254,6 +254,22 @@ object OpsQueries {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeTokens(docs, "text", merges)
     }),
+
+    // χ² contingency grid: is language correlated with quality
+    // bucket? Full a×b grid with exact integer evidence, one float
+    // division per cell (see Profile.chiSquareCells).
+    "q_chisq" -> ((s, d) =>
+      Profile.chiSquareCells(
+        Tables.documents(s, d).select(
+          coalesce(col("lang"), lit("und")).as("lang"),
+          TextOps.qualityBucket(col("text")).as("quality")),
+        "lang", "quality")),
+
+    // Top principal direction of the embedding cloud: 3 rounds of
+    // quantized-integer power iteration (see graft.ops.Pca — exact
+    // decimal sums, truncating renormalization, bit-stable).
+    "q_pca_power" -> ((s, d) =>
+      Pca.powerIterationTop(Tables.embeddings(s, d), "embedding", 3, 64)),
 
     // ANALYZE-style one-pass per-column statistics over a
     // deterministically-typed projection of orders (see
@@ -650,6 +666,64 @@ object OpsQueries {
         SELECT sym AS token, CAST(sum(wc) AS BIGINT) AS n_occurrences
         FROM (SELECT wc, unnest(string_split(trim(seq), ' ')) AS sym FROM s3)
         WHERE sym <> '' GROUP BY 1"""
+
+  /** Full-grid χ² twin of [[graft.ops.Profile.chiSquareCells]] over
+    * lang × quality bucket: HUGEINT squared numerator, one double
+    * division per cell.
+    */
+  private def chiSqSql: String =
+    s"""WITH s AS (SELECT COALESCE(lang, 'und') AS a,
+           CASE WHEN len($ws) >= 30
+                 AND len(list_filter($ws, w -> w IN ($stopEn)))*10 >= len($ws)
+                THEN 'high'
+                WHEN len($ws) >= 10 THEN 'medium' ELSE 'low' END AS b
+         FROM documents),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+                  FROM s GROUP BY 1, 2),
+        r AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_total
+              FROM cells GROUP BY 1),
+        c AS (SELECT b, CAST(sum(obs) AS BIGINT) AS col_total
+              FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+       SELECT r.a AS a, c.b AS b,
+         CAST(COALESCE(obs, 0) AS BIGINT) AS obs,
+         row_total, col_total, n_total,
+         CAST(CAST(n_total*COALESCE(obs, 0) - row_total*col_total AS HUGEINT)
+              * (n_total*COALESCE(obs, 0) - row_total*col_total) AS DOUBLE)
+           / CAST(n_total*row_total*col_total AS DOUBLE) AS chi_term
+       FROM r CROSS JOIN c CROSS JOIN t
+       LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b"""
+
+  /** 3-round unrolled quantized power-iteration twin of
+    * [[graft.ops.Pca.powerIterationTop]]: BIGINT per-row dots,
+    * HUGEINT component sums, truncating `//` renormalization by the
+    * max |component| — each step exactly the engine's arithmetic.
+    */
+  private def pcaPowerSql: String = {
+    val dim = 64
+    def round(r: Int, prevVl: String) =
+      s"""u$r AS (SELECT t.k - 1 AS k,
+             CAST(sum(rr.d * rr.xq[t.k]) AS HUGEINT) AS u
+           FROM (SELECT xq,
+                   CAST(list_sum(list_transform(range(1, ${dim + 1}),
+                     i -> xq[i] * vl[i])) AS BIGINT) AS d
+                 FROM rows, $prevVl) rr,
+                range(1, ${dim + 1}) t(k)
+           GROUP BY 1),
+          m$r AS (SELECT max(abs(u)) AS mx FROM u$r),
+          v$r AS (SELECT k, CAST((u * 1048576) // mx AS BIGINT) AS vq
+                  FROM u$r, m$r),
+          vl$r AS (SELECT list(vq ORDER BY k) AS vl FROM v$r)"""
+    s"""WITH rows AS (SELECT list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS xq
+           FROM embeddings),
+        vl0 AS (SELECT list_transform(range(1, ${dim + 1}),
+             i -> CAST(1048576 AS BIGINT)) AS vl),
+        ${round(1, "vl0")},
+        ${round(2, "vl1")},
+        ${round(3, "vl2")}
+        SELECT k, vq FROM v3"""
+  }
 
   /** Per-column UNION ALL twin of [[graft.ops.Profile.tableStats]]
     * over the deterministically-typed orders projection.
@@ -1210,6 +1284,8 @@ object OpsQueries {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_stats_collect" -> statsSql,
+    "q_chisq" -> chiSqSql,
+    "q_pca_power" -> pcaPowerSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),

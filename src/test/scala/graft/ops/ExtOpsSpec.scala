@@ -266,6 +266,74 @@ class ExtOpsSpec extends AnyFunSuite {
       ((10L, 20L, 30L, 40L)))
   }
 
+  test("chi-square grid includes zero cells and sums to the classic statistic") {
+    // 2×2: a1:(x:30,y:10), a2:(x:10,y:30) -> chi2 = 20 exactly;
+    // a3 has only x, so (a3,y) must appear as a zero cell
+    val rows = Seq.fill(30)(("a1", "x")) ++ Seq.fill(10)(("a1", "y")) ++
+      Seq.fill(10)(("a2", "x")) ++ Seq.fill(30)(("a2", "y")) ++
+      Seq.fill(4)(("a3", "x"))
+    val out = Profile.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out.size == 6 && out(("a3", "y"))._1 == 0L)
+    assert(out(("a1", "x"))._2 == 40L && out(("a1", "x"))._3 == 44L &&
+      out(("a1", "x"))._4 == 84L)
+    // zero cell carries its expected-count mass: E = 4*40/84
+    val e3y = out(("a3", "y"))._5
+    assert(math.abs(e3y - 4.0 * 40 / 84) < 1e-9)
+  }
+
+  test("point-in-time SCD2 lookup binds the covering version only") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-03 00:00:00"), 2L, "b"),
+      (2L, ts("2024-01-02 00:00:00"), 3L, "z"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val hist = Scd.scd2History(log, "user_id", "ts", "event_id", "event_type")
+    val facts = Seq(
+      (1L, ts("2023-12-31 00:00:00")), // before first version -> null
+      (1L, ts("2024-01-02 00:00:00")), // inside [01-01, 01-03) -> a
+      (1L, ts("2024-01-03 00:00:00")), // boundary -> the NEW version b
+      (2L, ts("2024-01-05 00:00:00"))) // open run -> z
+      .toDF("user_id", "ts")
+    val got = Scd.pointInTime(facts, hist, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+        Option(r.getString(2))).toMap
+    assert(got((1L, "2023-12-31 00:00:00.0")).isEmpty)
+    assert(got((1L, "2024-01-02 00:00:00.0")).contains("a"))
+    assert(got((1L, "2024-01-03 00:00:00.0")).contains("b"))
+    assert(got((2L, "2024-01-05 00:00:00.0")).contains("z"))
+  }
+
+  test("quantized power iteration matches a sequential BigInt model") {
+    // two clear clusters along a dominant direction in 4 dims
+    val vecs = Seq(
+      Array(1.0f, 0.9f, 0.1f, 0.0f), Array(0.9f, 1.0f, 0.0f, 0.1f),
+      Array(-1.0f, -0.8f, 0.1f, 0.0f), Array(0.1f, 0.0f, 0.3f, -0.2f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    for (parts <- Seq(1, 3)) {
+      val got = Pca.powerIterationTop(
+        df.repartition(parts), "embedding", iters = 3, dim = 4)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // sequential model: same quantization, BigInt arithmetic
+      val xq = vecs.map(_.map(x => BigInt(math.floor(x.toDouble * 1024).toLong)))
+      var v = IndexedSeq.fill(4)(BigInt(1L << 20))
+      for (_ <- 1 to 3) {
+        val u = (0 until 4).map(k =>
+          xq.map(row => row.zip(v).map { case (x, w) => x * w }.sum * row(k)).sum)
+        val mx = u.map(_.abs).max
+        if (mx > 0) v = u.map(_ * (1L << 20) / mx)
+      }
+      assert(got.toSeq == (0 until 4).map(k => (k.toLong, v(k).toLong)))
+      // dominant direction: first two components carry the weight
+      assert(math.abs(v(0).toLong) > math.abs(v(2).toLong) &&
+        math.abs(v(1).toLong) > math.abs(v(3).toLong))
+    }
+  }
+
   test("capPerDomain keeps the lowest ids per registered domain") {
     val docs = Seq(
       (1L, "https://a.example.com/x"), (2L, "https://b.example.com/x"),
