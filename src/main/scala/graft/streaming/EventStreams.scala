@@ -35,6 +35,34 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static dimension enrichment feeding a watermarked window
+    * aggregation: per-hour event counts segmented by a static
+    * dimension attribute (the "join the click stream to the user
+    * table" pattern). The dim side is a plain batch frame —
+    * Structured Streaming re-plans the broadcast against it per
+    * micro-batch, so a dim refresh (re-read of the table) is picked
+    * up without restarting the query; unmatched keys fall into an
+    * explicit "unknown" segment rather than dropping rows. State is
+    * bounded by the watermark exactly as in [[hourlyCounts]] — the
+    * join adds none (no stream-side buffering against a static
+    * build).
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      attrCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(dim.select(col(keyCol), col(attrCol))), Seq(keyCol), "left")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col(attrCol), lit("unknown")).as("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("segment"), col("n_events"))
+
   /** Windowed distinct-user KMV sketch: the same mergeable
     * [[graft.functions.KmvSketch]] aggregator that powers the batch
     * queries, running inside a watermarked streaming aggregation —

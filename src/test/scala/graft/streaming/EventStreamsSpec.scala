@@ -57,6 +57,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static dim enrichment segments windows, unknown keys kept") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStreams.Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = EventStreams.enrichWithDim(
+      input.toDF(), dim, "user_id", "tier", watermarkDelay = "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 1, "view", 1.0),
+        ev(3, "2024-01-01 10:45:00", 2, "click", 1.0),
+        ev(4, "2024-01-01 10:50:00", 9, "click", 1.0)) // not in dim
+      input.addData(ev(5, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows(("2024-01-01 10", "gold")) == 2L)
+      assert(rows(("2024-01-01 10", "basic")) == 1L)
+      assert(rows(("2024-01-01 10", "unknown")) == 1L)
+    } finally q.stop()
+  }
+
   test("streaming KMV distinct-user sketch equals the batch run over the same data") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
