@@ -56,4 +56,29 @@ object Embeddings {
       .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("grp", "pos")
       .agg(avg(col("x").cast("double")).as("centroid"), count(lit(1)).as("n"))
+
+  /** Symmetric per-vector int8 quantization — the 4× embedding
+    * storage compression a vector store applies before ANN serving:
+    * scale = max|x| per row, q_k = round-half-up(x_k · 127 / scale)
+    * ∈ [-127, 127]. Wholly per-ROW arithmetic (no cross-row float
+    * accumulation), so it is bit-deterministic under any partitioning
+    * and replicates exactly in SQL: each component does one
+    * double-divide by the row max and one floor(v + 0.5). The scale
+    * rides along 2^20-fixed-point (a long) so downstream exact
+    * comparisons never touch a float scale. All-zero vectors keep
+    * scale 0 and an all-zero code — no divide-by-zero.
+    *
+    * @return (idCol, scale_fp = ⌊max|x|·2^20⌋, qvec array<long>)
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(
+      col(idCol),
+      floor(mx * (1L << 20).toDouble).cast("long").as("scale_fp"),
+      when(mx === 0d,
+        transform(col(vecCol), _ => lit(0L)))
+        .otherwise(transform(col(vecCol),
+          x => floor(x.cast("double") * 127d / mx + 0.5d).cast("long")))
+        .as("qvec"))
+  }
 }

@@ -255,6 +255,16 @@ object OpsQueries {
       Bpe.encodeTokens(docs, "text", merges)
     }),
 
+    // Per-vector symmetric int8 quantization (4× embedding storage
+    // compression), exploded to scalar rows for the hash compare
+    // (see Embeddings.quantizeInt8 — wholly per-row arithmetic).
+    "q_embed_quantize" -> ((s, d) =>
+      Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_fp"),
+          posexplode(col("qvec")).as(Seq("pos", "q")))
+        .select(col("vec_id"), col("scale_fp"),
+          col("pos").cast("long").as("pos"), col("q"))),
+
     // χ² contingency grid: is language correlated with quality
     // bucket? Full a×b grid with exact integer evidence, one float
     // division per cell (see Profile.chiSquareCells).
@@ -1286,6 +1296,18 @@ object OpsQueries {
     "q_stats_collect" -> statsSql,
     "q_chisq" -> chiSqSql,
     "q_pca_power" -> pcaPowerSql,
+    "q_embed_quantize" ->
+      """SELECT vec_id,
+           CAST(floor(mx * 1048576) AS BIGINT) AS scale_fp,
+           t.k - 1 AS pos,
+           CAST(CASE WHEN mx = 0 THEN 0
+                ELSE floor(CAST(embedding[t.k] AS DOUBLE) * 127 / mx + 0.5)
+                END AS BIGINT) AS q
+         FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+               FROM embeddings) e,
+              range(1, 65) t(k)""",
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),

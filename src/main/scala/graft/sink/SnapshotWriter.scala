@@ -56,6 +56,20 @@ object SnapshotWriter {
     }
   }
 
+  /** Schema-evolving read of the whole partitioned table: snapshots
+    * written before a column existed surface it as null instead of
+    * failing the scan. By default Spark takes one file's footer as
+    * the table schema, so a reader pinned to an OLD footer silently
+    * DROPS columns added by later snapshots — `mergeSchema` unions
+    * footers across all snapshot partitions (same option key for
+    * parquet and ORC). Partition pruning on snapshot_date /
+    * target_repository is unaffected: the merge touches footers, not
+    * the directory-derived partition columns.
+    */
+  def readTable(spark: SparkSession, path: String,
+      fmt: String = "parquet"): DataFrame =
+    spark.read.option("mergeSchema", "true").format(fmt).load(path)
+
   /** Explicit partition delete (reference K1 DELETE, main.py:604-638):
     * removes the (snapshot_date, repo) partition directory of every
     * table. ChunkedEtl calls this once up front so per-chunk appends

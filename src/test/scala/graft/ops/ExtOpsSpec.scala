@@ -266,6 +266,19 @@ class ExtOpsSpec extends AnyFunSuite {
       ((10L, 20L, 30L, 40L)))
   }
 
+  test("int8 quantization is symmetric, bounded, and zero-safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toSeq))).toMap
+    // mx=0.5 -> scale_fp = 0.5*2^20; extremes hit exactly ±127;
+    // -0.25 -> -63.5 rounds half-up to -63
+    assert(got(1L) == ((524288L, Seq(127L, -63L, 32L))))
+    assert(got(2L) == ((0L, Seq(0L, 0L, 0L))))
+  }
+
   test("chi-square grid includes zero cells and sums to the classic statistic") {
     // 2×2: a1:(x:30,y:10), a2:(x:10,y:30) -> chi2 = 20 exactly;
     // a3 has only x, so (a3,y) must appear as a zero cell

@@ -52,6 +52,32 @@ class SnapshotSinkSpec extends AnyFunSuite {
     normalized.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
   }
 
+  test("schema-evolving read unions footers; old snapshots null-fill new columns") {
+    val root = java.nio.file.Files.createTempDirectory("evo").toString
+    val path = s"$root/pull_requests"
+    // snapshot 1: no bug_id column yet
+    SnapshotWriter.writeTable(
+      Seq((1L, "old", d1, "r/a"))
+        .toDF("pull_request_id", "title", "snapshot_date", "target_repository"),
+      path)
+    // snapshot 2: schema grew a bug_id column
+    SnapshotWriter.writeTable(
+      Seq((2L, "new", 77L, d2, "r/a"))
+        .toDF("pull_request_id", "title", "bug_id", "snapshot_date", "target_repository"),
+      path)
+    val evo = SnapshotWriter.readTable(spark, path)
+    assert(evo.columns.contains("bug_id"))
+    val got = evo.select("pull_request_id", "bug_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(1L -> None, 2L -> Some(77L)))
+    // partition pruning still works on the evolved table
+    val pruned = evo.filter(evo("snapshot_date") === d2)
+    assert(pruned.count() == 1L)
+    assert(pruned.queryExecution.executedPlan.toString()
+      .contains("PartitionFilters"))
+  }
+
   test("delete-then-append rerun is idempotent; other partitions untouched") {
     for ((kind, mk) <- Seq[(String, String => SnapshotSink)](
         ("parquet", r => new ParquetSnapshotSink(spark, r)),
