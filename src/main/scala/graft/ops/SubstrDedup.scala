@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection — the distributed analog of
+  * suffix-array "ExactSubstr" dedup (Lee et al. 2022, Deduplicating
+  * Training Data Makes Language Models Better): find character spans
+  * that occur verbatim in MORE THAN ONE document and measure how much
+  * of each document such spans cover, so a curation pass can cut the
+  * boilerplate (licenses, navigation chrome, quoted headers) that
+  * document-level near-dup misses entirely.
+  *
+  * A suffix array is inherently sequential; the distributed
+  * reformulation uses CONTENT-DEFINED ANCHORS. Every k-char window
+  * whose md5 starts with a fixed hex nibble is an anchor (rate 1/16).
+  * Because anchoring depends only on window CONTENT, the two copies of
+  * a shared span anchor at the SAME offsets inside the span no matter
+  * how the surrounding documents align — the same self-synchronizing
+  * property content-defined chunking gives backup dedup. Matching is
+  * then a plain equi-join world: group anchors on the window digest,
+  * keep digests seen in ≥ 2 distinct docs, and merge each doc's
+  * surviving [pos, pos+k) intervals into maximal spans.
+  *
+  * Precision is exact up to md5 collisions (the same contract as
+  * `Dedup.exactByContentHash`). Recall is spans that contain at least
+  * one anchor window: a duplicated span of length L holds L−k+1
+  * windows, each an anchor with the uniform 1/16 of the md5 nibble, so
+  * misses decay geometrically in L (≥ 99% of spans of length k+70 are
+  * caught; tune `nibbles` up for shorter spans).
+  *
+  * 100 TB shape: one narrow scan computes windows and hashes per
+  * document (no self-join, no suffix sort); the only shuffles carry
+  * (digest, doc_id, pos) rows — 16-byte keys, never text — and the
+  * duplicate-digest set is typically small enough to broadcast back
+  * onto the anchor stream. Window hashing is O(n·k) md5 work per doc;
+  * a rolling-polynomial custom Expression would make it O(n), but md5
+  * keeps every byte of the pipeline bit-reproducible in the DuckDB
+  * oracle, the same tradeoff the rest of the dedup family makes.
+  */
+object SubstrDedup {
+
+  /** Anchor rows (doc_id, pos, dg) for every content-defined anchor:
+    * 1-based window start, md5 hex digest of the k-char window.
+    * `nibbles` is the set of first hex chars that anchor a window
+    * (each nibble adds 1/16 to the anchor rate).
+    */
+  def anchors(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nibbles: String = "0"): DataFrame = {
+    val n = length(col(textCol))
+    val poss = when(n >= k, sequence(lit(1), n - lit(k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(poss, i =>
+      struct(i.as("pos"),
+        md5(col(textCol).substr(i, lit(k)).cast("binary")).as("dg")))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(wins,
+          s => nibbles.map(c => s.getField("dg").substr(1, 1) === c.toString)
+            .reduce(_ || _))).as("a"))
+      .select(col("doc_id"), col("a.pos").as("pos"), col("a.dg").as("dg"))
+  }
+
+  /** Maximal duplicated spans per document: anchors whose window
+    * content occurs in ≥ 2 distinct documents, merged into islands
+    * wherever their [pos, pos+k) intervals touch or overlap.
+    * Returns (doc_id, span_start, span_end, n_anchors) with span_end
+    * exclusive. All arithmetic is integer → bit-stable under any
+    * partitioning.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nibbles: String = "0"): DataFrame = {
+    val a = anchors(docs, idCol, textCol, k, nibbles)
+    val dup = a.groupBy("dg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("dg")
+    val hits = a.join(dup, "dg").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k)
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_anchors"))
+      .select("doc_id", "span_start", "span_end", "n_anchors")
+  }
+
+  /** Per-document duplication load: how many maximal cross-doc spans,
+    * how many characters they cover, and how many anchors witnessed
+    * them — the rank signal for "mostly boilerplate" document cuts.
+    */
+  def dupStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nibbles: String = "0"): DataFrame =
+    dupSpans(docs, idCol, textCol, k, nibbles)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_chars"),
+        sum(col("n_anchors")).as("n_dup_anchors"))
+}

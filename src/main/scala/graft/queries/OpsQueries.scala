@@ -7,7 +7,7 @@ import graft.Tables
 import graft.ops.{
   Bpe, Chunking, Classifier, Clusters, Contamination, CorpusFilters, Dedup,
   Embeddings, KMeans, Multimodal, Packing, Pca, Profile, Redact, Relevance,
-  RepSignals, Sampling, Similarity, TextOps, Web}
+  RepSignals, Sampling, Similarity, SubstrDedup, TextOps, Web}
 
 /** Scale-extension operator pack: dedup / similarity / text analysis /
   * multimodal over the `documents` and `embeddings` tables, each with
@@ -338,6 +338,17 @@ object OpsQueries {
 
     "q_passage_dedup" -> ((s, d) =>
       Dedup.passageDupStats(Tables.documents(s, d), "doc_id", "text")),
+
+    // ExactSubstr-style duplicated spans: content-defined md5-nibble
+    // anchors over 30-char windows, digests seen in ≥2 docs, merged
+    // into maximal per-doc [start, end) islands (see SubstrDedup).
+    "q_substr_spans" -> ((s, d) =>
+      SubstrDedup.dupSpans(Tables.documents(s, d), "doc_id", "text", k = 30)),
+
+    // Per-document duplicated-substring load from the same anchors:
+    // span count, covered chars, witnessing anchors.
+    "q_substr_dedup" -> ((s, d) =>
+      SubstrDedup.dupStats(Tables.documents(s, d), "doc_id", "text", k = 30)),
 
     "q_ngram_counts" -> ((s, d) =>
       Relevance.ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50)),
@@ -1149,6 +1160,49 @@ object OpsQueries {
                CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup_passages
         FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
 
+  /** Shared CTE chain for the ExactSubstr twins: window digests at
+    * every position, 1/16 md5-nibble anchor cut, cross-doc digest
+    * filter, island merge via the running max-end window. All-integer
+    * span arithmetic, so both engines agree bit-for-bit.
+    */
+  private def substrSpansCte: String =
+    s"""WITH w AS (SELECT doc_id, CAST(t.k AS BIGINT) AS pos,
+                     md5(substr(text, CAST(t.k AS INTEGER), 30)) AS dg
+                   FROM documents, range(1, 1024) t(k)
+                   WHERE t.k + 29 <= len(text)),
+        a AS (SELECT * FROM w WHERE substr(dg, 1, 1) = '0'),
+        dup AS (SELECT dg FROM a GROUP BY dg
+                HAVING count(DISTINCT doc_id) >= 2),
+        h AS (SELECT a.doc_id, a.pos FROM a JOIN dup USING (dg)),
+        m AS (SELECT doc_id, pos,
+                max(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+              FROM h),
+        isl AS (SELECT doc_id, pos,
+                  sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM m),
+        sp AS (SELECT doc_id, island,
+                 min(pos) AS span_start, max(pos) + 30 AS span_end,
+                 count(*) AS n_anchors
+               FROM isl GROUP BY doc_id, island)"""
+
+  private def substrSpansSql: String =
+    s"""$substrSpansCte
+        SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+               CAST(span_end AS BIGINT) AS span_end,
+               CAST(n_anchors AS BIGINT) AS n_anchors
+        FROM sp"""
+
+  private def substrDedupSql: String =
+    s"""$substrSpansCte
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_end - span_start) AS BIGINT) AS dup_chars,
+               CAST(sum(n_anchors) AS BIGINT) AS n_dup_anchors
+        FROM sp GROUP BY doc_id"""
+
   private def ngramCountsSql: String =
     s"""WITH toks AS (SELECT $ws AS ws FROM documents),
         g AS (SELECT unnest(list_transform(range(1, len(ws)),
@@ -1339,6 +1393,8 @@ object OpsQueries {
           FROM post GROUP BY term""",
     "q_decontaminate" -> decontaminateSql,
     "q_passage_dedup" -> passageDedupSql,
+    "q_substr_spans" -> substrSpansSql,
+    "q_substr_dedup" -> substrDedupSql,
     "q_ngram_counts" -> ngramCountsSql,
     "q_entropy" -> entropySql,
     "q_lm_score" -> lmScoreSql,
