@@ -44,4 +44,34 @@ object Layout {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Persist `df` as a BUCKETED, bucket-sorted catalog table: rows are
+    * hash-distributed on `bucketCol` into `numBuckets` files per write
+    * task, and each bucket file is sorted on the key.
+    *
+    * This is the pay-once co-location layout for the 100 TB fact-to-
+    * fact join: two tables bucketed on their join key with the same
+    * bucket count join WITHOUT EITHER SIDE SHUFFLING — Catalyst sees
+    * `HashPartitioning(key, n)` already satisfied on both sides and
+    * plans a sort-merge join with zero Exchange operators, so the
+    * dominant cost of every subsequent join/groupBy on that key (a
+    * full re-shuffle of the fact table, per query) is paid once at
+    * write time instead. Aggregations on the bucket key skip their
+    * exchange the same way.
+    *
+    * Spark's bucketing lives in the catalog (bucket spec + file-name
+    * contract), hence `saveAsTable` rather than a bare path write.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

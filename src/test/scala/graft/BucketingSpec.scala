@@ -24,14 +24,12 @@ class BucketingSpec extends AnyFunSuite {
     try {
       val sf = "/root/testdata/sf0.001"
       val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
-      spark.read.parquet(s"$sf/orders.parquet")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", tmp.resolve("orders_b").toString)
-        .saveAsTable("orders_b")
-      spark.read.parquet(s"$sf/customer.parquet")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", tmp.resolve("customer_b").toString)
-        .saveAsTable("customer_b")
+      graft.ops.Layout.writeBucketed(
+        spark.read.parquet(s"$sf/orders.parquet"), "orders_b",
+        "o_custkey", 8, Some(tmp.resolve("orders_b").toString))
+      graft.ops.Layout.writeBucketed(
+        spark.read.parquet(s"$sf/customer.parquet"), "customer_b",
+        "c_custkey", 8, Some(tmp.resolve("customer_b").toString))
 
       val joined = spark.table("orders_b")
         .join(spark.table("customer_b"),
@@ -39,6 +37,15 @@ class BucketingSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
       assert(joined.count() == 1500)
+
+      // aggregation on the bucket key skips its exchange the same way
+      val agg = spark.table("orders_b").groupBy("o_custkey").count()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucket-key aggregation still shuffles:\n$aggPlan")
+      assert(agg.count() ==
+        spark.read.parquet(s"$sf/orders.parquet")
+          .select("o_custkey").distinct().count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
