@@ -30,6 +30,21 @@ object OpsQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
 
+    // MEASURED agreement of the MinHash+LSH scale path with the exact
+    // inverted-index Jaccard pairs: one row — exact pairs, LSH pairs,
+    // and their overlap. The two paths differ by design (banding
+    // recall loss vs the posting-list df cut), and this query prices
+    // that difference instead of asserting it away.
+    "q_minhash_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = Dedup.jaccardPairs(docs, "doc_id", "text")
+      val mh = Dedup.minHashLshPairs(docs, "doc_id", "text")
+      ex.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(mh.agg(count(lit(1)).as("n_minhash")))
+        .crossJoin(ex.join(mh, Seq("doc_id_a", "doc_id_b"))
+          .agg(count(lit(1)).as("n_common")))
+    }),
+
     // Exact Hamming-≤3 pair join via pigeonhole banding — candidates
     // from 4×8-bit band agreement, verified by popcount (no misses).
     "q_simhash_pairs" -> ((s, d) =>
@@ -81,6 +96,24 @@ object OpsQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         k = 5)
+    }),
+
+    // MEASURED recall of the LSH scale path against the exact brute
+    // twin, per query point: approximate methods ship with their
+    // accuracy bill attached, not a guess. Both paths are seedless-
+    // deterministic, so recall itself is oracle-reproducible.
+    "q_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+      val lsh = Similarity.lshTopK(q, c, k = 5)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
     }),
 
     // The coarse-quantizer scale path: IVF posting lists from a
@@ -1283,6 +1316,13 @@ object OpsQueries {
          FROM documents GROUP BY md5(text)""",
     "q_dedup_jaccard" -> jaccardSql,
     "q_dedup_minhash" -> minhashSql(),
+    "q_minhash_recall" ->
+      s"""WITH e AS (${jaccardSql}),
+          m AS (${minhashSql()})
+          SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+                 CAST((SELECT count(*) FROM m) AS BIGINT) AS n_minhash,
+                 CAST((SELECT count(*) FROM e JOIN m USING (doc_id_a, doc_id_b))
+                   AS BIGINT) AS n_common""",
     // identical signature pipeline; only batch-involving candidates
     // survive (corpus-internal pairs are ingest-time knowledge)
     "q_dedup_incremental" ->
@@ -1404,6 +1444,14 @@ object OpsQueries {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_recall" ->
+      s"""WITH b AS ($annSql),
+          l AS ($annLshSql)
+          SELECT b.qid, CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(sum(CASE WHEN l.nid IS NULL THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_hits
+          FROM b LEFT JOIN l ON l.qid = b.qid AND l.nid = b.nid
+          GROUP BY b.qid""",
     "q_ann_ivf" -> ivfSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,
