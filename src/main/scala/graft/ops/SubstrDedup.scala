@@ -68,15 +68,25 @@ object SubstrDedup {
     * Returns (doc_id, span_start, span_end, n_anchors) with span_end
     * exclusive. All arithmetic is integer → bit-stable under any
     * partitioning.
+    *
+    * One pass over the anchor stream: a single digest-keyed hash
+    * aggregation carries both the distinct-doc count and the
+    * (doc, pos) occurrence list, and survivors explode back to rows —
+    * no join back onto the anchor lineage, which would re-run the
+    * scan→window→md5 subtree on the second consumer. The per-digest
+    * list is bounded by the digest's document frequency (boilerplate
+    * digests are exactly the interesting ones, and even those are ≤
+    * one entry per containing doc).
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, nibbles: String = "0"): DataFrame = {
     val a = anchors(docs, idCol, textCol, k, nibbles)
-    val dup = a.groupBy("dg")
-      .agg(countDistinct(col("doc_id")).as("nd"))
+    val hits = a.groupBy("dg")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
       .filter(col("nd") >= 2)
-      .select("dg")
-    val hits = a.join(dup, "dg").select("doc_id", "pos")
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k)
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
