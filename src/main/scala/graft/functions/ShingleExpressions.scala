@@ -233,6 +233,77 @@ object ShingleExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Content-defined anchor windows for ExactSubstr-style dedup
+    * (graft.ops.SubstrDedup): every k-char window whose md5 hex
+    * digest starts with `nibble` yields a struct (pos, dg) — 1-based
+    * code-point position, full 32-char lowercase hex digest.
+    *
+    * Bit-identical to the declarative
+    * `transform(sequence(...), i -> struct(i, md5(substr(text,i,k))))`
+    * + nibble filter, but as one tight loop: one MessageDigest
+    * instance per row instead of per window, no per-window struct for
+    * the 15/16 of windows the nibble rejects, and no interpreted
+    * higher-order expression walk per element (the same overhead that
+    * motivated DistinctWordShingles). The anchor decision reads the
+    * digest's top 4 bits — the hex string is only materialized for
+    * survivors.
+    */
+  case class ContentAnchors(child: Expression, k: Int, nibble: Char)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k > 0, "window length must be positive")
+    private val nibbleVal: Int = Integer.parseInt(nibble.toString, 16)
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("dg", StringType, nullable = false))),
+      containsNull = false)
+    private val hexChars = "0123456789abcdef".toCharArray
+    override def nullSafeEval(input: Any): Any = {
+      val str = input.asInstanceOf[UTF8String].toString
+      // code-point start offsets (substr counts code points, not chars)
+      val n = str.codePointCount(0, str.length)
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val starts = new Array[Int](n + 1)
+      var ci = 0
+      var cp = 0
+      while (cp < n) { starts(cp) = ci; ci = str.offsetByCodePoints(ci, 1); cp += 1 }
+      starts(n) = str.length
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new java.util.ArrayList[Any]()
+      var p = 0
+      while (p <= n - k) {
+        md.reset()
+        val win = str.substring(starts(p), starts(p + k))
+        val d = md.digest(win.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((d(0) >> 4) & 0xF) == nibbleVal) {
+          val hex = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            hex(2 * i) = hexChars((d(i) >> 4) & 0xF)
+            hex(2 * i + 1) = hexChars(d(i) & 0xF)
+            i += 1
+          }
+          out.add(org.apache.spark.sql.catalyst.InternalRow(
+            p + 1, UTF8String.fromString(new String(hex))))
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    def evalCore(v: Any): ArrayData = nullSafeEval(v).asInstanceOf[ArrayData]
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalCore($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def contentAnchors(text: Column, k: Int, nibble: Char): Column =
+    GraftColumnBridge.column(
+      ContentAnchors(GraftColumnBridge.expression(text), k, nibble))
+
   def minHashSignature(hashes: Column, ab: Seq[(Long, Long)], p: Long): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(hashes), ab, p))

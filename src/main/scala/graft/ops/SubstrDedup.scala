@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ShingleExpressions
+
 /** Exact duplicated-substring detection — the distributed analog of
   * suffix-array "ExactSubstr" dedup (Lee et al. 2022, Deduplicating
   * Training Data Makes Language Models Better): find character spans
@@ -28,39 +30,37 @@ import org.apache.spark.sql.functions._
   * one anchor window: a duplicated span of length L holds L−k+1
   * windows, each an anchor with the uniform 1/16 of the md5 nibble, so
   * misses decay geometrically in L (≥ 99% of spans of length k+70 are
-  * caught; tune `nibbles` up for shorter spans).
+  * caught; widen the anchor rate for shorter spans).
   *
   * 100 TB shape: one narrow scan computes windows and hashes per
   * document (no self-join, no suffix sort); the only shuffles carry
   * (digest, doc_id, pos) rows — 16-byte keys, never text — and the
-  * duplicate-digest set is typically small enough to broadcast back
-  * onto the anchor stream. Window hashing is O(n·k) md5 work per doc;
-  * a rolling-polynomial custom Expression would make it O(n), but md5
-  * keeps every byte of the pipeline bit-reproducible in the DuckDB
-  * oracle, the same tradeoff the rest of the dedup family makes.
+  * duplicate-digest cut rides the same aggregation. Window hashing is
+  * O(n·k) md5 work per doc in a tight codegen'd loop; a
+  * rolling-polynomial hash would make it O(n), but md5 keeps every
+  * byte of the pipeline bit-reproducible in the DuckDB oracle, the
+  * same tradeoff the rest of the dedup family makes.
   */
 object SubstrDedup {
 
   /** Anchor rows (doc_id, pos, dg) for every content-defined anchor:
     * 1-based window start, md5 hex digest of the k-char window.
-    * `nibbles` is the set of first hex chars that anchor a window
-    * (each nibble adds 1/16 to the anchor rate).
+    * `nibble` is the hex char that anchors a window (rate 1/16).
+    *
+    * The window scan is a custom codegen'd expression
+    * ([[ShingleExpressions.ContentAnchors]]): the declarative
+    * higher-order formulation walked an interpreted expression tree
+    * and built a struct per window — 15/16 of them immediately
+    * discarded — which dominated the whole pipeline (same finding as
+    * the shingle expressions).
     */
   def anchors(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nibbles: String = "0"): DataFrame = {
-    val n = length(col(textCol))
-    val poss = when(n >= k, sequence(lit(1), n - lit(k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val wins = transform(poss, i =>
-      struct(i.as("pos"),
-        md5(col(textCol).substr(i, lit(k)).cast("binary")).as("dg")))
+      k: Int, nibble: Char = '0'): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        explode(filter(wins,
-          s => nibbles.map(c => s.getField("dg").substr(1, 1) === c.toString)
-            .reduce(_ || _))).as("a"))
+        explode(ShingleExpressions.contentAnchors(col(textCol), k, nibble))
+          .as("a"))
       .select(col("doc_id"), col("a.pos").as("pos"), col("a.dg").as("dg"))
-  }
 
   /** Maximal duplicated spans per document: anchors whose window
     * content occurs in ≥ 2 distinct documents, merged into islands
@@ -79,8 +79,8 @@ object SubstrDedup {
     * one entry per containing doc).
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nibbles: String = "0"): DataFrame = {
-    val a = anchors(docs, idCol, textCol, k, nibbles)
+      k: Int, nibble: Char = '0'): DataFrame = {
+    val a = anchors(docs, idCol, textCol, k, nibble)
     val hits = a.groupBy("dg")
       .agg(countDistinct(col("doc_id")).as("nd"),
         collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
@@ -109,8 +109,8 @@ object SubstrDedup {
     * them — the rank signal for "mostly boilerplate" document cuts.
     */
   def dupStats(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, nibbles: String = "0"): DataFrame =
-    dupSpans(docs, idCol, textCol, k, nibbles)
+      k: Int, nibble: Char = '0'): DataFrame =
+    dupSpans(docs, idCol, textCol, k, nibble)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
