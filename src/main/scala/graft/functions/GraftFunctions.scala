@@ -32,7 +32,19 @@ object GraftFunctions {
     "graft_float_dot" -> arity("graft_float_dot", 2)(
       es => VectorExpressions.FloatDotProduct(es(0), es(1))),
     "graft_float_norm" -> arity("graft_float_norm", 1)(
-      es => VectorExpressions.FloatL2Norm(es.head)))
+      es => VectorExpressions.FloatL2Norm(es.head)),
+    // window length and nibble must be foldable literals — they fix
+    // the expression's shape, like the DataFrame API's Int/Char params
+    "graft_content_anchors" -> arity("graft_content_anchors", 3)(es => {
+      def lit(e: Expression, what: String): Any = {
+        require(e.foldable, s"graft_content_anchors: $what must be a literal")
+        e.eval()
+      }
+      val k = lit(es(1), "window length").asInstanceOf[Number].intValue()
+      val nib = lit(es(2), "nibble").toString
+      require(nib.length == 1, "graft_content_anchors: nibble is one hex char")
+      ShingleExpressions.ContentAnchors(es.head, k, nib.charAt(0))
+    }))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit = {

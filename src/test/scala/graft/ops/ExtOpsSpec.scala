@@ -28,6 +28,17 @@ class ExtOpsSpec extends AnyFunSuite {
          FROM sqldocs""").collect().head
     assert(row.getAs[scala.collection.Seq[String]]("ss") ==
       Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    // content anchors: SQL surface agrees with the DataFrame API
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val sqlAnchors = spark.sql(
+      s"SELECT graft_content_anchors('$t', 10, '0') AS a").collect().head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("a")
+      .map(r => (r.getInt(0), r.getString(1)))
+    val apiAnchors = SubstrDedup.anchors(
+      Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(sqlAnchors == apiAnchors)
+    assert(sqlAnchors.forall(_._2.startsWith("0")))
     assert(row.getAs[scala.collection.Seq[Long]]("hs").length == 3)
 
     val dot = spark.sql(
