@@ -116,4 +116,40 @@ object SubstrDedup {
         count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start")).as("dup_chars"),
         sum(col("n_anchors")).as("n_dup_anchors"))
+
+  /** APPLY the dedup: every document with its duplicated spans cut
+    * out (ExactSubstr's removal step). Returns (doc_id, scrubbed).
+    *
+    * The spans collapse to one small sorted array per doc (maximal
+    * islands are disjoint, and there are at most len/k of them), so
+    * the cut is a per-row fold over that array — kept segment before
+    * each span, then the tail — and docs with no spans pass through
+    * untouched via the left join. No shuffle carries text except the
+    * final join of the span arrays back onto the corpus, which is the
+    * join any span-consuming rewrite must pay.
+    */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, nibble: Char = '0'): DataFrame = {
+    val spanArr = dupSpans(docs, idCol, textCol, k, nibble)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sps"))
+    val text = col(textCol)
+    val cut = aggregate(
+      col("sps"),
+      struct(lit("").as("acc"), lit(1L).as("last")),
+      (st, sp) => struct(
+        concat(st.getField("acc"),
+          text.substr(st.getField("last").cast("int"),
+            (sp.getField("span_start") - st.getField("last")).cast("int")))
+          .as("acc"),
+        sp.getField("span_end").as("last")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("last").cast("int"),
+          (length(text).cast("long") - st.getField("last") + 1L).cast("int"))))
+    docs
+      .join(spanArr, docs(idCol) === spanArr("doc_id"), "left")
+      .select(docs(idCol).as("doc_id"),
+        when(col("sps").isNull, text).otherwise(cut).as("scrubbed"))
+  }
 }

@@ -383,6 +383,11 @@ object OpsQueries {
     "q_substr_dedup" -> ((s, d) =>
       SubstrDedup.dupStats(Tables.documents(s, d), "doc_id", "text", k = 30)),
 
+    // The removal step: every document with its duplicated spans cut
+    // out (docs without spans pass through untouched).
+    "q_substr_scrub" -> ((s, d) =>
+      SubstrDedup.scrubSpans(Tables.documents(s, d), "doc_id", "text", k = 30)),
+
     "q_ngram_counts" -> ((s, d) =>
       Relevance.ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50)),
 
@@ -1236,6 +1241,26 @@ object OpsQueries {
                CAST(sum(n_anchors) AS BIGINT) AS n_dup_anchors
         FROM sp GROUP BY doc_id"""
 
+  private def substrScrubSql: String =
+    s"""$substrSpansCte,
+        tail AS (SELECT doc_id, max(span_end) AS gs FROM sp GROUP BY doc_id),
+        gaps AS (SELECT doc_id,
+                   COALESCE(lag(span_end) OVER (PARTITION BY doc_id
+                     ORDER BY span_start), 1) AS gs,
+                   span_start AS ge
+                 FROM sp
+                 UNION ALL
+                 SELECT doc_id, gs, NULL FROM tail),
+        segs AS (SELECT g.doc_id, d.text, g.gs,
+                   COALESCE(g.ge, len(d.text) + 1) AS ge
+                 FROM gaps g JOIN documents d ON d.doc_id = g.doc_id),
+        scrub AS (SELECT doc_id,
+                    string_agg(substr(text, CAST(gs AS INTEGER),
+                      CAST(ge - gs AS INTEGER)), '' ORDER BY gs) AS scrubbed
+                  FROM segs GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(s.scrubbed, d.text) AS scrubbed
+        FROM documents d LEFT JOIN scrub s ON s.doc_id = d.doc_id"""
+
   private def ngramCountsSql: String =
     s"""WITH toks AS (SELECT $ws AS ws FROM documents),
         g AS (SELECT unnest(list_transform(range(1, len(ws)),
@@ -1435,6 +1460,7 @@ object OpsQueries {
     "q_passage_dedup" -> passageDedupSql,
     "q_substr_spans" -> substrSpansSql,
     "q_substr_dedup" -> substrDedupSql,
+    "q_substr_scrub" -> substrScrubSql,
     "q_ngram_counts" -> ngramCountsSql,
     "q_entropy" -> entropySql,
     "q_lm_score" -> lmScoreSql,

@@ -97,6 +97,26 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(!got.contains(3L) && !got.contains(4L))
   }
 
+  test("scrubSpans removes exactly the spans; untouched docs pass through") {
+    val spans = model(docs)
+    val got = SubstrDedup.scrubSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, t) <- docs) {
+      val want = spans.get(id) match {
+        case None => t
+        case Some(sp) =>
+          // cut [start, end) spans (1-based, end-exclusive), back to front
+          sp.sortBy(-_._1).foldLeft(t) { case (acc, (s, e, _)) =>
+            acc.substring(0, s.toInt - 1) + acc.substring(e.toInt - 1)
+          }
+      }
+      assert(got(id) == want, s"doc $id")
+      // cut size matches the reported dup_chars
+      assert(t.length - got(id).length ==
+        spans.get(id).map(_.map(x => x._2 - x._1).sum).getOrElse(0L))
+    }
+  }
+
   test("within-doc repetition alone is not a duplicated span") {
     val rep = "x" * 10 + shared.take(60) + "y" * 10 + shared.take(60)
     val solo = Seq(9L -> rep, 10L -> "no overlap with anything here at all")
