@@ -64,8 +64,39 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Regression gate: diff against the previous round's bench
+    // artifact (SPARK_GRAFT_BENCH_BASELINE, default: the
+    // highest-numbered BENCH_r*.json in cwd) and record every query
+    // that got >1.5× slower IN the output JSON — a silent 5.8×
+    // regression must never ship unflagged again. Warn-only: failed
+    // (-1) and new queries are skipped, and the driver's artifact
+    // format tolerates extra keys.
+    val regressions: Map[String, (Double, Double)] = {
+      val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
+        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
+        rs.lastOption
+      }
+      baselinePath.filter(p => Files.exists(Paths.get(p))).map { p =>
+        val txt = Files.readString(Paths.get(p))
+        val pat = """"(q_\w+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+        val base = pat.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (name, t) =>
+          base.get(name) match {
+            case Some(b) if b > 0 && t > 0 && t > b * 1.5 => Some(name -> (b, t))
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    }
+    regressions.toSeq.sortBy(-_._2._2).foreach { case (name, (b, t)) =>
+      System.err.println(f"[bench] REGRESSION $name: $b%.2f -> $t%.2f s (${t / b}%.1fx)")
+    }
+    val regJson = regressions.toSeq.sortBy(_._1)
+      .map { case (k, (b, t)) => s"\"$k\":[$b,$t]" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()

@@ -21,16 +21,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read nanos as long and truncate to
-    * microsecond TimestampType (the data is µs-aligned). Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` on the session —
-    * set by [[GraftSession]]; this loader deliberately does NOT
-    * mutate the caller's session conf behind its back.
+  /** `events.parquet` has shipped with two physical encodings of `ts`
+    * across testdata generations: TIMESTAMP(NANOS) (surfaced as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * by [[GraftSession]]) and TIMESTAMP(MICROS, NTZ) (surfaced as
+    * TimestampNTZType). Branch on the observed dtype so the loader
+    * works against either generation and always hands callers a
+    * session-zoned TimestampType (session TZ is UTC, so the NTZ cast
+    * is a pure re-tag, not a wall-clock shift).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported physical type $other")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
