@@ -81,8 +81,15 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
 
+  /** Single-profile stopword hit count. Routed through the one-pass
+    * custom expression rather than `size(filter(ws, isin(...)))`:
+    * higher-order functions are CodegenFallback, so the declarative
+    * form both broke the hosting whole-stage span and re-walked an
+    * interpreted predicate tree per token.
+    */
   def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
-    size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    element_at(
+      graft.functions.ShingleExpressions.stopwordProfileScores(ws, Seq(stopwords)), 1)
 
   /** All per-language stopword scores as one array<long> (one pass
     * over the token array). Materialize this in a select of its own
@@ -166,11 +173,21 @@ object TextOps {
 
   def wordCount(text: Column): Column = size(words(text)).cast("long")
 
+  /** Σ length(word) without walking the token array: the tokenizer
+    * splits on 0x20 only, so the total word length IS the code-point
+    * count of the text minus its spaces — `translate` + `length` stay
+    * inside whole-stage codegen where the per-word `aggregate` fold
+    * was an interpreted walk. Null text counts 0, like `words`.
+    */
   def totalWordChars(text: Column): Column =
-    aggregate(words(text), lit(0L), (acc, w) => acc + length(w).cast("long"))
+    length(translate(coalesce(text, lit("")), " ", "")).cast("long")
 
+  /** Occurrence count of `.,!?;:` as a translate length-diff — same
+    * value as counting regexp matches, without materializing a match
+    * array per row. Null-propagating like the regexp form it replaced.
+    */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast("long")
+    (length(text) - length(translate(text, ".,!?;:", ""))).cast("long")
 
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
