@@ -74,31 +74,53 @@ object Similarity {
   private def multiprobe1(bucket: Column, nPlanes: Int): Column =
     array(bucket +: (0 until nPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
 
-  /** Approximate top-k with multiprobe: candidates share the query's
-    * hyperplane bucket OR any 1-bit-flip neighbor of it (queries near
-    * a hyperplane would otherwise miss neighbors across it). Exact
-    * cosine rank within candidates. At 100 TB the bucket join
-    * replaces the cross join — candidates per query drop from
-    * |corpus| to ~(nPlanes+1)·|corpus| / 2^nPlanes in expectation.
+  /** Scored LSH candidate frame (qid, nid, cos) — the bucket
+    * equi-join behind [[lshTopK]], exposed so recall evaluations can
+    * price a (nPlanes, probeBits) setting by its candidate count.
+    *
+    * `probeBits` is the multiprobe depth: 0 probes only the exact
+    * bucket; 1 adds every single-plane flip (queries near a
+    * hyperplane would otherwise miss neighbors across it). Fewer
+    * planes / deeper probing → more candidates → higher recall and
+    * cost; the knob trades them explicitly.
+    */
+  def lshCandidates(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      probeBits: Int = 1): DataFrame = {
+    require(probeBits == 0 || probeBits == 1,
+      s"probeBits must be 0 (exact bucket) or 1 (single-plane flips), got $probeBits")
+    // a corpus row has a single bucket, so a (qid, nid) pair can match
+    // at most one probe — no candidate dedup needed
+    val bucket = hyperplaneBucket(col("qv"), nPlanes, dim)
+    val probes =
+      if (probeBits == 0) array(bucket) else multiprobe1(bucket, nPlanes)
+    val qb = queries
+      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("bucket", explode(probes))
+    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("nv"), nPlanes, dim))
+      .withColumn("nnorm", norm(col("nv")))
+    cb.join(broadcast(qb), "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+  }
+
+  /** Approximate top-k with multiprobe: candidates from
+    * [[lshCandidates]], exact cosine rank within them. At 100 TB the
+    * bucket join replaces the cross join — candidates per query drop
+    * from |corpus| to ~(nPlanes+1)·|corpus| / 2^nPlanes in
+    * expectation.
     */
   def lshTopK(
       queries: DataFrame, // (qid, qv)
       corpus: DataFrame, // (nid, nv)
       k: Int,
       nPlanes: Int = 8,
-      dim: Int = 64): DataFrame = {
-    // probe buckets: exact + one per flipped plane bit; a corpus row
-    // has a single bucket, so a (qid, nid) pair can match at most one
-    // probe — no candidate dedup needed
-    val qb = queries
-      .withColumn("qnorm", norm(col("qv")))
-      .withColumn("bucket",
-        explode(multiprobe1(hyperplaneBucket(col("qv"), nPlanes, dim), nPlanes)))
-    val cb = corpus.withColumn("bucket", hyperplaneBucket(col("nv"), nPlanes, dim))
-      .withColumn("nnorm", norm(col("nv")))
-    val joined = cb.join(broadcast(qb), "bucket")
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+      dim: Int = 64,
+      probeBits: Int = 1): DataFrame = {
+    val joined = lshCandidates(queries, corpus, nPlanes, dim, probeBits)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     joined
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -17,6 +17,13 @@ import graft.ops.{
   */
 object OpsQueries {
 
+  /** (nPlanes, probeBits) operating points for the q_ann_recall
+    * curve: default (8,1), the no-multiprobe cheap end (8,0), and the
+    * wider-bucket high-recall end (6,1). Shared by the Spark query
+    * and its oracle so both emit the same rows.
+    */
+  val AnnRecallSettings: Seq[(Int, Int)] = Seq((6, 1), (8, 0), (8, 1))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactByContentHash(Tables.documents(s, d), "doc_id", "text")),
@@ -99,21 +106,29 @@ object OpsQueries {
     }),
 
     // MEASURED recall of the LSH scale path against the exact brute
-    // twin, per query point: approximate methods ship with their
-    // accuracy bill attached, not a guess. Both paths are seedless-
-    // deterministic, so recall itself is oracle-reproducible.
+    // twin — one row per (nPlanes, probeBits) setting, so users read
+    // the recall-vs-candidate-count curve and price the tradeoff
+    // instead of getting a single take-it-or-leave-it operating
+    // point. Both paths are seedless-deterministic, so recall itself
+    // is oracle-reproducible.
     "q_ann_recall" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
-      val lsh = Similarity.lshTopK(q, c, k = 5)
-        .select(col("qid"), col("nid"), lit(1L).as("hit"))
-      brute.join(lsh, Seq("qid", "nid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      AnnRecallSettings.map { case (np, pb) =>
+        val lsh = Similarity.lshTopK(q, c, k = 5, nPlanes = np, probeBits = pb)
+          .select(col("qid"), col("nid"), lit(1L).as("hit"))
+        val cand = Similarity.lshCandidates(q, c, nPlanes = np, probeBits = pb)
+        brute.join(lsh, Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .select(
+            lit(np.toLong).as("n_planes"), lit(pb.toLong).as("probe_bits"),
+            col("n_true"), col("n_hits"), col("n_candidates"))
+      }.reduce(_.unionAll(_))
     }),
 
     // The coarse-quantizer scale path: IVF posting lists from a
@@ -825,22 +840,49 @@ object OpsQueries {
         WHERE rn <= 5"""
   }
 
-  private def annLshSql: String = {
+  /** LSH candidate subquery for a (nPlanes, probeBits) setting:
+    * (qid, nid, cos) pairs whose buckets differ in ≤ probeBits sign
+    * bits — the exact candidate set of `Similarity.lshCandidates`.
+    */
+  private def annLshCandSql(nPlanes: Int, probeBits: Int): String = {
     val dot = (1 to 64)
       .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
     val qn = (1 to 64)
       .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
     val nn = (1 to 64)
       .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
-    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", 8, 64)
-    s"""WITH q AS (SELECT vec_id qid, embedding qv, $bucket AS qb
-               FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id nid, embedding nv, $bucket AS nb FROM embeddings),
-        s AS (SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
-              FROM c JOIN q ON bit_count(xor(qb, nb)) <= 1 AND nid <> qid)
+    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", nPlanes, 64)
+    s"""SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
+        FROM (SELECT vec_id nid, embedding nv, $bucket AS nb FROM embeddings) c
+        JOIN (SELECT vec_id qid, embedding qv, $bucket AS qb
+              FROM embeddings WHERE vec_id < 10) q
+          ON bit_count(xor(qb, nb)) <= $probeBits AND nid <> qid"""
+  }
+
+  private def annLshSql: String =
+    s"""WITH s AS (${annLshCandSql(8, 1)})
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
           (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
         WHERE rn <= 5"""
+
+  /** Recall-curve twin: per (nPlanes, probeBits) setting, total brute
+    * top-5 pairs, how many the LSH path recovered, and the candidate
+    * count that bought that recall.
+    */
+  private def annRecallSql: String = {
+    val settings = AnnRecallSettings.map { case (np, pb) =>
+      s"""SELECT CAST($np AS BIGINT) AS n_planes, CAST($pb AS BIGINT) AS probe_bits,
+            (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+            (SELECT CAST(count(*) AS BIGINT) FROM b JOIN
+              (SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
+                (SELECT qid, nid, ROW_NUMBER() OVER
+                   (PARTITION BY qid ORDER BY cos DESC, nid) rn
+                 FROM (${annLshCandSql(np, pb)}) s$np$pb) t$np$pb
+               WHERE rn <= 5) l$np$pb USING (qid, nid)) AS n_hits,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM (${annLshCandSql(np, pb)}) k$np$pb) AS n_candidates"""
+    }
+    s"""WITH b AS ($annSql) ${settings.mkString(" UNION ALL ")}"""
   }
 
   /** IVF twin: same deterministic codebook (lowest 16 ids), same
@@ -1470,14 +1512,7 @@ object OpsQueries {
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_cosine" -> annSql,
     "q_ann_lsh" -> annLshSql,
-    "q_ann_recall" ->
-      s"""WITH b AS ($annSql),
-          l AS ($annLshSql)
-          SELECT b.qid, CAST(count(*) AS BIGINT) AS n_true,
-                 CAST(sum(CASE WHEN l.nid IS NULL THEN 0 ELSE 1 END)
-                   AS BIGINT) AS n_hits
-          FROM b LEFT JOIN l ON l.qid = b.qid AND l.nid = b.nid
-          GROUP BY b.qid""",
+    "q_ann_recall" -> annRecallSql,
     "q_ann_ivf" -> ivfSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,
