@@ -72,7 +72,7 @@ class GithubTable(properties: Map[String, String]) extends Table with SupportsRe
     s"github(${properties.getOrElse("repos", "")})"
   override def schema(): StructType = GithubDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GithubScanBuilder(properties ++ options.asScala)
 }
@@ -120,6 +120,14 @@ class GithubScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Streaming form of the same scan: repo pushdown and column
+    * pruning apply identically (a pruned `value` skips enrichment
+    * fetches per micro-batch too).
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GithubMicroBatchStream(options, plannedRepos, required.fieldNames)
+
   private def allowedRepo(repo: String): Boolean =
     pushed.forall {
       case EqualTo("repo", v: String) => repo == v
@@ -127,11 +135,17 @@ class GithubScan(
       case _ => true
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val repos = options.getOrElse("repos",
+  /** Repo list after planning-time pushdown pruning — shared by the
+    * batch partitioner and the micro-batch stream.
+    */
+  private[github] def plannedRepos: Seq[String] =
+    options.getOrElse("repos",
       throw new IllegalArgumentException("github source requires 'repos' option"))
       .split(",").map(_.trim).filter(_.nonEmpty)
-      .filter(allowedRepo)
+      .filter(allowedRepo).toSeq
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val repos = plannedRepos
     val perPartition = options.get("pagesperpartition").flatMap(_.toIntOption)
     perPartition.foreach(pp => require(pp > 0,
       s"pagesPerPartition must be positive, got $pp"))
@@ -146,7 +160,7 @@ class GithubScan(
           val last = extractor.pageCount(repo, opts.chunkSize)
           (1 to last by pp).map(s => GithubPartition(repo, s, math.min(s + pp - 1, last)))
       }
-    }.map(p => p: InputPartition)
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

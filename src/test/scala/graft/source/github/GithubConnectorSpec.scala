@@ -437,4 +437,61 @@ class GithubConnectorSpec extends AnyFunSuite {
         s"stale partition survived delete for repo '$repo'")
     }
   }
+
+  // --- streaming micro-batch source -----------------------------------
+
+  test("pages offset: json round-trip and foreign-offset coercion") {
+    val o = GithubPagesOffset(Map("o/r" -> 3, "a/b" -> 0))
+    assert(o.json() == """{"a/b":0,"o/r":3}""")
+    assert(GithubPagesOffset.parse(o.json()) == o)
+    // the restart path hands back Spark's serialized form, not our class
+    val foreign = new org.apache.spark.sql.connector.read.streaming.Offset {
+      override def json(): String = o.json()
+    }
+    assert(GithubPagesOffset.from(foreign) == o)
+  }
+
+  test("readStream format(github) drains all pages and equals the batch read") {
+    withServer { server =>
+      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream").toString
+      val stream = spark.readStream.format("graft.source.github.GithubDataSource")
+        .option("repos", "o/r")
+        .option("apiUrl", server.url)
+        .load()
+      val q = stream.writeStream.format("memory").queryName("gh_stream_all")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("gh_stream_all")
+      assert(got.count() == 5) // same corpus as the batch DSv2 test
+      assert(got.columns.toSeq == Seq("repo", "value"))
+      val typed = got.select(
+        from_json(col("value"), GithubSchemas.rawPullRequest).as("pr"))
+        .select("pr.*")
+      assert(typed.filter(col("number").isNotNull).count() == 4)
+    }
+  }
+
+  test("maxPagesPerTrigger drains the backlog in bounded micro-batches, losing nothing") {
+    withServer { server =>
+      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream-pp").toString
+      // chunkSize 3 → the 5-PR corpus spans 2 pages; cap 1 page/trigger
+      val stream = spark.readStream.format("graft.source.github.GithubDataSource")
+        .option("repos", "o/r")
+        .option("apiUrl", server.url)
+        .option("chunkSize", "3")
+        .option("maxPagesPerTrigger", "1")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("gh_stream_pp")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.table("gh_stream_pp").count() == 5)
+      // the admission cap must have split the drain across ≥2 batches
+      val fed = q.recentProgress.count(_.numInputRows > 0)
+      assert(fed >= 2, s"expected ≥2 bounded micro-batches, saw $fed")
+    }
+  }
 }
