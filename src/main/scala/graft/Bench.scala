@@ -96,7 +96,8 @@ object Bench {
     val regJson = regressions.toSeq.sortBy(_._1)
       .map { case (k, (b, t)) => s"\"$k\":[$b,$t]" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+        s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
