@@ -193,8 +193,7 @@ object OpsQueries {
         .select(
           col("doc_id"),
           size(col("ws")).cast("long").as("n_words"),
-          aggregate(col("ws"), lit(0L),
-            (acc, w) => acc + length(w).cast("long")).as("n_word_chars"),
+          TextOps.totalWordChars(col("text")).as("n_word_chars"),
           TextOps.punctCount(col("text")).as("n_punct"),
           TextOps.stopwordHits(col("ws"), TextOps.StopwordProfiles.head._2)
             .as("n_stopwords_en"))

@@ -180,7 +180,11 @@ class PlanSpec extends AnyFunSuite {
     for ((q, marker) <- Seq(
         "q_ann_cosine" -> "floatdotproduct",
         "q_dedup_simhash" -> "simhash32",
-        "q_dedup_minhash" -> "distinctshinglehashes")) {
+        "q_dedup_minhash" -> "distinctshinglehashes",
+        // round 5: the quality metrics dropped their interpreted
+        // aggregate()/filter() folds — the stopword scorer must sit
+        // in a fused span, not a fallback Project
+        "q_text_quality" -> "stopwordprofilescores")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
