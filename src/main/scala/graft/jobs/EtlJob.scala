@@ -106,6 +106,20 @@ object EtlJob {
       case _ => new ParquetSnapshotSink(spark, outDir)
     }
 
+    if (env.get("GRAFT_STREAMING").contains("1")) {
+      // streaming mode: the chunk loop as a checkpointed micro-batch
+      // query — resume-on-restart, optional per-trigger page cap
+      // (GRAFT_MAX_PAGES_PER_TRIGGER) for rate-limit backpressure
+      val checkpoint = env.getOrElse("GRAFT_CHECKPOINT_DIR",
+        s"$outDir/_checkpoints/etl")
+      val stats = StreamingEtl.run(
+        spark, repos.toSeq, opts, sink, snapshotDate, checkpoint,
+        env.get("GRAFT_MAX_PAGES_PER_TRIGGER").flatMap(_.toIntOption))
+      println(s"[etl] ${repos.length} repos via streaming: wrote snapshot " +
+        s"$snapshotDate (${stats.batches} micro-batches, ${stats.rows} PRs)")
+      return
+    }
+
     if (env.get("GRAFT_USE_DSV2").contains("1")) {
       // all repos in one distributed read (one input partition per
       // repo — the 1000-repo scale path), transformed in a single

@@ -473,6 +473,39 @@ class GithubConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("EtlJob streaming mode writes the same snapshot as the batch job, and resume appends nothing") {
+    withServer { server =>
+      val outB = java.nio.file.Files.createTempDirectory("graft-etl-b").toString
+      val outS = java.nio.file.Files.createTempDirectory("graft-etl-s").toString
+      val base = Map(
+        "GITHUB_REPOS" -> "o/r",
+        "GITHUB_API_URL" -> server.url,
+        "GITHUB_TOKEN" -> "t")
+      graft.jobs.EtlJob.run(base + ("GRAFT_OUTPUT_DIR" -> outB), Some(spark))
+      // chunkSize default 100 → the 5-PR corpus is one page; cap 1
+      // page/trigger anyway to exercise the capped drain path
+      graft.jobs.EtlJob.run(base ++ Map(
+        "GRAFT_OUTPUT_DIR" -> outS,
+        "GRAFT_STREAMING" -> "1",
+        "GRAFT_MAX_PAGES_PER_TRIGGER" -> "1"), Some(spark))
+      for (t <- graft.sink.SnapshotWriter.TableNames) {
+        val b = spark.read.parquet(s"$outB/$t")
+        val s = spark.read.parquet(s"$outS/$t")
+        assert(s.count() == b.count(), s"row count diverged for $t")
+        assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
+          s"streaming snapshot diverged from batch for $t")
+      }
+      // resume with the same checkpoint and no new upstream pages:
+      // the stream must append nothing (the up-front delete must NOT
+      // re-run either, or it would wipe the first run's batches)
+      graft.jobs.EtlJob.run(base ++ Map(
+        "GRAFT_OUTPUT_DIR" -> outS,
+        "GRAFT_STREAMING" -> "1"), Some(spark))
+      assert(spark.read.parquet(s"$outS/pull_requests").count() == 4)
+      assert(spark.read.parquet(s"$outS/commits").count() == 16)
+    }
+  }
+
   test("maxPagesPerTrigger drains the backlog in bounded micro-batches, losing nothing") {
     withServer { server =>
       val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream-pp").toString
