@@ -126,4 +126,41 @@ object Clusters {
         coalesce(col("comp"), col(idCol)).as("cluster_id"))
       .withColumn("is_keeper", (col(idCol) === col("cluster_id")).cast("long"))
   }
+
+  /** Quality-aware keeper selection: like [[dedupClusters]], but the
+    * kept copy per cluster is the one that MAXIMIZES an integer
+    * quality score (ties → lowest id) instead of blindly the lowest
+    * id — real pipelines keep the longest / highest-classifier-score
+    * duplicate, not an arbitrary one.
+    *
+    * `scoreCol` must be integer-valued (cast to long): float scores
+    * would make the argmax engine-dependent at ties within a ulp.
+    * Scale shape: the argmax is `max(struct(score, -id))` — a plain
+    * hash aggregation with map-side partial merge (no window sort),
+    * then one broadcast-sized join of (cluster → keeper) back onto
+    * the membership frame. Output: (id, cluster_id, score,
+    * is_keeper).
+    */
+  def dedupClustersKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: org.apache.spark.sql.Column,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val members = docs
+      .select(col(idCol), scoreCol.cast("long").as("score"))
+      .join(comps, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"),
+        col("score"))
+    // lexicographic struct max = argmax by (score, then -id): the
+    // negated id turns "max" into "lowest id wins ties"
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score").as("s"), (-col(idCol)).as("ni"))).as("b"))
+      .select(col("cluster_id"), (-col("b.ni")).as("__keeper"))
+    members.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("score"),
+        (col(idCol) === col("__keeper")).cast("long").as("is_keeper"))
+  }
 }

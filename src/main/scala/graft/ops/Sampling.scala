@@ -139,6 +139,43 @@ object Sampling {
     * row. Everything is exact integer arithmetic: the kept set is
     * bit-stable across engines and partitionings.
     */
+  /** Temperature-flattened domain mixing at α = 1/2 — the standard
+    * "raise domain counts to a power < 1" rebalance of multilingual /
+    * multi-domain training mixes (big domains downsampled toward
+    * √-proportional mass, the smallest domain kept whole):
+    * keep rate for a domain with n rows is √(n_min / n), applied as
+    * the fixed-point hash threshold ⌊2^20·√(n_min/n)⌋.
+    *
+    * α is pinned to 1/2 ON PURPOSE: IEEE-754 requires sqrt (and the
+    * division feeding it) to be exactly rounded, so the integer
+    * threshold is bit-identical on every engine — a general pow(n, α)
+    * is only faithfully rounded and may flip a threshold by one ulp
+    * between libm implementations, silently moving rows across the
+    * keep boundary. For other temperatures, precompute thresholds
+    * off-engine and use [[stratifiedHashSample]].
+    *
+    * Scale shape: same as [[mixToTarget]] — a column-pruned count
+    * aggregate, thresholds broadcast back, one codegen'd comparison
+    * per row; no corpus shuffle, no RNG.
+    */
+  def temperatureMixSqrt(
+      df: DataFrame,
+      keyCol: String,
+      classCol: String,
+      salt: Long = 0L): DataFrame = {
+    val d = 1L << 20
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val minRow = counts.agg(min(col("__n")).as("__nmin"))
+    val thr = counts.crossJoin(broadcast(minRow))
+      .select(col(classCol),
+        floor(lit(d.toDouble) *
+          sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
+          .cast("long").as("__thr"))
+    df.join(broadcast(thr), Seq(classCol))
+      .filter(pmod(sampleHash(col(keyCol), salt), lit(d)) < col("__thr"))
+      .drop("__thr")
+  }
+
   def mixToTarget(
       df: DataFrame,
       keyCol: String,

@@ -463,6 +463,23 @@ object OpsQueries {
         MixWeights.toMap)
         .select(col("doc_id"), col("source"))),
 
+    // Temperature flattening at α=1/2 (√-proportional domain mass,
+    // smallest domain kept whole) — deterministic because IEEE sqrt
+    // and division are exactly rounded (see Sampling.temperatureMixSqrt).
+    "q_mix_temperature" -> ((s, d) =>
+      Sampling.temperatureMixSqrt(Tables.documents(s, d), "doc_id", "source")
+        .select(col("doc_id"), col("source"))),
+
+    // Quality-aware dedup keeper: per near-dup cluster keep the doc
+    // maximizing (word count, then lowest id) instead of blindly the
+    // lowest id — the "keep the best copy" form of q_dedup_clusters.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Clusters.dedupClustersKeepBest(docs, "doc_id",
+        TextOps.wordCount(col("text")),
+        Dedup.minHashLshPairs(docs, "doc_id", "text"), "doc_id_a", "doc_id_b")
+    }),
+
     // Count-min heavy hitters: a 4×32 mergeable sketch over the word
     // stream + the exact top-20 twin IN the same query — fixed affine
     // hashes make sketch contents and collision noise bit-replicable,
@@ -1203,6 +1220,45 @@ object OpsQueries {
                CAST(d.doc_id = COALESCE(c.comp, d.doc_id) AS BIGINT) AS is_keeper
         FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
+  /** Keep-best twin: clustersSql's closure, but the keeper per
+    * component is argmax by (whitespace word count, then lowest id).
+    */
+  private def keepBestSql: String =
+    s"""WITH RECURSIVE pairs AS (${minhashSql()}),
+        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+                  UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
+        reach(node, root) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+        comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node),
+        members AS (
+          SELECT d.doc_id,
+                 COALESCE(c.comp, d.doc_id) AS cluster_id,
+                 CAST(len(list_filter(string_split(COALESCE(d.text, ''), ' '),
+                   w -> w <> '')) AS BIGINT) AS score
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        best AS (
+          SELECT cluster_id, doc_id AS keeper FROM (
+            SELECT cluster_id, doc_id, ROW_NUMBER() OVER
+              (PARTITION BY cluster_id ORDER BY score DESC, doc_id ASC) rn
+            FROM members) t WHERE rn = 1)
+        SELECT m.doc_id, m.cluster_id, m.score,
+               CAST(m.doc_id = b.keeper AS BIGINT) AS is_keeper
+        FROM members m JOIN best b USING (cluster_id)"""
+
+  /** Temperature-mix twin: identical fixed-point √ threshold. */
+  private def mixTemperatureSql: String =
+    s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        mn AS (SELECT min(n) AS nmin FROM cnt),
+        thr AS (SELECT source,
+                  CAST(floor(1048576.0 *
+                    sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS t
+                FROM cnt, mn)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE ((d.doc_id * 2654435761 + 0) % 2147483647) % 1048576 < thr.t"""
+
   /** Decontamination twin: identical shingling on both roles, the
     * probe side distinct so the join count is the distinct overlap.
     */
@@ -1405,6 +1461,8 @@ object OpsQueries {
           SELECT doc_id_a, doc_id_b, shared, na + nb - shared AS n_union
           FROM p WHERE 10*shared >= 7*(na + nb - shared)""",
     "q_dedup_clusters" -> clustersSql,
+    "q_dedup_keep_best" -> keepBestSql,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents)

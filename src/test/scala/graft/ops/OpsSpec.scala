@@ -79,6 +79,45 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("keep-best dedup keeps the highest-scoring copy, not the lowest id") {
+    // cluster {0,1,3}: doc 1 is one word longer than 0 and 3 — with
+    // word count as the quality score the keeper must be 1, where
+    // plain dedupClusters would keep 0
+    val pairs = Dedup.minHashLshPairs(docsDf, "doc_id", "text")
+    val out = Clusters.dedupClustersKeepBest(
+      docsDf, "doc_id",
+      TextOps.wordCount(col("text")) +
+        when(col("doc_id") === 1L, lit(5L)).otherwise(lit(0L)),
+      pairs, "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("is_keeper"))).toMap
+    assert(out(0L) == (0L, 0L) && out(3L) == (0L, 0L))
+    assert(out(1L) == (0L, 1L), s"keeper should be the boosted doc 1: $out")
+    // singletons keep themselves
+    assert(out(2L)._2 == 1L && out(4L)._2 == 1L)
+  }
+
+  test("temperature mix keeps the smallest domain whole and flattens larger ones") {
+    val rows = (0L until 900L).map { i =>
+      val dom = if (i < 800L) "big" else if (i < 880L) "mid" else "small"
+      (i, dom)
+    }
+    val df = rows.toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixSqrt(df, "doc_id", "source")
+    val byDom = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest domain: threshold = 2^20 exactly → every row survives
+    assert(byDom("small") == 20L)
+    // larger domains thin toward sqrt proportions: expected rates
+    // sqrt(20/800)≈0.158, sqrt(20/80)=0.5 — allow hash noise
+    assert(byDom("big") < 200L && byDom("big") > 60L, s"big: ${byDom("big")}")
+    assert(byDom("mid") < 60L && byDom("mid") > 20L, s"mid: ${byDom("mid")}")
+    // deterministic under re-layout
+    val kept2 = Sampling.temperatureMixSqrt(df.repartition(7), "doc_id", "source")
+    assert(kept2.count() == kept.count())
+    assert(kept.select("doc_id").exceptAll(kept2.select("doc_id")).isEmpty)
+  }
+
   test("minhash LSH pairs agree with exact jaccard on planted dups") {
     val lsh = Dedup.minHashLshPairs(docsDf, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
