@@ -168,6 +168,17 @@ class PlanSpec extends AnyFunSuite {
     val mix = finalPlan("q_mix_sources")
     assert(!mix.contains("SortMergeJoin"),
       s"q_mix_sources corpus join must be broadcast:\n$mix")
+    // round 5: same contract for temperature flattening
+    val tmix = finalPlan("q_mix_temperature")
+    assert(!tmix.contains("SortMergeJoin"),
+      s"q_mix_temperature corpus join must be broadcast:\n$tmix")
+    // keep-best keeper selection is an argmax AGGREGATION (struct max
+    // with map-side combine), never a per-cluster window sort
+    val kb = finalPlan("q_dedup_keep_best")
+    assert(kb.contains("partial_max") || kb.contains("partial_"),
+      s"q_dedup_keep_best argmax lost map-side combine:\n$kb")
+    assert(!kb.linesIterator.exists(l => l.contains("Window")),
+      s"q_dedup_keep_best must not window-sort per cluster:\n$kb")
   }
 
   test("custom expressions stay inside whole-stage codegen spans") {
