@@ -436,6 +436,26 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Corpus token-budget report — the "how many tokens do I actually
+    // have, and where" rollup every training-mix decision starts from:
+    // per source, docs, whitespace tokens, BPE-ish tokens, and the
+    // integer-ppm share of the corpus token mass. One column-pruned
+    // pass, the total arrives by 1-row broadcast.
+    "q_token_budget" -> ((s, d) => {
+      val per = Tables.documents(s, d).select(
+        col("source"),
+        TextOps.wordCount(col("text")).as("nt"),
+        TextOps.bpeTokenCount(coalesce(col("text"), lit(""))).as("nb"))
+      val tot = per.agg(sum(col("nt")).as("__tot"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(col("nb")).as("n_bpe_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_bpe_tokens"),
+          expr("n_tokens * 1000000 div __tot").as("token_share_ppm"))
+    }),
+
     // End-to-end curation in ONE pass: every per-doc signal (token
     // count, quality bucket, normalized digest) is a narrow
     // single-pass projection, normalized-dedup is one window min on
@@ -1690,6 +1710,19 @@ object OpsQueries {
             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))
               AS BIGINT) AS n_bpe_tokens
           FROM documents""",
+    "q_token_budget" ->
+      s"""WITH per AS (SELECT source,
+              CAST(len($ws) AS BIGINT) AS nt,
+              CAST(len(regexp_extract_all(COALESCE(text, ''),
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)) AS BIGINT) AS nb
+            FROM documents),
+          tot AS (SELECT sum(nt) AS t FROM per)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+                 CAST((sum(nt) * 1000000) // (SELECT t FROM tot) AS BIGINT)
+                   AS token_share_ppm
+          FROM per GROUP BY source""",
     "q_fingerprint" ->
       s"""SELECT doc_id,
             list_reduce(
