@@ -341,4 +341,37 @@ object PropertySpec extends Properties("graft") {
         .collect().map(_.getLong(0)).toSet
       a == b
     }
+
+  // --- keep-best keeper invariants ------------------------------------
+
+  /** Random pair lists + random integer scores: in every cluster the
+    * keeper must (a) exist exactly once, (b) carry the cluster's max
+    * score, (c) have the lowest id among max-score members.
+    */
+  property("dedupClustersKeepBest keeper is the (score, -id) argmax of its cluster") =
+    Prop.forAll(
+      Gen.choose(2, 12),
+      Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L))),
+      Gen.listOfN(12, Gen.choose(0L, 5L))) { (n, rawPairs, scores) =>
+      val ids = (0L until n.toLong)
+      val docs = ids.map(i => (i, scores(i.toInt))).toDF("doc_id", "w")
+      val filtered = rawPairs.filter { case (a, b) => a != b && a < n && b < n }
+      // connectedComponents contracts on a non-empty pair list (the
+      // dedup pipelines always feed one); pin a seed edge
+      val pairs = if (filtered.isEmpty) Seq((0L, 1L)) else filtered
+      val pairsDf = pairs.toDF("a", "b")
+      val out = graft.ops.Clusters.dedupClustersKeepBest(
+        docs, "doc_id", col("w"), pairsDf, "a", "b")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+          r.getAs[Long]("score"), r.getAs[Long]("is_keeper")))
+      val byCluster = out.groupBy(_._2)
+      out.length == n && byCluster.forall { case (_, members) =>
+        val keepers = members.filter(_._4 == 1L)
+        val maxScore = members.map(_._3).max
+        keepers.length == 1 &&
+          keepers.head._3 == maxScore &&
+          keepers.head._1 == members.filter(_._3 == maxScore).map(_._1).min
+      }
+    }
 }
