@@ -66,29 +66,36 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // Regression gate: diff against the previous round's bench
     // artifact (SPARK_GRAFT_BENCH_BASELINE, default: the
-    // highest-numbered BENCH_r*.json in cwd) and record every query
-    // that got >1.5× slower IN the output JSON — a silent 5.8×
-    // regression must never ship unflagged again. Warn-only: failed
-    // (-1) and new queries are skipped, and the driver's artifact
-    // format tolerates extra keys.
+    // highest-ROUND BENCH_r*.json in cwd that isn't this round's own
+    // copied-back artifact) and record every query that got >1.5×
+    // slower IN the output JSON — a silent 5.8× regression must never
+    // ship unflagged again. Warn-only: failed (-1) and new queries are
+    // skipped, and the driver's artifact format tolerates extra keys.
+    // Parsing/selection lives in BenchGuard (spec-covered against a
+    // verbatim driver artifact — the escaped-"tail" wrapper defeated
+    // the previous inline regex for two rounds).
     val regressions: Map[String, (Double, Double)] = {
-      val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE").orElse {
-        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted
-        rs.lastOption
-      }
-      baselinePath.filter(p => Files.exists(Paths.get(p))).map { p =>
-        val txt = Files.readString(Paths.get(p))
-        val pat = """"(q_\w+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
-        val base = pat.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        results.flatMap { case (name, t) =>
-          base.get(name) match {
-            case Some(b) if b > 0 && t > 0 && t > b * 1.5 => Some(name -> (b, t))
-            case _ => None
+      val selfQueries =
+        if (Files.exists(Paths.get(outPath)))
+          BenchGuard.parseQueryTimes(Files.readString(Paths.get(outPath)))
+        else Map.empty[String, Double]
+      val base: Option[(String, Map[String, Double])] =
+        sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+          .filter(p => Files.exists(Paths.get(p)))
+          .map(p => p -> BenchGuard.parseQueryTimes(Files.readString(Paths.get(p))))
+          .orElse {
+            val names = Option(new java.io.File(".").listFiles())
+              .getOrElse(Array.empty).map(_.getName).toSeq
+            BenchGuard.pickBaseline(
+              names, p => Files.readString(Paths.get(p)), selfQueries)
           }
-        }.toMap
-      }.getOrElse(Map.empty)
+      base.foreach { case (p, qs) =>
+        System.err.println(s"[bench] baseline: $p (${qs.size} queries)")
+        if (qs.isEmpty)
+          System.err.println(s"[bench] WARNING: baseline $p parsed to 0 queries")
+      }
+      base.map { case (_, qs) => BenchGuard.regressions(qs, results) }
+        .getOrElse(Map.empty)
     }
     regressions.toSeq.sortBy(-_._2._2).foreach { case (name, (b, t)) =>
       System.err.println(f"[bench] REGRESSION $name: $b%.2f -> $t%.2f s (${t / b}%.1fx)")
