@@ -572,19 +572,58 @@ object ExtQueries {
     }),
 
     // Approximate aggregates (sketches): HLL distinct count and KLL
-    // quantiles. No DuckDB oracle — sketch internals differ across
-    // engines — so the driver records the weaker rows-only check; the
-    // exact twins (q_count_distinct, q_median_disc) carry the
-    // hash-verified correctness for the same questions.
+    // quantiles. Sketch internals differ across engines, so the raw
+    // estimates can't hash-match a DuckDB oracle — instead each query
+    // emits its exact twin's values PLUS a boolean certifying the
+    // estimate sits inside the sketch's published error bound, and the
+    // oracle computes the exact values with literal TRUE. A hash match
+    // is then an honest ε-bound check (any out-of-bound estimate flips
+    // the boolean and fails the hash), not a vacuous constant: the
+    // estimate still participates, only through the bound.
+    // HLL++ default rsd = 0.05; certify |approx − exact| ≤ 3·rsd·exact.
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type")).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n_events"))),
+        approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("approx") - col("n_users")).cast("double") <=
+            col("n_users").cast("double") * 0.15).as("within_3rsd"))),
 
-    "q_approx_quantiles" -> ((s, d) =>
-      Tables.orders(s, d).groupBy(col("o_orderstatus")).agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90"))),
+    // percentile_approx(accuracy=1000) guarantees rank error ≤
+    // n/accuracy; certify the estimate lies between the values at
+    // ranks target ∓ (n div accuracy + 1) (the +1 absorbs the
+    // fractional-rank discretization). Exact positional p50/p90 ride
+    // along hash-anchored, same rank conventions as q_median_disc.
+    "q_approx_quantiles" -> ((s, d) => {
+      val acc = 1000
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))
+      val wc = Window.partitionBy(col("o_orderstatus"))
+      def at(rank: String) =
+        max(when(col("rn") === expr(rank), col("o_totalprice")))
+      val slack = s"(cnt div $acc + 1)"
+      val t50 = "(cnt + 1) div 2"
+      val t90 = "cast(ceil(0.9 * cnt) as bigint)"
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("a50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(acc)).as("a90"),
+          at(t50).as("p50_exact"),
+          at(t90).as("p90_exact"),
+          at(s"greatest(1, $t50 - $slack)").as("lo50"),
+          at(s"least(cnt, $t50 + $slack)").as("hi50"),
+          at(s"greatest(1, $t90 - $slack)").as("lo90"),
+          at(s"least(cnt, $t90 + $slack)").as("hi90"))
+        .select(col("o_orderstatus"), col("p50_exact"), col("p90_exact"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+            .as("p50_in_bounds"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+            .as("p90_in_bounds"))
+    }),
 
     // Exact positional (discrete) median per group — value at row
     // ceil(n/2) of the sorted partition; engine-portable, unlike
@@ -1183,6 +1222,23 @@ object ExtQueries {
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          FROM events GROUP BY event_type""",
+    // Bounded-error sketch oracles: exact values + literal TRUE; the
+    // Spark side computes the booleans from the estimates, so the hash
+    // match certifies the ε-bound (see the queries' scaladoc).
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events, TRUE AS within_3rsd
+         FROM events GROUP BY event_type""",
+    "q_approx_quantiles" ->
+      """WITH r AS (SELECT o_orderstatus, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rn,
+              COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+            FROM orders)
+         SELECT o_orderstatus,
+                MAX(CASE WHEN rn = (cnt + 1) // 2 THEN o_totalprice END) AS p50_exact,
+                MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN o_totalprice END) AS p90_exact,
+                TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
+         FROM r GROUP BY o_orderstatus""",
     "q_median_disc" ->
       """SELECT l_returnflag, l_extendedprice AS median_price FROM
          (SELECT l_returnflag, l_extendedprice,
