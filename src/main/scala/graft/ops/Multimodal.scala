@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,15 +9,27 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media payloads travel as opaque
   * `binary` columns beside a typed metadata struct, parquet-native.
   *
-  * The decode step is where a real deployment would call an image /
-  * audio library inside a batched partition pass (the Scala analogue
-  * of a pandas-batch UDF: one buffer-reuse context per partition, rows
-  * streamed through it). Those libraries are not present in this
-  * environment, so [[fakeDecode]] is a clearly-marked deterministic
-  * stand-in — the Spark-side plumbing (schema, batch shape,
-  * partition-level resource lifecycle) is the real, tested part.
+  * Decoding is a batched per-partition pass (one decoder context per
+  * partition, rows streamed through it — the Scala analogue of a
+  * pandas-batch UDF). Two decoders are provided:
+  *
+  *  - a REAL image path on JDK `javax.imageio` (PNG / JPEG / BMP /
+  *    GIF — including multi-frame GIF demux for frame sampling), no
+  *    external native libs required;
+  *  - a deterministic byte-arithmetic stub for payloads that aren't
+  *    decodable images (e.g. the text corpus used by the oracle
+  *    queries), so every payload gets a defined, reproducible result.
+  *
+  * The `decoder` argument selects `"auto"` (sniff magic bytes, decode
+  * real images, stub everything else — the default), `"image"`
+  * (attempt real decode on every row), or `"stub"` (byte arithmetic
+  * only — the cross-engine-reproducible oracle path).
   */
 object Multimodal {
+
+  val Auto = "auto"
+  val Image = "image"
+  val Stub = "stub"
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -42,15 +56,73 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUB decoder: a real implementation would decode `payload` with
-    * an imaging library here. This deterministic fake derives
-    * "dimensions" and a tiny "feature vector" from the bytes so the
-    * pipeline shape (schema, batching, partition lifecycle) is
-    * exercised end-to-end.
+  /** PNG / JPEG / GIF / BMP magic-byte sniff — lets the auto decoder
+    * skip the ImageIO reader lookup entirely on non-image payloads, so
+    * a mixed corpus pays the real-decode cost only for real images.
     */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    // ??? <- real decode (e.g. ImageIO.read / ffmpeg frame grab) goes
-    // here; everything below is a deterministic placeholder.
+  private[ops] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+        (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
+  /** 8-dim image feature: mean R, G, B, mean luma of the four
+    * quadrants (coarse spatial signature), and aspect w/(w+h) — all in
+    * [0, 1]. Row-bulk getRGB keeps per-pixel overhead down.
+    */
+  private[ops] def featurize(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb = 0L
+    val qLuma = new Array[Long](4)
+    val qN = new Array[Long](4)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val rowQ = if (y * 2 >= h) 2 else 0
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val qi = rowQ + (if (x * 2 >= w) 1 else 0)
+        qLuma(qi) += (r * 299 + g * 587 + b * 114) / 1000
+        qN(qi) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    Array(
+      sr / n / 255f, sg / n / 255f, sb / n / 255f,
+      qLuma(0).toFloat / math.max(1L, qN(0)) / 255f,
+      qLuma(1).toFloat / math.max(1L, qN(1)) / 255f,
+      qLuma(2).toFloat / math.max(1L, qN(2)) / 255f,
+      qLuma(3).toFloat / math.max(1L, qN(3)) / 255f,
+      w.toFloat / (w + h))
+  }
+
+  /** Real image decode via JDK ImageIO; None when the payload isn't a
+    * decodable image (caller falls back to the stub).
+    */
+  private[ops] def imageDecode(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+          .map(img => (img.getWidth, img.getHeight, featurize(img)))
+      } catch { case _: java.io.IOException => None }
+
+  /** Deterministic stub for non-image payloads: "dimensions" and a
+    * tiny "feature vector" derived from the bytes, so the pipeline
+    * shape is exercised end-to-end on any corpus and the oracle
+    * queries stay cross-engine reproducible.
+    */
+  private def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val width = 64 + (n % 512)
     val height = 64 + ((n * 7) % 512)
@@ -60,18 +132,27 @@ object Multimodal {
     (width, height, feature)
   }
 
+  private def decodeOne(payload: Array[Byte], decoder: String): (Int, Int, Array[Float]) =
+    decoder match {
+      case Stub => stubDecode(payload)
+      case _ => imageDecode(payload).getOrElse(stubDecode(payload))
+    }
+
   /** Batched per-partition decode pass. One decoder context per
-    * partition (where a real codec would allocate buffers once),
-    * rows streamed through — the Spark-idiomatic shape for
-    * expensive-per-record multimodal work.
+    * partition (ImageIO's disk cache is disabled once per partition —
+    * decode stays in-memory), rows streamed through — the
+    * Spark-idiomatic shape for expensive-per-record multimodal work.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  def decodeFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: String = Auto): DataFrame = {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
-      // partition-scoped decoder context would be created here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val (w, h, feat) = fakeDecode(payload)
+        val (w, h, feat) = decodeOne(payload, decoder)
         Row(id, w, h, payload.length.toLong, feat.toSeq)
       }
     }
@@ -84,25 +165,58 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("thumb", BinaryType)))
 
-  /** STUB resize: a real implementation would decode + rescale to
-    * (targetW, targetH) here. The deterministic fake downsamples the
-    * byte stream by striding so output size is genuinely bounded by
-    * the target dimensions — exercising the real pipeline property
-    * (bounded output payloads regardless of input size).
+  /** Real rescale: decode, bilinear-draw into a (targetW × targetH)
+    * RGB canvas, re-encode as PNG. Returns None for undecodable
+    * payloads.
     */
-  def resize(spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  private[ops] def imageResize(
+      payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: java.io.IOException => None }
+
+  /** Thumbnail pass: real decode + bilinear rescale + PNG re-encode
+    * for image payloads; for anything else a deterministic stride
+    * downsample of the byte stream. Both preserve the real pipeline
+    * property — output payloads bounded by the target dimensions
+    * regardless of input size.
+    */
+  def resize(
+      spark: SparkSession,
+      media: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      decoder: String = Auto): DataFrame = {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        // ??? <- real rescale goes here; deterministic stride stub:
-        val budget = targetW * targetH
-        val thumb =
+        val real =
+          if (decoder == Stub) None else imageResize(payload, targetW, targetH)
+        val thumb = real.getOrElse {
+          val budget = targetW * targetH
           if (payload.length <= budget) payload
           else {
             val stride = payload.length / budget
             Array.tabulate(budget)(i => payload(i * stride))
           }
+        }
         Row(id, targetW, targetH, thumb)
       }
     }
@@ -114,28 +228,58 @@ object Multimodal {
     StructField("frame_idx", IntegerType),
     StructField("frame_feature", ArrayType(FloatType))))
 
-  /** STUB frame sampler: a real implementation would demux the video
-    * payload and grab every `everyN`-th frame. The fake treats each
-    * `frameBytes`-sized slice as one "frame" and emits a feature per
-    * sampled frame — one row per (media, frame), the schema and
-    * explode shape a video pipeline needs.
+  /** Real frame demux for multi-frame containers ImageIO can read
+    * (animated GIF): every `everyN`-th frame decoded and featurized.
+    * None when no ImageIO reader claims the payload.
+    */
+  private[ops] def imageFrames(
+      payload: Array[Byte], everyN: Int): Option[Seq[(Int, Array[Float])]] =
+    if (!looksLikeImage(payload)) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            Some((0 until n by everyN).map(f => f -> featurize(reader.read(f))))
+          } catch {
+            case _: java.io.IOException => None
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    }
+
+  /** Frame sampling: real demux for animated-image payloads (one row
+    * per sampled frame); for other payloads each `frameBytes`-sized
+    * slice stands in as one "frame" — the schema and explode shape a
+    * video pipeline needs, defined for any corpus.
     */
   def sampleFrames(
       spark: SparkSession,
       media: DataFrame,
       frameBytes: Int = 64,
-      everyN: Int = 2): DataFrame = {
+      everyN: Int = 2,
+      decoder: String = Auto): DataFrame = {
     val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
         val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val nFrames = payload.length / frameBytes
-        // ??? <- real demux/decode; deterministic per-slice stub:
-        (0 until nFrames by everyN).map { f =>
-          val slice = payload.slice(f * frameBytes, (f + 1) * frameBytes)
-          val (_, _, feat) = fakeDecode(slice)
-          Row(id, f, feat.toSeq)
+        val real =
+          if (decoder == Stub) None else imageFrames(payload, everyN)
+        val frames = real.getOrElse {
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by everyN).map { f =>
+            val slice = payload.slice(f * frameBytes, (f + 1) * frameBytes)
+            f -> stubDecode(slice)._3
+          }
         }
+        frames.map { case (f, feat) => Row(id, f, feat.toSeq) }
       }
     }
     spark.createDataFrame(rdd, framesSchema)

@@ -1,0 +1,121 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-decoder coverage for [[Multimodal]]: actual PNG / GIF bytes
+  * through JDK ImageIO, both directly and through the Spark
+  * partition-pass entry points, plus the auto-vs-stub selection rules
+  * that keep the text-corpus oracle queries byte-stable.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Animated GIF: frames written with the ImageIO sequence writer. */
+  private def gifBytes(frames: Seq[Int], w: Int = 4, h: Int = 4): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { rgb =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("imageDecode reads real PNG dimensions and channel means") {
+    // pure red 6x3
+    val Some((w, h, feat)) = Multimodal.imageDecode(pngBytes(6, 3, 0xff0000))
+    assert(w == 6 && h == 3)
+    assert(math.abs(feat(0) - 1f) < 1e-6) // mean R
+    assert(feat(1) == 0f && feat(2) == 0f) // mean G, B
+    // quadrant lumas of a solid image are all equal
+    assert(feat.slice(3, 7).distinct.length == 1)
+    assert(math.abs(feat(7) - 6f / 9f) < 1e-6) // aspect
+  }
+
+  test("imageDecode rejects non-image bytes") {
+    assert(Multimodal.imageDecode("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.imageDecode(Array.emptyByteArray).isEmpty)
+    // image magic followed by garbage must not crash
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3)
+    assert(Multimodal.imageDecode(fake).isEmpty)
+  }
+
+  test("decodeFeatures auto-decodes real images and stubs text in one corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, pngBytes(10, 5, 0x00ff00)),
+      (2L, "plain text payload, long enough to matter".getBytes))
+    val media = rows.toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 10 && out(1L).getInt(2) == 5) // real dims
+    val textLen = rows(1)._2.length
+    assert(out(2L).getInt(1) == 64 + (textLen % 512)) // stub dims
+    assert(out(2L).getLong(3) == textLen.toLong)
+  }
+
+  test("stub decoder stays byte-identical under auto for text payloads") {
+    import spark.implicits._
+    val media = Seq((7L, "some document text".getBytes)).toDF("media_id", "payload")
+    val auto = Multimodal.decodeFeatures(spark, media, Multimodal.Auto).collect()
+    val stub = Multimodal.decodeFeatures(spark, media, Multimodal.Stub).collect()
+    assert(auto.toSeq == stub.toSeq)
+  }
+
+  test("resize produces a real PNG thumbnail at target dimensions") {
+    import spark.implicits._
+    val media = Seq((3L, pngBytes(16, 16, 0x0000ff))).toDF("media_id", "payload")
+    val out = Multimodal.resize(spark, media, targetW = 4, targetH = 4).collect()(0)
+    assert(out.getInt(1) == 4 && out.getInt(2) == 4)
+    val thumb = out.getAs[Array[Byte]]("thumb")
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    // bilinear rescale of a solid blue stays solid blue
+    assert((img.getRGB(2, 2) & 0xffffff) == 0x0000ff)
+  }
+
+  test("sampleFrames demuxes an animated GIF, honoring everyN") {
+    import spark.implicits._
+    val media = Seq((9L, gifBytes(Seq(0xffffff, 0x000000, 0xffffff, 0x000000))))
+      .toDF("media_id", "payload")
+    val out = Multimodal.sampleFrames(spark, media, everyN = 2).collect()
+      .map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    assert(out.keySet == Set(0, 2)) // frames 0 and 2 of 4
+    // GIF is palettized: white frame luma ~1, near-exact
+    assert(out(0).slice(3, 7).forall(_ > 0.9f))
+  }
+
+  test("explicit image mode still falls back to the stub for undecodable rows") {
+    import spark.implicits._
+    val payload = "definitely text".getBytes
+    val media = Seq((5L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, media, Multimodal.Image).collect()(0)
+    assert(out.getInt(1) == 64 + (payload.length % 512))
+  }
+}
