@@ -406,20 +406,45 @@ object ExtQueries {
     // distinct-value cumulative distribution — the q_median_disc
     // positional rule generalized: the quantile is the smallest value
     // whose cumulative count reaches q·n, tested in exact integer
-    // arithmetic (cum·den ≥ num·n). No global row sort; the window
-    // runs over distinct (group, value) pairs and one conditional-min
-    // aggregation reads off all four points.
+    // arithmetic (cum·den ≥ num·n). The cumulative sum is two-phase so
+    // parallelism is NOT bounded by group count (a
+    // Window.partitionBy(g) would sort each group's whole distribution
+    // in ONE task — the round-5 scale audit's one flagged shape):
+    // deterministic equal-width value buckets within each group
+    // (broadcast per-group min/max), local running sums per
+    // (group, bucket), plus broadcast per-bucket offsets. Bucketing by
+    // an order-preserving FUNCTION of the value — not
+    // repartitionByRange, whose sampled boundaries may disagree
+    // between the two uses of the frame if the exchange isn't reused —
+    // keeps both phases consistent by construction, so the result is
+    // deterministic under any partitioning.
     "q_quantiles_exact" -> ((s, d) => {
+      val nB = s.sessionState.conf.numShufflePartitions
       val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
       val dist = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("g"), cents.as("v"))
         .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-      val cum = dist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy(col("g")).orderBy(col("v"))
+      val ranges = dist.groupBy("g")
+        .agg(min("v").as("vmin"), max("v").as("vmax"))
+      val bucketed = dist.join(broadcast(ranges), Seq("g"))
+        .withColumn("bkt",
+          ((col("v") - col("vmin")) * nB / (col("vmax") - col("vmin") + 1))
+            .cast("long"))
+      // tiny frame: one row per (group, bucket) — prefix offsets and
+      // group totals computed here, broadcast back
+      val offsets = bucketed.groupBy("g", "bkt").agg(sum("cnt").as("pcnt"))
+        .withColumn("off", coalesce(
+          sum(col("pcnt")).over(Window.partitionBy(col("g")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("pcnt")).over(Window.partitionBy(col("g"))))
+        .select("g", "bkt", "off", "n")
+      bucketed
+        .withColumn("lcum", sum(col("cnt")).over(
+          Window.partitionBy(col("g"), col("bkt")).orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
-      cum.groupBy(col("g").as("l_returnflag"))
+        .join(broadcast(offsets), Seq("g", "bkt"))
+        .withColumn("cum", col("lcum") + col("off"))
+        .groupBy(col("g").as("l_returnflag"))
         .agg(
           min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25_cents"),
           min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_cents"),

@@ -173,12 +173,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!tmix.contains("SortMergeJoin"),
       s"q_mix_temperature corpus join must be broadcast:\n$tmix")
     // keep-best keeper selection is an argmax AGGREGATION (struct max
-    // with map-side combine), never a per-cluster window sort
+    // with map-side combine), never a per-cluster window sort. The
+    // gate is partial_max SPECIFICALLY — a bare partial_ would match
+    // any partial aggregate (the connected-components phase guarantees
+    // one) and could never fail for its stated purpose.
     val kb = finalPlan("q_dedup_keep_best")
-    assert(kb.contains("partial_max") || kb.contains("partial_"),
+    assert(kb.contains("partial_max"),
       s"q_dedup_keep_best argmax lost map-side combine:\n$kb")
     assert(!kb.linesIterator.exists(l => l.contains("Window")),
       s"q_dedup_keep_best must not window-sort per cluster:\n$kb")
+    // exact quantiles: the big-frame cumulative window must partition
+    // by (group, bucket) — a window partitioned by the group alone
+    // sorts each group's whole distinct-value distribution in one
+    // task, capping parallelism at |groups| (round-5 scale audit).
+    // The tiny per-(group,bucket) offsets window legitimately
+    // partitions by g alone, so gate on the (g, bkt) window EXISTING.
+    val qx = finalPlan("q_quantiles_exact")
+    val twoPhase = qx.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("bkt"))
+    assert(twoPhase,
+      s"q_quantiles_exact lost its two-phase (group, bucket) cumsum window:\n$qx")
   }
 
   test("custom expressions stay inside whole-stage codegen spans") {
