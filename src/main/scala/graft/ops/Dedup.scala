@@ -224,17 +224,39 @@ object Dedup {
       .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
   }
 
+  /** One corpus scan per action: the signature frame is (by default)
+    * persisted, so candidate generation populates the cache and the
+    * two verify joins read it back instead of re-running the
+    * scan→tokenize→shingle→MinHash lineage per join side (up to 4
+    * evaluations in the old self-join shape — exchange reuse is not
+    * guaranteed to dedupe canonically-distinct sides). Candidates come
+    * from GROUPED (band, bkey) posting lists — collect the member ids,
+    * explode ordered pairs — the same one-pipeline rewrite
+    * [[jaccardPairs]] got; id lists are 8 bytes/member, and a bucket's
+    * quadratic pair fan-out downstream dominates its buffer cost in
+    * any shape. The cached blocks are MEMORY_AND_DISK and are freed by
+    * the ContextCleaner once the frame is unreferenced; callers
+    * composing multiple actions over the same corpus keep the benefit
+    * automatically. `persistSignatures = false` opts out for
+    * one-shot-per-lineage pipelines that manage their own caching.
+    */
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       thresholdNum: Int = 1,
-      thresholdDen: Int = 2): DataFrame = {
-    val sig = signatures(df, idCol, textCol)
-    val bands = bandFrame(sig)
-    val cand = bands.select(col("id").as("ida"), col("band"), col("bkey"))
-      .join(bands.select(col("id").as("idb"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+      thresholdDen: Int = 2,
+      persistSignatures: Boolean = true): DataFrame = {
+    val sigRaw = signatures(df, idCol, textCol)
+    val sig =
+      if (persistSignatures)
+        sigRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigRaw
+    val cand = bandFrame(sig)
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("ida"), col("ids"))
+      .select(col("ida"), explode(col("ids")).as("idb"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb").distinct()
     verifyPairs(cand, sig, thresholdNum, thresholdDen)
@@ -259,9 +281,13 @@ object Dedup {
       corpusSigs: DataFrame,
       thresholdNum: Int = 1,
       thresholdDen: Int = 2): DataFrame = {
+    // the union feeds the band join AND both verify joins — persist it
+    // so the batch's shingle lineage runs once (corpus sigs are already
+    // materialized by contract; blocks freed by the ContextCleaner)
     val newSigs = signatures(newDocs, idCol, textCol)
     val all = corpusSigs.select(col("id"), col("hs"), col("sig"))
       .unionByName(newSigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bNew = bandFrame(newSigs).select(col("id").as("na"), col("band"), col("bkey"))
     val bAll = bandFrame(all).select(col("id").as("nb"), col("band"), col("bkey"))
     val cand = bNew.join(bAll, Seq("band", "bkey"))

@@ -68,6 +68,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash LSH evaluates the signature lineage once per action") {
+    // round-6: candidates come from grouped (band,bkey) posting lists
+    // and the signature frame is persisted, so candidate generation
+    // plus BOTH verify joins read the cache — the corpus
+    // scan→shingle→MinHash pipeline runs once, not up to 4× (exchange
+    // reuse can't be relied on to dedupe self-join sides). All three
+    // consumers must show as InMemoryTableScan in the executed plan.
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 3,
+      s"q_dedup_minhash: expected >=3 cache reads of the signature frame, got $cacheReads:\n$p")
+    // and the grouped pair-gen replaced the band self-join: no join
+    // may remain other than the two verify hash joins
+    assert(!p.contains("SortMergeJoin") || p.contains("InMemoryTableScan"),
+      s"q_dedup_minhash band self-join came back:\n$p")
+  }
+
   test("dedup aggregations keep map-side partial aggregation") {
     // partial_count markers show the two-phase (partial -> final) agg
     assert(plan("q_dedup_exact").contains("partial_"))
