@@ -25,6 +25,35 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** Default hyperplane count, set FROM the measured q_ann_recall
+    * curve rather than by gut: on the synthetic corpus (8, 1) delivers
+    * ~36% top-5 recall where (6, 1) delivers ~50% at ~1.7× the
+    * candidate rows — the knee of the measured curve, and recall is
+    * usually the scarcer resource in corpus dedup. Callers with a
+    * recall target should run the curve (q_ann_recall's shape) and
+    * pick via [[pickOperatingPoint]].
+    */
+  val DefaultPlanes = 6
+
+  /** Cheapest measured operating point meeting a recall target.
+    *
+    * `curve` rows are (n_planes, probe_bits, n_true, n_hits,
+    * n_candidates) — exactly the q_ann_recall output — and the choice
+    * is the minimum-candidate row with n_hits/n_true ≥ target
+    * (ties to fewer planes). Returns None when no measured point
+    * reaches the target, rather than silently under-delivering.
+    */
+  def pickOperatingPoint(
+      curve: Seq[(Int, Int, Long, Long, Long)],
+      targetRecall: Double): Option[(Int, Int)] =
+    curve
+      .filter { case (_, _, nTrue, nHits, _) =>
+        nTrue > 0 && nHits.toDouble / nTrue >= targetRecall
+      }
+      .sortBy { case (np, _, _, _, nCand) => (nCand, np) }
+      .headOption
+      .map { case (np, pb, _, _, _) => (np, pb) }
+
   /** Strict sequential dot product in double precision (custom
     * expression; bit-identical to the declarative
     * `aggregate(zip_with(...))` fold it replaces, ~50x faster).
@@ -87,7 +116,7 @@ object Similarity {
   def lshCandidates(
       queries: DataFrame, // (qid, qv)
       corpus: DataFrame, // (nid, nv)
-      nPlanes: Int = 8,
+      nPlanes: Int = DefaultPlanes,
       dim: Int = 64,
       probeBits: Int = 1): DataFrame = {
     require(probeBits == 0 || probeBits == 1,
@@ -117,7 +146,7 @@ object Similarity {
       queries: DataFrame, // (qid, qv)
       corpus: DataFrame, // (nid, nv)
       k: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = DefaultPlanes,
       dim: Int = 64,
       probeBits: Int = 1): DataFrame = {
     val joined = lshCandidates(queries, corpus, nPlanes, dim, probeBits)
@@ -167,7 +196,7 @@ object Similarity {
   def cosinePairsLsh(
       corpus: DataFrame, // (id, v)
       threshold: Double,
-      nPlanes: Int = 8,
+      nPlanes: Int = DefaultPlanes,
       dim: Int = 64): DataFrame = {
     val bucketed = corpus
       .withColumn("n", norm(col("v")))

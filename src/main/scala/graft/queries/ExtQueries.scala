@@ -693,7 +693,8 @@ object ExtQueries {
       .map(i => s"CAST(a.v[$i] AS DOUBLE)*CAST(a.v[$i] AS DOUBLE)").mkString(" + ")
     val nb = (1 to 64)
       .map(i => s"CAST(b.v[$i] AS DOUBLE)*CAST(b.v[$i] AS DOUBLE)").mkString(" + ")
-    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", 8, 64)
+    val bucket = graft.functions.VectorExpressions.bucketSql(
+      "embedding", graft.ops.Similarity.DefaultPlanes, 64)
     s"""WITH e AS (SELECT vec_id AS id, embedding AS v, $bucket AS bucket FROM embeddings)
         SELECT a.id AS vec_id_a, b.id AS vec_id_b
         FROM e a JOIN e b ON a.id < b.id AND bit_count(xor(a.bucket, b.bucket)) <= 1

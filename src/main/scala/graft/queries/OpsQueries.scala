@@ -18,9 +18,12 @@ import graft.ops.{
 object OpsQueries {
 
   /** (nPlanes, probeBits) operating points for the q_ann_recall
-    * curve: default (8,1), the no-multiprobe cheap end (8,0), and the
-    * wider-bucket high-recall end (6,1). Shared by the Spark query
-    * and its oracle so both emit the same rows.
+    * curve: the round-6 default (6,1) — the measured knee, ~50% top-5
+    * recall at ~1.7× the (8,1) candidates — plus the narrower-bucket
+    * (8,1) and no-multiprobe (8,0) cheap ends. Shared by the Spark
+    * query and its oracle so both emit the same rows;
+    * Similarity.pickOperatingPoint selects from this curve given a
+    * recall target.
     */
   val AnnRecallSettings: Seq[(Int, Int)] = Seq((6, 1), (8, 0), (8, 1))
 
@@ -896,7 +899,7 @@ object OpsQueries {
   }
 
   private def annLshSql: String =
-    s"""WITH s AS (${annLshCandSql(8, 1)})
+    s"""WITH s AS (${annLshCandSql(graft.ops.Similarity.DefaultPlanes, 1)})
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
           (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
         WHERE rn <= 5"""

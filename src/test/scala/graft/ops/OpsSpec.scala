@@ -307,6 +307,21 @@ class OpsSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.size <= 6)
   }
 
+  test("pickOperatingPoint: cheapest measured point meeting the recall target") {
+    // shape = q_ann_recall output: (n_planes, probe_bits, n_true, n_hits, n_candidates)
+    val curve = Seq(
+      (8, 0, 50L, 10L, 1000L), // 20% recall, cheapest
+      (8, 1, 50L, 18L, 4000L), // 36%
+      (6, 1, 50L, 25L, 7000L)) // 50%
+    assert(Similarity.pickOperatingPoint(curve, 0.5) == Some((6, 1)))
+    assert(Similarity.pickOperatingPoint(curve, 0.30) == Some((8, 1)))
+    assert(Similarity.pickOperatingPoint(curve, 0.10) == Some((8, 0)))
+    // unreachable target: None, never a silent under-delivery
+    assert(Similarity.pickOperatingPoint(curve, 0.9).isEmpty)
+    // zero-truth rows can't claim any recall
+    assert(Similarity.pickOperatingPoint(Seq((8, 1, 0L, 0L, 10L)), 0.1).isEmpty)
+  }
+
   test("LSH cosine pairs: exact precision, bucket-identical dups always found") {
     import org.apache.spark.sql.functions.col
     // two planted EXACT duplicates (ids 100/101): identical vectors get
