@@ -112,11 +112,14 @@ object EtlJob {
       // (GRAFT_MAX_PAGES_PER_TRIGGER) for rate-limit backpressure
       val checkpoint = env.getOrElse("GRAFT_CHECKPOINT_DIR",
         s"$outDir/_checkpoints/etl")
+      // snapshotDate here is a PROPOSAL: a resumed run keeps the date
+      // pinned in its checkpoint (so a crash+resume across UTC
+      // midnight doesn't split one snapshot over two partitions)
       val stats = StreamingEtl.run(
         spark, repos.toSeq, opts, sink, snapshotDate, checkpoint,
         env.get("GRAFT_MAX_PAGES_PER_TRIGGER").flatMap(_.toIntOption))
       println(s"[etl] ${repos.length} repos via streaming: wrote snapshot " +
-        s"$snapshotDate (${stats.batches} micro-batches, ${stats.rows} PRs)")
+        s"${stats.snapshotDate} (${stats.batches} micro-batches, ${stats.rows} PRs)")
       return
     }
 

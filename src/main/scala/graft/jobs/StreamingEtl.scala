@@ -1,7 +1,9 @@
 package graft.jobs
 
+import java.nio.charset.StandardCharsets
 import java.sql.Date
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, from_json}
 import org.apache.spark.sql.streaming.Trigger
@@ -22,14 +24,39 @@ import graft.transform.GithubTransform
   * Write semantics mirror [[ChunkedEtl]] (and the reference): one
   * up-front partition DELETE for this run's (snapshot_date, repo)
   * pairs, then WRITE_APPEND per micro-batch. The delete runs ONLY on
-  * a fresh run (no checkpoint yet) — a resumed run must keep the
-  * batches it already appended. Appends within a batch are
-  * at-least-once under crash-retry, exactly like the reference's
-  * per-chunk WRITE_APPEND.
+  * a fresh run — a resumed run must keep the batches it already
+  * appended. Appends within a batch are at-least-once under
+  * crash-retry, exactly like the reference's per-chunk WRITE_APPEND.
+  *
+  * Two resume-path invariants (both were silent-data-loss bugs when
+  * this was gated on `java.nio.file.Files.exists(checkpointDir)`):
+  *
+  *  - '''Fresh-run detection goes through Hadoop's FileSystem''' and
+  *    tests for entries in the checkpoint's `offsets/` write-ahead
+  *    log, not the bare directory. `checkpointLocation` is any
+  *    Hadoop path (HDFS/S3/local); with a non-local URI every
+  *    restart used to look "fresh" and re-ran the delete, wiping
+  *    batches the interrupted run had already appended. Conversely an
+  *    operator-pre-created empty local dir used to skip the delete
+  *    and leave stale same-date rows in the new snapshot. Spark
+  *    writes `offsets/N` before executing batch N, so "any offsets
+  *    entry exists" is exactly "an append may already have happened".
+  *
+  *  - '''The run's snapshot date is pinned in the checkpoint.''' The
+  *    caller proposes `snapshotDate` (computed from the wall clock,
+  *    main.py:827); a fresh run persists it to
+  *    `<checkpoint>/_graft_snapshot_date` and a resume reads it back,
+  *    ignoring the proposal. Without this, a run that crashed and was
+  *    resumed after UTC midnight continued from the checkpointed page
+  *    cursor but appended the remaining pages under the NEXT day's
+  *    date — one logical snapshot split across two partitions, both
+  *    incomplete. The effective date is returned in [[StreamStats]].
   */
 object StreamingEtl {
 
-  final case class StreamStats(batches: Long, rows: Long)
+  final case class StreamStats(batches: Long, rows: Long, snapshotDate: Date)
+
+  private val DateFileName = "_graft_snapshot_date"
 
   def run(
       spark: SparkSession,
@@ -40,8 +67,36 @@ object StreamingEtl {
       checkpointDir: String,
       maxPagesPerTrigger: Option[Int] = None): StreamStats = {
 
-    val freshRun = !java.nio.file.Files.exists(java.nio.file.Paths.get(checkpointDir))
-    if (freshRun) repos.foreach(r => sink.deleteSnapshot(r, snapshotDate))
+    val cpPath = new Path(checkpointDir)
+    val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val offsetsPath = new Path(cpPath, "offsets")
+    val freshRun = !fs.exists(offsetsPath) ||
+      !fs.listStatus(offsetsPath).exists(_.isFile)
+
+    val datePath = new Path(cpPath, DateFileName)
+    val effectiveDate: Date =
+      if (freshRun) {
+        repos.foreach(r => sink.deleteSnapshot(r, snapshotDate))
+        // pin the date AFTER the delete: a crash in between re-enters
+        // the fresh branch next run (offsets still empty — nothing was
+        // appended yet), which re-deletes and re-pins harmlessly
+        val out = fs.create(datePath, true)
+        try out.write(snapshotDate.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        snapshotDate
+      } else if (fs.exists(datePath)) {
+        val in = fs.open(datePath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Date.valueOf(txt)
+      } else {
+        // pre-pinning checkpoint (or the file was removed): fall back
+        // to the proposal rather than failing the resume
+        System.err.println(
+          s"WARNING: checkpoint $checkpointDir has no $DateFileName; " +
+            s"resuming under proposed date $snapshotDate")
+        snapshotDate
+      }
 
     var reader = spark.readStream.format("graft.source.github.GithubDataSource")
       .option("repos", repos.mkString(","))
@@ -66,7 +121,7 @@ object StreamingEtl {
         // saves re-parsing the JSON four times
         .persist()
       try {
-        val t = GithubTransform.applyMulti(typed, snapshotDate)
+        val t = GithubTransform.applyMulti(typed, effectiveDate)
         for ((name, df) <- SnapshotWriter.TableNames.zip(Seq(
             t.pullRequests, t.commits, t.reviewers, t.comments))) {
           sink.append(name, df)
@@ -83,7 +138,7 @@ object StreamingEtl {
       .start()
     q.awaitTermination()
 
-    repos.foreach(r => sink.finalizeSnapshot(r, snapshotDate))
-    StreamStats(batches, rows)
+    repos.foreach(r => sink.finalizeSnapshot(r, effectiveDate))
+    StreamStats(batches, rows, effectiveDate)
   }
 }

@@ -106,7 +106,9 @@ class PlanSpec extends AnyFunSuite {
     // assignment argmax must keep map-side partial aggregation
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast-hash:\n$p")
-    assert(p.contains("partial_max") || p.contains("partial_"),
+    // partial_max SPECIFICALLY: a bare partial_ would match any other
+    // partial aggregate in the plan and never fail for this purpose
+    assert(p.contains("partial_max"),
       s"assignment argmax lost map-side combine:\n$p")
   }
 
@@ -253,7 +255,7 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
-    assert(p.contains("partial_max") || p.contains("partial_"),
+    assert(p.contains("partial_max"),
       s"assignment argmax lost map-side combine:\n$p")
   }
 }

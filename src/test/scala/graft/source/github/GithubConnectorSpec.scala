@@ -527,4 +527,66 @@ class GithubConnectorSpec extends AnyFunSuite {
       assert(fed >= 2, s"expected ≥2 bounded micro-batches, saw $fed")
     }
   }
+
+  /** Delegating sink that records deleteSnapshot calls — the seam for
+    * asserting the fresh-run delete fires exactly when it should.
+    */
+  private class RecordingSink(inner: graft.sink.SnapshotSink)
+      extends graft.sink.SnapshotSink {
+    val deletes = scala.collection.mutable.ArrayBuffer.empty[(String, Date)]
+    def exists(repo: String, d: Date): Boolean = inner.exists(repo, d)
+    def deleteSnapshot(repo: String, d: Date): Unit = {
+      deletes += ((repo, d)); inner.deleteSnapshot(repo, d)
+    }
+    def writeSnapshot(t: GithubTransform.GithubTables, skipIfEmpty: Boolean): Unit =
+      inner.writeSnapshot(t, skipIfEmpty)
+    def append(table: String, df: org.apache.spark.sql.DataFrame): Unit =
+      inner.append(table, df)
+    override def finalizeSnapshot(repo: String, d: Date): Unit =
+      inner.finalizeSnapshot(repo, d)
+  }
+
+  test("streaming resume keeps the checkpoint-pinned snapshot date across a date change") {
+    withServer { server =>
+      val out = java.nio.file.Files.createTempDirectory("graft-pin").toString
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-pin-cp").toString + "/cp"
+      val sink = new RecordingSink(new graft.sink.ParquetSnapshotSink(spark, out))
+      val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
+      val d1 = Date.valueOf("2026-01-01")
+      val s1 = graft.jobs.StreamingEtl.run(
+        spark, Seq("o/r"), opts, sink, d1, checkpoint)
+      assert(s1.snapshotDate == d1)
+      assert(sink.deletes.toSeq == Seq(("o/r", d1)))
+      // the run "crashed" and is resumed after UTC midnight: the caller
+      // proposes the NEXT day, but the checkpoint pins the original
+      // date — no second-date partition, no repeated delete
+      val d2 = Date.valueOf("2026-01-02")
+      val s2 = graft.jobs.StreamingEtl.run(
+        spark, Seq("o/r"), opts, sink, d2, checkpoint)
+      assert(s2.snapshotDate == d1, "resume must reuse the pinned date")
+      assert(sink.deletes.size == 1, "resume must not re-run the delete")
+      val dates = spark.read.parquet(s"$out/pull_requests")
+        .select("snapshot_date").distinct().collect().map(_.get(0).toString)
+      assert(dates.toSeq == Seq("2026-01-01"),
+        s"snapshot split across dates: ${dates.mkString(",")}")
+    }
+  }
+
+  test("a pre-created empty checkpoint dir still counts as a fresh run (delete fires)") {
+    withServer { server =>
+      val out = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+      // operator-created checkpoint dir, no offsets log inside
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-fresh-cp").toString
+      val sink = new RecordingSink(new graft.sink.ParquetSnapshotSink(spark, out))
+      val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
+      val d = Date.valueOf("2026-01-03")
+      val stats = graft.jobs.StreamingEtl.run(
+        spark, Seq("o/r"), opts, sink, d, checkpoint)
+      assert(stats.snapshotDate == d)
+      assert(sink.deletes.toSeq == Seq(("o/r", d)),
+        "existing-but-empty checkpoint dir must not suppress the fresh-run delete")
+    }
+  }
 }
