@@ -52,7 +52,7 @@ import graft.transform.GithubTransform
   *    date — one logical snapshot split across two partitions, both
   *    incomplete. The effective date is returned in [[StreamStats]].
   */
-object StreamingEtl {
+object StreamingEtl extends org.apache.spark.internal.Logging {
 
   final case class StreamStats(batches: Long, rows: Long, snapshotDate: Date)
 
@@ -92,8 +92,8 @@ object StreamingEtl {
       } else {
         // pre-pinning checkpoint (or the file was removed): fall back
         // to the proposal rather than failing the resume
-        System.err.println(
-          s"WARNING: checkpoint $checkpointDir has no $DateFileName; " +
+        logWarning(
+          s"checkpoint $checkpointDir has no $DateFileName; " +
             s"resuming under proposed date $snapshotDate")
         snapshotDate
       }

@@ -1262,7 +1262,8 @@ object ExtQueries {
             FROM orders)
          SELECT o_orderstatus,
                 MAX(CASE WHEN rn = (cnt + 1) // 2 THEN o_totalprice END) AS p50_exact,
-                MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN o_totalprice END) AS p90_exact,
+                MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+                    THEN o_totalprice END) AS p90_exact,
                 TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
          FROM r GROUP BY o_orderstatus""",
     "q_median_disc" ->

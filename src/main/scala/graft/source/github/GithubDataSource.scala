@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,12 +32,19 @@ import scala.jdk.CollectionConverters._
   *
   * Pushdown: `repo = 'o/r'` / `repo IN (...)` predicates prune whole
   * repos at planning time (the partition list shrinks — visible as
-  * PushedFilters in explain output). Required-column pruning reaches
+  * PushedFilters in explain output); `state = 'open'|'closed'` rides
+  * the list request as GitHub's `state=` query param (server-side
+  * pruning of pages AND enrichment fan-out; the reference hard-codes
+  * `state=all`, main.py:203-208 — that stays the default); and
+  * `created_at` range predicates skip per-PR enrichment for
+  * out-of-range rows, an upper bound also ending the ascending
+  * created-sorted page walk early. Required-column pruning reaches
   * the HTTP layer: a query that never touches `value` reads only the
   * paginated PR list (no per-PR commit/review/comment fetches) — at
   * 1000-repo scale those enrichment calls are most of the bytes moved.
   *
-  * Emits rows `(repo string, value string)` where `value` is one
+  * Emits rows `(repo string, value string, state string,
+  * created_at string)` where `value` is one
   * enriched PR document; apply
   * `from_json(value, GithubSchemas.rawPullRequest)` to get the typed
   * form (that projection plus GithubTransform is what
@@ -54,9 +62,15 @@ class GithubDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GithubDataSource {
+  /** `state`/`created_at` are list-page scalars (free — no enrichment
+    * fetch): projectable without paying for `value`, and filterable
+    * with planning-time pushdown (see [[GithubScanBuilder]]).
+    */
   val schema: StructType = StructType(Seq(
     StructField("repo", StringType, nullable = false),
-    StructField("value", StringType, nullable = false)))
+    StructField("value", StringType, nullable = false),
+    StructField("state", StringType, nullable = true),
+    StructField("created_at", StringType, nullable = true)))
 
   private[github] def parseOptions(options: Map[String, String]): GithubSource.Options =
     GithubSource.Options(
@@ -65,6 +79,27 @@ object GithubDataSource {
       appId = options.get("appid"),
       privateKeyPem = options.get("privatekey"),
       token = options.get("token"))
+
+  /** Reader-option encoding of [[PrScanPrune]] — how the planned
+    * pushdown travels from the driver's ScanBuilder to executor-side
+    * partition readers (and how streaming users, who have no filter
+    * pushdown hook, opt in via `.option("state", "open")` /
+    * `.option("createdMin"/"createdMax", ts)`).
+    */
+  private[github] def parsePrune(options: Map[String, String]): PrScanPrune =
+    PrScanPrune(
+      state = options.getOrElse("state", "all"),
+      minCreated = options.get("createdmin"),
+      minInclusive = options.get("createdmininclusive").forall(_.toBoolean),
+      maxCreated = options.get("createdmax"),
+      maxInclusive = options.get("createdmaxinclusive").forall(_.toBoolean))
+
+  private[github] def encodePrune(prune: PrScanPrune): Map[String, String] =
+    Map("state" -> prune.state,
+      "createdmininclusive" -> prune.minInclusive.toString,
+      "createdmaxinclusive" -> prune.maxInclusive.toString) ++
+      prune.minCreated.map("createdmin" -> _) ++
+      prune.maxCreated.map("createdmax" -> _)
 }
 
 class GithubTable(properties: Map[String, String]) extends Table with SupportsRead {
@@ -84,13 +119,27 @@ class GithubScanBuilder(options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GithubDataSource.schema
 
-  /** Accept repo equality/IN predicates; everything else stays with
-    * Spark as a residual.
+  /** Accepted (fully source-enforced — no residual re-evaluation):
+    *  - `repo = / IN` → whole-repo partition pruning at planning time;
+    *  - `state = 'open'|'closed'` → the GitHub `state=` list query
+    *    param (server returns fewer PRs → fewer pages + enrichment
+    *    fetches), double-checked row-side so a server that ignores
+    *    the param can't leak rows;
+    *  - `created_at <|<=|>|>= lit` → row-side lexicographic admission
+    *    (bit-identical to Spark's StringType compare) before any
+    *    enrichment fetch; an upper bound also stops the ascending
+    *    created-sorted page walk early ([[PrScanPrune]]).
+    * Everything else stays with Spark as a residual.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
       case EqualTo("repo", _: String) => true
       case In("repo", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo("state", v: String) => v == "open" || v == "closed"
+      case LessThan("created_at", _: String) => true
+      case LessThanOrEqual("created_at", _: String) => true
+      case GreaterThan("created_at", _: String) => true
+      case GreaterThanOrEqual("created_at", _: String) => true
       case _ => false
     }
     pushed = accepted
@@ -119,6 +168,30 @@ class GithubScan(
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Pushed state/created filters folded over the option-level
+    * defaults (filters win; multiple bounds keep the tighter one,
+    * exclusive beating inclusive at a tie).
+    */
+  private[github] def prune: PrScanPrune =
+    pushed.foldLeft(GithubDataSource.parsePrune(options)) { (p, f) =>
+      def tightenMax(v: String, incl: Boolean): PrScanPrune = p.maxCreated match {
+        case Some(m) if m < v || (m == v && !p.maxInclusive) => p
+        case _ => p.copy(maxCreated = Some(v), maxInclusive = incl)
+      }
+      def tightenMin(v: String, incl: Boolean): PrScanPrune = p.minCreated match {
+        case Some(m) if m > v || (m == v && !p.minInclusive) => p
+        case _ => p.copy(minCreated = Some(v), minInclusive = incl)
+      }
+      f match {
+        case EqualTo("state", v: String) => p.copy(state = v)
+        case LessThan("created_at", v: String) => tightenMax(v, incl = false)
+        case LessThanOrEqual("created_at", v: String) => tightenMax(v, incl = true)
+        case GreaterThan("created_at", v: String) => tightenMin(v, incl = false)
+        case GreaterThanOrEqual("created_at", v: String) => tightenMin(v, incl = true)
+        case _ => p
+      }
+    }
 
   /** Streaming form of the same scan: repo pushdown and column
     * pruning apply identically (a pruned `value` skips enrichment
@@ -157,14 +230,15 @@ class GithubScan(
           // one planning-time metadata request per repo
           val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
           refreshAuth()
-          val last = extractor.pageCount(repo, opts.chunkSize)
+          val last = extractor.pageCount(repo, opts.chunkSize, prune.state)
           (1 to last by pp).map(s => GithubPartition(repo, s, math.min(s + pp - 1, last)))
       }
     }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GithubReaderFactory(options, required.fieldNames)
+    new GithubReaderFactory(
+      options ++ GithubDataSource.encodePrune(prune), required.fieldNames)
 }
 
 class GithubReaderFactory(options: Map[String, String], fields: Array[String])
@@ -190,20 +264,24 @@ class GithubPartitionReader(
 
   private val needValue = fields.contains("value")
 
-  private lazy val iter: Iterator[String] = {
+  private lazy val iter: Iterator[PrDoc] = {
     val opts = GithubDataSource.parseOptions(options)
+    val prune = GithubDataSource.parsePrune(options)
     val (extractor, refreshAuth) = GithubSource.openExtractor(partition.repo, opts)
-    extractor.pages(partition.repo, opts.chunkSize, refreshAuth,
-      partition.startPage, partition.endPage, enrich = needValue).flatten
+    extractor.pagesDocs(partition.repo, opts.chunkSize, refreshAuth,
+      partition.startPage, partition.endPage, enrich = needValue,
+      prune = prune).flatten
   }
 
-  private var current: String = _
+  private var current: PrDoc = _
   override def next(): Boolean =
     if (iter.hasNext) { current = iter.next(); true } else false
   override def get(): InternalRow =
     InternalRow(fields.map {
       case "repo" => UTF8String.fromString(partition.repo)
-      case "value" => UTF8String.fromString(current)
+      case "value" => UTF8String.fromString(current.json)
+      case "state" => current.state.map(UTF8String.fromString).orNull
+      case "created_at" => current.createdAt.map(UTF8String.fromString).orNull
     }: _*)
   override def close(): Unit = ()
 }

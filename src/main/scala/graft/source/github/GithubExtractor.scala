@@ -26,6 +26,64 @@ import scala.jdk.CollectionConverters._
   * (chunk = one API page), ready for `from_json` with
   * [[graft.model.GithubSchemas.rawPullRequest]].
   */
+/** One PR list-page document plus the two scalar fields the DSv2
+  * source can project or filter without touching `value`'s
+  * enrichment fetches. Captured at parse time — no re-parse per row.
+  */
+final case class PrDoc(json: String, state: Option[String], createdAt: Option[String])
+
+/** Server/source-side pruning for the PR walk, produced by DSv2
+  * filter pushdown (or reader options):
+  *
+  *  - `state` ("open"/"closed") rides the list request as the
+  *    `state=` query param — the server returns fewer PRs, so fewer
+  *    pages AND fewer per-PR enrichment fetches. Rows are ALSO
+  *    filtered source-side, so correctness never depends on the
+  *    server honoring the param.
+  *  - `created_at` bounds are enforced row-side with PLAIN
+  *    lexicographic string comparison — bit-identical to Spark's
+  *    `StringType` comparison, so a fully-pushed filter (no residual)
+  *    yields exactly the rows an unpushed plan would. Rows with the
+  *    field missing fail any bound (SQL null comparison semantics).
+  *  - an upper bound additionally stops pagination early: the walk is
+  *    server-sorted `sort=created&direction=asc`, so once a page
+  *    contains a PR whose created DATE (first 10 chars — identical
+  *    across the ISO and the reference mock's space-separated format,
+  *    mock_github_api.py:16) is strictly past the bound's date, no
+  *    later page can hold a qualifying row. The date-part guard keeps
+  *    the stop format-agnostic; same-date rows still get row-filtered.
+  *
+  * A lower bound cannot skip earlier PAGES on an ascending walk (the
+  * GitHub pulls API has no `since` param), but dropping the row
+  * before enrichment still saves the ~4 HTTP fetches per PR that
+  * dominate scan cost.
+  */
+final case class PrScanPrune(
+    state: String = "all",
+    minCreated: Option[String] = None,
+    minInclusive: Boolean = true,
+    maxCreated: Option[String] = None,
+    maxInclusive: Boolean = true) {
+
+  def isNoop: Boolean = state == "all" && minCreated.isEmpty && maxCreated.isEmpty
+
+  /** Row-level admission — Spark `StringType` comparison semantics. */
+  def admits(state: Option[String], createdAt: Option[String]): Boolean = {
+    val stateOk = this.state == "all" || state.contains(this.state)
+    val minOk = minCreated.forall(b => createdAt.exists(c =>
+      if (minInclusive) c >= b else c > b))
+    val maxOk = maxCreated.forall(b => createdAt.exists(c =>
+      if (maxInclusive) c <= b else c < b))
+    stateOk && minOk && maxOk
+  }
+
+  /** True once `createdAt`'s date-part proves every later row of the
+    * ascending walk fails the upper bound.
+    */
+  def pastUpperBound(createdAt: Option[String]): Boolean =
+    maxCreated.exists(b => createdAt.exists(_.take(10) > b.take(10)))
+}
+
 class GithubExtractor(
     http: GithubHttp,
     apiUrl: String,
@@ -100,8 +158,8 @@ class GithubExtractor(
     * rel="last"; 1 when there is no last link (single page). Used by
     * the DSv2 source to plan page-range partitions.
     */
-  def pageCount(repo: String, chunkSize: Int): Int = {
-    val url = s"$apiUrl/repos/$repo/pulls?state=all&per_page=$chunkSize" +
+  def pageCount(repo: String, chunkSize: Int, state: String = "all"): Int = {
+    val url = s"$apiUrl/repos/$repo/pulls?state=$state&per_page=$chunkSize" +
       "&sort=created&direction=asc"
     val resp = http.get(url, authHeaders())
     linkPage(resp.header("Link"), "last").getOrElse(1)
@@ -124,36 +182,60 @@ class GithubExtractor(
       startPage: Int = 1,
       endPage: Int = -1,
       enrich: Boolean = true): Iterator[Seq[String]] =
-    new Iterator[Seq[String]] {
+    pagesDocs(repo, chunkSize, refreshAuth, startPage, endPage, enrich)
+      .map(_.map(_.json))
+
+  /** `pages` with the per-row scalars exposed and `prune` applied
+    * BEFORE enrichment: a pruned-away PR costs zero per-PR fetches,
+    * and a pushed upper created-bound stops the page walk early
+    * (see [[PrScanPrune]] for the exact admission semantics).
+    */
+  def pagesDocs(
+      repo: String,
+      chunkSize: Int = 100,
+      refreshAuth: () => Unit = () => (),
+      startPage: Int = 1,
+      endPage: Int = -1,
+      enrich: Boolean = true,
+      prune: PrScanPrune = PrScanPrune()): Iterator[Seq[PrDoc]] =
+    new Iterator[Seq[PrDoc]] {
       private var page: Option[Int] = Some(startPage)
       private var first = startPage == 1
 
       override def hasNext: Boolean = page.isDefined
 
-      override def next(): Seq[String] = {
+      override def next(): Seq[PrDoc] = {
         val p = page.getOrElse(throw new NoSuchElementException)
         refreshAuth()
-        val url = s"$apiUrl/repos/$repo/pulls?state=all&per_page=$chunkSize" +
-          s"&sort=created&direction=asc" + (if (first) "" else s"&page=$p")
+        val url = s"$apiUrl/repos/$repo/pulls?state=${prune.state}" +
+          s"&per_page=$chunkSize&sort=created&direction=asc" +
+          (if (first) "" else s"&page=$p")
         first = false
         val resp = http.get(url, authHeaders())
         val batch = mapper.readTree(resp.body).asInstanceOf[ArrayNode]
-        val enriched = batch.elements.asScala.map { pr =>
-          val number = Option(pr.get("number")).filter(n => n.canConvertToLong && n.asLong != 0L)
-          number match {
-            case Some(n) if enrich =>
-              val obj = pr.asInstanceOf[ObjectNode]
-              obj.set[JsonNode]("commit_data", extractCommits(repo, n.asLong))
-              obj.set[JsonNode]("reviewer_data", extractReviewers(repo, n.asLong))
-              obj.set[JsonNode]("comment_data", extractComments(repo, n.asLong))
-            case _ => // unenriched: no number (main.py:228-230) or pruned value
+        var sawPastUpper = false
+        val docs = batch.elements.asScala.flatMap { pr =>
+          val state = Option(pr.get("state")).filter(!_.isNull).map(_.asText)
+          val created = Option(pr.get("created_at")).filter(!_.isNull).map(_.asText)
+          sawPastUpper ||= prune.pastUpperBound(created)
+          if (!prune.admits(state, created)) None
+          else {
+            val number = Option(pr.get("number")).filter(n => n.canConvertToLong && n.asLong != 0L)
+            number match {
+              case Some(n) if enrich =>
+                val obj = pr.asInstanceOf[ObjectNode]
+                obj.set[JsonNode]("commit_data", extractCommits(repo, n.asLong))
+                obj.set[JsonNode]("reviewer_data", extractReviewers(repo, n.asLong))
+                obj.set[JsonNode]("comment_data", extractComments(repo, n.asLong))
+              case _ => // unenriched: no number (main.py:228-230) or pruned value
+            }
+            Some(PrDoc(mapper.writeValueAsString(pr), state, created))
           }
-          mapper.writeValueAsString(pr)
         }.toSeq
         page =
-          if (batch.size == 0) None
+          if (batch.size == 0 || sawPastUpper) None
           else nextPage(resp.header("Link")).filter(n => endPage < 0 || n <= endPage)
-        enriched
+        docs
       }
     }.filter(_.nonEmpty)
 }

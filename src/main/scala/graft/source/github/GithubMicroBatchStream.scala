@@ -54,7 +54,11 @@ class GithubMicroBatchStream(
     repos.map { repo =>
       val (extractor, refreshAuth) = GithubSource.openExtractor(repo, opts)
       refreshAuth()
-      repo -> extractor.pageCount(repo, opts.chunkSize)
+      // option-level prune ("state"/"createdMin"/"createdMax") applies
+      // to streaming too: the page-count probe must walk the same
+      // filtered listing the partition readers will.
+      repo -> extractor.pageCount(repo, opts.chunkSize,
+        GithubDataSource.parsePrune(options).state)
     }.toMap
 
   // Trigger.AvailableNow pins the drain target at query start: the

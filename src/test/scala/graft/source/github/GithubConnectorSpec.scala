@@ -186,7 +186,7 @@ class GithubConnectorSpec extends AnyFunSuite {
         .option("repos", "o/r")
         .option("apiUrl", server.url)
         .load()
-      assert(df.columns.toSeq == Seq("repo", "value"))
+      assert(df.columns.toSeq == Seq("repo", "value", "state", "created_at"))
       assert(df.count() == 5)
       val typed = df.select(
         from_json(col("value"), GithubSchemas.rawPullRequest).as("pr"))
@@ -250,6 +250,99 @@ class GithubConnectorSpec extends AnyFunSuite {
       val numbers = df.collect().map(r => mapper.readTree(r.getString(1)))
         .flatMap(n => Option(n.get("number")).map(_.asInt)).toSet
       assert(numbers == Set(1, 2, 3, 5)) // #4 has no number
+    }
+  }
+
+  // --- generalized filter pushdown (state / created_at) ---------------
+
+  import scala.jdk.CollectionConverters._
+
+  def freshSource(server: MockGithubServer): org.apache.spark.sql.DataFrame =
+    spark.read.format("github")
+      .option("repos", "o/r")
+      .option("apiUrl", server.url)
+      .option("chunkSize", "3")
+      .load()
+
+  test("DSv2 state pushdown rides the list request and prunes enrichment fan-out") {
+    withServer { server =>
+      val df = freshSource(server).filter(col("state") === "open")
+      val before = server.requestCount.get
+      val rows = df.collect()
+      // open PRs: #2 (enriched) and #4 (no number → unenriched)
+      assert(rows.length == 2 && rows.forall(_.getString(2) == "open"))
+      // every list request carried state=open to the server
+      assert(server.pullsQueries.asScala.nonEmpty &&
+        server.pullsQueries.asScala.forall(_.contains("state=open")))
+      // 2 list pages + enrichment ONLY for #2 (commits + 2 details +
+      // reviews + comments = 5); closed PRs never fetched
+      assert(server.requestCount.get - before == 7,
+        s"expected pruned fan-out, got ${server.requestCount.get - before} requests")
+    }
+  }
+
+  test("DSv2 created_at upper bound stops the ascending page walk early") {
+    withServer { server =>
+      val df = freshSource(server).filter(col("created_at") <= "2023-01-02T23:59:59Z")
+      val before = server.requestCount.get
+      val rows = df.collect()
+      assert(rows.map(_.getString(3)).sorted.toSeq ==
+        Seq("2023-01-01T10:30:00Z", "2023-01-02T10:30:00Z"))
+      // page 1 only (PR #3 is already past the bound's date) + PRs 1,2
+      // enriched at 5 requests each — page 2 is never fetched
+      assert(server.requestCount.get - before == 11,
+        s"expected early stop, got ${server.requestCount.get - before} requests")
+      assert(!server.pullsQueries.asScala.exists(_.contains("page=2")))
+    }
+  }
+
+  test("DSv2 created_at lower bound skips enrichment below the bound") {
+    withServer { server =>
+      val df = freshSource(server).filter(col("created_at") >= "2023-01-04T00:00:00Z")
+      val before = server.requestCount.get
+      val rows = df.collect()
+      // PR #4 (no number, unenriched) and #5 — #5's created_at uses the
+      // mock's nonstandard space-separated format and still compares in
+      assert(rows.length == 2)
+      // both list pages (ascending walk can't skip early pages) +
+      // enrichment only for #5; PRs 1-3 never fan out
+      assert(server.requestCount.get - before == 7,
+        s"expected skipped enrichment, got ${server.requestCount.get - before} requests")
+    }
+  }
+
+  test("pushed filters match Spark's own string-compare semantics exactly") {
+    withServer { server =>
+      val all = freshSource(server).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      for (bound <- Seq("2023-01-02T10:30:00Z", "2023-01-05 10:30:00Z", "2023-01-03")) {
+        val pushed = freshSource(server)
+          .filter(col("created_at") >= bound && col("state") === "closed")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        val expected = all.filter(t => t._4 != null && t._4 >= bound && t._3 == "closed")
+        assert(pushed.sortBy(_._4).toSeq == expected.sortBy(_._4).toSeq,
+          s"pushdown diverged from Spark semantics at bound $bound")
+      }
+    }
+  }
+
+  test("streaming reads honor the option-level state prune") {
+    withServer { server =>
+      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream-state").toString
+      val stream = spark.readStream.format("graft.source.github.GithubDataSource")
+        .option("repos", "o/r")
+        .option("apiUrl", server.url)
+        .option("state", "closed")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("gh_stream_closed")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.table("gh_stream_closed").collect()
+      assert(got.length == 3) // PRs 1, 3, 5
+      assert(got.forall(_.getString(2) == "closed"))
+      assert(server.pullsQueries.asScala.forall(_.contains("state=closed")))
     }
   }
 
@@ -465,7 +558,7 @@ class GithubConnectorSpec extends AnyFunSuite {
       q.awaitTermination()
       val got = spark.table("gh_stream_all")
       assert(got.count() == 5) // same corpus as the batch DSv2 test
-      assert(got.columns.toSeq == Seq("repo", "value"))
+      assert(got.columns.toSeq == Seq("repo", "value", "state", "created_at"))
       val typed = got.select(
         from_json(col("value"), GithubSchemas.rawPullRequest).as("pr"))
         .select("pr.*")

@@ -26,6 +26,8 @@ class MockGithubServer(val scalePrs: Int = 0) {
   val requestCount = new AtomicInteger(0)
   /** Requests per repo name (for pushdown-pruning assertions). */
   val repoRequests = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  /** Query strings of every /pulls list request (state= pushdown assertions). */
+  val pullsQueries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   @volatile var rateLimitOnce: Boolean = false
   private val rateLimitTripped = new AtomicInteger(0)
 
@@ -184,15 +186,26 @@ class MockGithubServer(val scalePrs: Int = 0) {
         "X-RateLimit-Reset" -> (System.currentTimeMillis() / 1000).toString))
     } else path match {
       case p if p.endsWith("/pulls") && scalePrs > 0 =>
+        pullsQueries.add(query)
         scalePullsResponse(ex, query)
       case p if p.endsWith("/pulls") =>
+        pullsQueries.add(query)
+        // honor state= like the real API (reference hard-codes
+        // state=all; the DSv2 state pushdown spec needs the server to
+        // actually prune): PR n is open when n is even.
+        val state = "(?:^|&)state=([a-z]+)".r
+          .findFirstMatchIn(query).map(_.group(1)).getOrElse("all")
+        def pageJson(ns: Seq[Int]): String =
+          ns.filter(n => state == "all" ||
+              (if (n % 2 == 0) "open" else "closed") == state)
+            .map(prJson).mkString("[", ",", "]")
         val page = "(?:^|&)page=(\\d+)".r.findFirstMatchIn(query).map(_.group(1).toInt).getOrElse(1)
         if (page == 1)
-          respond(ex, 200, s"[${prJson(1)},${prJson(2)},${prJson(3)}]",
+          respond(ex, 200, pageJson(Seq(1, 2, 3)),
             Map("Link" -> (s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="next", """ +
               s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="last"""")))
         else
-          respond(ex, 200, s"[${prJson(4)},${prJson(5)}]",
+          respond(ex, 200, pageJson(Seq(4, 5)),
             Map("Link" -> s"""<$url/repos/o/r/pulls?per_page=3&page=2>; rel="last""""))
       case p if p.matches(".*/pulls/\\d+/commits") =>
         val pr = p.split("/").takeRight(2).head.toInt
