@@ -374,4 +374,59 @@ object PropertySpec extends Properties("graft") {
           keepers.head._1 == members.filter(_._3 == maxScore).map(_._1).min
       }
     }
+
+  // --- DSv2 connector pushdown vs Spark filter semantics --------------
+
+  import graft.source.github.PrScanPrune
+
+  /** Timestamps in both wire formats the corpus carries: ISO-8601 and
+    * the reference mock's space-separated variant
+    * (mock_github_api.py:16).
+    */
+  private val wireTsGen: Gen[String] = for {
+    month <- Gen.choose(1, 12)
+    day <- Gen.choose(1, 28)
+    hour <- Gen.choose(0, 23)
+    sep <- Gen.oneOf("T", " ")
+  } yield f"2023-$month%02d-$day%02d$sep$hour%02d:30:00Z"
+
+  private val prRowGen: Gen[(Option[String], Option[String])] = for {
+    state <- Gen.option(Gen.oneOf("open", "closed"))
+    created <- Gen.option(wireTsGen)
+  } yield (state, created)
+
+  private val pruneGen: Gen[PrScanPrune] = for {
+    state <- Gen.oneOf("all", "open", "closed")
+    min <- Gen.option(wireTsGen)
+    minIncl <- Gen.oneOf(true, false)
+    max <- Gen.option(wireTsGen)
+    maxIncl <- Gen.oneOf(true, false)
+  } yield PrScanPrune(state, min, minIncl, max, maxIncl)
+
+  /** A fully-pushed filter must admit exactly the rows Spark's own
+    * StringType comparisons would keep (null comparison → dropped).
+    */
+  property("PrScanPrune.admits == Spark string-filter semantics") =
+    Prop.forAll(prRowGen, pruneGen) { case ((state, created), prune) =>
+      val sparkKeeps =
+        (prune.state == "all" || state.contains(prune.state)) &&
+          prune.minCreated.forall(b => created.exists(c =>
+            if (prune.minInclusive) c.compareTo(b) >= 0 else c.compareTo(b) > 0)) &&
+          prune.maxCreated.forall(b => created.exists(c =>
+            if (prune.maxInclusive) c.compareTo(b) <= 0 else c.compareTo(b) < 0))
+      prune.admits(state, created) == sparkKeeps
+    }
+
+  /** Early pagination stop is lossless: on the created-ascending walk
+    * (semantic order — normalize the mock's space separator), once a
+    * row trips `pastUpperBound`, no later row can be admissible, in
+    * EITHER wire format.
+    */
+  property("PrScanPrune.pastUpperBound never drops an admissible later row") =
+    Prop.forAll(Gen.listOfN(12, wireTsGen), pruneGen) { (tss, prune0) =>
+      val prune = prune0.copy(state = "all", minCreated = None)
+      val walk = tss.sortBy(_.replace(' ', 'T')) // server sort order
+      val stopAt = walk.indexWhere(ts => prune.pastUpperBound(Some(ts)))
+      stopAt < 0 || walk.drop(stopAt + 1).forall(ts => !prune.admits(None, Some(ts)))
+    }
 }
