@@ -284,4 +284,134 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, framesSchema)
   }
+
+  // --- audio ----------------------------------------------------------
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("loudness", ArrayType(FloatType))))
+
+  /** RIFF/WAVE magic-byte sniff (bytes 0-3 "RIFF", 8-11 "WAVE"). */
+  private[ops] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** 8-dim audio feature: RMS loudness of 8 equal time windows over
+    * the mono mixdown, each in [0, 1] for samples normalized to
+    * [-1, 1] — the coarse loudness envelope audio curation filters
+    * key on (silence/clipping detection, energy balance).
+    */
+  private[ops] def audioFeaturize(samples: Array[Float]): Array[Float] = {
+    val k = 8
+    val out = new Array[Float](k)
+    val n = samples.length
+    var w = 0
+    while (w < k && n > 0) {
+      val s = (w.toLong * n / k).toInt
+      val e = math.min(n, math.max(s + 1, ((w + 1).toLong * n / k).toInt))
+      var acc = 0.0
+      var i = s
+      while (i < e) { acc += samples(i).toDouble * samples(i); i += 1 }
+      out(w) = if (e <= s) 0f else math.sqrt(acc / (e - s)).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Real WAV decode via JDK `javax.sound.sampled` (PCM 8/16-bit,
+    * mono or multi-channel, either endianness — no native libs).
+    * Channels are averaged to a mono stream for the loudness
+    * envelope. None when the payload isn't a decodable PCM WAV
+    * (caller falls back to the stub).
+    */
+  private[ops] def audioDecode(
+      payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    if (!looksLikeWav(payload)) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          val signed =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned =
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = f.getSampleSizeInBits
+          val frameSize = f.getFrameSize
+          if ((!signed && !unsigned) || (bits != 8 && bits != 16) || frameSize <= 0)
+            None
+          else {
+            val bytes = ais.readAllBytes()
+            val ch = f.getChannels
+            val perSample = bits / 8
+            val nFrames = bytes.length / frameSize
+            val mono = new Array[Float](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = i * frameSize + c * perSample
+                val v =
+                  if (bits == 8) {
+                    if (signed) bytes(off) / 128.0
+                    else ((bytes(off) & 0xff) - 128) / 128.0
+                  } else {
+                    val b0 = bytes(off + (if (f.isBigEndian) 1 else 0)) & 0xff
+                    val b1 = bytes(off + (if (f.isBigEndian) 0 else 1)) & 0xff
+                    val raw = (b1 << 8) | b0
+                    if (signed) raw.toShort / 32768.0
+                    else (raw - 32768) / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              mono(i) = (acc / ch).toFloat
+              i += 1
+            }
+            Some((f.getSampleRate.toInt, ch, nFrames.toLong, audioFeaturize(mono)))
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+  /** Deterministic stub for non-audio payloads, mirroring the image
+    * stub's byte arithmetic so the oracle replicates it exactly
+    * (ASCII corpus bound documented at the oracle SQL).
+    */
+  private def stubAudio(payload: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+    val n = payload.length
+    val feat = Array.tabulate(8) { i =>
+      (if (n == 0) 0f else payload((i * 5) % n).toFloat / 255f)
+    }
+    (8000 + n % 8000, 1 + n % 2, n.toLong, feat)
+  }
+
+  /** Batched per-partition audio decode: real PCM WAV payloads get
+    * the true (rate, channels, frames, loudness envelope); everything
+    * else the deterministic stub — same contract as
+    * [[decodeFeatures]] for images.
+    */
+  def decodeAudio(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: String = Auto): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val real = if (decoder == Stub) None else audioDecode(payload)
+        val (sr, ch, ns, feat) = real.getOrElse(stubAudio(payload))
+        Row(id, sr, ch, ns, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
 }

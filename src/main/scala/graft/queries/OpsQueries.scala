@@ -586,6 +586,23 @@ object OpsQueries {
         col("frame_idx").cast("long").as("frame_idx")) ++ featureCols: _*)
     }),
 
+    // Audio pipeline: real PCM WAV payloads decode through
+    // javax.sound.sampled into (rate, channels, frames) + an 8-window
+    // RMS loudness envelope; the text corpus takes the deterministic
+    // stub the oracle replicates. Same batched per-partition shape as
+    // the image decode.
+    "q_multimodal_audio" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      val au = Multimodal.decodeAudio(s, m)
+      val featureCols = (0 until 8).map(i =>
+        element_at(col("loudness"), i + 1).cast("double").as(s"f$i"))
+      au.select(Seq(
+        col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples")) ++ featureCols: _*)
+    }),
+
     // Resize pipeline: bounded thumb payload regardless of input size.
     // The stride stub is deterministic (integer stride, 0-based byte
     // picks), so the oracle replicates the exact arithmetic; the thumb
@@ -1739,7 +1756,8 @@ object OpsQueries {
          FROM documents""",
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
-    "q_multimodal_resize" -> multimodalResizeSql
+    "q_multimodal_resize" -> multimodalResizeSql,
+    "q_multimodal_audio" -> multimodalAudioSql
   )
 
   /** Byte i (0-based) of the ASCII payload as FLOAT/255 widened to
@@ -1787,6 +1805,24 @@ object OpsQueries {
                       i -> substr(text, CAST(i*stride AS INT) + 1, 1)), '')
                END AS thumb_text
         FROM s"""
+
+  /** Audio-stub twin: the text corpus carries no WAV payloads, so
+    * every row takes the stub's arithmetic (same ASCII bound as the
+    * other multimodal twins). The REAL decode path is covered by the
+    * WAV-bytes specs in MultimodalSpec.
+    */
+  private def multimodalAudioSql: String = {
+    val fs = (0 until 8)
+      .map(i => s"${byteFeature(s"($i * 5) % n")} AS f$i").mkString(",\n            ")
+    s"""WITH b AS (SELECT doc_id AS media_id, text,
+              octet_length(CAST(text AS BLOB)) AS n FROM documents)
+        SELECT media_id,
+            CAST(8000 + n % 8000 AS BIGINT) AS sample_rate,
+            CAST(1 + n % 2 AS BIGINT) AS channels,
+            CAST(n AS BIGINT) AS n_samples,
+            $fs
+        FROM b"""
+  }
 
   private def multimodalFramesSql: String = {
     val fs = (0 until 8)

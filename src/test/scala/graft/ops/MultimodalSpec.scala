@@ -118,4 +118,73 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.decodeFeatures(spark, media, Multimodal.Image).collect()(0)
     assert(out.getInt(1) == 64 + (payload.length % 512))
   }
+
+  // --- audio ----------------------------------------------------------
+
+  /** Real PCM WAV bytes via javax.sound.sampled's own writer. */
+  private def wavBytes(
+      samples: Array[Short],
+      sampleRate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioDecode reads a real PCM WAV: rate, frames, loudness envelope") {
+    // constant-amplitude square wave at half scale: RMS of every
+    // window is exactly 0.5
+    val square = Array.tabulate(8000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val Some((sr, ch, n, loud)) = Multimodal.audioDecode(wavBytes(square))
+    assert(sr == 8000 && ch == 1 && n == 8000L)
+    assert(loud.length == 8 && loud.forall(v => math.abs(v - 0.5f) < 1e-4))
+  }
+
+  test("audioDecode mixes stereo to mono: opposite channels cancel") {
+    // L = +A, R = -A interleaved: the mono mixdown is identically 0
+    val interleaved = Array.tabulate(4000)(i =>
+      (if (i % 2 == 0) 12000 else -12000).toShort)
+    val Some((sr, ch, n, loud)) =
+      Multimodal.audioDecode(wavBytes(interleaved, channels = 2))
+    assert(sr == 8000 && ch == 2 && n == 2000L)
+    assert(loud.forall(_ == 0f))
+  }
+
+  test("audioDecode rejects non-WAV bytes; decodeAudio stubs them deterministically") {
+    import spark.implicits._
+    assert(Multimodal.audioDecode("RIFFxxxx not a wave".getBytes).isEmpty)
+    assert(Multimodal.audioDecode(pngBytes(2, 2, 0)).isEmpty)
+    val payload = "text payload".getBytes
+    val media = Seq((3L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudio(spark, media).collect()(0)
+    assert(out.getInt(1) == 8000 + payload.length % 8000)
+    assert(out.getInt(2) == 1 + payload.length % 2)
+    assert(out.getLong(3) == payload.length.toLong)
+    val feat = out.getSeq[Float](4)
+    assert(feat(1) == payload((1 * 5) % payload.length).toFloat / 255f)
+  }
+
+  test("decodeAudio auto-decodes real WAVs and stubs text in one corpus") {
+    import spark.implicits._
+    val square = Array.tabulate(1600)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val media = Seq(
+      (1L, wavBytes(square)),
+      (2L, "just words".getBytes)).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudio(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 8000 && out(1L).getLong(3) == 1600L)
+    assert(math.abs(out(1L).getSeq[Float](4).head - 0.5f) < 1e-4)
+    assert(out(2L).getInt(1) == 8000 + "just words".getBytes.length % 8000)
+  }
 }
