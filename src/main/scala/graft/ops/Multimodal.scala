@@ -330,6 +330,15 @@ object Multimodal {
     */
   private[ops] def audioDecode(
       payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    decodedMono(payload).map { case (sr, ch, mono) =>
+      (sr, ch, mono.length.toLong, audioFeaturize(mono))
+    }
+
+  /** (sampleRate, channels, mono mixdown) — the shared decode core of
+    * [[audioDecode]] and [[audioClips]].
+    */
+  private[ops] def decodedMono(
+      payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
     if (!looksLikeWav(payload)) None
     else
       try {
@@ -374,7 +383,7 @@ object Multimodal {
               mono(i) = (acc / ch).toFloat
               i += 1
             }
-            Some((f.getSampleRate.toInt, ch, nFrames.toLong, audioFeaturize(mono)))
+            Some((f.getSampleRate.toInt, ch, mono))
           }
         } finally ais.close()
       } catch {
@@ -413,5 +422,72 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioSchema)
+  }
+
+  val clipSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("clip_idx", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("rms", FloatType)))
+
+  /** Real clip segmentation: decode once, then one (clip_idx, RMS)
+    * row per `clipSamples`-frame span of the mono mixdown — what a
+    * speech pipeline segments before feature extraction, and the
+    * input a silence-trim filter keys on. None for non-PCM payloads.
+    */
+  private[ops] def audioClips(
+      payload: Array[Byte], clipSamples: Int): Option[Seq[(Int, Long, Float)]] =
+    audioMono(payload).map { mono =>
+      mono.grouped(clipSamples).zipWithIndex.map { case (clip, idx) =>
+        var acc = 0.0
+        var i = 0
+        while (i < clip.length) { acc += clip(i).toDouble * clip(i); i += 1 }
+        (idx, clip.length.toLong, math.sqrt(acc / math.max(1, clip.length)).toFloat)
+      }.toSeq
+    }
+
+  /** Decoded mono mixdown, shared by [[audioDecode]] and [[audioClips]]. */
+  private[ops] def audioMono(payload: Array[Byte]): Option[Array[Float]] =
+    decodedMono(payload).map(_._3)
+
+  /** Clip sampling over a media column: real segmentation for PCM WAV
+    * payloads; for other payloads each `clipBytes`-sized byte slice
+    * stands in as one "clip" with the stub's byte-RMS — the explode
+    * shape an audio pipeline needs, defined for any corpus (mirror of
+    * [[sampleFrames]] for video).
+    */
+  def sampleClips(
+      spark: SparkSession,
+      media: DataFrame,
+      clipSamples: Int = 2048,
+      clipBytes: Int = 64,
+      decoder: String = Auto): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val real = if (decoder == Stub) None else audioClips(payload, clipSamples)
+        val clips = real.getOrElse {
+          // stub: whole clipBytes-sized slices only (floor), byte-RMS
+          // via an EXACT integer sum of squares, divided and rooted
+          // once — single rounding point, so the oracle replicates it
+          // bit-for-bit
+          val nClips = payload.length / clipBytes
+          (0 until nClips).map { cIdx =>
+            var ssum = 0L
+            var i = cIdx * clipBytes
+            while (i < (cIdx + 1) * clipBytes) {
+              val b = payload(i).toLong
+              ssum += b * b
+              i += 1
+            }
+            (cIdx, clipBytes.toLong,
+              math.sqrt(ssum.toDouble / (65025.0 * clipBytes)).toFloat)
+          }
+        }
+        clips.map { case (cIdx, ns, rms) => Row(id, cIdx, ns, rms) }
+      }
+    }
+    spark.createDataFrame(rdd, clipSchema)
   }
 }

@@ -603,6 +603,18 @@ object OpsQueries {
         col("n_samples")) ++ featureCols: _*)
     }),
 
+    // Clip segmentation: one row per fixed-size span with its RMS —
+    // the audio mirror of q_multimodal_frames' explode shape.
+    "q_multimodal_clips" -> ((s, d) => {
+      val m = Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleClips(s, m)
+        .select(
+          col("media_id"),
+          col("clip_idx").cast("long").as("clip_idx"),
+          col("n_samples"),
+          col("rms").cast("double").as("rms"))
+    }),
+
     // Resize pipeline: bounded thumb payload regardless of input size.
     // The stride stub is deterministic (integer stride, 0-based byte
     // picks), so the oracle replicates the exact arithmetic; the thumb
@@ -1757,7 +1769,8 @@ object OpsQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_resize" -> multimodalResizeSql,
-    "q_multimodal_audio" -> multimodalAudioSql
+    "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_clips" -> multimodalClipsSql
   )
 
   /** Byte i (0-based) of the ASCII payload as FLOAT/255 widened to
@@ -1823,6 +1836,28 @@ object OpsQueries {
             $fs
         FROM b"""
   }
+
+  /** Clip-stub twin: whole 64-byte slices (floor), RMS from an exact
+    * integer sum of squares with a single float rounding — the one
+    * arithmetic shape double/float replicate bit-for-bit across
+    * engines. Real WAV segmentation is spec-covered.
+    */
+  private def multimodalClipsSql: String =
+    s"""WITH b AS (SELECT doc_id AS media_id, text,
+              octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        c AS (SELECT media_id, text,
+              CAST(unnest(range(0, n // 64)) AS BIGINT) AS clip_idx FROM b),
+        s AS (SELECT media_id, clip_idx,
+              list_sum(list_transform(range(0, 64), i ->
+                CAST(ord(substr(text, CAST(clip_idx*64 + i AS INT) + 1, 1))
+                  AS BIGINT) *
+                CAST(ord(substr(text, CAST(clip_idx*64 + i AS INT) + 1, 1))
+                  AS BIGINT))) AS ssum
+              FROM c)
+        SELECT media_id, clip_idx, CAST(64 AS BIGINT) AS n_samples,
+               CAST(CAST(sqrt(CAST(ssum AS DOUBLE) / (65025.0 * 64))
+                 AS FLOAT) AS DOUBLE) AS rms
+        FROM s"""
 
   private def multimodalFramesSql: String = {
     val fs = (0 until 8)

@@ -174,6 +174,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feat(1) == payload((1 * 5) % payload.length).toFloat / 255f)
   }
 
+  test("sampleClips segments a real WAV into per-clip RMS spans") {
+    import spark.implicits._
+    // 4096 frames: first 2048 at half scale, last 2048 silent
+    val samples = Array.tabulate(4096)(i =>
+      (if (i < 2048) { if (i % 2 == 0) 16384 else -16384 } else 0).toShort)
+    val media = Seq((7L, wavBytes(samples))).toDF("media_id", "payload")
+    val out = Multimodal.sampleClips(spark, media, clipSamples = 2048).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getFloat(3))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out(0)._1 == 2048L && math.abs(out(0)._2 - 0.5f) < 1e-4)
+    assert(out(1)._1 == 2048L && out(1)._2 == 0f)
+  }
+
+  test("sampleClips stub: whole 64-byte slices with exact integer-sum RMS") {
+    import spark.implicits._
+    val payload = ("a" * 100).getBytes // one whole clip, 36 bytes dropped
+    val media = Seq((8L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.sampleClips(spark, media).collect()
+    assert(out.length == 1 && out(0).getInt(1) == 0)
+    val expected = math.sqrt(97L * 97 * 64 / (65025.0 * 64)).toFloat
+    assert(out(0).getFloat(3) == expected)
+  }
+
   test("decodeAudio auto-decodes real WAVs and stubs text in one corpus") {
     import spark.implicits._
     val square = Array.tabulate(1600)(i =>
