@@ -332,4 +332,196 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Product-quantization encoder: compress each corpus vector to `m`
+    * sub-codes — per contiguous `dim/m` slice, the id of the nearest
+    * sub-centroid by squared L2 (computed as `‖c‖² − 2·v·c`; the
+    * candidate's own `‖v_m‖²` is constant within a subspace argmin and
+    * is dropped so both engines compare the exact same doubles).
+    *
+    * The sub-codebook is the subvector grid of the `ksub` lowest-id
+    * corpus vectors (the [[ivfTopK]] seeding discipline — deterministic
+    * and cross-engine replicable, so the whole encoder is
+    * hash-checkable); a per-subspace [[KMeans.kmeansCodebook]] over
+    * `slice(v, ...)` drops in by replacing `seeds`.
+    *
+    * Returns (subCodebook, codes):
+    *  - subCodebook: (sm, code, scv, cn2) — subspace id, sub-centroid
+    *    id, the sub-centroid's floats, and its squared norm.
+    *  - codes: (nid, codes) with `codes[sm]` ∈ [0, ksub) — the m·⌈log₂
+    *    ksub⌉-bit representation that replaces `dim` floats (64 floats
+    *    → 4 3-bit codes here: 256 bytes → 12 bits, the reason PQ scans
+    *    survive RAM at corpus scale).
+    *
+    * Scale shape: the codebook (m·ksub rows) broadcasts into one
+    * narrow corpus pass; the argmin is a slim (nid, sm, struct) hash
+    * agg with map-side combine (min(struct) — ties to the lowest
+    * code on both engines); the code-array pivot is a second slim agg
+    * keyed by nid. Vectors never shuffle.
+    */
+  def pqCodes(
+      corpus: DataFrame, // (nid, nv)
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8): (DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val seeds = corpus.orderBy(col("nid").asc).limit(ksub)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("nid").asc)).cast("int") - 1)
+      .select(col("code"), col("nv").as("cv"))
+    val sub = seeds
+      .withColumn("sm", explode(array((0 until m).map(lit): _*)))
+      .select(col("sm"), col("code"),
+        slice(col("cv"), col("sm") * lit(subLen) + lit(1), lit(subLen)).as("scv"))
+      .withColumn("cn2", dot(col("scv"), col("scv")))
+    val argmin = corpus.crossJoin(broadcast(sub))
+      .select(col("nid"), col("sm"),
+        struct(
+          (col("cn2") - lit(2.0) * dot(
+            slice(col("nv"), col("sm") * lit(subLen) + lit(1), lit(subLen)),
+            col("scv"))).as("cmp"),
+          col("code")).as("sc"))
+      .groupBy("nid", "sm").agg(min(col("sc")).as("mn"))
+      .select(col("nid"), col("sm"), col("mn.code").as("code"))
+    val codes = argmin.groupBy("nid")
+      .agg(transform(array_sort(collect_list(struct(col("sm"), col("code")))),
+        s => s("code")).as("codes"))
+    (sub, codes)
+  }
+
+  /** PQ approximate top-k by asymmetric distance computation (ADC,
+    * Jégou et al. 2011): each query precomputes an m·ksub dot-product
+    * lookup table against the sub-codebook, then scores every
+    * compressed candidate with m table reads + m−1 adds — the original
+    * floats are never touched after encoding. The approximate cosine
+    * is `Σ_m dtab[m][code_m] / (‖q‖·√(Σ_m ‖c_m[code_m]‖²))`, i.e. the
+    * exact cosine of the query with the candidate's RECONSTRUCTION.
+    *
+    * Output (qid, nid, rank), self-match excluded, score ties to the
+    * lowest nid — the [[bruteForceTopK]] contract, so recall is
+    * directly measurable against it.
+    *
+    * Every double is produced by a fixed-order fold (the sequential
+    * dot expressions, sorted collect_list pivots, and an explicit
+    * left-associated m-term add), so ranks replicate cross-engine and
+    * the whole ANN path hash-matches its oracle.
+    *
+    * Scale shape: codes are the only corpus-sized input (12 bits/row
+    * here vs 256 B of floats); the query tables (|Q| rows) and the
+    * ksub·m norm array (1 row) broadcast into one narrow scan of the
+    * codes, and only (qid, nid, score) survivors reach the per-query
+    * top-k. At 1000 executors this is the memory-bound PQ scan that
+    * IVF lists would further prune ([[ivfTopK]] composes: assign
+    * queries to probe lists first, then ADC-score only those lists).
+    */
+  def pqTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8): DataFrame = {
+    val (sub, codes) = pqCodes(corpus, dim, m, ksub)
+    val (qWide, cn) = adcTables(queries, sub, dim / m)
+    adcRank(codes.crossJoin(broadcast(qWide)), cn, k, m, ksub)
+  }
+
+  /** IVF + PQ composed (the FAISS IVFADC layout, minus residual
+    * encoding): the coarse quantizer assigns every code row to a
+    * posting list and a query ADC-scores ONLY its `nProbe` probed
+    * lists — candidate selection is a `cid` equi-join, so the scan
+    * cost drops from |C| to the probed lists' share of it while the
+    * per-candidate cost stays m table reads. The recall ceiling is the
+    * probe set's (a candidate outside every probed list is never
+    * scored); within probed lists, ranks equal [[pqTopK]]'s.
+    *
+    * Scale shape: codes + list ids are the only corpus-sized frames;
+    * probes (|Q|·nProbe rows), the query ADC tables, and the norm
+    * array all broadcast — three broadcast hash joins and a per-query
+    * top-k, no corpus shuffle at all.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    // the ivfTopK coarse quantizer: nCentroids lowest-id vectors,
+    // argmax-cosine assignment with ties to the lowest cid
+    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val c = corpus.withColumn("nnorm", norm(col("nv")))
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("nid"),
+        struct(
+          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+      .groupBy("nid").agg(max(col("sc")).as("mx"))
+      .select(col("nid"), col("mx.cid").as("cid"))
+    val q = queries.withColumn("qnorm", norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val (sub, codes) = pqCodes(corpus, dim, m, ksub)
+    val (qWide, cn) = adcTables(queries, sub, dim / m)
+    val cand = codes.join(assigned, "nid")
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qWide), "qid")
+    adcRank(cand, cn, k, m, ksub)
+  }
+
+  /** The two broadcast sides of an ADC scan: per-query dot-lookup
+    * tables (qid, qnorm, dtab[m·ksub]) and the 1-row reconstruction
+    * norm array — both (sm, code)-ordered flat arrays built by sorted
+    * collect_list pivots, so slot i·ksub+code is deterministic.
+    */
+  private def adcTables(
+      queries: DataFrame, sub: DataFrame, subLen: Int): (DataFrame, DataFrame) = {
+    val cn = sub.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("sm"), col("code"), col("cn2")))),
+        s => s("cn2")).as("cns"))
+    val qWide = queries.withColumn("qnorm", norm(col("qv")))
+      .crossJoin(broadcast(sub))
+      .select(col("qid"), col("qnorm"), col("sm"), col("code"),
+        dot(slice(col("qv"), col("sm") * lit(subLen) + lit(1), lit(subLen)),
+          col("scv")).as("dv"))
+      .groupBy(col("qid"), col("qnorm"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sm"), col("code"), col("dv")))),
+        s => s("dv")).as("dtab"))
+    (qWide, cn)
+  }
+
+  /** Score candidates (qid, nid, codes, qnorm, dtab) by ADC — m table
+    * reads and an explicit left-associated add chain (bit-stable, the
+    * rank contract) — and keep each query's top k.
+    */
+  private def adcRank(
+      cand: DataFrame, cn: DataFrame, k: Int, m: Int, ksub: Int): DataFrame = {
+    def slot(arr: Column, i: Int): Column =
+      element_at(arr, col("codes")(i) + lit(i * ksub + 1))
+    val scored = cand.crossJoin(broadcast(cn))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adot",
+        (0 until m).map(i => slot(col("dtab"), i)).reduce(_ + _))
+      .withColumn("xn2",
+        (0 until m).map(i => slot(col("cns"), i)).reduce(_ + _))
+      .withColumn("score", col("adot") / (col("qnorm") * sqrt(col("xn2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
 }

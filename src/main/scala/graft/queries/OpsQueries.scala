@@ -147,6 +147,57 @@ object OpsQueries {
         k = 5)
     }),
 
+    // The memory-bound scale path: PQ codes (4×3 bits per vector here
+    // vs 64 floats) scored by ADC table lookups. Encoder argmin, the
+    // sorted table pivots, and the explicit left-associated m-term
+    // adds are all fixed-order folds, so ranks replicate exactly.
+    "q_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5, dim = 64)
+    }),
+
+    // IVF lists pruning the PQ scan (FAISS IVFADC minus residuals):
+    // candidates come from a cid equi-join on the probed lists, then
+    // the same ADC scoring — the composed 100 TB path.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5, dim = 64)
+    }),
+
+    // PQ recall priced against the exact top-5, the q_ann_recall
+    // discipline: quantization loss as data, not vibes.
+    "q_ann_pq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+      val pq = Similarity.pqTopK(q, c, k = 5, dim = 64)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(pq, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    }),
+
+    // The PQ encoder surfaced alone: per-vector sub-codes, long form.
+    "q_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        dim = 64)._2
+        .select(col("nid").as("vec_id"),
+          posexplode(col("codes")).as(Seq("sm", "code")))
+        .select(col("vec_id"), col("sm").cast("long").as("sm"),
+          col("code").cast("long").as("code"))),
+
     // Per-label quantized centroids: floor(x·1024) longs summed
     // exactly, divided back in fixed order — bit-deterministic under
     // any partitioning, unlike a float mean (library path
@@ -983,6 +1034,129 @@ object OpsQueries {
         WHERE rn <= 5"""
   }
 
+  /** PQ twins ([[graft.ops.Similarity.pqCodes]]/[[Similarity.pqTopK]]):
+    * the seed-grid sub-codebook, per-subspace squared-L2 argmin
+    * (`‖c‖² − 2·v·c`, same fold order, ties to the lowest code), and —
+    * for the top-k — the ADC score rebuilt with the same
+    * left-associated m-term adds, so every rank comparison sees
+    * bit-identical doubles.
+    */
+  private def pqCtes(m: Int, ksub: Int, dim: Int): String = {
+    val sub = dim / m
+    def dcm(a: String, b: String, mi: Int) = (1 to sub)
+      .map(j => s"CAST($a[${mi * sub + j}] AS DOUBLE)*CAST($b[${mi * sub + j}] AS DOUBLE)")
+      .mkString(" + ")
+    def caseM(f: Int => String) =
+      "CASE s.m " + (0 until m).map(mi => s"WHEN $mi THEN (${f(mi)})").mkString(" ") + " END"
+    val cmp = caseM(mi =>
+      s"(${dcm("s.cv", "s.cv", mi)}) - 2.0*(${dcm("c.nv", "s.cv", mi)})")
+    s"""seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
+                         embedding AS cv
+                  FROM (SELECT vec_id, embedding FROM embeddings
+                        ORDER BY vec_id LIMIT $ksub)),
+        sub AS (SELECT CAST(t.mm AS INTEGER) AS m, code, cv
+                FROM seeds CROSS JOIN range(0, $m) t(mm)),
+        c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+        codes AS (SELECT nid, m, code FROM (
+          SELECT c.nid, s.m, s.code,
+            ROW_NUMBER() OVER (PARTITION BY c.nid, s.m
+              ORDER BY ($cmp) ASC, s.code ASC) AS rn
+          FROM c CROSS JOIN sub s) t WHERE rn = 1)"""
+  }
+
+  private def pqCodesSql: String =
+    s"""WITH ${pqCtes(4, 8, 64)}
+        SELECT nid AS vec_id, CAST(m AS BIGINT) AS sm,
+               CAST(code AS BIGINT) AS code
+        FROM codes"""
+
+  /** Shared body of the PQ top-k twins: the qd ADC tables, the sc
+    * pivot (fed candidates by `candFrom`/`candWhere`), and the ranked
+    * select with the explicit left-associated add chains.
+    */
+  private def pqScoreSql(
+      m: Int, ksub: Int, dim: Int, k: Int,
+      extraCtes: String, candFrom: String, candWhere: String): String = {
+    val sub = dim / m
+    def dcm(a: String, b: String, mi: Int) = (1 to sub)
+      .map(j => s"CAST($a[${mi * sub + j}] AS DOUBLE)*CAST($b[${mi * sub + j}] AS DOUBLE)")
+      .mkString(" + ")
+    def caseM(f: Int => String) =
+      "CASE s.m " + (0 until m).map(mi => s"WHEN $mi THEN (${f(mi)})").mkString(" ") + " END"
+    val dv = caseM(mi => dcm("q.qv", "s.cv", mi))
+    val cn2 = caseM(mi => dcm("s.cv", "s.cv", mi))
+    val qq = (1 to dim)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
+    def pivots(src: String, pre: String) = (0 until m)
+      .map(mi => s"MAX(CASE WHEN qd.m = $mi THEN qd.$src END) AS $pre$mi")
+      .mkString(",\n               ")
+    def sumTerms(pre: String) = (0 until m)
+      .map(mi => s"$pre$mi").reduce((a, b) => s"($a + $b)")
+    s"""WITH ${pqCtes(m, ksub, dim)},
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 10),$extraCtes
+        qd AS (SELECT q.qid, s.m, s.code, ($dv) AS dv, ($cn2) AS cn2,
+                      sqrt($qq) AS qnorm
+               FROM q CROSS JOIN sub s),
+        sc AS (SELECT qd.qid, codes.nid, MAX(qd.qnorm) AS qnorm,
+               ${pivots("dv", "d")},
+               ${pivots("cn2", "n")}
+               FROM $candFrom
+               WHERE $candWhere
+               GROUP BY qd.qid, codes.nid)
+        SELECT qid, nid, rank FROM (
+          SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ${sumTerms("d")} / (qnorm * sqrt(${sumTerms("n")}))
+              DESC, nid ASC) AS BIGINT) AS rank
+          FROM sc) t
+        WHERE rank <= $k"""
+  }
+
+  private def pqSql: String =
+    pqScoreSql(4, 8, 64, 5,
+      extraCtes = "",
+      candFrom = "codes JOIN qd ON codes.m = qd.m AND codes.code = qd.code",
+      candWhere = "codes.nid <> qd.qid")
+
+  /** IVF+PQ twin: the ivfSql coarse quantizer (lowest-16 codebook,
+    * argmax-cosine lists, 4 probes) bounding which code rows each
+    * query ADC-scores.
+    */
+  private def ivfPqSql: String = {
+    def dc(a: String, b: String) = (1 to 64)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    val ivfCtes = s"""
+        cent AS (SELECT vec_id cid, embedding cv FROM embeddings
+                 ORDER BY vec_id LIMIT 16),
+        asn AS (SELECT nid, cid FROM (
+          SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+            ORDER BY (${dc("nv", "cv")}) /
+              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+          FROM c, cent) t WHERE rn = 1),
+        probes AS (SELECT qid, cid FROM (
+          SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY (${dc("qv", "cv")}) /
+              (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
+          FROM q, cent) t WHERE rn <= 4),"""
+    pqScoreSql(4, 8, 64, 5,
+      extraCtes = ivfCtes,
+      candFrom = """codes
+               JOIN asn ON asn.nid = codes.nid
+               JOIN probes ON probes.cid = asn.cid
+               JOIN qd ON qd.m = codes.m AND qd.code = codes.code
+                      AND qd.qid = probes.qid""",
+      candWhere = "codes.nid <> probes.qid")
+  }
+
+  /** PQ recall twin: exact top-5 pairs vs how many the ADC ranking
+    * recovered — brute CTE joined to the PQ CTE result.
+    */
+  private def pqRecallSql: String =
+    s"""WITH b AS ($annSql), p AS ($pqSql)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM b JOIN p USING (qid, nid)) AS n_hits"""
+
   /** SemDeDup twin: the ivfSql codebook + assignment, then the greedy
     * keep-lowest-id rule as a NOT-EXISTS over within-cluster pairs at
     * the exact cosine threshold.
@@ -1623,6 +1797,10 @@ object OpsQueries {
     "q_ann_lsh" -> annLshSql,
     "q_ann_recall" -> annRecallSql,
     "q_ann_ivf" -> ivfSql,
+    "q_ann_pq" -> pqSql,
+    "q_ann_ivfpq" -> ivfPqSql,
+    "q_ann_pq_recall" -> pqRecallSql,
+    "q_pq_codes" -> pqCodesSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,
     "q_dedup_semantic" -> semanticDedupSql,

@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
       s"assignment argmax lost map-side combine:\n$p")
   }
 
+  test("PQ scan scores broadcast tables against codes — no cartesian, argmin combines map-side") {
+    // the ADC scan is intentionally codes × |Q|-row broadcast; the
+    // encoder argmin must keep its partial min(struct) combine so only
+    // slim (nid, sm, struct) partials reach the exchange
+    val p = plan("q_ann_pq")
+    assert(!p.contains("CartesianProduct"), s"PQ plans an unbroadcast all-pairs join:\n$p")
+    assert(p.contains("partial_min"),
+      s"encoder argmin lost map-side combine:\n$p")
+  }
+
   test("relevance and repetition aggregations keep map-side combine") {
     assert(plan("q_tfidf").contains("partial_"))
     assert(plan("q_rep_signals").contains("partial_"))

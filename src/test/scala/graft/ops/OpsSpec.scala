@@ -307,6 +307,73 @@ class OpsSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.size <= 6)
   }
 
+  test("PQ codes pick the nearest sub-centroid per subspace, ties to lowest code") {
+    val df = vecs.toDF("id", "v").select($"id".as("nid"), $"v".as("nv"))
+    val (_, codes) = Similarity.pqCodes(df, dim = 8, m = 2, ksub = 4)
+    val got = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val seeds = vecs.sortBy(_._1).take(4).map(_._2)
+    def cmp(v: Array[Float], c: Array[Float], lo: Int): Double = {
+      var cn = 0.0; var dt = 0.0
+      for (i <- lo until lo + 4) {
+        cn += c(i).toDouble * c(i).toDouble; dt += v(i).toDouble * c(i).toDouble
+      }
+      cn - 2.0 * dt
+    }
+    for ((id, v) <- vecs; m <- 0 until 2) {
+      val want = seeds.zipWithIndex
+        .map { case (s, c) => (cmp(v, s, m * 4), c) }.min._2
+      assert(got(id)(m) == want, s"id=$id subspace=$m")
+    }
+  }
+
+  test("PQ ADC top-k is exact on a perfectly quantizable corpus") {
+    // every corpus vector's subvectors ARE sub-centroids, so the
+    // reconstruction is lossless and ADC cosine == true cosine
+    val seeds = (0 until 4).map(i => Array.tabulate(8)(d =>
+      (if (d % 4 == i) 1.0f else 0.0f) + 0.01f * ((i * 7 + d) % 5)))
+    val combos = for (a <- 0 until 4; b <- 0 until 4)
+      yield (100L + a * 4 + b, seeds(a).take(4) ++ seeds(b).drop(4))
+    val corpus = seeds.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ combos
+    val c = corpus.toDF("nid", "nv")
+    val q = Seq(
+      (500L, Array.tabulate(8)(d => 0.3f + 0.1f * d)),
+      (501L, Array.tabulate(8)(d => 1.0f - 0.1f * d))).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(q, c, k = 5, dim = 8, m = 2, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pq == brute)
+  }
+
+  test("IVFPQ with full probe coverage equals the plain PQ scan") {
+    val df = vecs.toDF("id", "v")
+    val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
+    val c = df.select($"id".as("nid"), $"v".as("nv"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = rows(Similarity.pqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4))
+    val full = rows(Similarity.ivfPqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4,
+      nCentroids = 4, nProbe = 4))
+    assert(full == pq)
+    // restricted probes: a subset of the scan's candidates, ranks
+    // exact within the searched lists
+    val part = Similarity.ivfPqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4,
+      nCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.nonEmpty && part.size <= 6)
+  }
+
+  test("PQ top-k is invariant under repartitioning") {
+    val df = vecs.toDF("id", "v")
+    val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val c1 = df.select($"id".as("nid"), $"v".as("nv"))
+    assert(run(c1) == run(c1.repartition(7)) && run(c1).size == 6)
+  }
+
   test("pickOperatingPoint: cheapest measured point meeting the recall target") {
     // shape = q_ann_recall output: (n_planes, probe_bits, n_true, n_hits, n_candidates)
     val curve = Seq(
