@@ -187,6 +187,22 @@ object OpsQueries {
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
     }),
 
+    // IVFPQ recall: quantization loss PLUS the probe bound, priced
+    // against the same exact top-5 — read next to q_ann_pq_recall it
+    // separates the two costs.
+    "q_ann_ivfpq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+      val ivfpq = Similarity.ivfPqTopK(q, c, k = 5, dim = 64)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(ivfpq, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    }),
+
     // The PQ encoder surfaced alone: per-vector sub-codes, long form.
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(
@@ -1157,6 +1173,13 @@ object OpsQueries {
                (SELECT CAST(count(*) AS BIGINT)
                 FROM b JOIN p USING (qid, nid)) AS n_hits"""
 
+  /** Same bill for the composed IVF+PQ path. */
+  private def ivfPqRecallSql: String =
+    s"""WITH b AS ($annSql), p AS ($ivfPqSql)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM b JOIN p USING (qid, nid)) AS n_hits"""
+
   /** SemDeDup twin: the ivfSql codebook + assignment, then the greedy
     * keep-lowest-id rule as a NOT-EXISTS over within-cluster pairs at
     * the exact cosine threshold.
@@ -1800,6 +1823,7 @@ object OpsQueries {
     "q_ann_pq" -> pqSql,
     "q_ann_ivfpq" -> ivfPqSql,
     "q_ann_pq_recall" -> pqRecallSql,
+    "q_ann_ivfpq_recall" -> ivfPqRecallSql,
     "q_pq_codes" -> pqCodesSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,

@@ -364,6 +364,27 @@ class OpsSpec extends AnyFunSuite {
     assert(part.nonEmpty && part.size <= 6)
   }
 
+  test("trained PQ sub-codebook beats the seed grid on clustered data") {
+    // the 4 lowest ids all sit in cluster 0, so the seed-grid
+    // sub-codebook is degenerate (4 near-identical sub-centroids);
+    // Lloyd training must recover codebook diversity and with it recall
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val corpus = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val c = corpus.toDF("nid", "nv")
+    val q = corpus.filter(_._1 >= 34).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(sub: Option[org.apache.spark.sql.DataFrame]): Int =
+      Similarity.pqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4, subCodebook = sub)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brute).size
+    val trained = Similarity.trainedSubCodebook(c, dim = 8, m = 2, ksub = 4)
+    assert(recall(Some(trained)) > recall(None),
+      s"trained=${recall(Some(trained))} seed=${recall(None)} of ${brute.size}")
+  }
+
   test("PQ top-k is invariant under repartitioning") {
     val df = vecs.toDF("id", "v")
     val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
