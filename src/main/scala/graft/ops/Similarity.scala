@@ -412,8 +412,13 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
     (0 until m).map { mi =>
+      // zero-norm slices (e.g. the zero residual of a coarse
+      // centroid's own vector) carry no direction for a cosine-trained
+      // codebook and would 0/0 the assignment — drop them from the
+      // training set (they still ENCODE fine: the argmin is L2-based)
       val sliced = corpus.select(col("nid").as("id"),
         slice(col("nv"), mi * subLen + 1, subLen).as("v"))
+        .filter(norm(col("v")) > 0.0)
       KMeans.kmeansCodebook(sliced, "id", "v", ksub, iters)
         .groupBy(col("cid"))
         .agg(transform(
@@ -484,19 +489,7 @@ object Similarity {
       ksub: Int = 8,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    // the ivfTopK coarse quantizer: nCentroids lowest-id vectors,
-    // argmax-cosine assignment with ties to the lowest cid
-    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
-      .select(col("nid").as("cid"), col("nv").as("cv"))
-      .withColumn("cnorm", norm(col("cv")))
-    val c = corpus.withColumn("nnorm", norm(col("nv")))
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("nid"),
-        struct(
-          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-      .groupBy("nid").agg(max(col("sc")).as("mx"))
-      .select(col("nid"), col("mx.cid").as("cid"))
+    val (cent, assigned) = coarseAssign(corpus, nCentroids)
     val q = queries.withColumn("qnorm", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
@@ -513,6 +506,131 @@ object Similarity {
       .join(broadcast(qWide), "qid")
     adcRank(cand, cn, k, m, ksub)
   }
+
+  /** IVF + PQ with RESIDUAL encoding — the full FAISS IVFADC recipe:
+    * each corpus vector is quantized as `v ≈ cv + r̂` where `cv` is its
+    * coarse centroid and `r̂` the PQ reconstruction of the residual
+    * `v − cv`. Residuals are much smaller than raw vectors, so the
+    * same sub-codebook budget buys far less quantization error — the
+    * reason FAISS encodes residuals by default.
+    *
+    * The approximate cosine is exact for the reconstruction:
+    * `cos(q, cv + r̂)` with `dot(q, r̂) = Σ_m dot(q_m, scv_m)` (the same
+    * per-query ADC tables as [[pqTopK]] — residuals change WHAT the
+    * codebook approximates, not how queries score it) and
+    * `‖cv + r̂‖² = ‖cv‖² + 2·Σ_m dot(cv_m, scv_m) + Σ_m ‖scv_m‖²`
+    * (cross terms vanish across disjoint subspaces). The centroid
+    * dot-tables are per-(cid, sm, code) — m·ksub·nCentroids values,
+    * broadcast.
+    *
+    * The residual float subtraction is `zip_with(_ - _)` on floats —
+    * IEEE-exact and engine-portable, so the encoder and every rank
+    * stay hash-checkable like the plain PQ path.
+    *
+    * Scale shape: identical to [[ivfPqTopK]] (codes + list ids are the
+    * corpus-sized frames; everything else broadcasts) plus one
+    * index-build residual pass. Output (qid, nid, rank), the shared
+    * contract.
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame, // (qid, qv)
+      corpus: DataFrame, // (nid, nv)
+      k: Int,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      subCodebook: Option[DataFrame] = None): DataFrame = {
+    val subLen = dim / m
+    val (cent, assigned) = coarseAssign(corpus, nCentroids)
+    val res = residuals(corpus, cent, assigned)
+    val (sub, codes) = pqCodes(res.select(col("nid"), col("rv").as("nv")),
+      dim, m, ksub, subCodebook)
+    val codesC = codes.join(assigned, "nid")
+    val q = queries.withColumn("qnorm", norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid").asc)
+    // probes carry the exact query-centroid dot — the pdot term of
+    // every candidate scored from that list
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("cid"), dot(col("qv"), col("cv")).as("pdot"))
+    val (qWide, cn) = adcTables(queries, sub, subLen)
+    // per-centroid tables: ‖cv‖² and the m·ksub centroid-sub-codeword
+    // dots, (sm, code)-ordered like every other ADC array
+    val centWide = cent.select(col("cid"), col("cv"))
+      .withColumn("cn2cv", dot(col("cv"), col("cv")))
+      .crossJoin(broadcast(sub))
+      .select(col("cid"), col("cn2cv"), col("sm"), col("code"),
+        dot(slice(col("cv"), col("sm") * lit(subLen) + lit(1), lit(subLen)),
+          col("scv")).as("cdv"))
+      .groupBy(col("cid"), col("cn2cv"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sm"), col("code"), col("cdv")))),
+        s => s("cdv")).as("cdarr"))
+    def slot(arr: Column, i: Int): Column =
+      element_at(arr, col("codes")(i) + lit(i * ksub + 1))
+    val scored = codesC
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qWide), "qid")
+      .join(broadcast(centWide), "cid")
+      .crossJoin(broadcast(cn))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adot",
+        (0 until m).map(i => slot(col("dtab"), i)).reduce(_ + _))
+      .withColumn("cdsum",
+        (0 until m).map(i => slot(col("cdarr"), i)).reduce(_ + _))
+      .withColumn("rnsum",
+        (0 until m).map(i => slot(col("cns"), i)).reduce(_ + _))
+      .withColumn("score",
+        (col("pdot") + col("adot")) /
+          (col("qnorm") * sqrt((col("cn2cv") + lit(2.0) * col("cdsum")) + col("rnsum"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Coarse quantizer shared by the IVF family: the `nCentroids`
+    * lowest-id codebook (cid, cv, cnorm) and the argmax-cosine list
+    * assignment (nid, cid), ties to the lowest cid — [[ivfTopK]]'s
+    * discipline, factored so the PQ compositions share one
+    * implementation.
+    */
+  def coarseAssign(
+      corpus: DataFrame, nCentroids: Int): (DataFrame, DataFrame) = {
+    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val c = corpus.withColumn("nnorm", norm(col("nv")))
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("nid"),
+        struct(
+          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
+          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
+      .groupBy("nid").agg(max(col("sc")).as("mx"))
+      .select(col("nid"), col("mx.cid").as("cid"))
+    (cent, assigned)
+  }
+
+  /** Residual corpus (nid, cid, rv = v − assigned centroid), float-
+    * exact (`zip_with` float subtraction). Train a residual
+    * sub-codebook by feeding `residuals(...).select(nid, rv as nv)` to
+    * [[trainedSubCodebook]] and passing the result to
+    * [[ivfPqResidualTopK]] — on real (clustered) corpora that is the
+    * configuration that beats every untrained variant.
+    */
+  def residuals(
+      corpus: DataFrame, cent: DataFrame, assigned: DataFrame): DataFrame =
+    corpus.join(assigned, "nid")
+      .join(broadcast(cent.select(col("cid"), col("cv"))), "cid")
+      .select(col("nid"), col("cid"),
+        zip_with(col("nv"), col("cv"), (a, b) => a - b).as("rv"))
 
   /** The two broadcast sides of an ADC scan: per-query dot-lookup
     * tables (qid, qnorm, dtab[m·ksub]) and the 1-row reconstruction

@@ -187,6 +187,18 @@ object OpsQueries {
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
     }),
 
+    // Residual encoding (full FAISS IVFADC): PQ quantizes v − centroid
+    // instead of v, so the same 12-bit budget approximates a much
+    // smaller vector — same broadcast-ADC plan shape, better recall.
+    "q_ann_ivfpq_res" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqResidualTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5, dim = 64)
+    }),
+
     // IVFPQ recall: quantization loss PLUS the probe bound, priced
     // against the same exact top-5 — read next to q_ann_pq_recall it
     // separates the two costs.
@@ -1173,6 +1185,105 @@ object OpsQueries {
                (SELECT CAST(count(*) AS BIGINT)
                 FROM b JOIN p USING (qid, nid)) AS n_hits"""
 
+  /** Residual IVFPQ twin ([[graft.ops.Similarity.ivfPqResidualTopK]]):
+    * the ivfSql coarse quantizer, residual corpus `(nv[i] − cv[i])` in
+    * FLOAT (the IEEE-exact `zip_with` mirror), the seed-grid residual
+    * sub-codebook, and the score rebuilt term by term —
+    * `(pdot + Σdv) / (qnorm · √((‖cv‖² + 2·Σcdv) + Σ‖r‖²))` with the
+    * same parenthesization the Spark expression tree produces.
+    *
+    * The reused CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and `res`/`asn` feed three consumers each — inlined,
+    * the unrolled-fold expression tree multiplies out and has OOM'd
+    * the checker under memory pressure; materialized it runs in ~2 s.
+    */
+  private def ivfPqResidualSql: String = {
+    val (k, dim, m, ksub, nCent, nProbe) = (5, 64, 4, 8, 16, 4)
+    val sub = dim / m
+    def fullDc(a: String, b: String) = (1 to dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+    def rEl(i: Int) = s"(s.snv[$i] - s.scv0[$i])"
+    def dcmR(a: String, mi: Int) = (1 to sub).map { j =>
+      val i = mi * sub + j
+      s"CAST($a[$i] AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
+    }.mkString(" + ")
+    def dcmRR(mi: Int) = (1 to sub).map { j =>
+      val i = mi * sub + j
+      s"CAST(${rEl(i)} AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
+    }.mkString(" + ")
+    def dcmResR(mi: Int) = (1 to sub).map { j =>
+      val i = mi * sub + j
+      s"CAST((r.nv[$i] - r.cv[$i]) AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
+    }.mkString(" + ")
+    def caseM(f: Int => String) =
+      "CASE s.m " + (0 until m).map(mi => s"WHEN $mi THEN (${f(mi)})").mkString(" ") + " END"
+    val cmp = caseM(mi => s"(${dcmRR(mi)}) - 2.0*(${dcmResR(mi)})")
+    val dv = caseM(mi => dcmR("q.qv", mi))
+    val cn2 = caseM(mi => dcmRR(mi))
+    val cdv = caseM(mi => dcmR("ct.cv", mi))
+    def pivots(expr: String, pre: String) = (0 until m)
+      .map(mi => s"MAX(CASE WHEN qd.m = $mi THEN $expr END) AS $pre$mi")
+      .mkString(",\n               ")
+    def sumTerms(pre: String) = (0 until m)
+      .map(mi => s"$pre$mi").reduce((a, b) => s"($a + $b)")
+    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
+                      ORDER BY vec_id LIMIT $nCent),
+        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+        q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        asn AS MATERIALIZED (SELECT nid, cid FROM (
+          SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
+            ORDER BY (${fullDc("nv", "cv")}) /
+              (sqrt(${fullDc("nv", "nv")}) * sqrt(${fullDc("cv", "cv")})) DESC, cid) rn
+          FROM c, cent) t WHERE rn = 1),
+        res AS MATERIALIZED (SELECT c.nid, a.cid, c.nv, ct.cv
+                FROM c JOIN asn a ON a.nid = c.nid
+                       JOIN cent ct ON ct.cid = a.cid),
+        rseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY nid) - 1 AS code,
+                          nv AS snv, cv AS scv0
+                   FROM (SELECT nid, nv, cv FROM res ORDER BY nid LIMIT $ksub)),
+        sub AS MATERIALIZED (SELECT CAST(t.mm AS INTEGER) AS m, code, snv, scv0
+                FROM rseeds CROSS JOIN range(0, $m) t(mm)),
+        codes AS MATERIALIZED (SELECT nid, m, code FROM (
+          SELECT r.nid, s.m, s.code,
+            ROW_NUMBER() OVER (PARTITION BY r.nid, s.m
+              ORDER BY ($cmp) ASC, s.code ASC) AS rn
+          FROM res r CROSS JOIN sub s) t WHERE rn = 1),
+        probes AS MATERIALIZED (SELECT qid, cid, pdot FROM (
+          SELECT q.qid, cent.cid, (${fullDc("qv", "cv")}) AS pdot,
+            ROW_NUMBER() OVER (PARTITION BY q.qid
+              ORDER BY (${fullDc("qv", "cv")}) /
+                (sqrt(${fullDc("qv", "qv")}) * sqrt(${fullDc("cv", "cv")})) DESC, cid) rn
+          FROM q, cent) t WHERE rn <= $nProbe),
+        qd AS MATERIALIZED (SELECT q.qid, s.m, s.code, ($dv) AS dv, ($cn2) AS cn2,
+                      sqrt(${fullDc("qv", "qv")}) AS qnorm
+               FROM q CROSS JOIN sub s),
+        cw AS MATERIALIZED (SELECT ct.cid, s.m, s.code, ($cdv) AS cdv,
+                      (${fullDc("ct.cv", "ct.cv")}) AS cn2cv
+               FROM cent ct CROSS JOIN sub s),
+        sc AS (SELECT qd.qid, codes.nid,
+               MAX(qd.qnorm) AS qnorm, MAX(probes.pdot) AS pdot,
+               MAX(cw.cn2cv) AS cn2cv,
+               ${pivots("qd.dv", "d")},
+               ${pivots("qd.cn2", "n")},
+               ${pivots("cw.cdv", "e")}
+               FROM codes
+               JOIN asn ON asn.nid = codes.nid
+               JOIN probes ON probes.cid = asn.cid
+               JOIN qd ON qd.m = codes.m AND qd.code = codes.code
+                      AND qd.qid = probes.qid
+               JOIN cw ON cw.cid = asn.cid AND cw.m = codes.m
+                      AND cw.code = codes.code
+               WHERE codes.nid <> probes.qid
+               GROUP BY qd.qid, codes.nid)
+        SELECT qid, nid, rank FROM (
+          SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY (pdot + ${sumTerms("d")}) /
+              (qnorm * sqrt((cn2cv + 2.0*${sumTerms("e")}) + ${sumTerms("n")}))
+              DESC, nid ASC) AS BIGINT) AS rank
+          FROM sc) t
+        WHERE rank <= $k"""
+  }
+
   /** Same bill for the composed IVF+PQ path. */
   private def ivfPqRecallSql: String =
     s"""WITH b AS ($annSql), p AS ($ivfPqSql)
@@ -1824,6 +1935,7 @@ object OpsQueries {
     "q_ann_ivfpq" -> ivfPqSql,
     "q_ann_pq_recall" -> pqRecallSql,
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,
+    "q_ann_ivfpq_res" -> ivfPqResidualSql,
     "q_pq_codes" -> pqCodesSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,

@@ -385,6 +385,31 @@ class OpsSpec extends AnyFunSuite {
       s"trained=${recall(Some(trained))} seed=${recall(None)} of ${brute.size}")
   }
 
+  test("trained residual sub-codebook recovers the recall untrained residuals lose") {
+    // untrained seed-grid residuals make every list member's
+    // reconstruction ≈ its centroid, collapsing within-list ranking;
+    // training the residual codebook is what makes IVFADC pay off
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val corpus = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val c = corpus.toDF("nid", "nv")
+    val q = corpus.filter(_._1 >= 34).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(sub: Option[org.apache.spark.sql.DataFrame]): Int =
+      Similarity.ivfPqResidualTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4,
+        nCentroids = 4, nProbe = 4, subCodebook = sub)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brute).size
+    val (cent, assigned) = Similarity.coarseAssign(c, nCentroids = 4)
+    val res = Similarity.residuals(c, cent, assigned)
+      .select($"nid", $"rv".as("nv"))
+    val trained = Similarity.trainedSubCodebook(res, dim = 8, m = 2, ksub = 4)
+    val (tr, un) = (recall(Some(trained)), recall(None))
+    assert(tr >= un && tr > 0, s"trained=$tr untrained=$un of ${brute.size}")
+  }
+
   test("PQ top-k is invariant under repartitioning") {
     val df = vecs.toDF("id", "v")
     val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
