@@ -481,6 +481,56 @@ object ExtQueries {
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("cust_id")))
     }),
 
+    // Multiset (bag) semantics: each duplicate participates
+    // individually — intersectAll keeps min(countA, countB) copies,
+    // exceptAll keeps countA − countB. Spark plans both as counted
+    // aggregations + generate, never a row-pairing join.
+    "q_intersect_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("supp_id"))
+        .intersectAll(
+          li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("supp_id")))
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("supp_id"))
+        .exceptAll(
+          li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("supp_id")))
+    }),
+
+    // Full outer join of two aggregated key sets — both unmatched
+    // sides survive with coalesced zero counts (the join family's
+    // last missing shape; left/semi/anti/inner are covered above).
+    "q_join_full" -> ((s, d) => {
+      val ev = Tables.events(s, d).groupBy(col("user_id").as("key_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val ord = Tables.orders(s, d).groupBy(col("o_custkey").as("key_id"))
+        .agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, Seq("key_id"), "full_outer")
+        .select(col("key_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+
+    // The remaining rank-family windows in one pass: ntile buckets,
+    // percent_rank / cume_dist (exact rational arithmetic on the same
+    // longs both engines see), lead/lag over a UNIQUE ordering —
+    // (o_totalprice, o_orderkey) — so neighbor reads are deterministic.
+    "q_window_misc" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("tile4", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+        .select(col("o_orderstatus"), col("o_orderkey"), col("tile4"),
+          col("pct_rank"), col("cume"), col("next_key"), col("prev_key"))
+    }),
+
     // KMV distinct-count sketch (graft.functions.KmvSketch): a
     // mergeable bounded-memory Aggregator whose estimate is
     // DETERMINISTIC under the portable hash — so unlike HLL it is
@@ -1226,6 +1276,33 @@ object ExtQueries {
       """SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'O'
          EXCEPT
          SELECT o_custkey AS cust_id FROM orders WHERE o_orderstatus = 'F'""",
+    "q_intersect_all" ->
+      """SELECT l_suppkey AS supp_id FROM lineitem WHERE l_returnflag = 'A'
+         INTERSECT ALL
+         SELECT l_suppkey AS supp_id FROM lineitem WHERE l_returnflag = 'R'""",
+    "q_except_all" ->
+      """SELECT l_suppkey AS supp_id FROM lineitem WHERE l_returnflag = 'A'
+         EXCEPT ALL
+         SELECT l_suppkey AS supp_id FROM lineitem WHERE l_returnflag = 'R'""",
+    "q_join_full" ->
+      """WITH e AS (SELECT user_id AS key_id, COUNT(*) AS n_events
+                    FROM events GROUP BY user_id),
+          o AS (SELECT o_custkey AS key_id, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_custkey)
+         SELECT COALESCE(e.key_id, o.key_id) AS key_id,
+                COALESCE(e.n_events, 0) AS n_events,
+                COALESCE(o.n_orders, 0) AS n_orders
+         FROM e FULL OUTER JOIN o ON e.key_id = o.key_id""",
+    "q_window_misc" ->
+      """SELECT o_orderstatus, o_orderkey,
+              CAST(NTILE(4) OVER w AS INTEGER) AS tile4,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume,
+              LEAD(o_orderkey, 1) OVER w AS next_key,
+              LAG(o_orderkey, 1) OVER w AS prev_key
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice ASC, o_orderkey ASC)""",
     "q_anti_join" ->
       """SELECT c_custkey AS cust_id, c_name AS name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
