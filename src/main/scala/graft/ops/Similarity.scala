@@ -596,6 +596,52 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Driver-side image of a sub-codebook — an index-BUILD artifact of
+    * m·ksub rows (collecting it is the BigQuery-load/BPE-merges
+    * discipline: tiny, driver-side by design, never corpus-sized).
+    */
+  def collectSubCodebook(sub: DataFrame): Seq[(Int, Int, Array[Float])] =
+    sub.select(col("sm"), col("code"), col("scv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** Shuffle-free PQ encoder as a pure COLUMN: the sub-codebook rides
+    * the plan as literals (the BPE-merges discipline), so encoding is
+    * a per-row projection — no broadcast join, no argmin shuffle — and
+    * it runs unchanged under Structured Streaming as a stateless
+    * select (the continuous vector-ingest shape: encode arrivals
+    * against the frozen index codebook, append 12-bit codes).
+    *
+    * Bit-identical to [[pqCodes]]' shuffle encoder: the same
+    * `‖c‖² − 2·v·c` comparator (the constant ‖c‖² is pre-folded on the
+    * driver with the same left-to-right double accumulation as the
+    * dot expression) inside an `array_min(struct(cmp, code))` — the
+    * same tie-to-lowest-code rule, per subspace.
+    */
+  def pqEncodeColumn(
+      v: Column,
+      codebook: Seq[(Int, Int, Array[Float])],
+      dim: Int,
+      m: Int): Column = {
+    val subLen = dim / m
+    array((0 until m).map { mi =>
+      val cands = codebook.filter(_._1 == mi).sortBy(_._2)
+        .map { case (_, code, floats) =>
+          var cn2 = 0.0
+          var i = 0
+          while (i < floats.length) {
+            cn2 += floats(i).toDouble * floats(i).toDouble; i += 1
+          }
+          struct(
+            (lit(cn2) - lit(2.0) * dot(
+              slice(v, mi * subLen + 1, subLen),
+              typedLit[Seq[Float]](floats.toSeq))).as("cmp"),
+            lit(code).as("code"))
+        }
+      array_min(array(cands: _*)).getField("code")
+    }: _*)
+  }
+
   /** Coarse quantizer shared by the IVF family: the `nCentroids`
     * lowest-id codebook (cid, cv, cnorm) and the argmax-cosine list
     * assignment (nid, cid), ties to the lowest cid — [[ivfTopK]]'s

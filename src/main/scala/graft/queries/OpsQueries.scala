@@ -226,6 +226,22 @@ object OpsQueries {
         .select(col("vec_id"), col("sm").cast("long").as("sm"),
           col("code").cast("long").as("code"))),
 
+    // The SAME codes from the shuffle-free literal encoder (codebook
+    // collected at index-build time, rides the plan as literals, zero
+    // exchanges, streaming-safe) — deliberately checked against the
+    // IDENTICAL oracle as q_pq_codes: two physical encoders, one hash.
+    "q_pq_codes_lit" -> ((s, d) => {
+      val corpus = Tables.embeddings(s, d)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val cb = Similarity.collectSubCodebook(
+        Similarity.pqCodes(corpus, dim = 64)._1)
+      corpus.select(col("nid").as("vec_id"),
+        posexplode(Similarity.pqEncodeColumn(col("nv"), cb, dim = 64, m = 4))
+          .as(Seq("sm", "code")))
+        .select(col("vec_id"), col("sm").cast("long").as("sm"),
+          col("code").cast("long").as("code"))
+    }),
+
     // Per-label quantized centroids: floor(x·1024) longs summed
     // exactly, divided back in fixed order — bit-deterministic under
     // any partitioning, unlike a float mean (library path
@@ -1937,6 +1953,7 @@ object OpsQueries {
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,
     "q_ann_ivfpq_res" -> ivfPqResidualSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_pq_codes_lit" -> pqCodesSql,
     "q_embed_centroid" -> embedCentroidSql,
     "q_kmeans_codebook" -> kmeansSql,
     "q_dedup_semantic" -> semanticDedupSql,

@@ -10,6 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Top-level so spark.implicits can derive an Encoder. */
 final case class SpecDoc(doc_id: Long, ts: Timestamp, text: String)
 
+/** Arriving embedding row for the streaming PQ-encode spec. */
+final case class SpecVec(vec_id: Long, v: Array[Float])
+
 class EventStreamsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -410,6 +413,38 @@ class EventStreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).toSeq
       assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming PQ encode matches the batch encoder, batch by batch") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val vecs = (0L until 20L).map { i =>
+      SpecVec(i, Array.tabulate(8)(d =>
+        (if (d == (i % 4)) 1.0f else 0.0f) + 0.01f * ((i * 7 + d) % 5)))
+    }
+    val batchCorpus = vecs.toDF("vec_id", "v")
+      .select($"vec_id".as("nid"), $"v".as("nv"))
+    val (sub, batchCodes) = Similarity.pqCodes(batchCorpus, dim = 8, m = 2, ksub = 4)
+    val expected = batchCodes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // freeze the index codebook driver-side, encode the arriving
+    // stream statelessly against it
+    val cb = Similarity.collectSubCodebook(sub)
+    val input = MemoryStream[SpecVec]
+    val encoded = input.toDF()
+      .select($"vec_id",
+        Similarity.pqEncodeColumn($"v", cb, dim = 8, m = 2).as("codes"))
+    val q = encoded.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("pq_stream").start()
+    try {
+      input.addData(vecs.take(7): _*)
+      q.processAllAvailable()
+      input.addData(vecs.drop(7): _*)
+      q.processAllAvailable()
+      val got = spark.table("pq_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(got == expected)
     } finally q.stop()
   }
 }
