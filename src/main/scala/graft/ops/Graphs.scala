@@ -249,6 +249,118 @@ object Graphs {
     out
   }
 
+  /** Multi-source BFS: exact hop distance (0..maxHops) from a seed
+    * set over a directed edge list — the traversal primitive under
+    * "within k hops of a trusted node" curation filters and
+    * neighborhood feature extraction. Nodes unreachable within
+    * `maxHops` are absent from the result.
+    *
+    * Scale shape: frontier expansion, not reachable-set re-derivation
+    * — round t joins ONLY the nodes first reached at t−1 against the
+    * edge list (an equi-join on src) and anti-joins the visited set,
+    * so total join work is Σ|frontier| · avg-degree = O(m) across all
+    * rounds, the textbook distributed BFS bound. The visited frame is
+    * localCheckpointed per round (and its predecessor freed) so round
+    * t+1 reads materialized state instead of replaying rounds 1..t —
+    * the same iteration discipline as [[integerPageRank]] and
+    * connected components.
+    *
+    * Determinism: distance is the round counter — set arithmetic
+    * only, no floats, no tie-breaks — so the fixed-round result
+    * hash-matches an unrolled reachable-set oracle on any engine.
+    *
+    * @return (node BIGINT, dist BIGINT) for every node reachable from
+    *         a seed in ≤ maxHops hops (seeds themselves at dist 0).
+    */
+  def bfsLayers(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be positive")
+    val e = edgesIn
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var frontier = visited
+    for (t <- 1 to maxHops) {
+      // expand the frontier one hop; the anti-join keeps first-reach
+      // semantics (a node's dist is the FIRST round that saw it)
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(t.toLong))
+      val nv = visited.unionAll(next).localCheckpoint()
+      unpersistCheckpoint(visited)
+      visited = nv
+      // the new round's frontier is exactly the rows just added
+      frontier = visited.filter(col("dist") === t.toLong)
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Synchronous label propagation (fixed rounds): each node adopts
+    * the most frequent label among its in-neighbors, ties broken by
+    * the SMALLEST label — community detection for corpus/host-graph
+    * clustering, where connected components is too coarse (it merges
+    * everything bridged by one edge) and modularity methods are
+    * nondeterministic. Nodes with no in-neighbors keep their label.
+    *
+    * Determinism (the property classic async LPA lacks): updates are
+    * synchronous (round t reads only round t−1), and the mode-with-
+    * tie-break is an exact integer argmax over the packed long
+    * `cnt·2³¹ + (2³¹−1−label)` — max of packed keys IS
+    * (max count, then min label), no engine tie-break semantics
+    * leak. Node ids must be in [0, 2³¹). Fixed `iters` keeps the
+    * run SQL-unrollable for the cross-engine oracle.
+    *
+    * Scale shape: per round, one equi-join edges⋈labels on src (the
+    * edge frame is persisted once), a (dst, lbl) count agg, and a
+    * packed-long max agg — all partial-combining hash aggs; labels
+    * are checkpointed per round and the superseded round freed, the
+    * [[integerPageRank]] iteration discipline.
+    *
+    * @return (node BIGINT, label BIGINT) after `iters` rounds.
+    */
+  def labelPropagation(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val Pack = 2147483648L
+    val e = edgesIn
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counted = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(col("c") * Pack + (lit(Pack - 1L) - col("lbl"))).as("k"))
+        .select(col("node"), (lit(Pack - 1L) - pmod(col("k"), lit(Pack))).as("nl"))
+      val next = labels.select(col("node"), col("lbl").as("old"))
+        .join(counted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("old")).as("lbl"))
+        .localCheckpoint()
+      unpersistCheckpoint(labels)
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

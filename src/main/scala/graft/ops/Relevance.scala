@@ -281,4 +281,46 @@ object Relevance {
       .join(perTerm, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(total, lit(0.0)).as("bm25"))
   }
+
+  /** Collocation mining: corpus bigrams scored by LIFT — the ratio
+    * p(w1,w2) / (p(w1·)·p(·w2)) over bigram events (a monotone
+    * transform of PMI that needs no cross-engine `log`, so it stays
+    * bit-verifiable). High lift = the pair co-occurs far more than
+    * its parts predict: multiword expressions, named entities,
+    * template phrases — the standard signal for tokenizer-vocab
+    * candidates and boilerplate phrase detection.
+    *
+    * Scale shape: ONE tokenize+bigram aggregation shuffle; both
+    * marginals re-aggregate the (bigram → count) frame itself (its
+    * exchange is reused — the three consumers share one canonical
+    * subtree), so the corpus text is scanned once. The `minCount`
+    * filter cuts the frame BEFORE the marginal joins, and the grand
+    * total arrives as a broadcast 1-row frame. Exact long counts;
+    * lift is a single closing double expression.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long): DataFrame = {
+    val counts = docs
+      .select(TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_xy"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val left = counts.groupBy("w1").agg(sum("c_xy").as("cl"))
+    val right = counts.groupBy("w2").agg(sum("c_xy").as("cr"))
+    val total = counts.agg(sum("c_xy").as("nb"))
+    counts.filter(col("c_xy") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("c_xy"),
+        ((col("c_xy").cast("double") * col("nb").cast("double")) /
+          (col("cl").cast("double") * col("cr").cast("double"))).as("lift"))
+  }
 }

@@ -69,6 +69,35 @@ object Scd {
     * @return fact (key, ts) plus the matched version's attr and
     *         valid_from (null when the probe predates the history).
     */
+  /** SCD Type 1 — changelog compaction to latest-wins: one row per
+    * key carrying the attributes of its most recent change (by the
+    * unique (ts, ord) pair). The upsert/MERGE materialization every
+    * lakehouse table maintenance job runs; the complement of
+    * [[scd2History]], which keeps all versions.
+    *
+    * Scale shape: a single hash aggregation — `max` over a struct
+    * whose leading fields are the version order, so the argmax
+    * partial-combines map-side (the shuffle carries one candidate
+    * struct per key per partition, never the changelog). No window,
+    * no sort, no join. Determinism: (ts, ord) is unique, so the
+    * struct comparison never reaches the payload fields.
+    */
+  def latestSnapshot(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val fields = Seq(col(tsCol), col(ordCol)) ++ payloadCols.map(col)
+    changes
+      .groupBy(col(keyCol))
+      .agg(max(struct(fields: _*)).as("s"))
+      .select(col(keyCol) +:
+        col(s"s.$tsCol").as(s"last_$tsCol") +:
+        col(s"s.$ordCol").as(s"last_$ordCol") +:
+        payloadCols.map(c => col(s"s.$c").as(s"last_$c")): _*)
+  }
+
   def pointInTime(
       facts: DataFrame,
       history: DataFrame,

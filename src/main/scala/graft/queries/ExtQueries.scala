@@ -1,13 +1,13 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, RangeJoin,
-  Scd, Sessions, Similarity, Skew, SnapshotDiff}
+  Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, Prefix,
+  RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff, Timeseries}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -418,38 +418,51 @@ object ExtQueries {
     // between the two uses of the frame if the exchange isn't reused —
     // keeps both phases consistent by construction, so the result is
     // deterministic under any partitioning.
-    "q_quantiles_exact" -> ((s, d) => {
-      val nB = s.sessionState.conf.numShufflePartitions
-      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-      val dist = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("g"), cents.as("v"))
-        .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-      val ranges = dist.groupBy("g")
-        .agg(min("v").as("vmin"), max("v").as("vmax"))
-      val bucketed = dist.join(broadcast(ranges), Seq("g"))
-        .withColumn("bkt",
-          ((col("v") - col("vmin")) * nB / (col("vmax") - col("vmin") + 1))
-            .cast("long"))
-      // tiny frame: one row per (group, bucket) — prefix offsets and
-      // group totals computed here, broadcast back
-      val offsets = bucketed.groupBy("g", "bkt").agg(sum("cnt").as("pcnt"))
-        .withColumn("off", coalesce(
-          sum(col("pcnt")).over(Window.partitionBy(col("g")).orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum(col("pcnt")).over(Window.partitionBy(col("g"))))
-        .select("g", "bkt", "off", "n")
-      bucketed
-        .withColumn("lcum", sum(col("cnt")).over(
-          Window.partitionBy(col("g"), col("bkt")).orderBy(col("v"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-        .join(broadcast(offsets), Seq("g", "bkt"))
-        .withColumn("cum", col("lcum") + col("off"))
+    "q_quantiles_exact" -> ((s, d) =>
+      graft.ops.Quantiles.cumDist(
+        Tables.lineitem(s, d),
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
         .groupBy(col("g").as("l_returnflag"))
         .agg(
           min(when(col("cum") * 4 >= col("n"), col("v"))).as("p25_cents"),
           min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_cents"),
           min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("p75_cents"),
-          min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))
+          min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_cents"))),
+
+    // Exact INTERPOLATED percentiles (PERCENTILE_CONT semantics) per
+    // order status — the continuous twin of q_quantiles_exact: the
+    // endpoints at sorted 0-based positions floor/ceil((n−1)·q) are
+    // conditional-min rank reads on the same two-phase cumulative
+    // distribution, and the fraction is EXACT integer arithmetic
+    // ((n−1)·9 mod 10), so the single closing double expression is
+    // bit-identical cross-engine.
+    "q_percentile_cont" -> ((s, d) => {
+      val cd = graft.ops.Quantiles.cumDist(
+        Tables.orders(s, d),
+        col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      // value at 0-based index i = min v with cum >= i+1
+      def at(idx: Column): Column = min(when(col("cum") >= idx + 1L, col("v")))
+      // `div` (not `/`): Spark's / on longs yields double
+      val i50lo = expr("(n - 1) div 2")
+      val i50hi = expr("n div 2")
+      val i90lo = expr("((n - 1) * 9) div 10")
+      val rem9 = pmod((col("n") - 1L) * 9L, lit(10L))
+      val i90hi = i90lo + when(rem9 > 0L, 1L).otherwise(0L)
+      def interp(lo: Column, hi: Column, fracNum: Column, fracDen: Double): Column =
+        (lo.cast("double") +
+          (hi.cast("double") - lo.cast("double")) *
+            (fracNum.cast("double") / lit(fracDen))) / lit(100.0)
+      cd.groupBy(col("g").as("o_orderstatus"))
+        .agg(
+          at(i50lo).as("v50lo"), at(i50hi).as("v50hi"),
+          at(i90lo).as("v90lo"), at(i90hi).as("v90hi"),
+          first(pmod(col("n") - 1L, lit(2L))).as("rem5"),
+          first(rem9).as("rem9"))
+        .select(col("o_orderstatus"),
+          interp(col("v50lo"), col("v50hi"), col("rem5"), 2.0).as("p50_cont"),
+          interp(col("v90lo"), col("v90hi"), col("rem9"), 10.0).as("p90_cont"))
     }),
 
     // UNPIVOT (inverse of q_pivot): wide per-flag metric columns
@@ -712,6 +725,113 @@ object ExtQueries {
         .withColumn("cnt", count(lit(1)).over(wc))
         .filter(col("rn") === expr("(cnt + 1) div 2"))
         .select(col("l_returnflag"), col("l_extendedprice").as("median_price"))
+    }),
+
+    // Multi-source BFS hop layers (3 hops) over the symmetrized
+    // supplier↔part graph, seeded at every 10th supplier — frontier
+    // expansion with per-round checkpoints, O(m) total join work
+    // (see graft.ops.Graphs.bfsLayers).
+    "q_bfs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionAll(li.select(col("pn").as("src"), col("sn").as("dst")))
+      val seeds = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .filter(col("l_suppkey") % 10L === 0L)
+        .select((col("l_suppkey") * 2L + 1L).as("sn"))
+      Graphs.bfsLayers(edges, "src", "dst", seeds, "sn", maxHops = 3)
+    }),
+
+    // Hourly gap-fill + forward fill per user — the dense-series
+    // regularization (distributed spine via sequence+explode, no
+    // driver calendar, no global cross join; see
+    // graft.ops.Timeseries.gapFillHourly).
+    "q_gapfill" -> ((s, d) =>
+      Timeseries.gapFillHourly(
+        Tables.events(s, d).filter(col("user_id") < 40L),
+        "user_id", "ts", "value")
+        .withColumnRenamed("entity", "user_id")),
+
+    // Dense global row numbers over documents — distributed
+    // zipWithIndex (range partition + local rank + broadcast prefix
+    // offsets), replacing the single-task ORDER-BY window (see
+    // graft.ops.Prefix.globalRowNumbers).
+    "q_global_ids" -> ((s, d) =>
+      Prefix.globalRowNumbers(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id")),
+
+    // 2-d skyline (Pareto frontier) of orders on (totalprice,
+    // orderdate): the quadratic NOT-EXISTS collapsed to a
+    // distributed strict prefix-max (see graft.ops.Prefix.skylineMax2d).
+    "q_skyline" -> ((s, d) =>
+      Prefix.skylineMax2d(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate")),
+        "o_totalprice", "o_orderdate")),
+
+    // Synchronous label propagation (3 rounds, mode-with-min-tie-break
+    // as an exact packed-long argmax) over the supplier↔part graph —
+    // deterministic community detection (see
+    // graft.ops.Graphs.labelPropagation).
+    "q_label_prop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionAll(li.select(col("pn").as("src"), col("sn").as("dst")))
+      Graphs.labelPropagation(edges, "src", "dst", iters = 3)
+    }),
+
+    // Poisson bootstrap: 32 deterministic resample means of the order
+    // total in ONE pass — integer inverse-CDF multiplicities, exact
+    // cent sums, map-side combine collapses the ×32 explosion before
+    // the shuffle (see graft.ops.Bootstrap).
+    "q_bootstrap" -> ((s, d) =>
+      graft.ops.Bootstrap.poissonBootstrapMeans(
+        Tables.orders(s, d), "o_orderkey", "o_totalprice", resamples = 32)),
+
+    // SCD Type 1 changelog compaction: latest event per user as ONE
+    // struct-argmax hash agg — no window, no sort, map-side combine
+    // (see graft.ops.Scd.latestSnapshot).
+    "q_upsert_latest" -> ((s, d) =>
+      Scd.latestSnapshot(Tables.events(s, d), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))),
+
+    // Quantity-WEIGHTED exact median/p90 of the price per return flag
+    // — the weighted reading of the same two-phase cumulative
+    // distribution (see graft.ops.Quantiles.cumDist weightExpr).
+    "q_weighted_median" -> ((s, d) =>
+      graft.ops.Quantiles.cumDist(
+        Tables.lineitem(s, d),
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 2 >= col("n"), col("v"))).as("wmedian_cents"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("wp90_cents"))),
+
+    // MapType round-trip surface: per-user event-type count map built
+    // with map_from_entries, pruned with map_filter, rescaled with
+    // transform_values, extended with map_concat, then exploded back
+    // to hash-safe (k, v) rows. All four lambdas are Catalyst
+    // higher-order functions — codegen-friendly, no UDFs.
+    "q_map_funcs" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = counts.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+          .as("m"))
+      m.select(col("user_id"),
+        explode(map_concat(
+          transform_values(
+            map_filter(col("m"), (_, v) => v >= 3L),
+            (_, v) => v * 2L),
+          map(lit("_n_types"), size(col("m")).cast("long")))).as(Seq("k", "v")))
     })
   )
 
@@ -1349,6 +1469,190 @@ object ExtQueries {
                  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
                  COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
           FROM lineitem) t
-         WHERE rn = (cnt + 1) // 2"""
+         WHERE rn = (cnt + 1) // 2""",
+
+    // same cumulative distribution, same integer rank/remainder
+    // arithmetic, same single closing double expression
+    "q_percentile_cont" ->
+      """WITH t AS (SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders),
+          d AS (SELECT g, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+          c AS (SELECT g, v,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+           FROM d),
+          a AS (SELECT g,
+             min(CASE WHEN cum >= ((n-1)//2) + 1 THEN v END) AS v50lo,
+             min(CASE WHEN cum >= (n//2) + 1 THEN v END) AS v50hi,
+             min(CASE WHEN cum >= (((n-1)*9)//10) + 1 THEN v END) AS v90lo,
+             min(CASE WHEN cum >= (((n-1)*9)//10) +
+                 (CASE WHEN ((n-1)*9)%10 > 0 THEN 1 ELSE 0 END) + 1
+               THEN v END) AS v90hi,
+             min((n-1)%2) AS rem5, min(((n-1)*9)%10) AS rem9
+           FROM c GROUP BY g)
+         SELECT g AS o_orderstatus,
+           (CAST(v50lo AS DOUBLE) + (CAST(v50hi AS DOUBLE) - CAST(v50lo AS DOUBLE))
+              * (CAST(rem5 AS DOUBLE) / 2.0)) / 100.0 AS p50_cont,
+           (CAST(v90lo AS DOUBLE) + (CAST(v90hi AS DOUBLE) - CAST(v90lo AS DOUBLE))
+              * (CAST(rem9 AS DOUBLE) / 10.0)) / 100.0 AS p90_cont
+         FROM a""",
+
+    // unrolled reachable sets; dist = first round a node appears in
+    // (reach sets are monotone, so min over the unions IS hop count)
+    "q_bfs" -> {
+      def round(t: Int, prev: String): String =
+        s"""r$t AS (SELECT node FROM $prev
+              UNION SELECT e.dst FROM edges e JOIN $prev p ON e.src = p.node)"""
+      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM li
+              UNION ALL
+              SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM li)),
+          r0 AS (SELECT DISTINCT 2*l_suppkey + 1 AS node FROM li
+                 WHERE l_suppkey % 10 = 0),
+          ${round(1, "r0")},
+          ${round(2, "r1")},
+          ${round(3, "r2")}
+          SELECT node, CAST(min(d) AS BIGINT) AS dist FROM (
+            SELECT node, 0 AS d FROM r0
+            UNION ALL SELECT node, 1 FROM r1
+            UNION ALL SELECT node, 2 FROM r2
+            UNION ALL SELECT node, 3 FROM r3)
+          GROUP BY node"""
+    },
+
+    // same spine (per-user generate_series), same ROWS-frame
+    // IGNORE NULLS forward fill
+    "q_gapfill" ->
+      """WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, max(value) AS vmax
+            FROM events WHERE user_id < 40 GROUP BY 1, 2),
+          b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+                FROM hourly GROUP BY 1),
+          spine AS (SELECT user_id,
+                      unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+                    FROM b),
+          j AS (SELECT s.user_id, s.hour,
+                  coalesce(h.n, 0) AS n_events, h.vmax
+                FROM spine s LEFT JOIN hourly h
+                  ON h.user_id = s.user_id AND h.hour = s.hour)
+          SELECT user_id, hour, CAST(n_events AS BIGINT) AS n_events,
+            last_value(vmax IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+          FROM j""",
+
+    "q_global_ids" ->
+      """SELECT doc_id, n_chars,
+            CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS gid
+         FROM documents""",
+
+    // strict prefix-max formulation of NOT EXISTS (a.p > b.p AND
+    // a.d > b.d): dominator max-date over strictly higher prices
+    "q_skyline" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+          g AS (SELECT o_totalprice AS p, max(o_orderdate) AS md
+                FROM t GROUP BY 1),
+          r AS (SELECT p, max(md) OVER (ORDER BY p DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dm
+                FROM g)
+          SELECT t.o_orderkey, t.o_totalprice, t.o_orderdate
+          FROM t JOIN r ON t.o_totalprice = r.p
+          WHERE dm IS NULL OR dm <= t.o_orderdate""",
+
+    // latest-wins twin: row_number over the unique (ts, event_id)
+    // version order — the struct-argmax can never disagree
+    "q_upsert_latest" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+                event_type AS last_event_type, value AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+
+    // weighted rank thresholds on the same cumulative distribution,
+    // cent-quantized integer weights
+    "q_weighted_median" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT g, v,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+           FROM d)
+         SELECT g AS l_returnflag,
+           CAST(min(CASE WHEN cum*2 >= n THEN v END) AS BIGINT) AS wmedian_cents,
+           CAST(min(CASE WHEN cum*10 >= n*9 THEN v END) AS BIGINT) AS wp90_cents
+         FROM c GROUP BY g""",
+
+    // unrolled 3 synchronous rounds; the packed-long argmax makes the
+    // (count desc, label asc) mode a plain max — no arg_min/arg_max
+    // tie-break semantics leak
+    "q_label_prop" -> {
+      val Pack = 2147483648L
+      def round(t: Int, prev: String): String =
+        s"""c$t AS (SELECT e.dst AS node, p.lbl, count(*) AS c
+              FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1, 2),
+            k$t AS (SELECT node, max(c*$Pack + (${Pack - 1L} - lbl)) AS k
+              FROM c$t GROUP BY node),
+            l$t AS (SELECT p.node,
+                CASE WHEN k IS NULL THEN p.lbl
+                     ELSE ${Pack - 1L} - (k % $Pack) END AS lbl
+              FROM $prev p LEFT JOIN k$t USING (node))"""
+      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          edges AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM li
+              UNION ALL
+              SELECT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM li)),
+          nodes AS (SELECT DISTINCT src AS node FROM edges
+                    UNION SELECT DISTINCT dst FROM edges),
+          l0 AS (SELECT node, node AS lbl FROM nodes),
+          ${round(1, "l0")},
+          ${round(2, "l1")},
+          ${round(3, "l2")}
+          SELECT node, CAST(lbl AS BIGINT) AS label FROM l3"""
+    },
+
+    // same portable (id, b) hash, same pre-multiplied integer CDF
+    // thresholds (interpolated from graft.ops.Bootstrap so both
+    // engines compare the same literals), same closing division
+    "q_bootstrap" -> {
+      import graft.ops.Bootstrap._
+      val caseW = Thresholds.zipWithIndex
+        .map { case (t, k) => s"WHEN y < $t THEN $k" }.mkString(" ")
+      s"""WITH r AS (SELECT o_orderkey AS id,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, g.b
+            FROM orders
+            CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g),
+          h AS (SELECT b, cents,
+              (($HashA * ((id*$IdMix + b*$BMix) % $P) + $HashB) % $P) AS x
+            FROM r),
+          y AS (SELECT b, cents,
+              (((x*x % $P) * $HashA2 + $HashB2) % $P) AS y FROM h),
+          w AS (SELECT b, cents, CASE $caseW ELSE 8 END AS w FROM y)
+          SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+            CAST(sum(w*cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0
+              AS mean_value
+          FROM w GROUP BY b"""
+    },
+
+    // map pipeline replayed relationally: filter = HAVING, rescale =
+    // arithmetic, map_concat's synthetic key = the grouped twin
+    "q_map_funcs" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id, event_type AS k, CAST(2*cnt AS BIGINT) AS v
+         FROM c WHERE cnt >= 3
+         UNION ALL
+         SELECT user_id, '_n_types', CAST(count(*) AS BIGINT)
+         FROM c GROUP BY user_id"""
   )
 }

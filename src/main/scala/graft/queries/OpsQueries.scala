@@ -503,6 +503,12 @@ object OpsQueries {
     "q_ngram_counts" -> ((s, d) =>
       Relevance.ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50)),
 
+    // Bigram collocations by LIFT (the engine-portable PMI reading:
+    // exact counts, one closing division, no cross-engine log) — see
+    // graft.ops.Relevance.collocations.
+    "q_collocations" -> ((s, d) =>
+      Relevance.collocations(Tables.documents(s, d), "text", minCount = 10L)),
+
     "q_entropy" -> ((s, d) =>
       Relevance.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
 
@@ -1743,6 +1749,28 @@ object OpsQueries {
         FROM g GROUP BY ngram
         ORDER BY n_occurrences DESC, ngram ASC LIMIT 50"""
 
+  /** Collocations twin: same bigram counts, marginals re-aggregated
+    * from the counts frame, lift as the identical (a·b)/(c·d) double
+    * expression — no log, so no libm ulp exposure.
+    */
+  private def collocationsSql: String =
+    s"""WITH toks AS (SELECT $ws AS ws FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS bigram
+               FROM toks WHERE len(ws) >= 2),
+        c AS (SELECT bigram, count(*) AS c_xy,
+                split_part(bigram, ' ', 1) AS w1,
+                split_part(bigram, ' ', 2) AS w2
+              FROM bg GROUP BY bigram),
+        l AS (SELECT w1, sum(c_xy) AS cl FROM c GROUP BY w1),
+        r AS (SELECT w2, sum(c_xy) AS cr FROM c GROUP BY w2),
+        t AS (SELECT sum(c_xy) AS nb FROM c)
+        SELECT c.bigram, c.c_xy,
+          (CAST(c.c_xy AS DOUBLE) * CAST(t.nb AS DOUBLE)) /
+            (CAST(l.cl AS DOUBLE) * CAST(r.cr AS DOUBLE)) AS lift
+        FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+        WHERE c.c_xy >= 10"""
+
   /** Entropy twin: the Σ c·ln c fold runs over counts ordered by term
     * (list(... ORDER BY term)), prepend-0 left fold — the exact
     * operation order of the engine's sorted-struct aggregate, so the
@@ -1937,6 +1965,7 @@ object OpsQueries {
     "q_substr_dedup" -> substrDedupSql,
     "q_substr_scrub" -> substrScrubSql,
     "q_ngram_counts" -> ngramCountsSql,
+    "q_collocations" -> collocationsSql,
     "q_entropy" -> entropySql,
     "q_lm_score" -> lmScoreSql,
     "q_tfidf" -> tfidfSql,

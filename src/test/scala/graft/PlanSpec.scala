@@ -219,11 +219,50 @@ class PlanSpec extends AnyFunSuite {
     // task, capping parallelism at |groups| (round-5 scale audit).
     // The tiny per-(group,bucket) offsets window legitimately
     // partitions by g alone, so gate on the (g, bkt) window EXISTING.
-    val qx = finalPlan("q_quantiles_exact")
-    val twoPhase = qx.linesIterator.exists(l =>
-      l.contains("windowspecdefinition") && l.contains("bkt"))
-    assert(twoPhase,
-      s"q_quantiles_exact lost its two-phase (group, bucket) cumsum window:\n$qx")
+    for (q <- Seq("q_quantiles_exact", "q_percentile_cont")) {
+      val qx = finalPlan(q)
+      val twoPhase = qx.linesIterator.exists(l =>
+        l.contains("windowspecdefinition") && l.contains("bkt"))
+      assert(twoPhase,
+        s"$q lost its two-phase (group, bucket) cumsum window:\n$qx")
+    }
+    // bootstrap: the ×B exploded frame must combine map-side — the
+    // shuffle carries ≤ B rows per partition, never B×n
+    val bs = finalPlan("q_bootstrap")
+    assert(bs.contains("partial_sum"),
+      s"q_bootstrap lost map-side combine — explosion hits the wire:\n$bs")
+  }
+
+  test("prefix scans range-partition; no window runs without the pid key") {
+    // q_global_ids / q_skyline decompose the global ORDER-BY scan:
+    // a range exchange, per-partition windows keyed on
+    // spark_partition_id, and ONE summary window over ~#partitions
+    // rows (it orders by _pid). Gate: the range exchange exists, and
+    // every windowspecdefinition in the final plan mentions _pid — a
+    // refactor back to `row_number() OVER (ORDER BY key)` (the
+    // single-task global sort) plans a window without _pid and fails.
+    def finalPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    for (q <- Seq("q_global_ids", "q_skyline")) {
+      val p = finalPlan(q)
+      assert(p.contains("rangepartitioning"), s"$q lost its range exchange:\n$p")
+      val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, s"$q plan has no windows at all:\n$p")
+      assert(wins.forall(_.contains("_pid")),
+        s"$q planned a window without the partition-id key:\n${wins.mkString("\n")}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+  }
+
+  test("gapfill spine generates distributed — no cartesian calendar join") {
+    val p = plan("q_gapfill")
+    assert(p.contains("Generate explode"), s"spine must explode sequence():\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"calendar cross join leaked:\n$p")
   }
 
   test("custom expressions stay inside whole-stage codegen spans") {

@@ -254,6 +254,68 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got("s") == ((4L, 1L, 2L, "aa", "bbb", 7L)))
   }
 
+  test("latestSnapshot keeps exactly the newest change per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "a", 1.0),
+      (1L, ts("2024-01-02 10:00:00"), 101L, "b", 2.0),
+      // same-ts tie broken by the higher ord
+      (2L, ts("2024-01-01 00:00:00"), 200L, "x", 5.0),
+      (2L, ts("2024-01-01 00:00:00"), 201L, "y", 6.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    for (parts <- Seq(1, 4)) {
+      val got = Scd.latestSnapshot(changes.repartition(parts),
+        "user_id", "ts", "event_id", Seq("event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3),
+          r.getDouble(4))).toSet
+      assert(got == Set((1L, 101L, "b", 2.0), (2L, 201L, "y", 6.0)))
+    }
+  }
+
+  test("weighted cumDist reads give the weighted median") {
+    // values 10 (weight 1) and 20 (weight 9): weighted median = 20,
+    // unweighted = 10
+    val rows = Seq(("g", 10L, 1L), ("g", 20L, 9L))
+      .toDF("grp", "v", "w")
+    val weighted = Quantiles.cumDist(rows, col("grp"), col("v"), col("w"))
+      .groupBy("g")
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("m"))
+      .collect().head.getLong(1)
+    assert(weighted == 20L)
+    val unweighted = Quantiles.cumDist(rows, col("grp"), col("v"))
+      .groupBy("g")
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("m"))
+      .collect().head.getLong(1)
+    assert(unweighted == 10L)
+  }
+
+  test("collocations lift separates a fixed phrase from chance pairs") {
+    // "new york" always together; "the" pairs with everything
+    val docs = Seq(
+      "new york is big", "new york is old", "the cat sat", "the dog sat",
+      "cat and dog and cat").map(Tuple1(_)).toDF("text")
+    val got = Relevance.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // "new york": c_xy=2, cl(new)=2, cr(york)=2, nb=14 -> lift 7.0
+    assert(got("new york") == ((2L, 7.0)))
+    // no pair below minCount leaks through
+    assert(!got.contains("the cat"))
+    // model-check every returned lift against brute-force counts
+    val bigrams = docs.collect().map(_.getString(0))
+      .flatMap(t => t.split(" ").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")))
+    val nb = bigrams.length.toLong
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cl = bigrams.groupBy(_.split(" ")(0)).view.mapValues(_.length.toLong).toMap
+    val cr = bigrams.groupBy(_.split(" ")(1)).view.mapValues(_.length.toLong).toMap
+    for ((b, (c, lift)) <- got) {
+      assert(c == cnt(b))
+      val Array(w1, w2) = b.split(" ")
+      assert(lift == (c.toDouble * nb.toDouble) / (cl(w1).toDouble * cr(w2).toDouble))
+    }
+  }
+
   test("exact grouped quantiles pick the positional value") {
     // group g: values 10,20,30,40 -> p25=10 (cum 1*4>=4), p50=20,
     // p75=30, p90=40; ties collapse to one distinct row

@@ -147,4 +147,100 @@ class GraphsSpec extends AnyFunSuite {
     assert(star.values.forall(_._2 == 0L))
     assert(star(0L)._3 == 0.0)
   }
+
+  /** Sequential synchronous LPA with the same packed-long argmax. */
+  private def lpaModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val inc = es.groupBy(_._2)
+      lbl = nodes.map { n =>
+        inc.get(n) match {
+          case None => n -> lbl(n)
+          case Some(in) =>
+            val counts = in.map(e => lbl(e._1)).groupBy(identity)
+              .view.mapValues(_.size.toLong).toMap
+            // (count desc, label asc)
+            n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }.toMap
+    }
+    lbl
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int, parts: Int): Map[Long, Long] =
+    Graphs.labelPropagation(
+      edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation matches the sequential model; ties go to min label") {
+    // two triangles bridged by one edge: LPA should keep two
+    // communities where connected components would merge them
+    val tri1 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).flatMap(e => Seq(e, e.swap))
+    val tri2 = Seq((7L, 8L), (8L, 9L), (9L, 7L)).flatMap(e => Seq(e, e.swap))
+    val bridge = Seq((3L, 7L), (7L, 3L))
+    val edges = tri1 ++ tri2 ++ bridge
+    val want = lpaModel(edges, 3)
+    for (parts <- Seq(1, 5)) assert(runLpa(edges, 3, parts) == want)
+    // the two triangles converge to different labels
+    val got = runLpa(edges, 3, 3)
+    assert(got(1L) == got(2L))
+    assert(got(8L) == got(9L))
+    assert(got(1L) != got(8L))
+  }
+
+  test("label propagation is model-exact on a random directed graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 500).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val want = lpaModel(edges, 3)
+    assert(runLpa(edges, 3, 1) == want)
+    assert(runLpa(edges, 3, 6) == want)
+  }
+
+  /** Sequential BFS with the same ≤ maxHops cap. */
+  private def bfsModel(
+      edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Long] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    var frontier = seeds.distinct
+    for (t <- 1 to maxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .distinct.filterNot(dist.contains)
+      dist ++= next.map(_ -> t.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  private def runBfs(
+      edges: Seq[(Long, Long)], seeds: Seq[Long], hops: Int, parts: Int): Map[Long, Long] =
+    Graphs.bfsLayers(
+      edges.toDF("src", "dst").repartition(parts), "src", "dst",
+      seeds.toDF("n"), "n", hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs layers match the sequential model; unreachable nodes absent") {
+    // chain 0->1->2->3->4 plus a detached pair 8->9; dup seeds
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    for (parts <- Seq(1, 5)) {
+      val got = runBfs(edges, Seq(0L, 0L), 3, parts)
+      assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+      assert(!got.contains(4L) && !got.contains(8L)) // beyond cap / unreachable
+    }
+    // multi-source: first-reach wins over the longer path
+    val diamond = Seq((0L, 1L), (1L, 2L), (5L, 2L), (2L, 0L))
+    val got = runBfs(diamond, Seq(0L, 5L), 4, 3)
+    assert(got == bfsModel(diamond, Seq(0L, 5L), 4))
+    assert(got(2L) == 1L) // via seed 5, not the 2-hop path from 0
+  }
+
+  test("bfs on a random graph is partition-invariant and model-exact") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val seeds = Seq(0L, 7L, 13L)
+    val want = bfsModel(edges, seeds, 3)
+    assert(runBfs(edges, seeds, 3, 1) == want)
+    assert(runBfs(edges, seeds, 3, 6) == want)
+  }
 }
