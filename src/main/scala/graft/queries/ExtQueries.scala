@@ -21,6 +21,37 @@ object ExtQueries {
     "q_sessionize" -> ((s, d) =>
       Sessions.sessionize(Tables.events(s, d), "user_id", "ts", "event_id")),
 
+    // The SAME 30-min sessions through Spark's native session_window
+    // aggregation (dynamic-gap merging inside the agg operator — one
+    // shuffle on the user key, no lag/cumsum window cascade): the
+    // engine-primitive twin of q_sessionize, and the exact batch
+    // counterpart of streaming session windows. A session merges an
+    // event when ts < current_end (= last ts + gap), so the break
+    // condition is diff >= gap.
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_min_id"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"), col("first_min_id"))),
+
+    // Hopping (sliding) windows: 1-hour windows every 30 minutes via
+    // the built-in window(ts, width, slide) — each event lands in
+    // width/slide = 2 overlapping buckets, generated row-side (a
+    // Generate, shuffle carries only (window, type) partial counts;
+    // no self-join against a window table).
+    "q_hopping" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"))),
+
     // Ordered funnel signup → click → purchase with a 7-day conversion
     // window: one exchange + one sort for the whole step cascade
     // (see graft.ops.Funnels).
@@ -890,6 +921,36 @@ object ExtQueries {
                 strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                 (max(us) - min(us)) // 1000000 AS duration_sec
          FROM s2 GROUP BY user_id, seq""",
+    // islands twin of the native session_window agg: break on
+    // diff >= gap (an event merges only while ts < last_ts + gap),
+    // end = last ts + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+         m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev FROM e),
+         f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+                              THEN 1 ELSE 0 END AS nf FROM m),
+         s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seq FROM f)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                  AS session_end,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(event_id) AS first_min_id
+         FROM s GROUP BY user_id, seq""",
+
+    // each event expands to its two covering 30-min-aligned 1-hour
+    // windows (epoch-aligned, same as Spark's window())
+    "q_hopping" ->
+      """WITH e AS (SELECT event_type,
+                      time_bucket(INTERVAL 30 MINUTES, ts) AS b FROM events),
+         u AS (SELECT event_type,
+                 unnest([b, b - INTERVAL 30 MINUTES]) AS ws FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM u GROUP BY 1, 2""",
+
     // same (us, eid) ordering and ROWS [unbounded, -1] frames; each
     // window layer is a CTE because window functions can't nest
     "q_funnel" ->
