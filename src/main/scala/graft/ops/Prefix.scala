@@ -28,6 +28,12 @@ object Prefix {
     * prefix-sum over the #partitions-row count frame broadcast back.
     * Versus the naive `row_number() OVER (ORDER BY k)`: that plan is
     * a global sort INTO ONE TASK — at 100 TB it simply does not run.
+    * The ranged frame is persisted ([[Dedup.minHashLshPairs]]'
+    * one-scan discipline — exchange reuse is not guaranteed to dedupe
+    * the rank and count consumers, and measured plans confirm it
+    * doesn't here), so the input lineage and the range exchange run
+    * once; the ContextCleaner frees the cached blocks once the frame
+    * is unreferenced.
     *
     * @return input columns + `gid` BIGINT.
     */
@@ -39,6 +45,7 @@ object Prefix {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, col(orderCol))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = ranged.withColumn("_lrn",
       row_number().over(
         Window.partitionBy(col("_pid")).orderBy(col(orderCol))).cast("long"))

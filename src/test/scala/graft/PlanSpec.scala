@@ -256,6 +256,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
         s"$q degenerated to an all-pairs join:\n$p")
     }
+    // global ids: the persisted ranged frame means ONE scan + ONE
+    // range exchange feed both the rank and the count consumers
+    // (measured: exchange reuse does not dedupe them unaided)
+    val gp = finalPlan("q_global_ids")
+    assert(gp.contains("InMemoryTableScan"),
+      s"q_global_ids lost the ranged-frame cache:\n$gp")
+    assert(gp.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      s"q_global_ids scans the input more than once:\n$gp")
   }
 
   test("gapfill spine generates distributed — no cartesian calendar join") {
