@@ -260,6 +260,131 @@ object EventStreams {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class DenseBucket(
+      user_id: Long, hour: Timestamp, n_events: Long, v_ffill: Double)
+
+  /** Per-hour pending aggregate inside a burst (public: the state
+    * encoder's generated code must be able to construct it).
+    */
+  final case class HourAgg(hourMs: Long, n: Long, vmax: Double)
+
+  /** Per-user dense-series state: not-yet-final hourly aggregates,
+    * the last finalized hour (−1 before the first emit), and the
+    * carried forward-fill value.
+    */
+  final case class DenseState(
+      pending: Seq[HourAgg], lastFin: Long, ffill: Double)
+
+  /** Streaming dense hourly series with gap fill + forward fill — the
+    * streaming twin of [[graft.ops.Timeseries.gapFillHourly]]: one
+    * row per hour of a user's activity burst, `n_events` = 0 on gap
+    * hours, `v_ffill` carrying the most recent hourly max. An hour is
+    * emitted once the event-time watermark passes its end (so its
+    * count is final under the watermark contract); a burst flushes
+    * completely when the user goes quiet for `flushDelay` (event-time
+    * timeout), and a later return opens a NEW burst — streaming fills
+    * gaps within activity spans, not across arbitrarily long silences
+    * (batch fills min..max globally; on a single burst the two are
+    * row-identical, which the spec asserts).
+    *
+    * Scale shape: one shuffle on the user key; state per user is the
+    * bounded pending-hours list (≤ watermark horizon / 1 h entries +
+    * gap hours emit from arithmetic, never stored) and is dropped
+    * whole on flush. Late events inside the watermark fold in before
+    * their hour finalizes; events for already-emitted hours are
+    * dropped (append semantics — sessionize's documented
+    * approximation).
+    */
+  def denseHourly(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      flushDelayMs: Long = 2L * 3600L * 1000L): Dataset[DenseBucket] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DenseState, DenseBucket](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[DenseState]) =>
+          // everything the closure touches is local or a case class —
+          // referencing module members here would capture the
+          // (non-serializable) EventStreams module
+          val HourMs = 3600L * 1000L
+          def floorHour(ms: Long): Long = math.floorDiv(ms, HourMs) * HourMs
+          // emit [from .. to] inclusive, reading pending for present
+          // hours and pure arithmetic for gaps; returns the updated
+          // (ffill, remaining pending)
+          def emitRange(
+              s: DenseState, to: Long): (Seq[DenseBucket], DenseState) = {
+            val byHour = s.pending.map(h => h.hourMs -> h).toMap
+            val from =
+              if (s.lastFin >= 0L) s.lastFin + HourMs
+              else s.pending.map(_.hourMs).min
+            val out = Iterator.iterate(from)(_ + HourMs)
+              .takeWhile(_ <= to).map { h =>
+                byHour.get(h) match {
+                  case Some(a) => DenseBucket(userId, new Timestamp(h), a.n, a.vmax)
+                  case None    => DenseBucket(userId, new Timestamp(h), 0L, 0.0)
+                }
+              }.toList
+            // forward fill: a gap bucket carries the latest preceding
+            // hourly max
+            var f = s.ffill
+            val filled = out.map { b =>
+              if (b.n_events > 0L) { f = b.v_ffill; b }
+              else b.copy(v_ffill = f)
+            }
+            (filled, DenseState(s.pending.filter(_.hourMs > to), to, f))
+          }
+          if (state.hasTimedOut) {
+            val s = state.get
+            val out =
+              if (s.pending.isEmpty) Nil
+              else emitRange(s, s.pending.map(_.hourMs).max)._1
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(DenseState(Nil, -1L, 0.0))
+            for (e <- rows) {
+              val h = floorHour(e.ts.getTime)
+              if (s.lastFin < 0L || h > s.lastFin) {
+                val (same, rest) = s.pending.partition(_.hourMs == h)
+                val merged = same.headOption
+                  .map(a => HourAgg(h, a.n + 1L, math.max(a.vmax, e.value)))
+                  .getOrElse(HourAgg(h, 1L, e.value))
+                s = s.copy(pending = merged +: rest)
+              } // else: hour already emitted — dropped (append semantics)
+            }
+            if (s.pending.isEmpty && s.lastFin < 0L) Iterator.empty
+            else {
+              val wm = state.getCurrentWatermarkMs()
+              // hours whose end the watermark has passed are final
+              val horizon = floorHour(wm) - HourMs
+              val maxPend =
+                if (s.pending.isEmpty) -1L else s.pending.map(_.hourMs).max
+              val finalizeTo = math.min(horizon, maxPend)
+              val out =
+                if (finalizeTo >= 0L &&
+                    (s.lastFin < 0L || finalizeTo > s.lastFin) &&
+                    s.pending.nonEmpty && finalizeTo >= s.pending.map(_.hourMs).min) {
+                  val (o, ns) = emitRange(s, finalizeTo)
+                  s = ns
+                  o
+                } else Nil
+              state.update(s)
+              // the flush alarm may not sit at or behind the current
+              // watermark (Spark rejects it) — clamp forward; a
+              // clamped alarm fires on the next batch, which IS the
+              // immediate flush we'd want
+              val lastSeen = math.max(maxPend + HourMs, s.lastFin + HourMs)
+              state.setTimeoutTimestamp(
+                math.max(lastSeen + flushDelayMs, wm + 1L))
+              out.iterator
+            }
+          }
+      }
+  }
+
   final case class SessionSummary(
       user_id: Long,
       session_start: Timestamp,

@@ -447,4 +447,78 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("denseHourly == batch gapFillHourly on a drained single burst") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val dense = EventStreams.denseHourly(
+      input.toDS(), watermarkDelay = "5 minutes",
+      flushDelayMs = 30 * 60 * 1000L)
+    val q = dense.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dense").start()
+    try {
+      // user 1: hours 00 (two events) and 03 -> gap hours 01, 02
+      // user 2: single event
+      val burst = Seq(
+        ev(1, "2024-01-01 00:10:00", 1, "c", 5.0),
+        ev(2, "2024-01-01 00:40:00", 1, "c", 2.0),
+        ev(3, "2024-01-01 03:15:00", 1, "c", 1.5),
+        ev(4, "2024-01-01 02:00:00", 2, "c", 7.0))
+      input.addData(burst: _*)
+      q.processAllAvailable()
+      // watermark rider: push event time far enough that every burst
+      // hour finalizes and the flush timeout fires for both users
+      input.addData(ev(9, "2024-01-01 09:00:00", 99, "c", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 12:00:00", 99, "c", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dense").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1 != 99L).toSet
+      val batch = graft.ops.Timeseries.gapFillHourly(
+        burst.toDF(), "user_id", "ts", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch)
+      // the gap hours are really there, zero-filled and carried
+      assert(got.contains((1L, ts("2024-01-01 01:00:00"), 0L, 5.0)))
+      assert(got.contains((1L, ts("2024-01-01 02:00:00"), 0L, 5.0)))
+      assert(got.contains((1L, ts("2024-01-01 03:00:00"), 1L, 1.5)))
+    } finally q.stop()
+  }
+
+  test("denseHourly folds late-but-in-watermark events; drops post-final") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val dense = EventStreams.denseHourly(
+      input.toDS(), watermarkDelay = "30 minutes",
+      flushDelayMs = 30 * 60 * 1000L)
+    val q = dense.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dense_late").start()
+    try {
+      input.addData(ev(1, "2024-01-01 00:10:00", 1, "c", 1.0))
+      q.processAllAvailable()
+      // within watermark (wm = 00:10-30m < 0): folds into hour 00
+      input.addData(ev(2, "2024-01-01 00:20:00", 1, "c", 3.0))
+      q.processAllAvailable()
+      // advance wm past 01:30 -> hour 00 finalizes with BOTH events
+      input.addData(ev(3, "2024-01-01 02:10:00", 99, "c", 0.0))
+      q.processAllAvailable()
+      val afterFinal = spark.table("dense_late").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._1 == 1L).toSet
+      assert(afterFinal == Set((1L, ts("2024-01-01 00:00:00"), 2L, 3.0)))
+      // an event for the already-emitted hour is beyond the watermark
+      // anyway — it must not resurface or double-count
+      input.addData(ev(4, "2024-01-01 00:50:00", 1, "c", 9.0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 06:00:00", 99, "c", 0.0))
+      q.processAllAvailable()
+      val end = spark.table("dense_late").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .filter(_._1 == 1L)
+      assert(end.count(_._2 == ts("2024-01-01 00:00:00")) == 1)
+    } finally q.stop()
+  }
 }
