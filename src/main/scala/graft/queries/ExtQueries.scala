@@ -845,6 +845,15 @@ object ExtQueries {
           min(when(col("cum") * 2 >= col("n"), col("v"))).as("wmedian_cents"),
           min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("wp90_cents"))),
 
+    // Per-group z-score standardization of two measures — exact
+    // decimal sufficient statistics broadcast back, scaling as a
+    // shuffle-free projection (see graft.ops.Features.zscore).
+    "q_zscore" -> ((s, d) =>
+      graft.ops.Features.zscore(
+        Tables.lineitem(s, d), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"),
+        Seq("l_orderkey", "l_linenumber"))),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1704,6 +1713,28 @@ object ExtQueries {
               AS mean_value
           FROM w GROUP BY b"""
     },
+
+    // same cent quantization, same DECIMAL(38) exact sums, same
+    // fixed-order closing double expression per z-score
+    "q_zscore" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT) AS qq,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS pq
+           FROM lineitem),
+          s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(CAST(qq AS DECIMAL(38,0))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(qq*qq AS DECIMAL(38,0))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(pq AS DECIMAL(38,0))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(pq*pq AS DECIMAL(38,0))) AS DOUBLE) AS spp
+           FROM t GROUP BY 1)
+         SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+           CASE WHEN (sqq - sq*sq/nd)/nd = 0 THEN NULL
+                ELSE (CAST(qq AS DOUBLE) - sq/nd)
+                     / sqrt((sqq - sq*sq/nd)/nd) END AS l_quantity_z,
+           CASE WHEN (spp - sp*sp/nd)/nd = 0 THEN NULL
+                ELSE (CAST(pq AS DOUBLE) - sp/nd)
+                     / sqrt((spp - sp*sp/nd)/nd) END AS l_extendedprice_z
+         FROM t JOIN s USING (l_returnflag)""",
 
     // map pipeline replayed relationally: filter = HAVING, rescale =
     // arithmetic, map_concat's synthetic key = the grouped twin

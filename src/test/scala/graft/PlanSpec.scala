@@ -231,6 +231,13 @@ class PlanSpec extends AnyFunSuite {
     val bs = finalPlan("q_bootstrap")
     assert(bs.contains("partial_sum"),
       s"q_bootstrap lost map-side combine — explosion hits the wire:\n$bs")
+    // zscore: per-group stats broadcast back; the corpus itself is
+    // never shuffled for the scaling projection
+    val zs = finalPlan("q_zscore")
+    assert(zs.contains("BroadcastHashJoin"),
+      s"q_zscore stats join must broadcast:\n$zs")
+    assert(!zs.contains("SortMergeJoin"),
+      s"q_zscore shuffles the corpus to join 3 stat rows:\n$zs")
   }
 
   test("prefix scans range-partition; no window runs without the pid key") {

@@ -316,6 +316,31 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zscore standardizes per group; zero variance yields null") {
+    val rows = Seq(
+      ("a", 1L, 10.0, 5.0), ("a", 2L, 20.0, 5.0), ("a", 3L, 30.0, 5.0),
+      ("b", 4L, 7.0, 1.0), ("b", 5L, 9.0, 3.0))
+      .toDF("grp", "id", "x", "y")
+    val got = Features.zscore(rows, "grp", Seq("x", "y"), Seq("id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // group a: x in {10,20,30} cents {1000,2000,3000}, pop std
+    // sqrt(2/3)*1000; y constant -> null
+    val sd = math.sqrt(2.0 / 3.0) * 1000.0
+    assert(math.abs(got(1L)._1.get - (-1000.0 / sd)) < 1e-12)
+    assert(math.abs(got(2L)._1.get - 0.0) < 1e-12)
+    assert(math.abs(got(3L)._1.get - 1000.0 / sd) < 1e-12)
+    assert(got(1L)._2.isEmpty && got(3L)._2.isEmpty)
+    // group b: symmetric two-point -> z = ±1
+    assert(math.abs(got(4L)._1.get + 1.0) < 1e-12)
+    assert(math.abs(got(5L)._1.get - 1.0) < 1e-12)
+    assert(math.abs(got(4L)._2.get + 1.0) < 1e-12)
+    // per-group mean/std: z of y in b is ±1 even though y is constant in a
+    assert(math.abs(got(5L)._2.get - 1.0) < 1e-12)
+  }
+
   test("exact grouped quantiles pick the positional value") {
     // group g: values 10,20,30,40 -> p25=10 (cum 1*4>=4), p50=20,
     // p75=30, p90=40; ties collapse to one distinct row
