@@ -361,6 +361,58 @@ object Graphs {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** Fixed-round k-core peeling over an undirected edge list: each
+    * round removes every node whose degree (in the surviving graph)
+    * is below k, then the edges touching removed nodes. After enough
+    * rounds this converges to the k-core — the standard graph
+    * denoiser (strip chains/pendants so communities and triangle
+    * statistics aren't diluted by degree-1 noise). Fixed `rounds`
+    * keeps the operator SQL-unrollable for the cross-engine oracle;
+    * callers wanting the true fixpoint iterate until the count stops
+    * falling.
+    *
+    * Scale shape: per round one degree aggregation + two semi-joins
+    * (edges to surviving endpoints) — all equi-joins on node ids; the
+    * edge frame is checkpointed per round and the superseded round
+    * freed (the [[integerPageRank]] discipline). Work per round is
+    * O(m surviving).
+    *
+    * @return (node, degree) in the surviving graph after `rounds`
+    *         peels (degree ≥ k not guaranteed until convergence —
+    *         the last round's removals can re-expose low-degree
+    *         nodes, exactly as in the unrolled oracle).
+    */
+  def kCorePeel(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "rounds must be positive")
+    var e = edgesIn
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k.toLong).select("v")
+      val ne = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      unpersistCheckpoint(e)
+      e = ne
+    }
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

@@ -200,4 +200,42 @@ object Sampling {
       .filter(pmod(sampleHash(col(keyCol), salt), lit(d)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** EXACT-count stratified sampling: keep precisely
+    * ⌊n_g · num/den⌋ rows of every stratum — the hash-threshold
+    * samplers above hit their rate only in expectation, which is not
+    * good enough when a benchmark or eval split must have exact
+    * per-class sizes. The kept set is the quota_g smallest sampling
+    * hashes per stratum: deterministic, order-free, stable under any
+    * re-layout — and because the hash is a bijection on [0, 2³¹−1),
+    * distinct keys never collide and the count is exact, not
+    * approximate.
+    *
+    * Scale shape: the per-stratum rank threshold is read from the
+    * same two-phase cumulative distribution as the exact quantiles
+    * ([[Quantiles.cumDist]] — parallelism independent of stratum
+    * count, never a per-stratum single-task sort), broadcast back,
+    * and the keep test is a shuffle-free filter on the original scan.
+    *
+    * Keys must be unique and in [0, 2³¹−1).
+    */
+  def exactQuotaSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      num: Int,
+      den: Int,
+      salt: Long = 0L): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den, "need 0 <= num/den <= 1")
+    val h = sampleHash(col(keyCol), salt)
+    val thr = Quantiles.cumDist(df, col(stratumCol), h)
+      .groupBy(col("g").as(stratumCol))
+      .agg(min(when(
+        expr(s"(n * $num) div $den") >= 1L &&
+          col("cum") >= expr(s"(n * $num) div $den"),
+        col("v"))).as("__thr"))
+    df.join(broadcast(thr), Seq(stratumCol))
+      .filter(h <= col("__thr")) // null threshold (quota 0) keeps nothing
+      .drop("__thr")
+  }
 }

@@ -854,6 +854,25 @@ object ExtQueries {
         Seq("l_quantity", "l_extendedprice"),
         Seq("l_orderkey", "l_linenumber"))),
 
+    // EXACT-count stratified sample: precisely floor(3/10 · n_lang)
+    // docs per language — per-stratum rank thresholds read from the
+    // shared two-phase cumdist, keep test as a shuffle-free filter
+    // (see graft.ops.Sampling.exactQuotaSample).
+    "q_exact_quota" -> ((s, d) =>
+      graft.ops.Sampling.exactQuotaSample(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "doc_id", num = 3, den = 10)),
+
+    // 3-round 2-core peel of the supplier↔part graph — iterative
+    // low-degree stripping with per-round checkpoints (see
+    // graft.ops.Graphs.kCorePeel).
+    "q_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      Graphs.kCorePeel(li, "sn", "pn", k = 2, rounds = 3)
+    }),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1735,6 +1754,40 @@ object ExtQueries {
                 ELSE (CAST(pq AS DOUBLE) - sp/nd)
                      / sqrt((spp - sp*sp/nd)/nd) END AS l_extendedprice_z
          FROM t JOIN s USING (l_returnflag)""",
+
+    // quota twin: rank by the same bijective hash, keep rn <= quota —
+    // identical sets because distinct keys cannot collide
+    "q_exact_quota" -> {
+      val A = graft.ops.Sampling.HashA
+      val P = graft.ops.Sampling.HashP
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+              (doc_id * $A) % $P AS h FROM documents),
+          r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n FROM t)
+          SELECT lang, doc_id, n_chars FROM r WHERE rn <= (n * 3) // 10"""
+    },
+
+    // unrolled 3 peels; canonical (least, greatest) undirected edges
+    "q_kcore" -> {
+      def peel(t: Int, prev: String): String =
+        s"""d$t AS (SELECT v, count(*) AS c FROM (
+              SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+              GROUP BY v),
+            k$t AS (SELECT v FROM d$t WHERE c >= 2),
+            e$t AS (SELECT a, b FROM $prev
+              WHERE a IN (SELECT v FROM k$t) AND b IN (SELECT v FROM k$t))"""
+      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+          e0 AS (SELECT DISTINCT
+              least(2*l_suppkey + 1, 2*l_partkey) AS a,
+              greatest(2*l_suppkey + 1, 2*l_partkey) AS b FROM li),
+          ${peel(1, "e0")},
+          ${peel(2, "e1")},
+          ${peel(3, "e2")}
+          SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+          GROUP BY v"""
+    },
 
     // map pipeline replayed relationally: filter = HAVING, rescale =
     // arithmetic, map_concat's synthetic key = the grouped twin

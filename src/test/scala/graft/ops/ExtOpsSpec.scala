@@ -316,6 +316,58 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuotaSample keeps precisely floor(n*p) rows per stratum") {
+    val rows = (1L to 97L).map(i => (if (i % 3 == 0) "a" else "b", i)) ++
+      Seq(("tiny", 500L), ("tiny", 501L)) // quota floor(2*3/10) = 0
+    val df = rows.toDF("stratum", "key")
+    for (parts <- Seq(1, 5)) {
+      val got = Sampling.exactQuotaSample(
+        df.repartition(parts), "stratum", "key", num = 3, den = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val sizes = got.groupBy(_._1).view.mapValues(_.length).toMap
+      // a: 32 members -> 9; b: 65 -> 19; tiny: 2 -> 0
+      assert(sizes == Map("a" -> 9, "b" -> 19))
+      // the kept set is the quota smallest hashes — replicate
+      val byStratum = rows.groupBy(_._1)
+      for ((s, members) <- byStratum if s != "tiny") {
+        val want = members.map(_._2)
+          .sortBy(k => Math.floorMod(k * Sampling.HashA, Sampling.HashP))
+          .take(members.size * 3 / 10).toSet
+        assert(got.filter(_._1 == s).map(_._2).toSet == want)
+      }
+    }
+  }
+
+  test("kCorePeel strips pendants and matches a sequential model") {
+    def model(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+        .filter(t => t._1 != t._2).distinct
+      for (_ <- 1 to rounds) {
+        val deg = (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(t => keep(t._1) && keep(t._2))
+      }
+      (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    // triangle core 1-2-3 with a chain of pendants hanging off it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L))
+    for (parts <- Seq(1, 4)) {
+      val got = Graphs.kCorePeel(
+        edges.toDF("a", "b").repartition(parts), "a", "b", k = 2, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(edges, 2, 3))
+      assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L)) // chain fully peeled
+    }
+    // random graph, model equality
+    val rnd = new scala.util.Random(31)
+    val rand = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = Graphs.kCorePeel(rand.toDF("a", "b"), "a", "b", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model(rand, 3, 3))
+  }
+
   test("zscore standardizes per group; zero variance yields null") {
     val rows = Seq(
       ("a", 1L, 10.0, 5.0), ("a", 2L, 20.0, 5.0), ("a", 3L, 30.0, 5.0),
