@@ -45,9 +45,16 @@ object Quantiles {
       valueExpr: Column,
       weightExpr: Column = lit(1L)): DataFrame = {
     val nB = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted: the distinct-value frame feeds ranges, the bucketed
+    // main pass, AND the offsets summary — without the cache the
+    // scan→distinct agg lineage evaluates per consumer (the minhash
+    // one-scan discipline; ContextCleaner frees the blocks once the
+    // frame is unreferenced). The frame is one row per distinct
+    // (group, value): orders of magnitude below the input.
     val dist = df
       .select(gCol.as("g"), valueExpr.as("v"), weightExpr.as("w"))
       .groupBy("g", "v").agg(sum("w").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranges = dist.groupBy("g")
       .agg(min("v").as("vmin"), max("v").as("vmax"))
     val bucketed = dist.join(broadcast(ranges), Seq("g"))
