@@ -62,6 +62,50 @@ object Prefix {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Inclusive running total of `valueCol` over the global `orderCol`
+    * order — the same range-partitioned decomposition as
+    * [[globalRowNumbers]] with SUM in place of COUNT: local running
+    * sum per partition plus broadcast per-partition prefix totals.
+    * `orderCol` must be unique.
+    *
+    * The canonical consumer is BALANCED SHARDING: with `valueCol` =
+    * bytes, `floor((cum − 1) / targetBytes)` assigns every row a
+    * shard such that shards hold ≈ targetBytes each and shard
+    * boundaries respect the global order — the deterministic
+    * equal-size output layout a 100 TB corpus write needs (contrast
+    * `repartition(n)`: nondeterministic placement, no size bound per
+    * shard when row sizes vary).
+    *
+    * @return input columns + `cum` BIGINT (inclusive prefix sum).
+    */
+  def runningTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = ranged.withColumn("_lcum",
+      sum(col(valueCol)).over(
+        Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = ranged.groupBy(col("_pid"))
+      .agg(sum(col(valueCol)).as("_tot"))
+    val offsets = totals.select(
+      col("_pid"),
+      coalesce(
+        sum(col("_tot")).over(
+          Window.orderBy(col("_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("cum", col("_off") + col("_lcum"))
+      .drop("_pid", "_lcum", "_off")
+  }
+
   /** 2-d skyline (Pareto frontier, maximizing both axes): the rows
     * not STRICTLY dominated — no other row has larger x AND larger y.
     * The multi-objective pruning filter (e.g. keep documents no

@@ -873,6 +873,17 @@ object ExtQueries {
       Graphs.kCorePeel(li, "sn", "pn", k = 2, rounds = 3)
     }),
 
+    // Deterministic balanced sharding: running byte total over the
+    // doc_id order (range-partitioned prefix sum, no single-task
+    // window) → shard = (cum−1) div target — equal-size output
+    // shards whose boundaries respect the global order (see
+    // graft.ops.Prefix.runningTotal).
+    "q_shard_assign" -> ((s, d) =>
+      Prefix.runningTotal(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars")
+        .withColumn("shard", expr("(cum - 1) div 100000"))),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1788,6 +1799,14 @@ object ExtQueries {
             SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
           GROUP BY v"""
     },
+
+    "q_shard_assign" ->
+      """SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+                CAST((cum - 1) // 100000 AS BIGINT) AS shard
+         FROM (SELECT doc_id, n_chars,
+                 sum(n_chars) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM documents)""",
 
     // map pipeline replayed relationally: filter = HAVING, rescale =
     // arithmetic, map_concat's synthetic key = the grouped twin

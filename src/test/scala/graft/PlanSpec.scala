@@ -253,7 +253,7 @@ class PlanSpec extends AnyFunSuite {
       df.collect()
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     }
-    for (q <- Seq("q_global_ids", "q_skyline")) {
+    for (q <- Seq("q_global_ids", "q_skyline", "q_shard_assign")) {
       val p = finalPlan(q)
       assert(p.contains("rangepartitioning"), s"$q lost its range exchange:\n$p")
       val wins = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

@@ -40,6 +40,28 @@ class PrefixSpec extends AnyFunSuite {
     assert(got == Map(10L -> 1L, 20L -> 2L, 30L -> 3L))
   }
 
+  test("runningTotal = sequential prefix sum; shards balance") {
+    val rnd = new scala.util.Random(7)
+    val rows = scala.util.Random.shuffle(
+      (1L to 500L).map(k => (k, 1L + rnd.nextInt(100).toLong)))
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    for (parts <- Seq(1, 6)) {
+      val got = Prefix.runningTotal(
+        rows.toDF("k", "bytes").repartition(parts), "k", "bytes")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want)
+    }
+    // shard = (cum-1) div target: every shard except the last carries
+    // at least target bytes' worth of boundary, none skips an index
+    val target = 2000L
+    val shards = want.toSeq.sortBy(_._1)
+      .map { case (_, cum) => (cum - 1) / target }
+    assert(shards == shards.sorted)
+    assert(shards.distinct == (shards.min to shards.max))
+  }
+
   private def skyModel(pts: Seq[(Long, Long, Long)]): Set[Long] =
     pts.filter { case (_, x, y) =>
       !pts.exists { case (_, a, b) => a > x && b > y }
