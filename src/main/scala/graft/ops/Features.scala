@@ -55,4 +55,65 @@ object Features {
     scaled.select(
       keepCols.map(col) ++ Seq(col(groupCol)) ++ zCols: _*)
   }
+
+  /** Winsorization: clip `valueCol` to its per-group exact
+    * [p(loNum/loDen), p(hiNum/hiDen)] band — the outlier-taming step
+    * before scale-sensitive models. Thresholds are EXACT rank reads
+    * on the shared two-phase cumulative distribution
+    * ([[Quantiles.cumDist]] — never a per-group single-task sort),
+    * broadcast back; the clip itself is a shuffle-free integer
+    * projection. Emits `<valueCol>_clipped_cents` BIGINT — fully
+    * integer end to end, no float exposure at all.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      keepCols: Seq[String],
+      loNum: Int = 1, loDen: Int = 20,
+      hiNum: Int = 19, hiDen: Int = 20): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val bounds = Quantiles.cumDist(df, col(groupCol), cents)
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        min(when(col("cum") * loDen >= col("n") * loNum, col("v"))).as("_lo"),
+        min(when(col("cum") * hiDen >= col("n") * hiNum, col("v"))).as("_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .select(keepCols.map(col) ++ Seq(
+        col(groupCol),
+        greatest(col("_lo"), least(col("_hi"), cents))
+          .as(s"${valueCol}_clipped_cents")): _*)
+  }
+
+  /** Robust z-score: (x − median) / (MAD · 1.4826) per group — the
+    * outlier-immune standardization (mean/std in [[zscore]] is itself
+    * dragged by the outliers it is supposed to expose; median/MAD is
+    * not). Median and MAD are exact rank reads on two cumulative-
+    * distribution passes (values, then absolute deviations), both
+    * two-phase and broadcast back; the score is one fixed-order
+    * closing double expression. MAD = 0 (over half the group at the
+    * median) yields null.
+    */
+  def robustZ(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      keepCols: Seq[String]): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val med = Quantiles.cumDist(df, col(groupCol), cents)
+      .groupBy(col("g").as(groupCol))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("_med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = Quantiles.cumDist(
+      withMed, col(groupCol), abs(cents - col("_med")))
+      .groupBy(col("g").as(groupCol))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("_mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .select(keepCols.map(col) ++ Seq(
+        col(groupCol),
+        when(col("_mad") === 0L, lit(null))
+          .otherwise((cents.cast("double") - col("_med").cast("double")) /
+            (col("_mad").cast("double") * lit(1.4826)))
+          .as(s"${valueCol}_robust_z")): _*)
+  }
 }

@@ -884,6 +884,22 @@ object ExtQueries {
         "doc_id", "n_chars")
         .withColumn("shard", expr("(cum - 1) div 100000"))),
 
+    // Winsorize the price to its per-flag exact [p05, p95] band —
+    // cumdist rank thresholds broadcast back, integer clip projection
+    // (see graft.ops.Features.winsorize).
+    "q_winsorize" -> ((s, d) =>
+      graft.ops.Features.winsorize(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"))),
+
+    // Robust (median/MAD) z-score of the price per flag — two cumdist
+    // passes, one closing double expression (see
+    // graft.ops.Features.robustZ).
+    "q_robust_z" -> ((s, d) =>
+      graft.ops.Features.robustZ(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"))),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1807,6 +1823,55 @@ object ExtQueries {
                  sum(n_chars) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                FROM documents)""",
+
+    // same cumdist rank thresholds, same integer clip
+    "q_winsorize" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS v
+           FROM lineitem),
+          d AS (SELECT l_returnflag AS g, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+          c AS (SELECT g, v,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n FROM d),
+          b AS (SELECT g, min(CASE WHEN cum*20 >= n THEN v END) AS lo,
+                  min(CASE WHEN cum*20 >= n*19 THEN v END) AS hi
+                FROM c GROUP BY g)
+         SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag,
+           CAST(greatest(lo, least(hi, v)) AS BIGINT)
+             AS l_extendedprice_clipped_cents
+         FROM t JOIN b ON t.l_returnflag = b.g""",
+
+    // same two cumdist passes (values, then absolute deviations),
+    // same closing double expression
+    "q_robust_z" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS v
+           FROM lineitem),
+          d AS (SELECT l_returnflag AS g, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+          c AS (SELECT g, v,
+             sum(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n FROM d),
+          m AS (SELECT g, min(CASE WHEN cum*2 >= n THEN v END) AS med
+                FROM c GROUP BY g),
+          t2 AS (SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag, t.v,
+                   m.med, abs(t.v - m.med) AS av
+                 FROM t JOIN m ON t.l_returnflag = m.g),
+          d2 AS (SELECT l_returnflag AS g, av, count(*) AS cnt
+                 FROM t2 GROUP BY 1, 2),
+          c2 AS (SELECT g, av,
+             sum(cnt) OVER (PARTITION BY g ORDER BY av
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n FROM d2),
+          m2 AS (SELECT g, min(CASE WHEN cum*2 >= n THEN av END) AS mad
+                 FROM c2 GROUP BY g)
+         SELECT t2.l_orderkey, t2.l_linenumber, t2.l_returnflag,
+           CASE WHEN mad = 0 THEN NULL
+                ELSE (CAST(v AS DOUBLE) - CAST(med AS DOUBLE))
+                     / (CAST(mad AS DOUBLE) * 1.4826) END
+             AS l_extendedprice_robust_z
+         FROM t2 JOIN m2 ON t2.l_returnflag = m2.g""",
 
     // map pipeline replayed relationally: filter = HAVING, rescale =
     // arithmetic, map_concat's synthetic key = the grouped twin

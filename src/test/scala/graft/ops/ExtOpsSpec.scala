@@ -368,6 +368,36 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == model(rand, 3, 3))
   }
 
+  test("winsorize clips to exact rank bounds; robustZ is outlier-immune") {
+    // 20 values 1..20 (cents 100..2000) plus one huge outlier
+    val rows = ((1L to 20L).map(i => ("g", i, i.toDouble)) :+ ("g", 99L, 1e6))
+      .toDF("grp", "id", "x")
+    val clipped = Features.winsorize(rows, "grp", "x", Seq("id"),
+      loNum = 1, loDen = 10, hiNum = 9, hiDen = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // n=21: p10 = value at first cum*10 >= 21 -> rank 3 (300);
+    // p90 = first cum*10 >= 189 -> rank 19 (1900)
+    assert(clipped(1L) == 300L && clipped(2L) == 300L && clipped(3L) == 300L)
+    assert(clipped(10L) == 1000L)
+    assert(clipped(19L) == 1900L && clipped(20L) == 1900L && clipped(99L) == 1900L)
+    val rz = Features.robustZ(rows, "grp", "x", Seq("id"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // median = rank 11 -> 1100 cents; MAD = median of the 21
+    // deviations {0, 100,100, ..., 900,900, 1000, huge} -> 500
+    val med = 1100.0; val mad = 500.0
+    assert(math.abs(rz(11L).get - 0.0) < 1e-12)
+    assert(math.abs(rz(1L).get - (100.0 - med) / (mad * 1.4826)) < 1e-12)
+    // the outlier scores huge — but DOESN'T drag everyone else's score
+    assert(rz(99L).get > 1000.0)
+    // classic zscore for comparison: the outlier drags the mean so
+    // far every regular point looks identical
+    val z = Features.zscore(rows, "grp", Seq("x"), Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(z(1L) - z(20L)) < 0.01) // indistinguishable under zscore
+    assert(math.abs(rz(1L).get - rz(20L).get) > 1.0) // separated under robustZ
+  }
+
   test("zscore standardizes per group; zero variance yields null") {
     val rows = Seq(
       ("a", 1L, 10.0, 5.0), ("a", 2L, 20.0, 5.0), ("a", 3L, 30.0, 5.0),
