@@ -55,12 +55,18 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector: the graft SQL
+  * functions plus the [[graft.plans.PrefixScanRewrite]] optimizer
+  * rule (global `row_number() OVER (ORDER BY …)` → range-partitioned
+  * prefix scan instead of a single-task sort).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     for ((name, builder) <- GraftFunctions.all)
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
+    ext.injectOptimizerRule(_ => graft.plans.PrefixScanRewrite)
+  }
 }

@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite the classic scale-killer
+  * `row_number() OVER (ORDER BY k)` — a window with NO partition
+  * keys, which Spark executes by sorting the ENTIRE dataset in ONE
+  * task — into the range-partitioned prefix-scan plan
+  * (`graft.ops.Prefix.globalRowNumbers`' shape, derived
+  * automatically):
+  *
+  * {{{
+  *   ranged   = range-repartition child by the window order
+  *   withPid  = ranged + spark_partition_id()
+  *   localRn  = row_number() OVER (PARTITION BY pid ORDER BY k)
+  *   offsets  = per-pid counts -> strict prefix sum  (tiny frame;
+  *              its own single-task window runs over ~#partitions
+  *              rows, not the data)
+  *   result   = localRn ⋈broadcast offsets : off + lrn
+  * }}}
+  *
+  * Semantics: identical numbering for a unique order key. With order
+  * ties the assignment WITHIN a tie group is arbitrary — exactly as
+  * in the single-task plan, where it depends on the input's physical
+  * row order; neither form is deterministic under ties.
+  *
+  * Scope is deliberately narrow (the place the rewrite is provably
+  * safe and valuable): exactly one window expression, RowNumber,
+  * empty partition spec, deterministic order keys. The offsets
+  * window it GENERATES uses Sum, so the rule cannot match its own
+  * output (fixpoint-safe).
+  *
+  * Registered by `graft.functions.GraftExtensions`
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`); library
+  * callers who want the explicit operator use
+  * `graft.ops.Prefix.globalRowNumbers`.
+  */
+object PrefixScanRewrite extends Rule[LogicalPlan] {
+
+  private def isGlobalRowNumber(w: Window): Boolean =
+    w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
+      w.orderSpec.forall(_.deterministic) &&
+      (w.windowExpressions match {
+        case Seq(Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Nil, _, _)), _)) => true
+        case _ => false
+      })
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case w: Window if isGlobalRowNumber(w) && w.child.resolved =>
+      val origAlias = w.windowExpressions.head.asInstanceOf[Alias]
+      val child = w.child
+      // range layout on the window order; pid is stable WITHIN one
+      // execution of the exchange, which is all the decomposition
+      // needs
+      val ranged = RepartitionByExpression(w.orderSpec, child, None)
+      val pidAlias = Alias(SparkPartitionID(), "__pfx_pid")()
+      val pid = pidAlias.toAttribute
+      val withPid = Project(child.output :+ pidAlias, ranged)
+      // per-partition rank — parallel, the frame Spark's own
+      // row_number uses
+      val lrnAlias = Alias(
+        WindowExpression(RowNumber(),
+          WindowSpecDefinition(Seq(pid), w.orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+        "__pfx_lrn")()
+      val lrn = lrnAlias.toAttribute
+      val localRn = Window(Seq(lrnAlias), Seq(pid), w.orderSpec, withPid)
+      // tiny summary: one row per partition. The pid is RE-ALIASED so
+      // the join sides' outputs are disjoint (the subtrees share the
+      // child; outputs must not).
+      val pidRAlias = Alias(pid, "__pfx_pid_r")()
+      val pidR = pidRAlias.toAttribute
+      val cntAlias = Alias(
+        AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+        "__pfx_cnt")()
+      val cnt = cntAlias.toAttribute
+      val counts = Aggregate(Seq(pid), Seq(pidRAlias, cntAlias), withPid)
+      val offAlias = Alias(
+        WindowExpression(
+          AggregateExpression(Sum(cnt), Complete, isDistinct = false),
+          WindowSpecDefinition(Nil, Seq(SortOrder(pidR, Ascending)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+        "__pfx_sum")()
+      val offsets = Window(
+        Seq(offAlias), Nil, Seq(SortOrder(pidR, Ascending)), counts)
+      val offNzAlias = Alias(
+        Coalesce(Seq(offAlias.toAttribute, Literal(0L))), "__pfx_off")()
+      val off = offNzAlias.toAttribute
+      val offProj = Project(Seq(pidR, offNzAlias), offsets)
+      val joined = Join(localRn, offProj, Inner,
+        Some(EqualTo(pid, pidR)),
+        JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+      // same name, same exprId, same IntegerType as the original
+      // row_number output — downstream references are untouched
+      val rnAlias = Alias(
+        Cast(Add(off, Cast(lrn, LongType)), IntegerType),
+        origAlias.name)(exprId = origAlias.exprId)
+      Project(child.output :+ rnAlias, joined)
+  }
+}

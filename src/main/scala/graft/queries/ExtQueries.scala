@@ -900,6 +900,19 @@ object ExtQueries {
         Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
         Seq("l_orderkey", "l_linenumber"))),
 
+    // The SQL-first twin of q_global_ids: a user-written global
+    // row_number() window, rewritten to the range-partitioned prefix
+    // scan by the PrefixScanRewrite optimizer rule (injected via
+    // GraftExtensions/GraftSession) — same numbering, no single-task
+    // sort, proven through the same oracle gate.
+    "q_rownum_sql" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        .createOrReplaceTempView("graft_rownum_docs")
+      s.sql("""SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY doc_id) AS gid
+               FROM graft_rownum_docs""")
+    }),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1618,12 +1631,14 @@ object ExtQueries {
     // unrolled reachable sets; dist = first round a node appears in
     // (reach sets are monotone, so min over the unions IS hop count)
     "q_bfs" -> {
+      // MATERIALIZED: r_{t-1} is referenced twice per round — inlined
+      // CTEs would re-expand the chain 2^t-fold
       def round(t: Int, prev: String): String =
-        s"""r$t AS (SELECT node FROM $prev
+        s"""r$t AS MATERIALIZED (SELECT node FROM $prev
               UNION SELECT e.dst FROM edges e JOIN $prev p ON e.src = p.node)"""
       s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
                       WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
               SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM li
               UNION ALL
@@ -1666,6 +1681,13 @@ object ExtQueries {
     "q_global_ids" ->
       """SELECT doc_id, n_chars,
             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS gid
+         FROM documents""",
+
+    // INTEGER, matching Spark's row_number type (the rewrite rule
+    // preserves the original output type)
+    "q_rownum_sql" ->
+      """SELECT doc_id, n_chars,
+            CAST(row_number() OVER (ORDER BY doc_id) AS INTEGER) AS gid
          FROM documents""",
 
     // strict prefix-max formulation of NOT EXISTS (a.p > b.p AND
@@ -1712,18 +1734,21 @@ object ExtQueries {
     // tie-break semantics leak
     "q_label_prop" -> {
       val Pack = 2147483648L
+      // MATERIALIZED: l_{t-1} is referenced twice per round (count
+      // join + carry-over base) — see q_kcore
       def round(t: Int, prev: String): String =
-        s"""c$t AS (SELECT e.dst AS node, p.lbl, count(*) AS c
+        s"""c$t AS MATERIALIZED (SELECT e.dst AS node, p.lbl, count(*) AS c
               FROM edges e JOIN $prev p ON e.src = p.node GROUP BY 1, 2),
-            k$t AS (SELECT node, max(c*$Pack + (${Pack - 1L} - lbl)) AS k
+            k$t AS MATERIALIZED (SELECT node,
+                max(c*$Pack + (${Pack - 1L} - lbl)) AS k
               FROM c$t GROUP BY node),
-            l$t AS (SELECT p.node,
+            l$t AS MATERIALIZED (SELECT p.node,
                 CASE WHEN k IS NULL THEN p.lbl
                      ELSE ${Pack - 1L} - (k % $Pack) END AS lbl
               FROM $prev p LEFT JOIN k$t USING (node))"""
       s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
                       WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT DISTINCT src, dst FROM (
               SELECT 2*l_suppkey + 1 AS src, 2*l_partkey AS dst FROM li
               UNION ALL
@@ -1794,18 +1819,23 @@ object ExtQueries {
           SELECT lang, doc_id, n_chars FROM r WHERE rn <= (n * 3) // 10"""
     },
 
-    // unrolled 3 peels; canonical (least, greatest) undirected edges
+    // unrolled 3 peels; canonical (least, greatest) undirected edges.
+    // Every round CTE is MATERIALIZED: each e_t is referenced three
+    // times by round t+1, so inlined CTEs re-expand the whole chain
+    // 3^t-fold — enough to OOM DuckDB at round 3 on the full surface
+    // run. Joins, not IN-subqueries, for the same reason.
     "q_kcore" -> {
       def peel(t: Int, prev: String): String =
-        s"""d$t AS (SELECT v, count(*) AS c FROM (
+        s"""d$t AS MATERIALIZED (SELECT v, count(*) AS c FROM (
               SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
               GROUP BY v),
-            k$t AS (SELECT v FROM d$t WHERE c >= 2),
-            e$t AS (SELECT a, b FROM $prev
-              WHERE a IN (SELECT v FROM k$t) AND b IN (SELECT v FROM k$t))"""
+            k$t AS MATERIALIZED (SELECT v FROM d$t WHERE c >= 2),
+            e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+              JOIN k$t ka ON e.a = ka.v
+              JOIN k$t kb ON e.b = kb.v)"""
       s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
                       WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
-          e0 AS (SELECT DISTINCT
+          e0 AS MATERIALIZED (SELECT DISTINCT
               least(2*l_suppkey + 1, 2*l_partkey) AS a,
               greatest(2*l_suppkey + 1, 2*l_partkey) AS b FROM li),
           ${peel(1, "e0")},
