@@ -913,6 +913,26 @@ object ExtQueries {
                FROM graft_rownum_docs""")
     }),
 
+    // Data-quality contract report over the star schema: PK
+    // uniqueness, FK integrity (counted anti-join), null rate, value
+    // range, domain membership — one uniform report row per check
+    // (see graft.ops.Checks).
+    "q_dq_checks" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      graft.ops.Checks.reportAll(Seq(
+        graft.ops.Checks.unique(o, "orders_pk_unique", Seq("o_orderkey")),
+        graft.ops.Checks.unique(li, "lineitem_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        graft.ops.Checks.refIntegrity(li, "lineitem_fk_orders",
+          "l_orderkey", o, "o_orderkey"),
+        graft.ops.Checks.nonNull(o, "orders_custkey_nonnull", "o_custkey"),
+        graft.ops.Checks.inRange(li, "lineitem_qty_range",
+          "l_quantity", 1.0, 50.0),
+        graft.ops.Checks.inDomain(o, "orders_status_domain",
+          "o_orderstatus", Seq("O", "F", "P"))))
+    }),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1902,6 +1922,54 @@ object ExtQueries {
                      / (CAST(mad AS DOUBLE) * 1.4826) END
              AS l_extendedprice_robust_z
          FROM t2 JOIN m2 ON t2.l_returnflag = m2.g""",
+
+    "q_dq_checks" ->
+      """SELECT 'orders_pk_unique' AS "check",
+            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+            CAST(count(*) AS BIGINT) AS total,
+            count(*) - count(DISTINCT o_orderkey) = 0 AS passed
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem_pk_unique',
+            CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+            CAST(count(*) AS BIGINT),
+            count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_fk_orders',
+            CAST((SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+            CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+            (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) = 0
+         UNION ALL
+         SELECT 'orders_custkey_nonnull',
+            CAST(count(*) - count(o_custkey) AS BIGINT),
+            CAST(count(*) AS BIGINT),
+            count(*) - count(o_custkey) = 0
+         FROM orders
+         UNION ALL
+         SELECT 'lineitem_qty_range',
+            CAST(sum(CASE WHEN l_quantity IS NULL
+                          OR l_quantity < 1.0 OR l_quantity > 50.0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(*) AS BIGINT),
+            sum(CASE WHEN l_quantity IS NULL
+                     OR l_quantity < 1.0 OR l_quantity > 50.0
+                THEN 1 ELSE 0 END) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders_status_domain',
+            CAST(sum(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(*) AS BIGINT),
+            sum(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O','F','P')
+                THEN 1 ELSE 0 END) = 0
+         FROM orders""",
 
     // map pipeline replayed relationally: filter = HAVING, rescale =
     // arithmetic, map_concat's synthetic key = the grouped twin

@@ -368,6 +368,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == model(rand, 3, 3))
   }
 
+  test("quality checks count violations exactly and fail loudly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(
+      (1L, Some("a"), 5.0), (1L, Some("a"), 5.0), // duplicate key pair
+      (2L, None, -1.0),                           // null attr, out of range
+      (9L, Some("zzz"), 10.0))                    // orphan FK, bad domain
+      .toDF("fk", "attr", "v")
+    val rep = Checks.reportAll(Seq(
+      Checks.unique(child, "u", Seq("fk", "attr", "v")),
+      Checks.unique(child, "u2", Seq("fk")),
+      Checks.nonNull(child, "nn", "attr"),
+      Checks.inRange(child, "rg", "v", 0.0, 9.0),
+      Checks.inDomain(child, "dom", "attr", Seq("a", "b")),
+      Checks.refIntegrity(child, "fk", "fk", parent, "pk")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(rep("u") == ((1L, 4L, false)))   // one exact duplicate row
+    assert(rep("u2") == ((1L, 4L, false)))  // fk 1 twice -> 1 beyond-first
+    assert(rep("nn") == ((1L, 4L, false)))
+    assert(rep("rg") == ((2L, 4L, false)))  // -1.0 and 10.0
+    assert(rep("dom") == ((2L, 4L, false))) // null and zzz
+    assert(rep("fk") == ((1L, 4L, false)))  // orphan 9
+    // a clean table passes everything
+    val clean = Seq((1L, Some("a"), 5.0)).toDF("fk", "attr", "v")
+    val ok = Checks.reportAll(Seq(
+      Checks.unique(clean, "u", Seq("fk")),
+      Checks.refIntegrity(clean, "fk", "fk", parent, "pk")))
+      .collect().map(_.getBoolean(3))
+    assert(ok.forall(identity))
+  }
+
   test("winsorize clips to exact rank bounds; robustZ is outlier-immune") {
     // 20 values 1..20 (cents 100..2000) plus one huge outlier
     val rows = ((1L to 20L).map(i => ("g", i, i.toDouble)) :+ ("g", 99L, 1e6))
