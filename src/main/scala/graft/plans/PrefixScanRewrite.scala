@@ -36,12 +36,29 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * window it GENERATES uses Sum, so the rule cannot match its own
   * output (fixpoint-safe).
   *
+  * SIZE-GATED, like Spark's own broadcast threshold: measured at 30M
+  * rows / local[8], the single-task sort still wins (20.5 s vs
+  * 26.0 s — one core's in-memory sort against two extra full
+  * exchanges), so rewriting small inputs is a pessimization. The
+  * rule fires only when the child's estimated size reaches
+  * `spark.graft.prefixScan.minBytes` (default 4 GiB — past the
+  * single-shuffle-partition regime where one task must hold, sort,
+  * and often spill the entire dataset and every other core idles).
+  * Below the threshold the native plan stands; above it the native
+  * plan eventually cannot run at all, which is the point.
+  *
   * Registered by `graft.functions.GraftExtensions`
   * (`spark.sql.extensions=graft.functions.GraftExtensions`); library
   * callers who want the explicit operator use
   * `graft.ops.Prefix.globalRowNumbers`.
   */
 object PrefixScanRewrite extends Rule[LogicalPlan] {
+
+  val MinBytesKey = "spark.graft.prefixScan.minBytes"
+  val MinBytesDefault: Long = 4L * 1024 * 1024 * 1024
+
+  private def minBytes: BigInt =
+    BigInt(conf.getConfString(MinBytesKey, MinBytesDefault.toString).toLong)
 
   private def isGlobalRowNumber(w: Window): Boolean =
     w.partitionSpec.isEmpty && w.orderSpec.nonEmpty &&
@@ -53,7 +70,8 @@ object PrefixScanRewrite extends Rule[LogicalPlan] {
       })
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case w: Window if isGlobalRowNumber(w) && w.child.resolved =>
+    case w: Window if isGlobalRowNumber(w) && w.child.resolved &&
+        w.child.stats.sizeInBytes >= minBytes =>
       val origAlias = w.windowExpressions.head.asInstanceOf[Alias]
       val child = w.child
       // range layout on the window order; pid is stable WITHIN one

@@ -21,6 +21,9 @@ class PrefixRewriteSpec extends AnyFunSuite {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the rule is size-gated (default 4 GiB); force it on so these
+      // specs exercise the rewrite on tiny fixtures
+      .config(PrefixScanRewrite.MinBytesKey, "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s
@@ -69,6 +72,21 @@ class PrefixRewriteSpec extends AnyFunSuite {
     val viaOp = graft.SparkEntry.queries("q_global_ids")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(viaRule == viaOp)
+  }
+
+  test("below the size gate the native plan stands") {
+    import spark.implicits._
+    val prev = spark.conf.get(PrefixScanRewrite.MinBytesKey)
+    try {
+      spark.conf.set(PrefixScanRewrite.MinBytesKey,
+        PrefixScanRewrite.MinBytesDefault.toString)
+      (1L to 100L).toDF("k").createOrReplaceTempView("pfx_small")
+      val df = spark.sql(
+        "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM pfx_small")
+      assert(!finalPlan(df).contains("__pfx_pid"),
+        "rule fired below its size threshold")
+      assert(df.collect().map(_.getInt(1)).sorted.toSeq == (1 to 100))
+    } finally spark.conf.set(PrefixScanRewrite.MinBytesKey, prev)
   }
 
   test("partitioned windows and non-row_number windows pass through") {
