@@ -280,6 +280,32 @@ class PlanSpec extends AnyFunSuite {
       s"calendar cross join leaked:\n$p")
   }
 
+  test("GLOBAL: no query plans a CartesianProduct; BNL only where a tiny broadcast justifies it") {
+    // CartesianProduct (the shuffle-based all-pairs join) is banned
+    // outright across the whole surface. BroadcastNestedLoopJoin is
+    // the deliberate `crossJoin(broadcast(tiny))` pattern — scalar
+    // totals, threshold frames, query sets, ≤16-row codebooks — and
+    // is allowed ONLY for the queries that document it; a new query
+    // acquiring one must be added here consciously.
+    val bnlAllowed = Set(
+      "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
+      "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
+      "q_bm25", "q_chisq", "q_cms_topk", "q_collocations",
+      "q_dedup_semantic", "q_dq_checks", "q_histogram",
+      "q_histogram_eqdepth", "q_kmv_intersect", "q_kmv_merge",
+      "q_length_band", "q_minhash_recall", "q_mix_sources",
+      "q_mix_temperature", "q_pq_codes", "q_sample_weighted",
+      "q_stats_collect", "q_tfidf", "q_token_budget", "q_web_domains")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+      if (!bnlAllowed.contains(name))
+        assert(!p.contains("BroadcastNestedLoop"),
+          s"$name plans an unapproved BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen spans") {
     // a CodegenFallback expression forces its host Project out of the
     // fused span: the plan line loses its `*(n)` codegen marker. Gate
