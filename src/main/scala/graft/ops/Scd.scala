@@ -98,6 +98,41 @@ object Scd {
         payloadCols.map(c => col(s"s.$c").as(s"last_$c")): _*)
   }
 
+  /** CDC apply: fold a changelog of upserts and deletes into a base
+    * snapshot — the MERGE INTO every lakehouse table maintenance job
+    * runs. The winner per key is the highest (ts, ord) version across
+    * base ∪ changes (base rows enter at their own stored version);
+    * a winning 'D' drops the key, a winning 'U' replaces the payload,
+    * untouched keys pass through.
+    *
+    * Scale shape: one struct-argmax hash aggregation over
+    * base ∪ changes — partial-combining, no window, no join; the
+    * changelog never has to be sorted or replayed in order, because
+    * the version pair makes the fold order-free.
+    */
+  def applyChangeLog(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val cols = Seq(tsCol, ordCol) ++ payloadCols
+    val b = base.select(
+      col(keyCol) +: lit("U").as("_op") +: cols.map(col): _*)
+    val c = changes.select(
+      col(keyCol) +: col(opCol).as("_op") +: cols.map(col): _*)
+    val fields = Seq(col(tsCol), col(ordCol), col("_op")) ++ payloadCols.map(col)
+    b.unionAll(c)
+      .groupBy(col(keyCol))
+      .agg(max(struct(fields: _*)).as("s"))
+      .filter(col("s._op") =!= "D")
+      .select(col(keyCol) +: col(s"s.$tsCol").as(tsCol) +:
+        col(s"s.$ordCol").as(ordCol) +:
+        payloadCols.map(p => col(s"s.$p").as(p)): _*)
+  }
+
   def pointInTime(
       facts: DataFrame,
       history: DataFrame,

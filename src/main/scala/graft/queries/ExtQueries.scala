@@ -933,6 +933,43 @@ object ExtQueries {
           "o_orderstatus", Seq("O", "F", "P"))))
     }),
 
+    // Incremental view maintenance: per-user (count, exact sum)
+    // partials maintained across a history/batch split, merged
+    // WITHOUT rescanning history; the oracle recomputes from the
+    // full union, proving merge(partials(A), partials(B)) ≡
+    // partials(A ∪ B) (see graft.ops.Incremental).
+    "q_incr_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val stored = graft.ops.Incremental.partials(
+        ev.filter(col("ts") < cutoff), "user_id", "value")
+      val batch = graft.ops.Incremental.partials(
+        ev.filter(col("ts") >= cutoff), "user_id", "value")
+      graft.ops.Incremental.withMean(
+        graft.ops.Incremental.merge(stored, batch, "user_id"))
+    }),
+
+    // CDC apply (MERGE INTO): fold an upsert/delete changelog into
+    // the pre-cutoff snapshot as ONE order-free struct-argmax agg —
+    // no window, no join, no ordered replay (see
+    // graft.ops.Scd.applyChangeLog).
+    "q_cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val base = Scd.latestSnapshot(
+        ev.filter(col("ts") < cutoff), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))
+        .select(col("user_id"), col("last_ts").as("ts"),
+          col("last_event_id").as("event_id"),
+          col("last_event_type").as("event_type"),
+          col("last_value").as("value"))
+      val changes = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_id") % 10L === 0L, "D").otherwise("U"))
+      Scd.applyChangeLog(base, changes, "user_id", "ts", "event_id", "op",
+        Seq("event_type", "value"))
+    }),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1722,6 +1759,35 @@ object ExtQueries {
           SELECT t.o_orderkey, t.o_totalprice, t.o_orderdate
           FROM t JOIN r ON t.o_totalprice = r.p
           WHERE dm IS NULL OR dm <= t.o_orderdate""",
+
+    // the incremental invariant, proven by recomputing from scratch
+    "q_incr_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+              AS BIGINT) AS sum_cents,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mean_value
+         FROM events GROUP BY user_id""",
+
+    // base ∪ changes, highest (ts, event_id) wins, winning delete
+    // drops the key — (ts, event_id) is unique across the union, so
+    // the struct-argmax and the window agree exactly
+    "q_cdc_apply" ->
+      """WITH b AS (SELECT user_id, ts, event_id, 'U' AS op,
+                      event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts < TIMESTAMP '2024-01-20')
+            WHERE rn = 1),
+          c AS (SELECT user_id, ts, event_id,
+                  CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                  event_type, value
+                FROM events WHERE ts >= TIMESTAMP '2024-01-20'),
+          u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+          w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM u)
+         SELECT user_id, ts, event_id, event_type, value
+         FROM w WHERE rn = 1 AND op <> 'D'""",
 
     // latest-wins twin: row_number over the unique (ts, event_id)
     // version order — the struct-argmax can never disagree

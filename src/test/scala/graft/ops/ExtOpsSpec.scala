@@ -368,6 +368,54 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == model(rand, 3, 3))
   }
 
+  test("incremental partials merge to exactly the full recompute") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 500).map(i =>
+      (rnd.nextInt(20).toLong, (rnd.nextInt(10000) / 100.0)))
+    val df = rows.toDF("k", "v")
+    val full = Incremental.partials(df, "k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (cut <- Seq(0, 100, 250, 500); parts <- Seq(1, 4)) {
+      val a = Incremental.partials(
+        rows.take(cut).toDF("k", "v").repartition(math.max(parts, 1)), "k", "v")
+      val b = Incremental.partials(rows.drop(cut).toDF("k", "v"), "k", "v")
+      val merged = Incremental.merge(a, b, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == full, s"cut=$cut parts=$parts")
+    }
+  }
+
+  test("applyChangeLog upserts, deletes, resurrects, and inserts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val base = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a", 1.0), // will be upserted
+      (2L, ts("2024-01-01 00:00:00"), 20L, "b", 2.0), // will be deleted
+      (3L, ts("2024-01-01 00:00:00"), 30L, "c", 3.0), // untouched
+      (4L, ts("2024-01-01 00:00:00"), 40L, "d", 4.0)) // deleted then re-upserted
+      .toDF("k", "ts", "ord", "attr", "v")
+    val changes = Seq(
+      (1L, ts("2024-02-01 00:00:00"), 100L, "U", "a2", 1.5),
+      (2L, ts("2024-02-01 00:00:00"), 200L, "D", "b", 2.0),
+      (4L, ts("2024-02-01 00:00:00"), 400L, "D", "d", 4.0),
+      (4L, ts("2024-02-02 00:00:00"), 401L, "U", "d2", 4.5), // later wins
+      (5L, ts("2024-02-01 00:00:00"), 500L, "U", "e", 5.0)) // brand-new key
+      .toDF("k", "ts", "ord", "op", "attr", "v")
+    for (parts <- Seq(1, 4)) {
+      val got = Scd.applyChangeLog(
+        base.repartition(parts), changes.repartition(parts),
+        "k", "ts", "ord", "op", Seq("attr", "v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+        .toSet
+      assert(got == Set(
+        (1L, 100L, "a2", 1.5),
+        (3L, 30L, "c", 3.0),
+        (4L, 401L, "d2", 4.5),
+        (5L, 500L, "e", 5.0)))
+    }
+  }
+
   test("quality checks count violations exactly and fail loudly") {
     val parent = Seq(1L, 2L, 3L).toDF("pk")
     val child = Seq(
