@@ -62,6 +62,30 @@ object Prefix {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Global NTILE(n) without the single-task window: buckets derive
+    * arithmetically from [[globalRowNumbers]] plus the total count
+    * (a 1-row broadcast read off max(gid) — no second scan). The
+    * formula is SQL ntile's exactly: the first N mod n buckets get
+    * ⌈N/n⌉ rows, the rest ⌊N/n⌋ — verified bit-for-bit against a
+    * native NTILE oracle. `orderCol` must be unique (ties make any
+    * engine's ntile nondeterministic).
+    *
+    * @return input columns + `gid` BIGINT + `tile` BIGINT in [1, n].
+    */
+  def globalNtile(df: DataFrame, orderCol: String, n: Int): DataFrame = {
+    require(n >= 1, "ntile bucket count must be positive")
+    val withGid = globalRowNumbers(df, orderCol)
+    val total = withGid.agg(max(col("gid")).as("_N"))
+    withGid.crossJoin(broadcast(total))
+      .withColumn("tile", expr(
+        s"""CASE WHEN gid <= ((_N div $n) + 1) * (_N % $n)
+              THEN (gid - 1) div ((_N div $n) + 1) + 1
+              ELSE (_N % $n) +
+                (gid - ((_N div $n) + 1) * (_N % $n) - 1)
+                  div greatest(_N div $n, 1) + 1 END"""))
+      .drop("_N")
+  }
+
   /** Inclusive running total of `valueCol` over the global `orderCol`
     * order — the same range-partitioned decomposition as
     * [[globalRowNumbers]] with SUM in place of COUNT: local running

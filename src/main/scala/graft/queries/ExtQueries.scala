@@ -970,6 +970,14 @@ object ExtQueries {
         Seq("event_type", "value"))
     }),
 
+    // Global NTILE(7) with no single-task window — pure arithmetic on
+    // the distributed row numbers + a 1-row total broadcast, matched
+    // bit-for-bit against native NTILE (see graft.ops.Prefix.globalNtile).
+    "q_ntile_global" -> ((s, d) =>
+      Prefix.globalNtile(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "o_orderkey", n = 7)),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1759,6 +1767,14 @@ object ExtQueries {
           SELECT t.o_orderkey, t.o_totalprice, t.o_orderdate
           FROM t JOIN r ON t.o_totalprice = r.p
           WHERE dm IS NULL OR dm <= t.o_orderdate""",
+
+    // native NTILE twin — the remainder-first bucket-size law is the
+    // same arithmetic the distributed form computes
+    "q_ntile_global" ->
+      """SELECT o_orderkey, o_totalprice,
+            CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gid,
+            CAST(ntile(7) OVER (ORDER BY o_orderkey) AS BIGINT) AS tile
+         FROM orders""",
 
     // the incremental invariant, proven by recomputing from scratch
     "q_incr_agg" ->

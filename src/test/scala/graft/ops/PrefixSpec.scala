@@ -33,6 +33,27 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("globalNtile matches SQL ntile bucket sizing for every N mod n") {
+    def model(nRows: Int, n: Int): Map[Long, Long] = {
+      val base = nRows / n; val rem = nRows % n
+      (1 to nRows).map { rn =>
+        val tile =
+          if (rn <= (base + 1) * rem) (rn - 1) / (base + 1) + 1
+          else rem + (rn - (base + 1) * rem - 1) / math.max(base, 1) + 1
+        rn.toLong -> tile.toLong
+      }.toMap
+    }
+    for (nRows <- Seq(1, 6, 7, 13, 100); n <- Seq(1, 3, 7, 20)) {
+      val got = Prefix.globalNtile(
+        (1L to nRows.toLong).toDF("k"), "k", n)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got == model(nRows, n), s"nRows=$nRows n=$n")
+      // bucket sizes differ by at most one and are remainder-first
+      val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+      assert(sizes.values.max - sizes.values.min <= 1)
+    }
+  }
+
   test("globalRowNumbers survives more partitions than rows") {
     val got = Prefix.globalRowNumbers(
       Seq(30L, 10L, 20L).toDF("k"), "k", partitions = 8)
