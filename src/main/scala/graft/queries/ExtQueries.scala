@@ -978,6 +978,33 @@ object ExtQueries {
         Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
         "o_orderkey", n = 7)),
 
+    // Median-of-means: the heavy-tail-robust mean estimator (split
+    // into k=16 deterministic hash buckets, exact per-bucket means,
+    // median of the bucket means) — one pass + a k-element positional
+    // read; the estimator large-scale eval uses when a single
+    // corrupted shard must not move the answer. Bucketing by the
+    // portable sampling hash, so the estimate is partition- and
+    // engine-stable.
+    "q_median_means" -> ((s, d) => {
+      val k = 16
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val h = graft.ops.Sampling.sampleHash(col("o_orderkey"), salt = 0L)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus").as("g"), pmod(h, lit(k.toLong)).as("b"),
+          cents.as("v"))
+        .groupBy("g", "b")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(col("g"), col("b"),
+          (col("sv").cast("double") / col("n").cast("double") / lit(100.0))
+            .as("m"))
+        .groupBy(col("g").as("o_orderstatus"))
+        .agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(col("o_orderstatus"),
+          expr("element_at(ms, cast((size(ms) + 1) div 2 as int))")
+            .as("median_of_means"),
+          size(col("ms")).cast("long").as("n_buckets"))
+    }),
+
     // MapType round-trip surface: per-user event-type count map built
     // with map_from_entries, pruned with map_filter, rescaled with
     // transform_values, extended with map_concat, then exploded back
@@ -1775,6 +1802,26 @@ object ExtQueries {
             CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gid,
             CAST(ntile(7) OVER (ORDER BY o_orderkey) AS BIGINT) AS tile
          FROM orders""",
+
+    // same hash buckets, same exact per-bucket sums, same positional
+    // median over the sorted bucket means
+    "q_median_means" -> {
+      val A = graft.ops.Sampling.HashA
+      val P = graft.ops.Sampling.HashP
+      s"""WITH t AS (SELECT o_orderstatus AS g,
+              ((o_orderkey * $A) % $P) % 16 AS b,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS v
+            FROM orders),
+          bkt AS (SELECT g, b, count(*) AS n, sum(v) AS sv FROM t GROUP BY 1, 2),
+          m AS (SELECT g, b,
+                  CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m
+                FROM bkt),
+          a AS (SELECT g, list(m ORDER BY m) AS ms FROM m GROUP BY g)
+          SELECT g AS o_orderstatus,
+            ms[CAST((len(ms) + 1) // 2 AS INTEGER)] AS median_of_means,
+            CAST(len(ms) AS BIGINT) AS n_buckets
+          FROM a"""
+    },
 
     // the incremental invariant, proven by recomputing from scratch
     "q_incr_agg" ->
