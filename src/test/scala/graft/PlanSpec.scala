@@ -294,8 +294,9 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
       "q_histogram_eqdepth", "q_kmv_intersect", "q_kmv_merge",
       "q_length_band", "q_minhash_recall", "q_mix_sources",
-      "q_mix_temperature", "q_pq_codes", "q_sample_weighted",
-      "q_stats_collect", "q_tfidf", "q_token_budget", "q_web_domains")
+      "q_mix_temperature", "q_ntile_global", "q_pq_codes",
+      "q_sample_weighted", "q_stats_collect", "q_tfidf",
+      "q_token_budget", "q_web_domains")
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
