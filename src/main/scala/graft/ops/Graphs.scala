@@ -428,6 +428,51 @@ object Graphs {
       .groupBy(col("v").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Resource-Allocation node similarity over a bipartite edge list
+    * (Zhou/Lü/Zhang's RA index — the exactly-computable cousin of
+    * Adamic–Adar): for every pair of right-side nodes (a, b),
+    * `RA(a,b) = Σ_{u ∈ Γ(a)∩Γ(b)} 1/deg(u)` over shared left-side
+    * neighbors. The weight is kept EXACT as fixed-point integer
+    * `scale div deg(u)` (long floor division — deterministic in any
+    * engine, no float summation order to disagree on), so the pair
+    * scores are plain long sums and hash-verifiable.
+    *
+    * Scale shape — the [[Dedup.jaccardPairs]] posting-list
+    * discipline: candidate pairs are generated by GROUPING each
+    * left-node's (deduplicated) neighbor list and exploding ordered
+    * pairs out of it — no posting self-join, one edge-list pipeline.
+    * The `maxDegree` cut drops hub left-nodes whose deg² pair
+    * fan-out would dominate (and whose 1/deg weight contributes
+    * least) — the exact analogue of the shingle-df cut; at web scale
+    * this is what bounds Σ deg(u)² . One shuffle to build neighbor
+    * lists, one to merge pair scores, both partial-combining.
+    *
+    * @return (node_a, node_b, n_common, ra_fp) with node_a < node_b;
+    *         `ra_fp / scale` is the RA score.
+    */
+  def resourceAllocation(
+      edges: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int = 256,
+      scale: Long = 1000000L): DataFrame = {
+    val nbrs = edges
+      .select(col(leftCol).as("u"), col(rightCol).as("t"))
+      .distinct()
+      .groupBy(col("u"))
+      .agg(collect_list(col("t")).as("ts"))
+      .select(array_sort(col("ts")).as("ts"))
+      .filter(size(col("ts")).between(2, maxDegree))
+      .select(col("ts"),
+        expr(s"${scale}L div CAST(size(ts) AS BIGINT)").as("w"))
+    nbrs
+      .select(explode(col("ts")).as("a"), col("ts"), col("w"))
+      .select(col("a"), explode(col("ts")).as("b"), col("w"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("node_a"), col("b").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_fp"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Higher-moment statistics from EXACT integer power sums — the
+  * distributed-statistics discipline already used by
+  * [[graft.ops.Regression.olsFit]]: every sufficient statistic is an
+  * exact BIGINT/DECIMAL fold (order-free, partial-combining), and the
+  * floating-point arithmetic happens once, at the end, in an
+  * expression written identically in the DuckDB oracle. Spark's own
+  * `skewness`/`kurtosis` use streaming co-moment updates whose float
+  * results depend on partition order — unusable for cross-engine
+  * hash verification and subtly nondeterministic run-to-run at scale;
+  * raw power sums of integral values are neither.
+  *
+  * Scale shape: each statistic is ONE hash aggregation —
+  * `partial_sum` per partition, merge, constant-time finish. The
+  * shuffle carries a handful of longs per group per partition
+  * regardless of row count. No window, no sort, no second pass (a
+  * textbook two-pass central-moment computation would re-scan the
+  * input; the raw-moment identities trade that for wider integers).
+  *
+  * Extends the reference's aggregation surface (SURVEY.md §2.4 has
+  * only min/count; `/root/reference/main.py:513-518`) toward the
+  * profiling/statistics layer a training-data pipeline needs.
+  */
+object Moments {
+
+  /** Skewness and excess kurtosis per group of an integral-valued
+    * column (values must fit comfortably in a long when raised to the
+    * 4th power — e.g. quantities, counts, small measures; for cents-
+    * scale values see [[welchTTest]] which needs only 2nd moments).
+    *
+    * Raw-moment identities (μ = S1/n):
+    * {{{
+    *   m2 = S2/n − μ²
+    *   m3 = S3/n − 3μ·S2/n + 2μ³
+    *   m4 = S4/n − 4μ·S3/n + 6μ²·S2/n − 3μ⁴
+    *   skew = m3 / (m2·√m2),  kurt_excess = m4/m2² − 3
+    * }}}
+    *
+    * @return (group, n, mean, variance, skew, kurt_excess)
+    */
+  def momentsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    df.select(col(groupCol).as("g"), x.as("x"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("s1"),
+        sum(col("x") * col("x")).cast("double").as("s2"),
+        sum(col("x") * col("x") * col("x")).cast("double").as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).cast("double").as("s4"))
+      .select(col("g"), col("n"),
+        expr("s1/n").as("mean"),
+        expr("s2/n - (s1/n)*(s1/n)").as("variance"),
+        expr("""CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+                ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+                     ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+                END""").as("skew"),
+        expr("""CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+                ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                        - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+                     ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
+                END""").as("kurt_excess"))
+  }
+
+  /** Welch's unequal-variance t-test between two groups, from exact
+    * fixed-point (cents) first and second moments. One aggregation
+    * over the filtered input produces both groups' statistics
+    * (conditional sums — no self-join, no two scans); the t statistic
+    * and Welch–Satterthwaite degrees of freedom are closed-form on
+    * the merged row. Second powers of cents exceed long range when
+    * summed, so the power sums fold in DECIMAL(38,0) — still exact,
+    * still order-free.
+    *
+    * @return one row: (n_a, n_b, mean_a, mean_b, t_stat, df)
+    */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: String): DataFrame = {
+    val xq = floor(col(valueCol).cast("double") * 100).cast("decimal(18,0)")
+    val isA = col(groupCol) === lit(groupA)
+    val two = df.filter(isA || col(groupCol) === lit(groupB))
+      .select(isA.as("a"), xq.as("x"))
+    two.agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("a"), col("x")).otherwise(lit(0).cast("decimal(18,0)")))
+          .cast("double").as("sa"),
+        sum(when(!col("a"), col("x")).otherwise(lit(0).cast("decimal(18,0)")))
+          .cast("double").as("sb"),
+        sum(when(col("a"), col("x") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("saa"),
+        sum(when(!col("a"), col("x") * col("x"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("sbb"))
+      .select(col("n_a"), col("n_b"),
+        expr("sa/n_a/100.0").as("mean_a"),
+        expr("sb/n_b/100.0").as("mean_b"),
+        expr("""(sa/n_a - sb/n_b) /
+                sqrt((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                     (sbb - sb*sb/n_b)/(n_b - 1)/n_b)""").as("t_stat"),
+        expr("""((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                 (sbb - sb*sb/n_b)/(n_b - 1)/n_b) *
+                ((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                 (sbb - sb*sb/n_b)/(n_b - 1)/n_b) /
+                (((saa - sa*sa/n_a)/(n_a - 1)/n_a) *
+                 ((saa - sa*sa/n_a)/(n_a - 1)/n_a) / (n_a - 1) +
+                 ((sbb - sb*sb/n_b)/(n_b - 1)/n_b) *
+                 ((sbb - sb*sb/n_b)/(n_b - 1)/n_b) / (n_b - 1))""").as("df"))
+  }
+
+  /** Spearman rank correlation per group between two measures, with
+    * proper average ranks for ties kept EXACT by working in doubled
+    * ranks: `2·rank(v) = 2·|{u < v}| + |{u = v}| + 1` is an integer,
+    * so the Pearson-on-ranks sufficient statistics are exact integer
+    * folds (DECIMAL(38,0) — doubled ranks reach 2n and their products
+    * n², past long range at billions of rows) and the final r is one
+    * deterministic double expression.
+    *
+    * Shape: each measure's rank frame is [[Quantiles.cumDist]] — the
+    * scale-safe two-phase cumulative distribution over DISTINCT
+    * values (parallelism = groups × buckets, never one task per
+    * group) — from which the doubled average rank is the closed form
+    * `2·cum − cnt + 1`. Rank lookup is two equi-joins against those
+    * distinct-value frames (orders of magnitude below the input),
+    * then one final partial-combining hash aggregation.
+    *
+    * `xExpr`/`yExpr` must be integer-safe expressions of the input
+    * (e.g. a quantity cast to long, money in cents).
+    *
+    * @return (group, n, rho)
+    */
+  def spearmanByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xExpr: org.apache.spark.sql.Column,
+      yExpr: org.apache.spark.sql.Column): DataFrame = {
+    def doubledRanks(e: org.apache.spark.sql.Column, out: String): DataFrame =
+      Quantiles.cumDist(df, col(groupCol), e)
+        .select(col("g"), col("v"),
+          (col("cum") * 2L - col("cnt") + 1L).as(out))
+
+    val rx = doubledRanks(xExpr, "rx")
+    val ry = doubledRanks(yExpr, "ry")
+    val ranked = df
+      .select(col(groupCol).as("g"), xExpr.as("xv"), yExpr.as("yv"))
+      .join(rx.withColumnRenamed("v", "xv"), Seq("g", "xv"))
+      .join(ry.withColumnRenamed("v", "yv"), Seq("g", "yv"))
+      .select(col("g"),
+        col("rx").cast("decimal(18,0)").as("rx"),
+        col("ry").cast("decimal(18,0)").as("ry"))
+    ranked
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast("double").as("syy"),
+        sum(col("rx") * col("ry")).cast("double").as("sxy"))
+      .select(col("g"), col("n"),
+        expr("""CASE WHEN n*sxx - sx*sx = 0.0 OR n*syy - sy*sy = 0.0
+                THEN 0.0
+                ELSE (n*sxy - sx*sy) /
+                     (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                END""").as("rho"))
+  }
+}

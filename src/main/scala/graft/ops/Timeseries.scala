@@ -65,4 +65,151 @@ object Timeseries {
       coalesce(col("n_events"), lit(0L)).as("n_events"),
       last(col("vmax"), ignoreNulls = true).over(w).as("v_ffill"))
   }
+
+  /** OHLC bar resampling: per (entity, bucket) the first/highest/
+    * lowest/last value plus event count and an exact fixed-point
+    * value sum. "First"/"last" are made deterministic by ordering on
+    * `(ts, ord)` — the struct-min trick (`min(struct(ts, ord, v)).v`,
+    * the [[Clusters]] keep-best discipline), an order-free hash
+    * aggregation (NO per-entity sort, NO window): the partial
+    * aggregates keep one candidate struct per (entity, bucket) per
+    * partition, so the shuffle carries bars, not events. That is the
+    * 100 TB shape — a sort-based "first value per bucket" window
+    * would sort every entity's full history instead.
+    *
+    * @return (entity, bucket, n_events, open, high, low, close,
+    *          sum_cents) — open/close are raw input values (no
+    *          arithmetic), high/low exact min/max, sum_cents an exact
+    *          BIGINT fold; every column hash-stable cross-engine.
+    */
+  def resampleOhlc(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String,
+      unit: String = "hour"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val keyed = struct(col(tsCol).as("t"), col(ordCol).as("i"), v.as("v"))
+    events
+      .groupBy(
+        col(entityCol).as("entity"),
+        date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(keyed).getField("v").as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max(keyed).getField("v").as("close"),
+        sum(floor(v * 100).cast("long")).as("sum_cents"))
+  }
+
+  /** Per-row lag deltas over each entity's series: the change of the
+    * (exact fixed-point) value versus the previous observation of the
+    * same entity, ordered by `(ts, ord)`. First observation per
+    * entity has a null delta. The window partitions by entity — each
+    * series sorts inside its own partition (parallelism = #entities,
+    * which is the natural key cardinality; no global sort). Deltas
+    * are BIGINT cents so the result is hash-exact cross-engine.
+    *
+    * @return input keys + (v_cents, delta_cents)
+    */
+  def lagDeltas(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val xq = floor(col(valueCol).cast("double") * 100).cast("long")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+    events.select(
+      col(entityCol),
+      col(ordCol),
+      xq.as("v_cents"),
+      (xq - lag(xq, 1).over(w)).as("delta_cents"))
+  }
+
+  /** Lag-1 autocorrelation per group: Pearson r between consecutive
+    * observations of each `(group, entity)` series, aggregated per
+    * group. All sufficient statistics are exact BIGINT sums over
+    * fixed-point cents (the `q_ols_fit` discipline), so the final
+    * double arithmetic — identical expression order in the oracle —
+    * is bit-stable. Two shuffle-free-ish stages: the lag window
+    * partitions by (group, entity) (per-series sort inside its
+    * partition), then ONE partial-combining hash aggregation per
+    * group; the shuffle carries 7 longs per group per partition.
+    *
+    * @return (group, n_pairs, r)
+    */
+  def autocorrLag1(
+      events: DataFrame,
+      groupCol: String,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val xq = floor(col(valueCol).cast("double") * 100).cast("long")
+    val w = Window.partitionBy(col(groupCol), col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val pairs = events
+      .select(col(groupCol).as("g"), xq.as("x"),
+        lag(xq, 1).over(w).as("y"))
+      .filter(col("y").isNotNull)
+    pairs
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("g"), col("n_pairs"),
+        expr("""CASE WHEN n_pairs*sxx - sx*sx = 0.0
+                       OR n_pairs*syy - sy*sy = 0.0 THEN 0.0
+                ELSE (n_pairs*sxy - sx*sy) /
+                     (sqrt(n_pairs*sxx - sx*sx) * sqrt(n_pairs*syy - sy*sy))
+                END""").as("r"))
+  }
+
+  /** Exponentially-weighted smoothing as a fixed-tap FIR filter:
+    * `ewma_n = Σ_{j<taps} 2^(taps-1-j)·x_{n-j} / Σ 2^(taps-1-j)`
+    * (α = 1/2, truncated at `taps` lags — the geometric tail beyond
+    * 8 taps carries < 0.4% of the weight). Truncation is what makes
+    * the operator scale-safe AND exact: the true IIR recurrence needs
+    * either a sequential scan per series or numerically-explosive
+    * `(1-α)^(-i)` prefix tricks, while the FIR form is `taps` lag
+    * reads inside a per-entity window, with numerator/denominator
+    * exact BIGINT sums (power-of-two weights on fixed-point cents)
+    * and one final double division. Per-entity partitioned sort, no
+    * global window.
+    *
+    * @return (entity, ord, v_cents, ewma)
+    */
+  def ewmaFir(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String,
+      taps: Int = 8): DataFrame = {
+    require(taps >= 1 && taps <= 62, s"taps out of range: $taps")
+    val xq = floor(col(valueCol).cast("double") * 100).cast("long")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val terms = (0 until taps).map { j =>
+      val weight = 1L << (taps - 1 - j)
+      val x = if (j == 0) xq else lag(xq, j).over(w)
+      (when(x.isNotNull, x * lit(weight)).otherwise(lit(0L)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    events.select(
+      col(entityCol),
+      col(ordCol),
+      xq.as("v_cents"),
+      (num.cast("double") / den.cast("double")).as("ewma"))
+  }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{
-  Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, Prefix,
-  RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff, Timeseries}
+  Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, Moments,
+  Prefix, RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff, Timeseries}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -1023,6 +1023,87 @@ object ExtQueries {
             map_filter(col("m"), (_, v) => v >= 3L),
             (_, v) => v * 2L),
           map(lit("_n_types"), size(col("m")).cast("long")))).as(Seq("k", "v")))
+    }),
+
+    // OHLC bar resampling per (event_type, hour): deterministic
+    // open/close via the struct-min trick — ONE order-free hash
+    // aggregation whose partials carry bars, not events (see
+    // graft.ops.Timeseries.resampleOhlc).
+    "q_resample_ohlc" -> ((s, d) =>
+      Timeseries.resampleOhlc(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value")
+        .withColumnRenamed("entity", "event_type")),
+
+    // Per-row lag deltas over each user's series in exact cents —
+    // per-entity partitioned window, no global sort.
+    "q_lag_delta" -> ((s, d) =>
+      Timeseries.lagDeltas(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Lag-1 autocorrelation per event type from exact integer
+    // sufficient statistics (the q_ols_fit discipline applied to
+    // consecutive-observation pairs).
+    "q_autocorr" -> ((s, d) =>
+      Timeseries.autocorrLag1(Tables.events(s, d),
+        "event_type", "user_id", "ts", "event_id", "value")
+        .withColumnRenamed("g", "event_type")),
+
+    // Exponential smoothing as an exact 8-tap FIR filter: power-of-
+    // two weights on fixed-point cents, one double division at the
+    // end (see graft.ops.Timeseries.ewmaFir for why the truncated
+    // form is both the exact and the scale-safe one).
+    "q_ewma" -> ((s, d) =>
+      Timeseries.ewmaFir(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Skewness/excess kurtosis per group from exact integer power
+    // sums — Spark's own skewness/kurtosis stream partition-order-
+    // dependent co-moments and can't hash-verify (see
+    // graft.ops.Moments).
+    "q_moments" -> ((s, d) =>
+      Moments.momentsByGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity")
+        .withColumnRenamed("g", "l_returnflag")),
+
+    // Welch's unequal-variance t-test between return flags A and N:
+    // ONE conditional-sum aggregation over the filtered scan,
+    // closed-form t and Welch-Satterthwaite df on the merged row.
+    "q_welch_ttest" -> ((s, d) =>
+      Moments.welchTTest(Tables.lineitem(s, d),
+        "l_returnflag", "A", "N", "l_extendedprice")),
+
+    // Spearman rank correlation with exact tie-averaged ranks:
+    // doubled ranks (2*cum - cnt + 1) stay integral, computed from
+    // the scale-safe cumDist frame — parallelism never collapses to
+    // group count.
+    "q_spearman" -> ((s, d) =>
+      Moments.spearmanByGroup(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+        .withColumnRenamed("g", "l_returnflag")),
+
+    // Resource-allocation node similarity (the exactly-computable
+    // Adamic-Adar cousin) over the user->event_type bipartite graph:
+    // grouped posting-list pair generation, fixed-point 1/deg
+    // weights (see graft.ops.Graphs.resourceAllocation).
+    "q_node_sim" -> ((s, d) =>
+      Graphs.resourceAllocation(Tables.events(s, d),
+        "user_id", "event_type")),
+
+    // Uncorrelated scalar subqueries: orders above the GLOBAL mean
+    // price, counted per priority. Catalyst plans each aggregate
+    // subquery as a one-row broadcast; the comparison is kept exact
+    // in integers (cents * n > total_cents avoids a float mean).
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ssq_orders")
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+        FROM graft_ssq_orders
+        WHERE CAST(floor(o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM graft_ssq_orders) >
+              (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+               FROM graft_ssq_orders)
+        GROUP BY o_orderpriority""")
     })
   )
 
@@ -2109,6 +2190,179 @@ object ExtQueries {
          FROM c WHERE cnt >= 3
          UNION ALL
          SELECT user_id, '_n_types', CAST(count(*) AS BIGINT)
-         FROM c GROUP BY user_id"""
+         FROM c GROUP BY user_id""",
+
+    // struct-min trick replicated: DuckDB min over a struct orders
+    // lexicographically by field, same as Spark's struct ordering
+    "q_resample_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bucket,
+            CAST(count(*) AS BIGINT) AS n_events,
+            (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+            max(value) AS high, min(value) AS low,
+            (max({'t': ts, 'i': event_id, 'v': value})).v AS close,
+            CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2""",
+
+    "q_lag_delta" ->
+      """SELECT user_id, event_id,
+            CAST(floor(value*100) AS BIGINT) AS v_cents,
+            CAST(floor(value*100) AS BIGINT) -
+              lag(CAST(floor(value*100) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+         FROM events""",
+
+    // identical final-expression order as the Spark side: all float
+    // arithmetic happens once, on exact integer sums
+    "q_autocorr" ->
+      """WITH p AS (SELECT event_type AS g,
+              CAST(floor(value*100) AS BIGINT) AS x,
+              lag(CAST(floor(value*100) AS BIGINT)) OVER (
+                PARTITION BY event_type, user_id ORDER BY ts, event_id) AS y
+            FROM events),
+          f AS (SELECT g, x, y FROM p WHERE y IS NOT NULL),
+          s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x*x) AS DOUBLE) AS sxx,
+              CAST(sum(y*y) AS DOUBLE) AS syy,
+              CAST(sum(x*y) AS DOUBLE) AS sxy
+            FROM f GROUP BY g)
+          SELECT g AS event_type, n_pairs,
+            CASE WHEN n_pairs*sxx - sx*sx = 0.0
+                   OR n_pairs*syy - sy*sy = 0.0 THEN 0.0
+            ELSE (n_pairs*sxy - sx*sy) /
+                 (sqrt(n_pairs*sxx - sx*sx) * sqrt(n_pairs*syy - sy*sy))
+            END AS r
+          FROM s""",
+
+    "q_ewma" -> {
+      val lags = (1 to 7)
+        .map(j => s"lag(xq, $j) OVER w AS x$j").mkString(", ")
+      def term(j: Int, f: Long => String): String = {
+        val x = if (j == 0) "xq" else s"x$j"
+        s"CASE WHEN $x IS NULL THEN 0 ELSE ${f(1L << (7 - j))} END"
+      }
+      val num = (0 to 7).map(j => term(j, w => s"$w*${if (j == 0) "xq" else s"x$j"}")).mkString(" + ")
+      val den = (0 to 7).map(j => term(j, w => s"$w")).mkString(" + ")
+      s"""WITH b AS (SELECT user_id, event_id,
+              CAST(floor(value*100) AS BIGINT) AS xq, $lags
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, event_id, xq AS v_cents,
+            CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) AS ewma
+          FROM b"""
+    },
+
+    // raw-moment identities on exact integer power sums; expression
+    // text mirrors Moments.momentsByGroup token for token
+    "q_moments" ->
+      """WITH t AS (SELECT l_returnflag AS g,
+              CAST(floor(l_quantity) AS BIGINT) AS x FROM lineitem),
+          s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS DOUBLE) AS s1,
+              CAST(sum(x*x) AS DOUBLE) AS s2,
+              CAST(sum(x*x*x) AS DOUBLE) AS s3,
+              CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+            FROM t GROUP BY g)
+          SELECT g AS l_returnflag, n,
+            s1/n AS mean,
+            s2/n - (s1/n)*(s1/n) AS variance,
+            CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+            ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+                 ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+            END AS skew,
+            CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+            ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                    - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+                 ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
+            END AS kurt_excess
+          FROM s""",
+
+    "q_welch_ttest" ->
+      """WITH t AS (SELECT (l_returnflag = 'A') AS a,
+              CAST(floor(l_extendedprice*100) AS DECIMAL(18,0)) AS x
+            FROM lineitem WHERE l_returnflag IN ('A','N')),
+          s AS (SELECT
+              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a THEN x
+                       ELSE CAST(0 AS DECIMAL(18,0)) END) AS DOUBLE) AS sa,
+              CAST(sum(CASE WHEN NOT a THEN x
+                       ELSE CAST(0 AS DECIMAL(18,0)) END) AS DOUBLE) AS sb,
+              CAST(sum(CASE WHEN a THEN x*x
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS saa,
+              CAST(sum(CASE WHEN NOT a THEN x*x
+                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS sbb
+            FROM t)
+          SELECT n_a, n_b,
+            sa/n_a/100.0 AS mean_a,
+            sb/n_b/100.0 AS mean_b,
+            (sa/n_a - sb/n_b) /
+                sqrt((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                     (sbb - sb*sb/n_b)/(n_b - 1)/n_b) AS t_stat,
+            ((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                 (sbb - sb*sb/n_b)/(n_b - 1)/n_b) *
+                ((saa - sa*sa/n_a)/(n_a - 1)/n_a +
+                 (sbb - sb*sb/n_b)/(n_b - 1)/n_b) /
+                (((saa - sa*sa/n_a)/(n_a - 1)/n_a) *
+                 ((saa - sa*sa/n_a)/(n_a - 1)/n_a) / (n_a - 1) +
+                 ((sbb - sb*sb/n_b)/(n_b - 1)/n_b) *
+                 ((sbb - sb*sb/n_b)/(n_b - 1)/n_b) / (n_b - 1)) AS df
+          FROM s""",
+
+    // doubled average ranks 2*cum - cnt + 1 stay integral; Pearson
+    // on ranks from exact DECIMAL sums
+    "q_spearman" ->
+      """WITH t AS (SELECT l_returnflag AS g,
+              CAST(floor(l_quantity) AS BIGINT) AS xv,
+              CAST(floor(l_extendedprice*100) AS BIGINT) AS yv
+            FROM lineitem),
+          cx AS (SELECT g, xv AS v, count(*) AS c FROM t GROUP BY 1, 2),
+          rx AS (SELECT g, v, CAST(2*sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c + 1 AS DECIMAL(18,0)) AS rx FROM cx),
+          cy AS (SELECT g, yv AS v, count(*) AS c FROM t GROUP BY 1, 2),
+          ry AS (SELECT g, v, CAST(2*sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c + 1 AS DECIMAL(18,0)) AS ry FROM cy),
+          r AS (SELECT t.g, rx.rx, ry.ry FROM t
+                JOIN rx ON rx.g = t.g AND rx.v = t.xv
+                JOIN ry ON ry.g = t.g AND ry.v = t.yv),
+          s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+              CAST(sum(rx*rx) AS DOUBLE) AS sxx,
+              CAST(sum(ry*ry) AS DOUBLE) AS syy,
+              CAST(sum(rx*ry) AS DOUBLE) AS sxy
+            FROM r GROUP BY g)
+          SELECT g AS l_returnflag, n,
+            CASE WHEN n*sxx - sx*sx = 0.0 OR n*syy - sy*sy = 0.0
+            THEN 0.0
+            ELSE (n*sxy - sx*sy) /
+                 (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+            END AS rho
+          FROM s""",
+
+    // integer floor division keeps the 1/deg weights exact
+    "q_node_sim" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u, event_type AS t
+                    FROM events),
+          deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+          k AS (SELECT u, 1000000 // dg AS w FROM deg
+                WHERE dg BETWEEN 2 AND 256),
+          p AS (SELECT e1.t AS a, e2.t AS b, k.w
+                FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.t < e2.t
+                JOIN k ON k.u = e1.u)
+          SELECT a AS node_a, b AS node_b,
+            CAST(count(*) AS BIGINT) AS n_common,
+            CAST(sum(w) AS BIGINT) AS ra_fp
+          FROM p GROUP BY 1, 2""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+         FROM orders
+         WHERE CAST(floor(o_totalprice * 100) AS BIGINT) *
+               (SELECT count(*) FROM orders) >
+               (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                FROM orders)
+         GROUP BY o_orderpriority"""
   )
 }

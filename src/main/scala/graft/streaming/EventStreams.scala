@@ -546,4 +546,100 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming OHLC bars — the streaming twin of
+    * [[graft.ops.Timeseries.resampleOhlc]]: per (event_type, hour)
+    * deterministic open/high/low/close via the SAME struct-min trick,
+    * running as a watermarked windowed aggregation. Because the
+    * open/close are order-free min/max of (ts, ord, v) structs, the
+    * streaming state per window is one candidate struct — late
+    * arrivals inside the watermark fold in commutatively, so a bar
+    * emitted on watermark passage is bit-identical to the batch bar
+    * over the same rows (the spec asserts equality). No custom state
+    * needed: the batch aggregate IS the streaming aggregate.
+    */
+  def hourlyOhlc(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val v = col("value").cast("double")
+    val keyed = struct(col("ts").as("t"), col("event_id").as("i"), v.as("v"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(keyed).getField("v").as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max(keyed).getField("v").as("close"),
+        sum(floor(v * 100).cast("long")).as("sum_cents"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"),
+        col("close"), col("sum_cents"))
+  }
+
+  final case class DeltaOut(
+      user_id: Long, event_id: Long, v_cents: Long,
+      delta_cents: Option[Long])
+
+  /** Last observation per user (public: the state encoder's generated
+    * code must be able to construct it).
+    */
+  final case class LastObs(tsMs: Long, ord: Long, cents: Long)
+
+  /** Streaming per-series lag deltas — the streaming twin of
+    * [[graft.ops.Timeseries.lagDeltas]]: each arrival's exact-cents
+    * change versus the user's previous observation, carried across
+    * micro-batches in one `LastObs` state per user. Within a
+    * micro-batch arrivals apply in (ts, ord) order (deterministic
+    * under re-execution); an arrival older than the carried state is
+    * emitted with a null delta rather than rewriting history (append
+    * semantics — the sessionize approximation). State is one 24-byte
+    * record per active user, dropped after `stateTtlMillis` of
+    * event-time silence; a user returning later starts a new series
+    * (first delta null), which is where the streaming result is
+    * allowed to differ from batch — within one burst the spec asserts
+    * row equality.
+    */
+  def streamingDeltas(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      stateTtlMillis: Long = 24L * 3600L * 1000L): Dataset[DeltaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastObs, DeltaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastObs]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption
+            val out = Vector.newBuilder[DeltaOut]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val cents = math.floor(e.value * 100).toLong
+              val t = e.ts.getTime
+              val inOrder = last.forall(l =>
+                l.tsMs < t || (l.tsMs == t && l.ord < e.event_id))
+              if (inOrder) {
+                out += DeltaOut(userId, e.event_id, cents,
+                  last.map(cents - _.cents))
+                last = Some(LastObs(t, e.event_id, cents))
+              } else {
+                // out-of-order beyond the carried frontier: surface it
+                // without a delta instead of silently recomputing one
+                // against the wrong predecessor
+                out += DeltaOut(userId, e.event_id, cents, None)
+              }
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(l.tsMs + stateTtlMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

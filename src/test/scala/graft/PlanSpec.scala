@@ -280,6 +280,37 @@ class PlanSpec extends AnyFunSuite {
       s"calendar cross join leaked:\n$p")
   }
 
+  test("stats/timeseries operators keep their designed shapes") {
+    // OHLC resample: ONE order-free hash aggregation — the struct-min
+    // open/close partials must combine map-side, and there must be NO
+    // window (a sort-based "first per bucket" would sort every
+    // entity's history; the agg shuffles one bar per group/partition)
+    val ohlc = plan("q_resample_ohlc")
+    assert(ohlc.contains("partial_min") && ohlc.contains("partial_max"),
+      s"OHLC open/close lost map-side combine:\n$ohlc")
+    assert(!ohlc.contains("Window"),
+      s"OHLC fell back to a window sort:\n$ohlc")
+    // exact-sufficient-statistic aggs: one partial-combining pass each
+    for (q <- Seq("q_moments", "q_welch_ttest", "q_autocorr"))
+      assert(plan(q).contains("partial_sum"),
+        s"$q power sums lost map-side combine")
+    // welch: single scan — the two groups come from conditional sums,
+    // not a self-join or two passes
+    val w = plan("q_welch_ttest")
+    assert(!w.contains("Join"), s"welch t-test grew a self-join:\n$w")
+    // node similarity: grouped posting-list pair-gen — the only joins
+    // allowed are none at all (explode over grouped lists)
+    val ns = plan("q_node_sim")
+    assert(!ns.contains("Join"), s"node-sim grew a posting self-join:\n$ns")
+    assert(ns.contains("Generate explode"),
+      s"node-sim pair generation shape changed:\n$ns")
+    // spearman rides the scale-safe cumDist frame: no per-group
+    // whole-distribution window (the pid-keyed bucket window is fine)
+    val sp = plan("q_spearman")
+    assert(!sp.contains("Window [") ||
+      sp.contains("bkt"), s"spearman lost the bucketed rank frame:\n$sp")
+  }
+
   test("GLOBAL: no query plans a CartesianProduct; BNL only where a tiny broadcast justifies it") {
     // CartesianProduct (the shuffle-based all-pairs join) is banned
     // outright across the whole surface. BroadcastNestedLoopJoin is

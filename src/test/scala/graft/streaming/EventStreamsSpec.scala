@@ -521,4 +521,73 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(end.count(_._2 == ts("2024-01-01 00:00:00")) == 1)
     } finally q.stop()
   }
+
+  test("streaming OHLC bar == batch resampleOhlc on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val bars = EventStreams.hourlyOhlc(input.toDF(), watermarkDelay = "5 minutes")
+    val q = bars.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ohlc_bars").start()
+    try {
+      val hourRows = Seq(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 10.00),
+        ev(2, "2024-01-01 10:20:00", 2, "click", 12.50),
+        ev(3, "2024-01-01 10:20:00", 3, "click", 9.75)) // ts tie
+      input.addData(hourRows: _*)
+      q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable() // watermark passes 11:00 -> bar closes
+      val got = spark.table("ohlc_bars").collect()
+        .filter(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+        .toSet
+      val want = graft.ops.Timeseries
+        .resampleOhlc(hourRows.toDF(), "event_type", "ts", "event_id", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+        .toSet
+      assert(got == want)
+      assert(got == Set(("click", 3L, 10.00, 12.50, 9.75, 9.75, 3225L)))
+    } finally q.stop()
+  }
+
+  test("streaming deltas carry last value across micro-batches == batch lagDeltas") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val deltas = EventStreams.streamingDeltas(input.toDS())
+    val q = deltas.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lag_deltas").start()
+    try {
+      val batch1 = Seq(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 10.00),
+        ev(2, "2024-01-01 10:10:00", 1, "click", 12.50),
+        ev(3, "2024-01-01 10:05:00", 2, "click", 5.00))
+      val batch2 = Seq(
+        ev(4, "2024-01-01 10:20:00", 1, "click", 9.75), // continues u1
+        ev(5, "2024-01-01 10:30:00", 2, "click", 7.25), // continues u2
+        ev(7, "2024-01-01 10:40:00", 1, "click", 11.00))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("lag_deltas").collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val want = graft.ops.Timeseries
+        .lagDeltas((batch1 ++ batch2).toDF(), "user_id", "ts", "event_id", "value")
+        .collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got == want)
+      assert(got(4L) == Some(-275L)) // cross-batch delta, not a restart
+      assert(got(7L) == Some(125L))
+      // an arrival INSIDE the watermark (10:30 after batch2) but
+      // behind the carried frontier (10:40) surfaces with null delta
+      input.addData(ev(6, "2024-01-01 10:35:00", 1, "click", 100.0))
+      q.processAllAvailable()
+      val late = spark.table("lag_deltas").collect()
+        .filter(_.getLong(1) == 6L)
+      assert(late.length == 1 && late.head.isNullAt(3))
+    } finally q.stop()
+  }
 }
