@@ -58,4 +58,58 @@ object Anomaly {
       .select(col("series"), col("hour"), col("cnt"), col("baseline_sum"),
         col("dev"), col("var_nsq"), col("is_anomaly"))
   }
+
+  /** CUSUM change-point scan per series, in EXACT integer arithmetic:
+    * with n observations, total S = Σxq and prefix sums P_k, the
+    * centered cumulative sum at position k is
+    *
+    *   C_k = Σ_{i≤k}(x_i − S/n) · n  =  n·P_k − k·S
+    *
+    * (scaled by n so the mean never becomes a float). The change-point
+    * estimate is the k maximizing |C_k| — the classic CUSUM location
+    * statistic; `cusum_max = max|C_k| / (n · n)` approximates the
+    * level-shift × run-length product a monitor thresholds on, left
+    * to the caller as the exact integer pair (c_abs, n).
+    *
+    * Scale shape: ONE per-series window (prefix sum + row number +
+    * per-partition totals over the same frame — Spark collapses them
+    * into a single sort), then an order-free struct-max aggregation
+    * per series: the shuffle after the window carries one candidate
+    * row per series per partition. The argmax tie-break is the
+    * lexicographic (c_abs, c, k, ord) struct — deterministic and
+    * replicated by DuckDB's identical struct ordering.
+    *
+    * @return (entity, n, k_star, ord_star, cusum_star, cusum_abs)
+    */
+  def cusumChangePoint(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    val xq = floor(col(valueCol).cast("double") * 100).cast("long")
+    val wOrd = Window.partitionBy(col("entity"))
+      .orderBy(col("t"), col("ord"))
+    val wAll = Window.partitionBy(col("entity"))
+    val scored = events
+      .select(col(entityCol).as("entity"), col(tsCol).as("t"),
+        col(ordCol).as("ord"), xq.as("xq"))
+      .withColumn("pk", sum(col("xq")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("s", sum(col("xq")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("c", col("n") * col("pk") - col("k") * col("s"))
+    scored
+      .groupBy(col("entity"))
+      .agg(
+        max(col("n")).as("n"),
+        max(struct(abs(col("c")).as("a"), col("c").as("c"),
+          col("k").cast("long").as("k"), col("ord").as("i"))).as("m"))
+      .select(col("entity"), col("n"),
+        col("m").getField("k").as("k_star"),
+        col("m").getField("i").as("ord_star"),
+        col("m").getField("c").as("cusum_star"),
+        col("m").getField("a").as("cusum_abs"))
+  }
 }

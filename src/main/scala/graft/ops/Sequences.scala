@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence mining over per-entity event streams: Markov transition
+  * counts and marketing-style touch attribution. Extends the
+  * reference's flat per-PR event handling (SURVEY.md §2 has no
+  * ordering-dependent operator at all) with the order-aware layer an
+  * event log actually gets queried with.
+  *
+  * Scale shape (both operators): ONE window partitioned by the entity
+  * — each series sorts inside its own partition, parallelism is the
+  * key cardinality, no global sort — followed by an ordinary
+  * partial-combining hash aggregation (transitions) or a filter
+  * (attribution). Everything downstream of the window carries
+  * entity-count-×-small rows.
+  *
+  * Determinism: series order is the unique (ts, ord) pair; transition
+  * probabilities are fixed-point parts-per-million via integer floor
+  * division (no float ratios to disagree on); attribution picks
+  * touches via min/max over (ts, ord, ...) structs — order-free and
+  * hash-verifiable cross-engine.
+  */
+object Sequences {
+
+  /** First-order Markov transition matrix of `attrCol` over each
+    * entity's (ts, ord)-ordered stream: counts of consecutive
+    * (from → to) pairs across ALL entities, with the per-from
+    * transition probability as exact integer parts-per-million.
+    *
+    * The probability normalization happens on the AGGREGATED frame
+    * (|states|² rows), so the second window is over a frame that
+    * stays tiny no matter how large the input — never over events.
+    *
+    * @return (src, dst, cnt, p_ppm)
+    */
+  def transitionCounts(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+    val pairs = events
+      .select(col(attrCol).as("from"),
+        lead(col(attrCol), 1).over(w).as("to"))
+      .filter(col("to").isNotNull)
+    pairs
+      .groupBy(col("from"), col("to"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("from_total",
+        sum(col("cnt")).over(Window.partitionBy(col("from"))))
+      .select(col("from").as("src"), col("to").as("dst"), col("cnt"),
+        expr("(1000000 * cnt) div from_total").as("p_ppm"))
+  }
+
+  /** First- and last-touch attribution: for every conversion event,
+    * the earliest and the most recent preceding touch event of the
+    * same entity (strictly before the conversion in (ts, ord) order),
+    * null when no touch precedes. The running min/max over
+    * conditional (ts, ord) structs needs no join back to the touch
+    * stream — one window pass emits both attributions.
+    *
+    * @return (entity, conversion ord, conversion ts, first_touch,
+    *          last_touch) — touch columns are the touch's ord id.
+    */
+  def touchAttribution(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      attrCol: String,
+      touchValue: String,
+      conversionValue: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch: Column = when(col(attrCol) === lit(touchValue),
+      struct(col(tsCol).as("t"), col(ordCol).as("i")))
+    events
+      .select(col(entityCol), col(tsCol), col(ordCol), col(attrCol),
+        min(touch).over(w).as("ft"),
+        max(touch).over(w).as("lt"))
+      .filter(col(attrCol) === lit(conversionValue))
+      .select(col(entityCol),
+        col(ordCol).as("conversion_id"),
+        col(tsCol).as("conversion_ts"),
+        col("ft").getField("i").as("first_touch"),
+        col("lt").getField("i").as("last_touch"))
+  }
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{
   Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, Moments,
-  Prefix, RangeJoin, Scd, Sessions, Similarity, Skew, SnapshotDiff, Timeseries}
+  Prefix, RangeJoin, Scd, Sequences, Sessions, Similarity, Skew,
+  SnapshotDiff, Timeseries}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -1104,7 +1105,31 @@ object ExtQueries {
               (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                FROM graft_ssq_orders)
         GROUP BY o_orderpriority""")
-    })
+    }),
+
+    // First-order Markov transition matrix of event types per user
+    // stream: one per-entity window, then hash aggregation; the
+    // probability normalization runs over the |states|^2 aggregated
+    // frame, never over events. p_ppm is exact integer floor division.
+    "q_transitions" -> ((s, d) =>
+      Sequences.transitionCounts(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // First/last-touch attribution: each purchase bound to the
+    // earliest and most recent strictly-preceding click of the same
+    // user via conditional struct min/max over ONE window pass — no
+    // join back to the touch stream.
+    "q_attribution" -> ((s, d) =>
+      Sequences.touchAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "click", "purchase")),
+
+    // CUSUM change-point scan per user in exact integers
+    // (C_k = n*P_k - k*S; argmax |C_k| via struct max — see
+    // graft.ops.Anomaly.cusumChangePoint).
+    "q_cusum" -> ((s, d) =>
+      Anomaly.cusumChangePoint(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")
+        .withColumnRenamed("entity", "user_id"))
   )
 
   /** LSH pairs oracle: the SAME hyperplane bucket arithmetic
@@ -2363,6 +2388,60 @@ object ExtQueries {
                (SELECT count(*) FROM orders) >
                (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                 FROM orders)
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS f,
+              lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS t
+            FROM events),
+          c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt
+                FROM p WHERE t IS NOT NULL GROUP BY 1, 2),
+          w AS (SELECT f, t, cnt, sum(cnt) OVER (PARTITION BY f) AS tot
+                FROM c)
+          SELECT f AS src, t AS dst, cnt,
+            CAST((1000000 * cnt) // tot AS BIGINT) AS p_ppm
+          FROM w""",
+
+    // the same conditional struct min/max window — DuckDB's struct
+    // ordering matches Spark's field-lexicographic ordering
+    "q_attribution" ->
+      """WITH a AS (SELECT user_id, ts, event_id, event_type,
+            (min(CASE WHEN event_type = 'click'
+                 THEN {'t': ts, 'i': event_id} END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ).i AS first_touch,
+            (max(CASE WHEN event_type = 'click'
+                 THEN {'t': ts, 'i': event_id} END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ).i AS last_touch
+          FROM events)
+          SELECT user_id, event_id AS conversion_id,
+            ts AS conversion_ts, first_touch, last_touch
+          FROM a WHERE event_type = 'purchase'""",
+
+    // integer CUSUM: C_k = n*P_k - k*S; argmax via the same
+    // (abs, c, k, ord) struct ordering as the Spark aggregation
+    "q_cusum" ->
+      """WITH b AS (SELECT user_id AS entity, event_id AS ord,
+              CAST(floor(value*100) AS BIGINT) AS xq, ts FROM events),
+          w AS (SELECT entity, ord,
+              sum(xq) OVER (PARTITION BY entity ORDER BY ts, ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+              row_number() OVER (PARTITION BY entity ORDER BY ts, ord) AS k,
+              sum(xq) OVER (PARTITION BY entity) AS s,
+              count(*) OVER (PARTITION BY entity) AS n
+            FROM b),
+          c AS (SELECT entity, ord, CAST(n AS BIGINT) AS n,
+              CAST(n*pk - k*s AS BIGINT) AS c, CAST(k AS BIGINT) AS k
+            FROM w)
+          SELECT entity AS user_id, CAST(max(n) AS BIGINT) AS n,
+            (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).k AS k_star,
+            (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).i AS ord_star,
+            (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).c AS cusum_star,
+            (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).a AS cusum_abs
+          FROM c GROUP BY entity"""
   )
 }

@@ -309,6 +309,12 @@ class PlanSpec extends AnyFunSuite {
     val sp = plan("q_spearman")
     assert(!sp.contains("Window [") ||
       sp.contains("bkt"), s"spearman lost the bucketed rank frame:\n$sp")
+    // sequence ops: single window pass, no join back to the stream;
+    // cusum's argmax keeps its struct-max map-side combine
+    for (q <- Seq("q_transitions", "q_attribution"))
+      assert(!plan(q).contains("Join"), s"$q grew a join")
+    assert(plan("q_cusum").contains("partial_max"),
+      "cusum argmax lost map-side combine")
   }
 
   test("GLOBAL: no query plans a CartesianProduct; BNL only where a tiny broadcast justifies it") {

@@ -186,4 +186,70 @@ class StatsTimeseriesSpec extends AnyFunSuite {
       assert(got.size == 3)
     }
   }
+
+  test("transitionCounts: exact counts and ppm probabilities") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "b"),
+      (2L, ts("2024-01-01 10:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "a")
+    ).toDF("u", "t", "i", "a")
+    for (parts <- Seq(1, 4)) {
+      val got = Sequences
+        .transitionCounts(rows.repartition(parts), "u", "t", "i", "a")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got(("a", "b")) == ((2L, 2000000L / 3)))
+      assert(got(("a", "a")) == ((1L, 1000000L / 3)))
+      assert(got(("b", "a")) == ((1L, 1000000L)))
+      assert(got.size == 3)
+    }
+  }
+
+  test("touchAttribution: first/last preceding click; null without one") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase"), // no click before
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "view"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "click"),
+      (1L, ts("2024-01-01 10:04:00"), 5L, "purchase"), // first=2 last=4
+      (1L, ts("2024-01-01 10:05:00"), 6L, "purchase")  // same attribution
+    ).toDF("u", "t", "i", "a")
+    val got = Sequences
+      .touchAttribution(rows, "u", "t", "i", "a", "click", "purchase")
+      .collect()
+      .map(r => r.getLong(1) -> (
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((None, None)))
+    assert(got(5L) == ((Some(2L), Some(4L))))
+    assert(got(6L) == ((Some(2L), Some(4L))))
+    assert(got.size == 3)
+  }
+
+  test("cusumChangePoint finds the level shift at the exact position") {
+    // step series: 0,0,0,10,10 -> C = -2000,-4000,-6000,-3000,0
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 0.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, 0.0),
+      (1L, ts("2024-01-01 10:02:00"), 3L, 0.0),
+      (1L, ts("2024-01-01 10:03:00"), 4L, 10.0),
+      (1L, ts("2024-01-01 10:04:00"), 5L, 10.0)
+    ).toDF("u", "t", "i", "v")
+    for (parts <- Seq(1, 3)) {
+      val r = Anomaly
+        .cusumChangePoint(rows.repartition(parts), "u", "t", "i", "v")
+        .collect().head
+      assert(r.getLong(1) == 5L)       // n
+      assert(r.getLong(2) == 3L)       // k_star: last pre-shift index
+      assert(r.getLong(3) == 3L)       // ord of that observation
+      assert(r.getLong(4) == -6000L)   // C_3 = 5*0 - 3*2000
+      assert(r.getLong(5) == 6000L)
+    }
+  }
 }
