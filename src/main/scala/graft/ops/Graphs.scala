@@ -473,6 +473,49 @@ object Graphs {
       .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_fp"))
   }
 
+  /** Degree assortativity of an undirected graph: Pearson r between
+    * the endpoint degrees over all edge orientations (Newman's mixing
+    * coefficient — positive when hubs attach to hubs). Degrees are
+    * exact integers, so the correlation's sufficient statistics are
+    * exact DECIMAL(38,0) folds (degree products pass 2^63 on
+    * billion-edge graphs) and the final r is one deterministic double
+    * expression — the [[Moments]] discipline applied to a graph
+    * invariant.
+    *
+    * Scale shape: degree count (one shuffle on node), two equi-joins
+    * edge→degree (shuffled hash joins on node id — the degree frame
+    * is node-sized), one global aggregation. No windows, no
+    * iteration.
+    *
+    * @return one row: (n_ends, r)
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct()
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val d18 = "decimal(18,0)"
+    val pairs = sym
+      .join(deg, Seq("u"))
+      .join(deg.select(col("u").as("v"), col("du").as("dv")), Seq("v"))
+      .select(col("du").cast(d18).as("x"), col("dv").cast(d18).as("y"))
+    pairs.agg(
+        count(lit(1)).as("n_ends"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("n_ends"),
+        expr("""CASE WHEN n_ends*sxx - sx*sx = 0.0
+                       OR n_ends*syy - sy*sy = 0.0 THEN 0.0
+                ELSE (n_ends*sxy - sx*sy) /
+                     (sqrt(n_ends*sxx - sx*sx) * sqrt(n_ends*syy - sy*sy))
+                END""").as("r"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

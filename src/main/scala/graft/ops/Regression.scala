@@ -31,6 +31,13 @@ object Regression {
       xCol: String,
       groupCols: Seq[String]): DataFrame = {
     def q(c: Column): Column = floor(c.cast("double") * 100.0).cast("long")
+    // second-order sums fold in DECIMAL(38,0): Σy² of cents-scale
+    // values passes 2^63 in the single-digit-TB range (it was within
+    // 2× of wrapping at sf0.1 already) — decimal keeps the fold exact
+    // and order-free at any scale, and casts to the identical double
+    val d18 = "decimal(18,0)"
+    val xd = col("xq").cast(d18)
+    val yd = col("yq").cast(d18)
     val stats = df
       .select(groupCols.map(col) :+ q(col(xCol)).as("xq") :+ q(col(yCol)).as("yq"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -38,9 +45,9 @@ object Regression {
         count(lit(1)).as("n"),
         sum(col("xq")).as("sx"),
         sum(col("yq")).as("sy"),
-        sum(col("xq") * col("xq")).as("sxx"),
-        sum(col("xq") * col("yq")).as("sxy"),
-        sum(col("yq") * col("yq")).as("syy"))
+        sum(xd * xd).as("sxx"),
+        sum(xd * yd).as("sxy"),
+        sum(yd * yd).as("syy"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
@@ -58,4 +65,74 @@ object Regression {
     stats.select(groupCols.map(col) :+ col("n") :+ beta0.as("beta0") :+
       beta1.as("beta1") :+ r2.as("r2"): _*)
   }
+
+  /** Two-regressor OLS per group: y ≈ b0 + b1·x1 + b2·x2, solved in
+    * closed form from the 3×3 normal equations via Cramer's rule on
+    * NINE exact sufficient statistics — still ONE partial-combining
+    * aggregation pass and a constant-time finish; the multivariate
+    * fit costs exactly what the simple fit costs. All second-order
+    * sums fold in DECIMAL(38,0) (overflow-safe at any scale), the
+    * determinants run in double on the exact sums in a fixed
+    * expression order replicated in the oracle. Near-singular systems
+    * (|D| = 0 exactly, e.g. collinear regressors) emit zero betas.
+    *
+    * Coefficients are reported in the original units: cents
+    * quantization cancels in b1/b2 (cents/cents) and b0 rescales
+    * by /100.
+    *
+    * @return (groupCols…, n, beta0, beta1, beta2)
+    */
+  def olsFit2(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      groupCols: Seq[String]): DataFrame = {
+    def q(c: Column): Column = floor(c.cast("double") * 100.0).cast("long")
+    val d18 = "decimal(18,0)"
+    def d(name: String): Column = col(name).cast(d18)
+    val stats = df
+      .select(groupCols.map(col) :+ q(col(x1Col)).as("a") :+
+        q(col(x2Col)).as("b") :+ q(col(yCol)).as("y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"),
+        sum(col("y")).as("sy"),
+        sum(d("a") * d("a")).as("saa"),
+        sum(d("a") * d("b")).as("sab"),
+        sum(d("b") * d("b")).as("sbb"),
+        sum(d("a") * d("y")).as("say"),
+        sum(d("b") * d("y")).as("sby"))
+    // Cramer on [[n,sa,sb],[sa,saa,sab],[sb,sab,sbb]] · β = [sy,say,sby]
+    // — one shared det3 text keeps Spark and the oracle token-identical
+    stats.selectExpr(
+      groupCols ++ Seq(
+        "n",
+        s"CASE WHEN ($Det2) = 0.0 THEN 0.0 ELSE ($Det2B0) / ($Det2) / 100.0 END AS beta0",
+        s"CASE WHEN ($Det2) = 0.0 THEN 0.0 ELSE ($Det2B1) / ($Det2) END AS beta1",
+        s"CASE WHEN ($Det2) = 0.0 THEN 0.0 ELSE ($Det2B2) / ($Det2) END AS beta2"): _*)
+  }
+
+  /** Determinant expression texts shared verbatim by [[olsFit2]] and
+    * its DuckDB oracle (`graft.queries.ExtQueries`): identical token
+    * sequences guarantee identical IEEE evaluation order. The casts
+    * normalize BIGINT/DECIMAL sums to double in both engines.
+    */
+  private def c(e: String): String = s"CAST($e AS DOUBLE)"
+  val Det2: String = det3("CAST(n AS DOUBLE)", c("sa"), c("sb"),
+    c("sa"), c("saa"), c("sab"), c("sb"), c("sab"), c("sbb"))
+  val Det2B0: String = det3(c("sy"), c("sa"), c("sb"),
+    c("say"), c("saa"), c("sab"), c("sby"), c("sab"), c("sbb"))
+  val Det2B1: String = det3("CAST(n AS DOUBLE)", c("sy"), c("sb"),
+    c("sa"), c("say"), c("sab"), c("sb"), c("sby"), c("sbb"))
+  val Det2B2: String = det3("CAST(n AS DOUBLE)", c("sa"), c("sy"),
+    c("sa"), c("saa"), c("say"), c("sb"), c("sab"), c("sby"))
+
+  private def det3(
+      a: String, b: String, cc: String,
+      dd: String, e: String, f: String,
+      g: String, h: String, i: String): String =
+    s"$a*($e*$i - $f*$h) - $b*($dd*$i - $f*$g) + $cc*($dd*$h - $e*$g)"
 }

@@ -91,4 +91,42 @@ object Sequences {
         col("ft").getField("i").as("first_touch"),
         col("lt").getField("i").as("last_touch"))
   }
+
+  /** Time-decayed engagement score per entity with a ONE-DAY
+    * half-life, kept exact: an event aged `d` calendar days at
+    * `asofDate` weighs `2^(horizon − d)` (zero beyond the horizon),
+    * so the per-entity fold is an exact integer sum and the score is
+    * one final division by `2^horizon` — recency weighting with no
+    * float exp() anywhere (dyadic weights are why the half-life is
+    * pinned to one day, the same exactness-pins-the-parameter choice
+    * as the α=1/2 temperature mix and EWMA taps). The horizon (40
+    * days ≈ weight 1e-12) bounds both the truncation error and the
+    * sum's magnitude: n·2^40 stays far inside 2^63 for any real
+    * per-entity event count.
+    *
+    * ONE order-free hash aggregation; the asof date is a plan
+    * literal, so the age arithmetic is a per-row projection.
+    *
+    * @return (entity, n_events, w_sum, score) — score = w_sum/2^40,
+    *         1.0 ≈ one event today.
+    */
+  def decayedEngagement(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      asofDate: String,
+      horizonDays: Int = 40): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62, s"horizon: $horizonDays")
+    val age = datediff(lit(asofDate).cast("date"), col(tsCol).cast("date"))
+    val w = when(age.between(0, horizonDays),
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizonDays - " +
+        s"datediff(CAST('$asofDate' AS DATE), CAST(${tsCol} AS DATE)) AS INT))"))
+      .otherwise(lit(0L))
+    events
+      .groupBy(col(entityCol).as("entity"))
+      .agg(count(lit(1)).as("n_events"), sum(w).as("w_sum"))
+      .select(col("entity"), col("n_events"), col("w_sum"),
+        (col("w_sum").cast("double") /
+          lit(math.pow(2.0, horizonDays))).as("score"))
+  }
 }

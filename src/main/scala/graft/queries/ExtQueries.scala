@@ -1129,6 +1129,33 @@ object ExtQueries {
     "q_cusum" -> ((s, d) =>
       Anomaly.cusumChangePoint(Tables.events(s, d),
         "user_id", "ts", "event_id", "value")
+        .withColumnRenamed("entity", "user_id")),
+
+    // Two-regressor OLS in closed form: nine exact sufficient sums,
+    // Cramer's-rule solve — the multivariate fit is still ONE
+    // aggregation pass (see graft.ops.Regression.olsFit2; the
+    // determinant texts are shared verbatim with this oracle).
+    "q_ols2" -> ((s, d) =>
+      graft.ops.Regression.olsFit2(Tables.lineitem(s, d),
+        yCol = "l_extendedprice", x1Col = "l_quantity",
+        x2Col = "l_discount", groupCols = Seq("l_returnflag"))),
+
+    // Degree assortativity of the part-supplier bipartite graph:
+    // Newman's mixing coefficient from exact decimal degree-product
+    // sums (see graft.ops.Graphs.degreeAssortativity).
+    "q_assortativity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2L).as("pn"),
+        (col("l_suppkey") * 2L + 1L).as("sn"))
+      Graphs.degreeAssortativity(li, "pn", "sn")
+    }),
+
+    // One-day-half-life decayed engagement per user: dyadic 2^(h-age)
+    // weights keep the recency fold an exact integer sum — no exp()
+    // (see graft.ops.Sequences.decayedEngagement).
+    "q_decayed" -> ((s, d) =>
+      Sequences.decayedEngagement(Tables.events(s, d),
+        "user_id", "ts", asofDate = "2024-02-01")
         .withColumnRenamed("entity", "user_id"))
   )
 
@@ -2442,6 +2469,71 @@ object ExtQueries {
             (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).i AS ord_star,
             (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).c AS cusum_star,
             (max({'a': abs(c), 'c': c, 'k': k, 'i': ord})).a AS cusum_abs
-          FROM c GROUP BY entity"""
+          FROM c GROUP BY entity""",
+
+    // determinant expression texts interpolated from Regression —
+    // token-identical to the Spark selectExpr, so the IEEE evaluation
+    // order is identical by construction
+    "q_ols2" -> {
+      import graft.ops.Regression.{Det2, Det2B0, Det2B1, Det2B2}
+      s"""WITH t AS (SELECT l_returnflag AS g,
+              CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0) AS BIGINT) AS a,
+              CAST(floor(CAST(l_discount AS DOUBLE) * 100.0) AS BIGINT) AS b,
+              CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT) AS y
+            FROM lineitem),
+          s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              sum(a) AS sa, sum(b) AS sb, sum(y) AS sy,
+              sum(CAST(a AS DECIMAL(18,0))*CAST(a AS DECIMAL(18,0))) AS saa,
+              sum(CAST(a AS DECIMAL(18,0))*CAST(b AS DECIMAL(18,0))) AS sab,
+              sum(CAST(b AS DECIMAL(18,0))*CAST(b AS DECIMAL(18,0))) AS sbb,
+              sum(CAST(a AS DECIMAL(18,0))*CAST(y AS DECIMAL(18,0))) AS say,
+              sum(CAST(b AS DECIMAL(18,0))*CAST(y AS DECIMAL(18,0))) AS sby
+            FROM t GROUP BY g)
+          SELECT g AS l_returnflag, n,
+            CASE WHEN ($Det2) = 0.0 THEN 0.0
+                 ELSE ($Det2B0) / ($Det2) / 100.0 END AS beta0,
+            CASE WHEN ($Det2) = 0.0 THEN 0.0
+                 ELSE ($Det2B1) / ($Det2) END AS beta1,
+            CASE WHEN ($Det2) = 0.0 THEN 0.0
+                 ELSE ($Det2B2) / ($Det2) END AS beta2
+          FROM s"""
+    },
+
+    "q_assortativity" ->
+      """WITH e AS (SELECT DISTINCT l_partkey*2 AS u, l_suppkey*2+1 AS v
+                    FROM lineitem),
+          sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS du
+                  FROM sym GROUP BY u),
+          p AS (SELECT CAST(d1.du AS DECIMAL(18,0)) AS x,
+                       CAST(d2.du AS DECIMAL(18,0)) AS y
+                FROM sym JOIN deg d1 ON d1.u = sym.u
+                         JOIN deg d2 ON d2.u = sym.v),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n_ends,
+              CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x*x) AS DOUBLE) AS sxx,
+              CAST(sum(y*y) AS DOUBLE) AS syy,
+              CAST(sum(x*y) AS DOUBLE) AS sxy
+            FROM p)
+          SELECT n_ends,
+            CASE WHEN n_ends*sxx - sx*sx = 0.0
+                   OR n_ends*syy - sy*sy = 0.0 THEN 0.0
+            ELSE (n_ends*sxy - sx*sy) /
+                 (sqrt(n_ends*sxx - sx*sx) * sqrt(n_ends*syy - sy*sy))
+            END AS r
+          FROM s""",
+
+    // dyadic decay weights via integer shifts; 2^40 = 1099511627776
+    "q_decayed" ->
+      """WITH t AS (SELECT user_id,
+              date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS age
+            FROM events),
+          w AS (SELECT user_id, CASE WHEN age BETWEEN 0 AND 40
+                THEN (CAST(1 AS BIGINT) << (40 - age)) ELSE 0 END AS w
+              FROM t)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(w) AS BIGINT) AS w_sum,
+            CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1099511627776.0 AS score
+          FROM w GROUP BY user_id"""
   )
 }

@@ -315,6 +315,11 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(q).contains("Join"), s"$q grew a join")
     assert(plan("q_cusum").contains("partial_max"),
       "cusum argmax lost map-side combine")
+    // closed-form fits and decayed scoring: one partial-combining pass
+    for (q <- Seq("q_ols2", "q_decayed"))
+      assert(plan(q).contains("partial_"),
+        s"$q sufficient statistics lost map-side combine")
+    assert(!plan("q_ols2").contains("Join"), "olsFit2 grew a join")
   }
 
   test("GLOBAL: no query plans a CartesianProduct; BNL only where a tiny broadcast justifies it") {

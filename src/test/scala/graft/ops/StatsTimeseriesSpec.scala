@@ -252,4 +252,48 @@ class StatsTimeseriesSpec extends AnyFunSuite {
       assert(r.getLong(5) == 6000L)
     }
   }
+
+  test("olsFit2 recovers an exact plane; collinear regressors -> zeros") {
+    // y = 5 + 2*x1 + 3*x2, noise-free grid
+    val plane = for (x1 <- 1 to 10; x2 <- 1 to 10)
+      yield ("g", x1.toDouble, x2.toDouble, 5.0 + 2 * x1 + 3 * x2)
+    val r = Regression.olsFit2(
+      plane.toDF("k", "x1", "x2", "y"), "y", "x1", "x2", Seq("k"))
+      .collect().head
+    assert(r.getLong(1) == 100L)
+    assert(math.abs(r.getDouble(2) - 5.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-9)
+
+    val collinear = (1 to 20).map(i =>
+      ("g", i.toDouble, i.toDouble, 7.0 + i))
+    val c = Regression.olsFit2(
+      collinear.toDF("k", "x1", "x2", "y"), "y", "x1", "x2", Seq("k"))
+      .collect().head
+    assert(c.getDouble(2) == 0.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 0.0)
+  }
+
+  test("degreeAssortativity: star graph -> exactly -1") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r = Graphs.degreeAssortativity(star, "u", "v").collect().head
+    assert(r.getLong(0) == 6L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+
+  test("decayedEngagement: dyadic weights, horizon cut") {
+    val rows = Seq(
+      (1L, ts("2024-02-01 10:00:00")), // age 0  -> 2^40
+      (1L, ts("2024-01-31 09:00:00")), // age 1  -> 2^39
+      (1L, ts("2023-12-01 00:00:00")), // age 62 -> 0
+      (2L, ts("2024-01-02 00:00:00"))  // age 30 -> 2^10
+    ).toDF("u", "t")
+    val got = Sequences
+      .decayedEngagement(rows, "u", "t", asofDate = "2024-02-01")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) == ((3L, (1L << 40) + (1L << 39), 1.5)))
+    assert(got(2L) == ((1L, 1L << 10, math.pow(2.0, -30))))
+  }
 }
