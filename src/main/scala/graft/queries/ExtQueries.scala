@@ -1156,7 +1156,20 @@ object ExtQueries {
     "q_decayed" -> ((s, d) =>
       Sequences.decayedEngagement(Tables.events(s, d),
         "user_id", "ts", asofDate = "2024-02-01")
-        .withColumnRenamed("entity", "user_id"))
+        .withColumnRenamed("entity", "user_id")),
+
+    // Entity resolution as a composition of existing operators:
+    // deletion-neighborhood blocking + edit-distance-1 match
+    // (FuzzyJoin) -> transitive closure (Clusters min-label
+    // propagation) -> canonical entity id per record. The record-
+    // linkage pipeline (match -> cluster -> canonicalize) with no new
+    // machinery — every stage is the already-plan-gated operator.
+    "q_entity_resolution" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+      graft.ops.Clusters.dedupClusters(sup, "s_suppkey",
+        FuzzyJoin.editDistance1Pairs(sup, "s_suppkey", "s_name"),
+        "id_a", "id_b")
+    })
   )
 
   /** LSH pairs oracle: the SAME hyperplane bucket arithmetic
@@ -2534,6 +2547,35 @@ object ExtQueries {
           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
             CAST(sum(w) AS BIGINT) AS w_sum,
             CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1099511627776.0 AS score
-          FROM w GROUP BY user_id"""
+          FROM w GROUP BY user_id""",
+
+    // ED1 blocking (q_fuzzy_join's keyed CTE) + the q_dedup_clusters
+    // recursive min-label closure, composed — MATERIALIZED so the
+    // twice-referenced CTEs don't re-expand
+    "q_entity_resolution" ->
+      """WITH RECURSIVE keyed AS MATERIALIZED (
+           SELECT s_suppkey AS id, s_name AS s,
+             unnest(list_distinct(list_prepend(s_name,
+               list_transform(range(1, length(s_name) + 1),
+                 i -> substr(s_name, 1, i - 1) ||
+                      substr(s_name, i + 1, length(s_name)))))) AS k
+           FROM supplier WHERE s_name IS NOT NULL),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.s AS s_a, b.s AS s_b
+                  FROM keyed a JOIN keyed b USING (k) WHERE a.id < b.id),
+         pairs AS MATERIALIZED (
+           SELECT id_a, id_b FROM cand WHERE levenshtein(s_a, s_b) <= 1),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(node, root) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+         comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
+         SELECT s.s_suppkey,
+           COALESCE(c.comp, s.s_suppkey) AS cluster_id,
+           CAST(s.s_suppkey = COALESCE(c.comp, s.s_suppkey) AS BIGINT)
+             AS is_keeper
+         FROM supplier s LEFT JOIN comp c ON c.node = s.s_suppkey"""
   )
 }

@@ -296,4 +296,20 @@ class StatsTimeseriesSpec extends AnyFunSuite {
     assert(got(1L) == ((3L, (1L << 40) + (1L << 39), 1.5)))
     assert(got(2L) == ((1L, 1L << 10, math.pow(2.0, -30))))
   }
+
+  test("entity resolution composition: ED1 match -> cluster -> canonical") {
+    val recs = Seq(
+      (1L, "acme"), (2L, "acmee"), (3L, "acme!"), (4L, "zeta")
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.editDistance1Pairs(recs, "id", "name")
+    val got = Clusters.dedupClusters(recs, "id", pairs, "id_a", "id_b")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // acme~acmee (ins), acme~acme! (sub), acmee~acme! (sub) -> one
+    // cluster canonicalized to min id 1; zeta is its own entity
+    assert(got == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 0L)), 3L -> ((1L, 0L)),
+      4L -> ((4L, 1L))))
+  }
 }
