@@ -85,4 +85,35 @@ object Web {
       .filter(col("__rn") <= maxDocs)
       .drop("__rn")
   }
+
+  /** URL canonicalization — the normalization that makes URL-keyed
+    * dedup actually deduplicate (crawls disagree on case, default
+    * ports, tracking params, fragments, and trailing slashes for the
+    * same resource). Fixed rule order:
+    *
+    *  1. drop the `#fragment`;
+    *  2. lowercase the `scheme://host[:port]` prefix (the path and
+    *     query stay case-sensitive — they ARE significant);
+    *  3. drop an explicit `:443` default port;
+    *  4. strip non-leading `&utm_*` tracking parameters;
+    *  5. strip one trailing `/`.
+    *
+    * Pure per-row string projection (zero shuffles, codegen'd
+    * built-ins) over the Java∩RE2 regex subset the [[Redact]] pass
+    * established — every regex and replacement runs byte-identically
+    * in DuckDB, no backreferences anywhere. A leading `?utm_` param
+    * is out of scope for the regex rule (stripping it would need
+    * separator rewriting — a backreference — so the contract is the
+    * conventional "tracking params are appended" one).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lowercase the scheme://authority prefix only
+    val prefix = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", 0)
+    val lowered = concat(lower(prefix),
+      noFrag.substr(length(prefix) + 1, length(noFrag)))
+    val noPort = regexp_replace(lowered, ":443/", "/")
+    val noUtm = regexp_replace(noPort, "&utm_[^&#]*", "")
+    regexp_replace(noUtm, "/$", "")
+  }
 }

@@ -1169,8 +1169,57 @@ object ExtQueries {
       graft.ops.Clusters.dedupClusters(sup, "s_suppkey",
         FuzzyJoin.editDistance1Pairs(sup, "s_suppkey", "s_name"),
         "id_a", "id_b")
-    })
+    }),
+
+    // Deterministic epoch shuffle: dense 1..N training order from a
+    // seedless affine hash of the doc id, ranked by the scale-safe
+    // distributed zipWithIndex (range partition + local rank +
+    // broadcast offsets — never a single-task global sort). The
+    // id-modulo tie-break rides inside one composite long key.
+    "q_shuffle_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("_sk", expr(ShuffleKeySql))
+      Prefix.globalRowNumbers(docs, "_sk")
+        .select(col("doc_id"), col("gid").as("shuffle_rank"))
+    }),
+
+    // URL canonicalization over a deterministically-dirtied synthetic
+    // URL (the corpus has no url column — the q_web_domains /
+    // q_pii_scrub injection discipline): case, default port, tracking
+    // params, fragments, trailing slash all normalized in a pure
+    // per-row projection (see graft.ops.Web.canonicalizeUrl).
+    "q_url_canon" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(DirtyUrlSql).as("url"))
+        .withColumn("canon_url", graft.ops.Web.canonicalizeUrl(col("url"))))
   )
+
+  /** Shuffle key: affine hash (the KMV constants) × 2^31 + id mod
+    * 2^31 — one sortable long; shared by the Spark plan and the
+    * oracle ORDER BY.
+    */
+  private val ShuffleKeySql: String = {
+    val p = graft.functions.KmvSketch.P
+    val a = graft.functions.KmvSketch.HashA
+    val b = graft.functions.KmvSketch.HashB
+    s"((($a * (doc_id % $p) + $b) % $p) * 2147483648) + (doc_id % 2147483648)"
+  }
+
+  /** Deterministically-dirty URL (mixed case, default port, tracking
+    * params, fragment, trailing slash) — engine-portable SQL text
+    * shared by the Spark projection and the oracle.
+    */
+  private val DirtyUrlSql: String =
+    """CASE WHEN doc_id % 2 = 0
+       THEN 'HTTPS://Example-' || CAST(doc_id % 7 AS STRING) ||
+            '.COM:443/Docs/' || CAST(doc_id AS STRING) || '/#sec' ||
+            CAST(doc_id % 4 AS STRING)
+       ELSE 'HTTPS://Example-' || CAST(doc_id % 7 AS STRING) ||
+            '.COM:443/Docs/' || CAST(doc_id AS STRING) || '?id=' ||
+            CAST(doc_id % 50 AS STRING) || '&utm_source=s' ||
+            CAST(doc_id % 3 AS STRING) || '&utm_campaign=c#sec' ||
+            CAST(doc_id % 4 AS STRING)
+       END"""
 
   /** LSH pairs oracle: the SAME hyperplane bucket arithmetic
     * (VectorExpressions.bucketSql), the SAME ≤1-bit candidate rule
@@ -2306,7 +2355,9 @@ object ExtQueries {
         val x = if (j == 0) "xq" else s"x$j"
         s"CASE WHEN $x IS NULL THEN 0 ELSE ${f(1L << (7 - j))} END"
       }
-      val num = (0 to 7).map(j => term(j, w => s"$w*${if (j == 0) "xq" else s"x$j"}")).mkString(" + ")
+      val num = (0 to 7)
+        .map(j => term(j, w => s"$w*${if (j == 0) "xq" else s"x$j"}"))
+        .mkString(" + ")
       val den = (0 to 7).map(j => term(j, w => s"$w")).mkString(" + ")
       s"""WITH b AS (SELECT user_id, event_id,
               CAST(floor(value*100) AS BIGINT) AS xq, $lags
@@ -2576,6 +2627,31 @@ object ExtQueries {
            COALESCE(c.comp, s.s_suppkey) AS cluster_id,
            CAST(s.s_suppkey = COALESCE(c.comp, s.s_suppkey) AS BIGINT)
              AS is_keeper
-         FROM supplier s LEFT JOIN comp c ON c.node = s.s_suppkey"""
+         FROM supplier s LEFT JOIN comp c ON c.node = s.s_suppkey""",
+
+    "q_shuffle_order" ->
+      s"""WITH k AS (SELECT doc_id, $ShuffleKeySql AS sk FROM documents)
+          SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY sk) AS BIGINT) AS shuffle_rank
+          FROM k""",
+
+    // same regex chain; DuckDB needs the explicit 'g' flag where
+    // Spark's regexp_replace is global by default
+    "q_url_canon" ->
+      s"""WITH u AS (SELECT doc_id, $DirtyUrlSql AS url FROM documents),
+          c0 AS (SELECT doc_id, url,
+                   regexp_replace(url, '#.*', '') AS nf FROM u),
+          c1 AS (SELECT doc_id, url, nf,
+                   regexp_extract(nf,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*') AS pre FROM c0),
+          c2 AS (SELECT doc_id, url,
+                   lower(pre) || substr(nf, length(pre) + 1) AS lo FROM c1),
+          c3 AS (SELECT doc_id, url,
+                   regexp_replace(lo, ':443/', '/') AS np FROM c2),
+          c4 AS (SELECT doc_id, url,
+                   regexp_replace(np, '&utm_[^&#]*', '', 'g') AS nu FROM c3)
+          SELECT doc_id, url,
+            regexp_replace(nu, '/$$', '') AS canon_url
+          FROM c4"""
   )
 }

@@ -312,4 +312,19 @@ class StatsTimeseriesSpec extends AnyFunSuite {
       1L -> ((1L, 1L)), 2L -> ((1L, 0L)), 3L -> ((1L, 0L)),
       4L -> ((4L, 1L))))
   }
+
+  test("canonicalizeUrl: case, port, utm, fragment, trailing slash") {
+    val cases = Seq(
+      ("HTTPS://Example-1.COM:443/Docs/9/#frag",
+        "https://example-1.com/Docs/9"),
+      ("HTTPS://A.COM:443/P?id=5&utm_source=x&utm_campaign=c#s",
+        "https://a.com/P?id=5"),
+      ("http://plain.org/Keep/Case/Path", "http://plain.org/Keep/Case/Path"),
+      ("https://h.net/a?x=1&utm_a=1&y=2", "https://h.net/a?x=1&y=2"),
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Web.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }
