@@ -1191,7 +1191,21 @@ object ExtQueries {
     "q_url_canon" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), expr(DirtyUrlSql).as("url"))
-        .withColumn("canon_url", graft.ops.Web.canonicalizeUrl(col("url"))))
+        .withColumn("canon_url", graft.ops.Web.canonicalizeUrl(col("url")))),
+
+    // k-anonymity risk report over quasi-identifier buckets (lang,
+    // source, length band): equivalence-class sizes plus the at-risk
+    // flag (n < k) — the privacy audit a corpus release runs before
+    // publishing per-group statistics. ONE partial-combining hash
+    // aggregation; the quasi-identifier bucketing is a per-row
+    // integer projection.
+    "q_k_anonymity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 1000").as("len_kb"))
+        .groupBy(col("lang"), col("source"), col("len_kb"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < 5L).cast("long")))
   )
 
   /** Shuffle key: affine hash (the KMV constants) × 2^31 + id mod
@@ -2652,6 +2666,13 @@ object ExtQueries {
                    regexp_replace(np, '&utm_[^&#]*', '', 'g') AS nu FROM c3)
           SELECT doc_id, url,
             regexp_replace(nu, '/$$', '') AS canon_url
-          FROM c4"""
+          FROM c4""",
+
+    "q_k_anonymity" ->
+      """SELECT lang, source, n_chars // 1000 AS len_kb,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+              AS at_risk
+         FROM documents GROUP BY 1, 2, 3"""
   )
 }

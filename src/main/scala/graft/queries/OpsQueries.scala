@@ -95,6 +95,28 @@ object OpsQueries {
         k = 5)
     }),
 
+    // Embedding-quality measurement as 1-NN classification: held-out
+    // vectors (id < 50) classified by their nearest train neighbor's
+    // label, reported as a confusion matrix — the standard "do these
+    // embeddings carry the label signal" probe. Composes the exact
+    // brute-force scorer (the ground-truth anchor; the LSH/IVF paths
+    // are the scale twins) with two broadcast label joins.
+    "q_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val test = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val train = e.filter(col("vec_id") >= 50)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val lblTest = e.select(col("vec_id").as("qid"),
+        col("label").cast("long").as("label_true"))
+      val lblTrain = e.select(col("vec_id").as("nid"),
+        col("label").cast("long").as("label_pred"))
+      Similarity.bruteForceTopK(test, train, k = 1)
+        .join(lblTest, "qid").join(lblTrain, "nid")
+        .groupBy(col("label_true"), col("label_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // The SCALE path for the same question: hyperplane-LSH bucket join
     // with 1-bit multiprobe instead of a corpus scan per query. The
     // hyperplanes are seedless integer hashes, so the oracle replicates
@@ -1007,6 +1029,33 @@ object OpsQueries {
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
           (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
         WHERE rn <= 5"""
+  }
+
+  /** 1-NN confusion matrix over the disjoint test/train id split —
+    * annSql's scorer with k = 1 plus the two label joins.
+    */
+  private def knnClassifySql: String = {
+    val dot = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    val qn = (1 to 64)
+      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
+    val nn = (1 to 64)
+      .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+                   WHERE vec_id < 50),
+        c AS (SELECT vec_id nid, embedding nv FROM embeddings
+              WHERE vec_id >= 50),
+        s AS (SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
+              FROM c, q),
+        r AS (SELECT qid, nid, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s),
+        nn AS (SELECT qid, nid FROM r WHERE rn <= 1),
+        j AS (SELECT CAST(a.label AS BIGINT) AS label_true,
+                     CAST(b.label AS BIGINT) AS label_pred
+              FROM nn JOIN embeddings a ON a.vec_id = nn.qid
+                      JOIN embeddings b ON b.vec_id = nn.nid)
+        SELECT label_true, label_pred, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2"""
   }
 
   /** LSH candidate subquery for a (nPlanes, probeBits) setting:
@@ -1973,6 +2022,7 @@ object OpsQueries {
     "q_dedup_simhash" -> simhashSql,
     "q_simhash_pairs" -> simhashPairsSql,
     "q_ann_cosine" -> annSql,
+    "q_knn_classify" -> knnClassifySql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_recall" -> annRecallSql,
     "q_ann_ivf" -> ivfSql,

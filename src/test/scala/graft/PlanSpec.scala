@@ -335,6 +335,8 @@ class PlanSpec extends AnyFunSuite {
       "q_bm25", "q_chisq", "q_cms_topk", "q_collocations",
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
       "q_histogram_eqdepth", "q_kmv_intersect", "q_kmv_merge",
+      "q_knn_classify", // 50-query broadcast vs train scan — the
+      // documented exact-anchor shape (same as q_ann_cosine)
       "q_length_band", "q_minhash_recall", "q_mix_sources",
       "q_mix_temperature", "q_ntile_global", "q_pq_codes",
       "q_sample_weighted", "q_stats_collect", "q_tfidf",
