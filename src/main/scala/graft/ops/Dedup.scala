@@ -102,6 +102,43 @@ object Dedup {
       .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"))
   }
 
+  /** CONTAINMENT near-dup pairs: the asymmetric variant of
+    * [[jaccardPairs]] — a pair qualifies when the smaller shingle set
+    * is mostly inside the other (`shared/min(|A|,|B|) ≥ num/den`).
+    * Jaccard misses subset duplicates by construction (a paragraph
+    * quoted inside a much longer page has tiny Jaccard but
+    * containment ≈ 1), and containment is the standard complement in
+    * web-dedup stacks for exactly that case. Same ONE-pipeline
+    * grouped posting-list plan as jaccardPairs, same integer
+    * threshold test (den·shared ≥ num·min(na,nb) — no float ratio),
+    * same posting cut bounding the candidate fan-out.
+    *
+    * @return (doc_id_a, doc_id_b, shared, na, nb), a < b
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5,
+      maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val posting = jaccardPostings(df, idCol, textCol, maxShingleDf,
+      persistPostings = false)
+    posting
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(lit(thresholdDen.toLong) * col("shared") >=
+        lit(thresholdNum.toLong) * least(col("na"), col("nb")))
+      .select(col("ida").as("doc_id_a"), col("idb").as("doc_id_b"),
+        col("shared"), col("na"), col("nb"))
+  }
+
   /** Surviving posting list (id, n, s) — the candidate-generation
     * input of [[jaccardPairs]], exposed so tests can gate the
     * candidate count directly.

@@ -1205,7 +1205,19 @@ object ExtQueries {
           expr("n_chars div 1000").as("len_kb"))
         .groupBy(col("lang"), col("source"), col("len_kb"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("at_risk", (col("n") < 5L).cast("long")))
+        .withColumn("at_risk", (col("n") < 5L).cast("long"))),
+
+    // URL-keyed dedup end to end: canonicalize (the COLLIDING dirty
+    // injection — distinct raw URLs, shared canonical forms), then
+    // first-occurrence election per canonical URL — what crawl dedup
+    // actually keys on. ONE hash aggregation after a per-row
+    // projection.
+    "q_url_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.Web.canonicalizeUrl(expr(CollidingUrlSql)).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id")))
   )
 
   /** Shuffle key: affine hash (the KMV constants) × 2^31 + id mod
@@ -1218,6 +1230,16 @@ object ExtQueries {
     val b = graft.functions.KmvSketch.HashB
     s"((($a * (doc_id % $p) + $b) % $p) * 2147483648) + (doc_id % 2147483648)"
   }
+
+  /** Dirty URL whose CANONICAL form collides across documents
+    * (path/host from small moduli of the id): distinct raw URLs,
+    * shared canonical resources — the input shape URL dedup exists
+    * for. Engine-portable text shared with the oracle.
+    */
+  private val CollidingUrlSql: String =
+    """'HTTPS://Example-' || CAST(doc_id % 7 AS STRING) ||
+       '.COM:443/Docs/' || CAST(doc_id % 50 AS STRING) || '/#sec' ||
+       CAST(doc_id AS STRING)"""
 
   /** Deterministically-dirty URL (mixed case, default port, tracking
     * params, fragment, trailing slash) — engine-portable SQL text
@@ -2673,6 +2695,24 @@ object ExtQueries {
             CAST(count(*) AS BIGINT) AS n,
             CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
               AS at_risk
-         FROM documents GROUP BY 1, 2, 3"""
+         FROM documents GROUP BY 1, 2, 3""",
+
+    "q_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $CollidingUrlSql AS url FROM documents),
+          c0 AS (SELECT doc_id,
+                   regexp_replace(url, '#.*', '') AS nf FROM u),
+          c1 AS (SELECT doc_id, nf,
+                   regexp_extract(nf,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*') AS pre FROM c0),
+          c2 AS (SELECT doc_id,
+                   lower(pre) || substr(nf, length(pre) + 1) AS lo FROM c1),
+          c3 AS (SELECT doc_id,
+                   regexp_replace(lo, ':443/', '/') AS np FROM c2),
+          c4 AS (SELECT doc_id,
+                   regexp_replace(regexp_replace(np, '&utm_[^&#]*', '', 'g'),
+                     '/$$', '') AS canon_url FROM c3)
+          SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(min(doc_id) AS BIGINT) AS keeper_id
+          FROM c4 GROUP BY canon_url"""
   )
 }

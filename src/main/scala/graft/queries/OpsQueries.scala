@@ -34,6 +34,14 @@ object OpsQueries {
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text")),
 
+    // Asymmetric containment pairs — the subset-duplicate catcher
+    // Jaccard structurally misses (see Dedup.containmentPairs). Lower
+    // threshold than the 0.5 Jaccard default because containment of
+    // the smaller side concentrates near 1 for true subsets.
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        thresholdNum = 3, thresholdDen = 5)),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text")),
 
@@ -824,6 +832,29 @@ object OpsQueries {
                   JOIN sizes sb ON sb.doc_id = p.idb)
         SELECT ida AS doc_id_a, idb AS doc_id_b FROM sized
         WHERE 2*shared >= (na + nb - shared)"""
+
+  /** jaccardSql's pipeline with the asymmetric containment test
+    * (den·shared ≥ num·min(na,nb)) and the evidence columns kept.
+    */
+  private def containmentSql: String =
+    s"""WITH $toksBase,
+        sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        kept AS (SELECT doc_id, s FROM ex
+                 WHERE s IN (SELECT s FROM ex GROUP BY s
+                             HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})),
+        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS shared
+                  FROM kept a JOIN kept b
+                    ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        sized AS (SELECT p.ida, p.idb, p.shared, sa.n na, sb.n nb
+                  FROM pairs p
+                  JOIN sizes sa ON sa.doc_id = p.ida
+                  JOIN sizes sb ON sb.doc_id = p.idb)
+        SELECT ida AS doc_id_a, idb AS doc_id_b,
+          CAST(shared AS BIGINT) AS shared,
+          CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+        FROM sized WHERE 5*shared >= 3*least(na, nb)"""
 
   /** `candFilter`: extra AND-condition on the LSH candidate pairs —
     * used by the incremental variant to keep only batch-involving
@@ -1890,6 +1921,7 @@ object OpsQueries {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
     "q_dedup_jaccard" -> jaccardSql,
+    "q_containment" -> containmentSql,
     "q_dedup_minhash" -> minhashSql(),
     "q_minhash_recall" ->
       s"""WITH e AS (${jaccardSql}),
