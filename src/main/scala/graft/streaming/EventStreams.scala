@@ -642,4 +642,78 @@ object EventStreams {
           }
       }
   }
+
+  final case class DecayOut(
+      user_id: Long, event_id: Long, day: Long, w_sum: Long, score: Double)
+
+  /** Decayed-score accumulator (public: the state encoder's generated
+    * code must be able to construct it).
+    */
+  final case class DecayState(lastDay: Long, wsum: Long)
+
+  /** Streaming decayed engagement — the streaming twin of
+    * [[graft.ops.Sequences.decayedEngagement]], and the reason its
+    * half-life is pinned to one day: dyadic weights make the
+    * streaming fold EXACT INTEGER arithmetic. State per user is
+    * (lastDay, w_sum) where w_sum is the engagement mass expressed at
+    * asof = lastDay; advancing d days is `w_sum >> d` (every live
+    * contribution is 2^(h−age), so the shift re-ages all of them at
+    * once), and an arrival adds `2^h` (or `2^h >> lag` for a
+    * same-burst out-of-order arrival). Each arrival emits the score
+    * as of its own day — within the horizon this matches the batch
+    * operator bit-for-bit (the spec pins it); past the horizon the
+    * shift truncates merged contributions to 0 with residue ≤ one
+    * unit (2^−h of score) per elapsed day, where batch drops them
+    * exactly — the one documented deviation, bounded and one-sided.
+    *
+    * Scale shape: one shuffle on the user key, 16 bytes of state per
+    * active user, expired by event-time TTL.
+    */
+  def decayedScores(
+      events: Dataset[Event],
+      horizonDays: Int = 40,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMillis: Long = 45L * 24 * 3600 * 1000): Dataset[DecayOut] = {
+    require(horizonDays >= 1 && horizonDays <= 62, s"horizon: $horizonDays")
+    import events.sparkSession.implicits._
+    val h = horizonDays
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[DecayState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val DayMs = 86400000L
+            var cur = state.getOption
+            var lastMs = 0L
+            val out = Vector.newBuilder[DecayOut]
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              lastMs = math.max(lastMs, e.ts.getTime)
+              val day = math.floorDiv(e.ts.getTime, DayMs)
+              cur = Some(cur match {
+                case None => DecayState(day, 1L << h)
+                case Some(s) if day >= s.lastDay =>
+                  val shift = math.min(day - s.lastDay, 63L).toInt
+                  DecayState(day, (s.wsum >> shift) + (1L << h))
+                case Some(s) => // out-of-order within the burst: fold
+                  // the contribution already aged to the frontier day
+                  val lag = math.min(s.lastDay - day, 63L).toInt
+                  DecayState(s.lastDay, s.wsum + ((1L << h) >> lag))
+              })
+              val c = cur.get
+              out += DecayOut(userId, e.event_id, c.lastDay, c.wsum,
+                c.wsum.toDouble / math.pow(2.0, h))
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(lastMs + stateTtlMillis)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -590,4 +590,36 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(late.length == 1 && late.head.isNullAt(3))
     } finally q.stop()
   }
+
+  test("streaming decayed scores == batch decayedEngagement at each user's asof") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val scores = EventStreams.decayedScores(input.toDS())
+    val q = scores.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decay_scores").start()
+    try {
+      val batch1 = Seq(
+        ev(1, "2024-01-10 08:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-10 09:00:00", 1, "click", 1.0), // same day: +2^40
+        ev(3, "2024-01-12 10:00:00", 2, "click", 1.0))
+      val batch2 = Seq(
+        ev(4, "2024-01-15 07:00:00", 1, "click", 1.0), // 5 days later
+        ev(5, "2024-01-15 23:00:00", 2, "click", 1.0)) // 3 days later
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // last emitted w_sum per user (both users' last event on 01-15)
+      val got = spark.table("decay_scores").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .groupBy(_._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._3 }
+      val want = graft.ops.Sequences
+        .decayedEngagement(
+          (batch1 ++ batch2).toDF(), "user_id", "ts", "2024-01-15")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want)
+      // by hand: u1 = (2*2^40)>>5 + 2^40; u2 = 2^40>>3 + 2^40
+      assert(got(1L) == (2L * (1L << 40) >> 5) + (1L << 40))
+      assert(got(2L) == ((1L << 40) >> 3) + (1L << 40))
+    } finally q.stop()
+  }
 }
