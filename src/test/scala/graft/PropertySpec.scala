@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties}
 
-import graft.ops.{AsOf, Contamination, Dedup, Relevance}
+import graft.ops.{Anomaly, AsOf, Contamination, Dedup, Moments, Relevance,
+  Sequences, Timeseries}
 import graft.transform.GithubTransform
 
 /** Property-based checks: operators are compared against independent,
@@ -428,5 +429,117 @@ object PropertySpec extends Properties("graft") {
       val walk = tss.sortBy(_.replace(' ', 'T')) // server sort order
       val stopAt = walk.indexWhere(ts => prune.pastUpperBound(Some(ts)))
       stopAt < 0 || walk.drop(stopAt + 1).forall(ts => !prune.admits(None, Some(ts)))
+    }
+
+  // --- round-6 stats/timeseries/sequence operators vs models ----------
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  /** Same cents quantization the operators apply (floor of the double
+    * product — NOT v itself, so the model can't disagree on ties like
+    * 0.29·100 = 28.999…).
+    */
+  private def cents(centsIn: Int): Long =
+    math.floor(centsIn / 100.0 * 100).toLong
+
+  property("ewmaFir equals the sequential FIR model on random series") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.choose(0, 5000)), Gen.choose(1, 5)) { (vs, parts) =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, t0, i.toLong, v / 100.0)
+      }
+      val got = Timeseries
+        .ewmaFir(rows.toDF("e", "t", "i", "v").repartition(parts),
+          "e", "t", "i", "v")
+        .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+      val xs = vs.map(cents)
+      val want = xs.indices.map { n =>
+        val taps = xs.slice(math.max(0, n - 7), n + 1).reverse
+        val num = taps.zipWithIndex.map { case (x, j) => x * (128L >> j) }.sum
+        val den = taps.zipWithIndex.map { case (_, j) => 128L >> j }.sum
+        n.toLong -> num.toDouble / den.toDouble
+      }.toMap
+      got == want
+    }
+
+  property("transitionCounts equals the sequential pair model") =
+    Prop.forAll(Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 4L), Gen.oneOf("a", "b", "c")))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, a), i) =>
+        (u, t0, i.toLong, a)
+      }
+      val got = Sequences
+        .transitionCounts(rows.toDF("u", "t", "i", "a"), "u", "t", "i", "a")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      val pairs = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        val seq = es.sortBy(_._3).map(_._4)
+        seq.zip(seq.drop(1))
+      }
+      val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val fromTotal = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val want = cnt.map { case ((f, t), c) =>
+        (f, t) -> (c, 1000000L * c / fromTotal(f))
+      }
+      got == want
+    }
+
+  property("momentsByGroup equals the BigInt raw-moment model") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 60L))) { xs =>
+      val r = Moments.momentsByGroup(
+        xs.map(("g", _)).toDF("k", "x"), "k", "x").collect().head
+      def s(p: Int): Double = xs.map(BigInt(_).pow(p)).sum.toDouble
+      val n = xs.size.toDouble
+      val mean = s(1) / n
+      val variance = s(2) / n - (s(1) / n) * (s(1) / n)
+      val close = (a: Double, b: Double) =>
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      r.getLong(1) == xs.size.toLong &&
+        close(r.getDouble(2), mean) && close(r.getDouble(3), variance)
+    }
+
+  property("cusumChangePoint equals the sequential argmax model") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.choose(0, 2000)), Gen.choose(1, 4)) { (vs, parts) =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        (1L, t0, i.toLong, v / 100.0)
+      }
+      val r = Anomaly.cusumChangePoint(
+        rows.toDF("u", "t", "i", "v").repartition(parts),
+        "u", "t", "i", "v").collect().head
+      val xs = vs.map(cents)
+      val sTot = BigInt(xs.sum)
+      val n = BigInt(xs.size)
+      val cs = xs.scanLeft(BigInt(0))(_ + _).drop(1).zipWithIndex.map {
+        case (pk, i) => (n * pk - BigInt(i + 1) * sTot, i + 1)
+      }
+      // argmax by (abs, c, k, ord) — ord == k-1 here, same order
+      val best = cs.maxBy { case (c, k) => (c.abs, c, k) }
+      r.getLong(2) == best._2.toLong &&
+        r.getLong(4) == best._1.toLong &&
+        r.getLong(5) == best._1.abs.toLong
+    }
+
+  property("containmentPairs equals brute-force asymmetric sets") =
+    Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.containmentPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(t: String): Set[String] = {
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 3) Set.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        inter = (sa & sb).size
+        if 5L * inter >= 3L * math.min(sa.size, sb.size)
+      } yield (ia, ib)).toSet
+      got == want
     }
 }
