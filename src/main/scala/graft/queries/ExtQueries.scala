@@ -1217,8 +1217,75 @@ object ExtQueries {
         .select(col("doc_id"),
           graft.ops.Web.canonicalizeUrl(expr(CollidingUrlSql)).as("canon_url"))
         .groupBy(col("canon_url"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id")))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))),
+
+    // Two-proportion z-test over a deterministic hash split (arm =
+    // user_id parity; conversion = purchase share >= 20% of the
+    // user's events, an exact integer test that stays non-degenerate
+    // at any SF where "any purchase" saturates to 100%): the A/B
+    // analysis read-out, entirely from integer counts — two hash
+    // aggregations (per-user flag fold, then the conditional arm
+    // pivot) and one closed-form double expression shared textually
+    // with the oracle (zero-variance guard included).
+    "q_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 5L)
+          .otherwise(0L)) >= count(lit(1))).cast("long").as("conv"))
+        .withColumn("arm", col("user_id") % 2L)
+      users
+        .agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("k0"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("k1"))
+        .selectExpr("n0", "k0", "n1", "k1",
+          AbUpliftExpr + " AS uplift", AbZExpr + " AS z")
+    }),
+
+    // Association rules over per-user event-type sets: pair support,
+    // directional confidence, and lift — all integer counts plus
+    // exact ppm floor divisions (the market-basket read-out; the
+    // grouped posting-list pair generation of q_node_sim, plus the
+    // tiny per-type count and 1-row total broadcasts).
+    "q_assoc_rules" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("event_type").as("t"))
+        .distinct()
+      val ct = e.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val total = e.select(col("u")).distinct().agg(count(lit(1)).as("users"))
+      val pairs = e
+        .groupBy(col("u"))
+        .agg(array_sort(collect_list(col("t"))).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(col("ts")).as("a"), col("ts"))
+        .select(col("a"), explode(col("ts")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(broadcast(ct.select(col("t").as("a"), col("c").as("ca"))), Seq("a"))
+        .join(broadcast(ct.select(col("t").as("b"), col("c").as("cb"))), Seq("b"))
+        .crossJoin(broadcast(total))
+        .selectExpr("a", "b", "support", "ca", "cb", "users",
+          "(1000000 * support) div ca AS conf_a_b_ppm",
+          "(1000000 * support) div cb AS conf_b_a_ppm",
+          "(1000000 * support * users) div (ca * cb) AS lift_ppm")
+    })
   )
+
+  /** Shared closed-form expression texts for the A/B read-out —
+    * interpolated into both the Spark selectExpr and the oracle.
+    */
+  private val AbUpliftExpr: String =
+    "CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0"
+  private val AbZExpr: String =
+    """CASE WHEN n0 = 0 OR n1 = 0 OR k0 + k1 = 0
+            OR k0 + k1 = n0 + n1 THEN 0.0
+       ELSE (CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0) /
+       sqrt((CAST(k0 + k1 AS DOUBLE)/(n0 + n1)) *
+            (1.0 - CAST(k0 + k1 AS DOUBLE)/(n0 + n1)) *
+            (1.0/n0 + 1.0/n1)) END"""
 
   /** Shuffle key: affine hash (the KMV constants) × 2^31 + id mod
     * 2^31 — one sortable long; shared by the Spark plan and the
@@ -2713,6 +2780,40 @@ object ExtQueries {
                      '/$$', '') AS canon_url FROM c3)
           SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(min(doc_id) AS BIGINT) AS keeper_id
-          FROM c4 GROUP BY canon_url"""
+          FROM c4 GROUP BY canon_url""",
+
+    "q_ab_test" ->
+      s"""WITH users AS (SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 5 ELSE 0 END)
+                   >= count(*) AS BIGINT) AS conv,
+              user_id % 2 AS arm
+            FROM events GROUP BY user_id),
+          s AS (SELECT
+              CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS k0,
+              CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+              CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS k1
+            FROM users)
+          SELECT n0, k0, n1, k1,
+            $AbUpliftExpr AS uplift, $AbZExpr AS z
+          FROM s""",
+
+    "q_assoc_rules" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u, event_type AS t
+                    FROM events),
+          ct AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY t),
+          total AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS users FROM e),
+          p AS (SELECT e1.t AS a, e2.t AS b,
+                  CAST(count(*) AS BIGINT) AS support
+                FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.t < e2.t
+                GROUP BY 1, 2)
+          SELECT a, b, support, ca.c AS ca, cb.c AS cb, users,
+            (1000000 * support) // ca.c AS conf_a_b_ppm,
+            (1000000 * support) // cb.c AS conf_b_a_ppm,
+            (1000000 * support * users) // (ca.c * cb.c) AS lift_ppm
+          FROM p
+          JOIN ct ca ON ca.t = p.a
+          JOIN ct cb ON cb.t = p.b
+          CROSS JOIN total"""
   )
 }

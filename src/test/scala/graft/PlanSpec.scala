@@ -330,6 +330,7 @@ class PlanSpec extends AnyFunSuite {
     // is allowed ONLY for the queries that document it; a new query
     // acquiring one must be added here consciously.
     val bnlAllowed = Set(
+      "q_assoc_rules", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_cms_topk", "q_collocations",
