@@ -450,6 +450,19 @@ object OpsQueries {
           TextOps.qualityBucket(col("text")).as("quality")),
         "lang", "quality")),
 
+    // Distribution-drift monitor: the SAME χ² grid over (time period
+    // × event type) — did the event-type mix shift between the
+    // halves of the month? The monitoring read-out a pipeline runs
+    // per ingest window; exact integer evidence, Σ chi_term is the
+    // drift statistic.
+    "q_drift_chisq" -> ((s, d) =>
+      Profile.chiSquareCells(
+        Tables.events(s, d).select(
+          when(to_date(col("ts")) < lit("2024-01-16").cast("date"), "w1")
+            .otherwise("w2").as("period"),
+          col("event_type")),
+        "period", "event_type")),
+
     // Top principal direction of the embedding cloud: 3 rounds of
     // quantized-integer power iteration (see graft.ops.Pca — exact
     // decimal sums, truncating renormalization, bit-stable).
@@ -974,6 +987,29 @@ object OpsQueries {
                 THEN 'high'
                 WHEN len($ws) >= 10 THEN 'medium' ELSE 'low' END AS b
          FROM documents),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+                  FROM s GROUP BY 1, 2),
+        r AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_total
+              FROM cells GROUP BY 1),
+        c AS (SELECT b, CAST(sum(obs) AS BIGINT) AS col_total
+              FROM cells GROUP BY 1),
+        t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells)
+       SELECT r.a AS a, c.b AS b,
+         CAST(COALESCE(obs, 0) AS BIGINT) AS obs,
+         row_total, col_total, n_total,
+         CAST(CAST(n_total*COALESCE(obs, 0) - row_total*col_total AS HUGEINT)
+              * (n_total*COALESCE(obs, 0) - row_total*col_total) AS DOUBLE)
+           / CAST(n_total*row_total*col_total AS DOUBLE) AS chi_term
+       FROM r CROSS JOIN c CROSS JOIN t
+       LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b"""
+
+  /** chiSqSql's grid over (month-half period × event type). */
+  private def driftChiSqSql: String =
+    s"""WITH s AS (SELECT
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                THEN 'w1' ELSE 'w2' END AS a,
+           event_type AS b
+         FROM events),
         cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
                   FROM s GROUP BY 1, 2),
         r AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_total
@@ -1998,6 +2034,7 @@ object OpsQueries {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_stats_collect" -> statsSql,
     "q_chisq" -> chiSqSql,
+    "q_drift_chisq" -> driftChiSqSql,
     "q_pca_power" -> pcaPowerSql,
     "q_embed_quantize" ->
       """SELECT vec_id,

@@ -333,7 +333,7 @@ class PlanSpec extends AnyFunSuite {
       "q_assoc_rules", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
-      "q_bm25", "q_chisq", "q_cms_topk", "q_collocations",
+      "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
       "q_histogram_eqdepth", "q_kmv_intersect", "q_kmv_merge",
       "q_knn_classify", // 50-query broadcast vs train scan — the
