@@ -165,6 +165,93 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("thumb", BinaryType)))
 
+  val pHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ahash_lo", LongType),
+    StructField("ahash_hi", LongType)))
+
+  /** 64-bit average perceptual hash packed as two unsigned 32-bit
+    * halves (no sign-bit ambiguity cross-engine): cell value > grand
+    * mean ⇒ bit set. All arithmetic is integer (luma in 0..255000,
+    * integer cell/grand means), so the hash is bit-stable across
+    * JVMs and replicable in SQL for the stub path.
+    */
+  private def packAHash(vals: Array[Long]): (Long, Long) = {
+    val mean = vals.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 32) { if (vals(i) > mean) lo |= 1L << i; i += 1 }
+    while (i < 64) { if (vals(i) > mean) hi |= 1L << (i - 32); i += 1 }
+    (lo, hi)
+  }
+
+  /** Real image aHash: per-cell integer luma sums over an 8×8 grid
+    * computed directly from pixels (integer cell assignment
+    * `(8y/h, 8x/w)` — no interpolated rescale, so the hash does not
+    * depend on a JDK's drawImage implementation), integer means,
+    * mean-threshold bits. The standard near-dup fingerprint for
+    * images: a re-encoded / slightly-resized copy keeps ~all 64 bits.
+    */
+  private[ops] def imageAHash(payload: Array[Byte]): Option[(Long, Long)] =
+    if (!looksLikeImage(payload)) None
+    else
+      try {
+        Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+          .map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Long](64)
+            val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                val c = (y * 8 / h) * 8 + (x * 8 / w)
+                sums(c) += luma; cnts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            packAHash(Array.tabulate(64)(i =>
+              if (cnts(i) == 0) 0L else sums(i) / cnts(i)))
+          }
+      } catch { case _: java.io.IOException => None }
+
+  /** Stub aHash over raw payload bytes (cell i = byte i mod n) — the
+    * deterministic cross-engine-replicable path for non-image
+    * payloads, same discipline as the decode stub.
+    */
+  private def stubAHash(payload: Array[Byte]): (Long, Long) = {
+    val n = payload.length
+    packAHash(Array.tabulate(64)(i =>
+      if (n == 0) 0L else (payload(i % n) & 0xFF).toLong))
+  }
+
+  /** Perceptual-hash pass: (media_id, ahash_lo, ahash_hi). Image
+    * near-dup pairs then come from the SimHash banding machinery over
+    * the 64-bit fingerprint — blocking on hash prefixes, popcount
+    * verify — exactly as for text.
+    */
+  def perceptualHash(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: String = Auto): DataFrame = {
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val (lo, hi) =
+          if (decoder == Stub) stubAHash(payload)
+          else imageAHash(payload).getOrElse(stubAHash(payload))
+        Row(id, lo, hi)
+      }
+    }
+    spark.createDataFrame(rdd, pHashSchema)
+  }
+
   /** Real rescale: decode, bilinear-draw into a (targetW × targetH)
     * RGB canvas, re-encode as PNG. Returns None for undecodable
     * payloads.

@@ -718,6 +718,15 @@ object OpsQueries {
         col("n_bytes")) ++ featureCols: _*)
     }),
 
+    // Perceptual image fingerprint (64-bit aHash as two unsigned
+    // halves): REAL integer-luma grid hash for image payloads, the
+    // byte-cell stub for text — the image near-dup key; pairs compose
+    // with the SimHash banding machinery (see
+    // Multimodal.perceptualHash).
+    "q_image_phash" -> ((s, d) =>
+      Multimodal.perceptualHash(s,
+        Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"))),
+
     // Frame-sampling pipeline: one row per sampled frame slice, the
     // explode shape a video pipeline needs; same oracle discipline.
     "q_multimodal_frames" -> ((s, d) => {
@@ -2246,11 +2255,35 @@ object OpsQueries {
          sha256(text) AS digest
          FROM documents""",
     "q_multimodal_decode" -> multimodalDecodeSql,
+    "q_image_phash" -> imagePhashSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_audio" -> multimodalAudioSql,
     "q_multimodal_clips" -> multimodalClipsSql
   )
+
+  /** Stub-path aHash twin: cell i = byte (i mod n), integer grand
+    * mean, mean-threshold bits packed into two unsigned halves —
+    * replicates Multimodal.stubAHash over the ASCII payload.
+    */
+  private def imagePhashSql: String = {
+    val vs = (0 until 64).map(i =>
+      s"CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, ($i % n)+1, 1)) END AS v$i")
+    val sum = (0 until 64).map(i => s"v$i").mkString(" + ")
+    val lo = (0 until 32)
+      .map(i => s"CASE WHEN v$i > mean THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val hi = (32 until 64)
+      .map(i => s"CASE WHEN v$i > mean THEN ${1L << (i - 32)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n
+                   FROM documents),
+        v AS (SELECT media_id, n, ${vs.mkString(", ")} FROM b),
+        m AS (SELECT *, ($sum) // 64 AS mean FROM v)
+        SELECT media_id, CAST($lo AS BIGINT) AS ahash_lo,
+          CAST($hi AS BIGINT) AS ahash_hi
+        FROM m"""
+  }
 
   /** Byte i (0-based) of the ASCII payload as FLOAT/255 widened to
     * double — the oracle twin of the decode stub's

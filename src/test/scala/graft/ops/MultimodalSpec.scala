@@ -210,4 +210,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(1L).getSeq[Float](4).head - 0.5f) < 1e-4)
     assert(out(2L).getInt(1) == 8000 + "just words".getBytes.length % 8000)
   }
+
+  test("perceptualHash: real aHash on a half-black/half-white PNG") {
+    import spark.implicits._
+    // 16x16, left 8 columns black, right 8 white: white cells (grid
+    // cols 4-7) sit above the grand mean -> bit pattern 0xF0 per row
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray)).toDF("media_id", "payload")
+    val r = Multimodal.perceptualHash(spark, media).collect().head
+    assert(r.getLong(1) == 0xF0F0F0F0L)
+    assert(r.getLong(2) == 0xF0F0F0F0L)
+  }
+
+  test("perceptualHash stub: byte-cell model on text payloads") {
+    import spark.implicits._
+    val payload = "abcdz".getBytes
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val r = Multimodal.perceptualHash(spark, media).collect().head
+    val vals = Array.tabulate(64)(i => (payload(i % payload.length) & 0xFF).toLong)
+    val mean = vals.sum / 64
+    var lo = 0L; var hi = 0L
+    for (i <- 0 until 32) if (vals(i) > mean) lo |= 1L << i
+    for (i <- 32 until 64) if (vals(i) > mean) hi |= 1L << (i - 32)
+    assert(r.getLong(1) == lo && r.getLong(2) == hi)
+  }
 }
