@@ -1219,6 +1219,24 @@ object ExtQueries {
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))),
 
+    // CORRELATED scalar subqueries (per-group mean in the WHERE):
+    // Catalyst decorrelates both into aggregate+join — the planner
+    // shape SQL-first users write constantly; comparison kept exact
+    // in integers per group (cents * n_g > sum_g).
+    "q_correlated_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_csq_orders")
+      s.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+        FROM graft_csq_orders o
+        WHERE CAST(floor(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM graft_csq_orders i
+               WHERE i.o_orderpriority = o.o_orderpriority) >
+              (SELECT sum(CAST(floor(i.o_totalprice * 100) AS BIGINT))
+               FROM graft_csq_orders i
+               WHERE i.o_orderpriority = o.o_orderpriority)
+        GROUP BY o_orderpriority""")
+    }),
+
     // Two-proportion z-test over a deterministic hash split (arm =
     // user_id parity; conversion = purchase share >= 20% of the
     // user's events, an exact integer test that stays non-degenerate
@@ -2781,6 +2799,17 @@ object ExtQueries {
           SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(min(doc_id) AS BIGINT) AS keeper_id
           FROM c4 GROUP BY canon_url""",
+
+    "q_correlated_subquery" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+         FROM orders o
+         WHERE CAST(floor(o.o_totalprice * 100) AS BIGINT) *
+               (SELECT count(*) FROM orders i
+                WHERE i.o_orderpriority = o.o_orderpriority) >
+               (SELECT sum(CAST(floor(i.o_totalprice * 100) AS BIGINT))
+                FROM orders i
+                WHERE i.o_orderpriority = o.o_orderpriority)
+         GROUP BY o_orderpriority""",
 
     "q_ab_test" ->
       s"""WITH users AS (SELECT user_id,
