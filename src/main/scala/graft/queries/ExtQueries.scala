@@ -1219,6 +1219,20 @@ object ExtQueries {
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))),
 
+    // Sliding-frame value windows: first/nth/last over a ROWS frame
+    // with a unique (price, key) ordering — the remaining
+    // window-function family q_window_misc's rank pack doesn't cover.
+    "q_window_nth" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderstatus"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_in_frame"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_in_frame"),
+        last(col("o_orderkey")).over(w).as("last_in_frame"))
+    }),
+
     // CORRELATED scalar subqueries (per-group mean in the WHERE):
     // Catalyst decorrelates both into aggregate+join — the planner
     // shape SQL-first users write constantly; comparison kept exact
@@ -2799,6 +2813,16 @@ object ExtQueries {
           SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(min(doc_id) AS BIGINT) AS keeper_id
           FROM c4 GROUP BY canon_url""",
+
+    "q_window_nth" ->
+      """SELECT o_orderstatus, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_in_frame,
+           nth_value(o_orderkey, 2) OVER w AS second_in_frame,
+           last_value(o_orderkey) OVER w AS last_in_frame
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
 
     "q_correlated_subquery" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
