@@ -181,6 +181,30 @@ object EventStreams {
                r_ts <= l_ts + interval $maxDelay"""))
   }
 
+  /** LEFT OUTER stream-stream interval join: [[intervalJoin]] plus
+    * the unmatched left rows — emitted with null right columns only
+    * once the watermark proves no in-window right event can still
+    * arrive (Spark holds the left row in state until
+    * `l_ts + maxDelay` passes the right watermark). This is the
+    * "impressions that never converted" read-out — the half of the
+    * attribution question the inner join can't answer — and the state
+    * bound is the same: both ends of the time condition are bounded,
+    * so neither side buffers forever.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      maxDelay: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("l_ts", watermarkDelay)
+    val r = right.withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      expr(s"""l_user = r_user AND
+               r_ts >= l_ts AND
+               r_ts <= l_ts + interval $maxDelay"""),
+      "leftOuter")
+  }
+
   /** Streaming exact dedup on event_id with watermark-bounded state:
     * re-deliveries inside the watermark horizon are dropped, state for
     * ids older than the watermark is expired. The streaming twin of

@@ -300,6 +300,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits never-converted rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val views = MemoryStream[EventStreams.Event]
+    val clicks = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.intervalJoinLeftOuter(
+      views.toDF().select(
+        col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("view_id")),
+      clicks.toDF().select(
+        col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("click_id")),
+      maxDelay = "10 minutes", watermarkDelay = "1 minute")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attributed_outer").start()
+    try {
+      views.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view", 0), // will convert
+        ev(2, "2024-01-01 10:00:00", 2, "view", 0)) // never converts
+      clicks.addData(ev(101, "2024-01-01 10:05:00", 1, "click", 0))
+      q.processAllAvailable()
+      // push both watermarks far past 10:10 so the unmatched left
+      // row's window provably closed
+      views.addData(ev(3, "2024-01-01 12:00:00", 9, "view", 0))
+      clicks.addData(ev(104, "2024-01-01 12:00:00", 9, "click", 0))
+      q.processAllAvailable()
+      views.addData(ev(4, "2024-01-01 14:00:00", 9, "view", 0))
+      clicks.addData(ev(105, "2024-01-01 14:00:00", 9, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_outer").collect()
+        .map(r => r.getAs[Long]("view_id") ->
+          (if (r.isNullAt(r.fieldIndex("click_id"))) None
+           else Some(r.getAs[Long]("click_id"))))
+        .toMap
+      assert(rows(1L) == Some(101L))
+      assert(rows.contains(2L) && rows(2L).isEmpty) // null right side
+    } finally q.stop()
+  }
+
   test("streaming funnel equals the batch userSteps twin and bounds state by completion") {
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("signup", "click", "purchase")
