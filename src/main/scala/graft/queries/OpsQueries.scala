@@ -504,6 +504,15 @@ object OpsQueries {
     "q_rep_signals" -> ((s, d) =>
       RepSignals.repetitionSignals(Tables.documents(s, d), "doc_id", "text")),
 
+    // DSIR-flavored importance scores for data selection: per-doc sum
+    // of integer log-likelihood ratios (bit-length ilog2 — no float
+    // log) between a target source slice and the raw corpus; corpus
+    // tokenized once, vocabulary-sized ratio join (see
+    // CorpusFilters.dsirScores).
+    "q_dsir_scores" -> ((s, d) =>
+      CorpusFilters.dsirScores(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"))),
+
     "q_length_band" -> ((s, d) =>
       CorpusFilters.lengthPercentileBand(
         Tables.documents(s, d), "doc_id", "text")),
@@ -2066,6 +2075,24 @@ object OpsQueries {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_rep_signals" -> repSignalsSql,
     "q_length_band" -> lengthBandSql,
+    "q_dsir_scores" ->
+      s"""WITH wd AS (SELECT doc_id, source, unnest($ws) AS w
+                      FROM documents),
+          cr AS (SELECT w, CAST(count(*) AS BIGINT) AS cr
+                 FROM wd GROUP BY w),
+          ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM wd
+                 WHERE source IN ('src0','src1','src2','src3') GROUP BY w),
+          r AS (SELECT cr.w,
+                  CAST(length(bin(COALESCE(ct.ct, 0) + 1)) -
+                       length(bin(cr.cr + 1)) AS BIGINT) AS r
+                FROM cr LEFT JOIN ct ON ct.w = cr.w),
+          s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(r.r) AS BIGINT) AS score_fp
+                FROM wd JOIN r ON r.w = wd.w GROUP BY doc_id)
+          SELECT doc_id, n_tokens, score_fp,
+            CAST(floor(1000.0 * score_fp / n_tokens) AS BIGINT)
+              AS score_per_kt
+          FROM s""",
     "q_text_normalize" -> textNormalizeSql,
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
