@@ -493,7 +493,13 @@ object Graphs {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    // persisted: the distinct edge frame feeds the symmetrized union
+    // twice, the degree count, and both sides of the pair join — five
+    // consumers that would each replay the input scan + distinct
+    // otherwise (the minhash one-scan discipline; ContextCleaner
+    // frees the blocks when the frame goes unreferenced)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("du"))
     val d18 = "decimal(18,0)"

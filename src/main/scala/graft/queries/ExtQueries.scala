@@ -1281,9 +1281,13 @@ object ExtQueries {
     // grouped posting-list pair generation of q_node_sim, plus the
     // tiny per-type count and 1-row total broadcasts).
     "q_assoc_rules" -> ((s, d) => {
+      // persisted: the distinct (user, type) frame feeds the per-type
+      // counts, the 1-row total, AND the posting-list pair pipeline —
+      // without the cache each consumer replays the events scan
       val e = Tables.events(s, d)
         .select(col("user_id").as("u"), col("event_type").as("t"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ct = e.groupBy(col("t")).agg(count(lit(1)).as("c"))
       val total = e.select(col("u")).distinct().agg(count(lit(1)).as("users"))
       val pairs = e
