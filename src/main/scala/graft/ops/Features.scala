@@ -103,7 +103,11 @@ object Features {
     val med = Quantiles.cumDist(df, col(groupCol), cents)
       .groupBy(col("g").as(groupCol))
       .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("_med"))
+    // persisted: the median-joined corpus feeds the deviation cumdist
+    // AND the final scoring join — without the cache each consumer
+    // replays the corpus scan + broadcast join
     val withMed = df.join(broadcast(med), Seq(groupCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = Quantiles.cumDist(
       withMed, col(groupCol), abs(cents - col("_med")))
       .groupBy(col("g").as(groupCol))
