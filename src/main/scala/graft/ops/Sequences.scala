@@ -92,6 +92,48 @@ object Sequences {
         col("lt").getField("i").as("last_touch"))
   }
 
+  /** Top-k entity journeys: the most common length-`steps` opening
+    * paths (first `steps` attribute values of each entity's (ts, ord)
+    * stream, joined with `>`), counted across entities — the "what do
+    * users actually do first" path-mining read-out that pairwise
+    * [[transitionCounts]] can't answer (paths are order-sensitive
+    * beyond one hop). Entities with fewer than `steps` events are
+    * excluded (their truncated path isn't comparable).
+    *
+    * Shape: the per-entity window keeps only the first `steps` rows
+    * (filter directly on row_number — the shuffle after it carries
+    * ≤ steps rows per entity), path assembly is an order-free
+    * sort-by-ordinal fold inside one hash aggregation, and the final
+    * top-k is TakeOrdered with the path string as tie-break.
+    *
+    * @return (path, n_entities), top `k` by count desc, path asc
+    */
+  def topPaths(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      ordCol: String,
+      attrCol: String,
+      steps: Int = 3,
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(ordCol))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= steps)
+      .groupBy(col(entityCol))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("_rn"), col(attrCol).as("a")))),
+          x => x.getField("a"))).as("path"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") === steps.toLong)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_entities"))
+      .orderBy(col("n_entities").desc, col("path"))
+      .limit(k)
+  }
+
   /** Time-decayed engagement score per entity with a ONE-DAY
     * half-life, kept exact: an event aged `d` calendar days at
     * `asofDate` weighs `2^(horizon − d)` (zero beyond the horizon),

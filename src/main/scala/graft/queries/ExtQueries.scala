@@ -1219,6 +1219,13 @@ object ExtQueries {
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))),
 
+    // Top user journeys: most common 3-step opening paths — the
+    // order-sensitive path mining pairwise transitions can't answer
+    // (see graft.ops.Sequences.topPaths).
+    "q_event_paths" -> ((s, d) =>
+      Sequences.topPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
     // Sliding-frame value windows: first/nth/last over a ROWS frame
     // with a unique (price, key) ordering — the remaining
     // window-function family q_window_misc's rank pack doesn't cover.
@@ -2817,6 +2824,20 @@ object ExtQueries {
           SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
             CAST(min(doc_id) AS BIGINT) AS keeper_id
           FROM c4 GROUP BY canon_url""",
+
+    "q_event_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+            FROM events),
+          p AS (SELECT user_id,
+              string_agg(event_type, '>' ORDER BY rn) AS path,
+              count(*) AS n
+            FROM r WHERE rn <= 3 GROUP BY user_id),
+          c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_entities
+                FROM p WHERE n = 3 GROUP BY path)
+          SELECT path, n_entities FROM c
+          ORDER BY n_entities DESC, path LIMIT 10""",
 
     "q_window_nth" ->
       """SELECT o_orderstatus, o_orderkey,
