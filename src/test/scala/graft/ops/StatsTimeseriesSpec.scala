@@ -313,6 +313,30 @@ class StatsTimeseriesSpec extends AnyFunSuite {
       4L -> ((4L, 1L))))
   }
 
+  test("topPaths: counts ordered openings, excludes short series, tie-breaks") {
+    val rows = Seq(
+      // u1, u2: a>b>c ; u3: b>a>c ; u4: only 2 events (excluded)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "z"), // 4th event ignored
+      (2L, ts("2024-01-01 10:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "b"),
+      (2L, ts("2024-01-01 10:02:00"), 7L, "c"),
+      (3L, ts("2024-01-01 10:00:00"), 8L, "b"),
+      (3L, ts("2024-01-01 10:01:00"), 9L, "a"),
+      (3L, ts("2024-01-01 10:02:00"), 10L, "c"),
+      (4L, ts("2024-01-01 10:00:00"), 11L, "a"),
+      (4L, ts("2024-01-01 10:01:00"), 12L, "b")
+    ).toDF("u", "t", "i", "a")
+    for (parts <- Seq(1, 3)) {
+      val got = Sequences
+        .topPaths(rows.repartition(parts), "u", "t", "i", "a", steps = 3, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a>b>c", 2L), ("b>a>c", 1L)))
+    }
+  }
+
   test("canonicalizeUrl: case, port, utm, fragment, trailing slash") {
     val cases = Seq(
       ("HTTPS://Example-1.COM:443/Docs/9/#frag",
