@@ -352,6 +352,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL: partitionless windows only in the audited tiny-frame/native-twin set") {
+    // A Window with an empty partitionSpec moves ALL its input to one
+    // task — fatal at scale over data-sized frames. The audited set
+    // below is legitimate: the Prefix/cumdist machinery's window over
+    // the ~numShufflePartitions-row OFFSETS summary (global_ids,
+    // shuffle_order, shard_assign, skyline, ntile_global,
+    // histogram_eqdepth, length_band), the PQ family's windows over
+    // codebook/recall frames bounded by ksub/|Q|, and the two
+    // DELIBERATE native SQL twins of the prefix rewrite (rownum_sql,
+    // ntile_global). A new query acquiring one fails here and must be
+    // frame-size-audited and added consciously.
+    val allowed = Set(
+      "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res", "q_ann_pq",
+      "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
+      "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
+      "q_shard_assign", "q_shuffle_order", "q_skyline")
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val partitionless = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      if (partitionless)
+        assert(allowed.contains(name),
+          s"$name acquired a partitionless Window — audit its frame size " +
+            "and allowlist consciously")
+    }
+  }
+
   test("custom expressions stay inside whole-stage codegen spans") {
     // a CodegenFallback expression forces its host Project out of the
     // fused span: the plan line loses its `*(n)` codegen marker. Gate
