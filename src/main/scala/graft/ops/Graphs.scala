@@ -456,13 +456,23 @@ object Graphs {
       rightCol: String,
       maxDegree: Int = 256,
       scale: Long = 1000000L): DataFrame = {
-    val nbrs = edges
+    // the degree cut applies BEFORE the neighbor-list aggregation —
+    // filtering on size(collect_list(...)) afterwards would still
+    // build an unbounded aggregation buffer for a hub left-node; the
+    // pre-count + semi-join bounds the buffer at maxDegree entries.
+    // The distinct edge frame feeds both passes, so it is persisted
+    // (the one-scan discipline).
+    val e = edges
       .select(col(leftCol).as("u"), col(rightCol).as("t"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg").between(2L, maxDegree.toLong))
+      .select(col("u"))
+    val nbrs = e
+      .join(keep, Seq("u"), "left_semi")
       .groupBy(col("u"))
-      .agg(collect_list(col("t")).as("ts"))
-      .select(array_sort(col("ts")).as("ts"))
-      .filter(size(col("ts")).between(2, maxDegree))
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
       .select(col("ts"),
         expr(s"${scale}L div CAST(size(ts) AS BIGINT)").as("w"))
     nbrs

@@ -298,10 +298,13 @@ class PlanSpec extends AnyFunSuite {
     // not a self-join or two passes
     val w = plan("q_welch_ttest")
     assert(!w.contains("Join"), s"welch t-test grew a self-join:\n$w")
-    // node similarity: grouped posting-list pair-gen — the only joins
-    // allowed are none at all (explode over grouped lists)
+    // node similarity: grouped posting-list pair-gen — the ONLY join
+    // allowed is the degree-cut LeftSemi that bounds the aggregation
+    // buffer (a posting SELF-join would show as an inner join)
     val ns = plan("q_node_sim")
-    assert(!ns.contains("Join"), s"node-sim grew a posting self-join:\n$ns")
+    val nsJoins = ns.linesIterator.filter(_.contains("Join")).toSeq
+    assert(nsJoins.nonEmpty && nsJoins.forall(_.contains("LeftSemi")),
+      s"node-sim join shape changed (want only the degree-cut semi):\n$ns")
     assert(ns.contains("Generate explode"),
       s"node-sim pair generation shape changed:\n$ns")
     // spearman rides the scale-safe cumDist frame: no per-group
