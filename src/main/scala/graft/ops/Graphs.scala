@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond [[Clusters]]' connected components:
@@ -530,6 +531,47 @@ object Graphs {
                 ELSE (n_ends*sxy - sx*sy) /
                      (sqrt(n_ends*sxx - sx*sx) * sqrt(n_ends*syy - sy*sy))
                 END""").as("r"))
+  }
+
+  /** HITS hubs-and-authorities on a bipartite edge set, two exact
+    * UNNORMALIZED power-iteration rounds: a₁ = Σ_u deg(u) over each
+    * authority's hubs, h₂ = Σ_t a₁ over each hub's authorities,
+    * a₂ = Σ_u h₂ — every score an exact integer fold (DECIMAL(28,0)
+    * sums; unnormalized iterates grow ~m² so longs overflow on
+    * billion-edge graphs), with ONE closing double giving the
+    * sum-normalized authority share. Skipping the per-round float
+    * normalization is what makes the iterate partition-order
+    * invariant and hash-verifiable; the ranking is identical.
+    *
+    * Scale shape: the authority frame is broadcast back (bounded by
+    * the authority-side cardinality); hub-side joins shuffle on the
+    * hub key with map-side partial sums. The edge frame feeds all
+    * rounds once (persisted).
+    *
+    * @return (authority, a1, a2, share) — share = a₂ / Σa₂
+    */
+  def hits(
+      edges: DataFrame,
+      hubCol: String,
+      authCol: String): DataFrame = {
+    val e = edges
+      .select(col(hubCol).as("u"), col(authCol).as("t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h1 = e.groupBy("u")
+      .agg(count(lit(1)).cast("decimal(18,0)").as("h1"))
+    val a1 = e.join(h1, Seq("u"))
+      .groupBy("t").agg(sum("h1").cast("decimal(18,0)").as("a1"))
+    val h2 = e.join(broadcast(a1), Seq("t"))
+      .groupBy("u").agg(sum("a1").cast("decimal(18,0)").as("h2"))
+    val a2 = e.join(h2, Seq("u"))
+      .groupBy("t").agg(sum("h2").cast("decimal(28,0)").as("a2"))
+    a2.join(broadcast(a1), Seq("t"))
+      .withColumn("tot", sum(col("a2")).over(Window.partitionBy()))
+      .select(col("t").as("authority"),
+        col("a1").cast("long").as("a1"),
+        col("a2").cast("long").as("a2"),
+        expr("CAST(a2 AS DOUBLE)/CAST(tot AS DOUBLE)").as("share"))
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =

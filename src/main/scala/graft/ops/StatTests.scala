@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics from EXACT integer sufficient
+  * statistics — the [[Moments]] discipline applied to the rank/CDF
+  * family: Mann-Whitney U (with its AUC reading), the two-sample
+  * Kolmogorov-Smirnov D, Kendall's tau-b, and the Gini coefficient.
+  *
+  * Everything before the final closed-form expression is an integer
+  * (BIGINT / bounded DECIMAL) fold over DISTINCT-value frames, so
+  * results hash-verify cross-engine and are partition-order
+  * invariant. Ranks come from [[Quantiles.cumDist]] — the two-phase
+  * bucketed cumulative distribution whose parallelism is
+  * groups × buckets, never one task per group — and every "global"
+  * statistic folds map-side first (the shuffle carries one row per
+  * distinct value or per cell, regardless of input row count).
+  *
+  * DECIMAL operand precisions are sized so every product stays ≤ 38
+  * digits in BOTH engines (DuckDB types products at p1+p2 and errors
+  * past 38; Spark caps at 38 silently): counts ride as DECIMAL(12,0),
+  * doubled ranks as DECIMAL(14,0), cent values as DECIMAL(10,0).
+  * Bounds hold to ~1e12 rows / 1e10-cent values; past that, widen the
+  * operands and split the products (the sums themselves stay exact).
+  *
+  * Extends the reference's aggregation surface (SURVEY.md §2.4;
+  * `/root/reference/main.py:513-518` has only min/count) toward the
+  * dataset-comparison layer a training-data pipeline needs: "did this
+  * scrape's quality distribution shift vs last month's" is exactly a
+  * rank-sum / KS question.
+  */
+object StatTests {
+
+  /** Tie-adjusted AUC from the doubled rank sum: 2U / (2·n_a·n_b). */
+  val AucExpr: String =
+    """(two_ra - CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE) + 1.0)) /
+       (2.0*CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))"""
+
+  /** Normal-approximation z with the tie-corrected variance:
+    * z = 2(U−μ) / 2σ, σ² = n_a·n_b/12·((n+1) − T/(n(n−1))). */
+  val MwZExpr: String =
+    """(two_ra - CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE) + 1.0)
+         - CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) /
+       sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/3.0*
+            ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+             - tie_t/((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0))))"""
+
+  /** Mann-Whitney rank-sum test between two groups of an
+    * integer-safe measure, with proper average ranks for ties
+    * (doubled ranks `2·cum − cnt + 1` stay integral) and the
+    * tie-corrected normal z. The AUC column is the probability-of-
+    * superiority reading of the same U — i.e. this is also the exact
+    * ROC-AUC of `valueExpr` as a score for membership in `gA`.
+    *
+    * Shape: ONE scan folds to per-(side, value) cells; pooled ranks
+    * come from [[Quantiles.cumDist]] over the cell frame (input rows
+    * never rank individually); the tie term folds as
+    * Σ c·(cnt²−1) = Σ_v cnt³−cnt without a second distinct pass.
+    *
+    * @return one row: (n_a, n_b, auc, z)
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      gA: String,
+      gB: String,
+      valueExpr: Column): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isin(gA, gB))
+      .select((col(groupCol) === gA).as("a"), valueExpr.as("v"))
+      .groupBy("a", "v").agg(count(lit(1)).as("c"))
+    val ranks = Quantiles
+      .cumDist(cells, lit(0), col("v"), col("c"))
+      .select(col("v"), col("cnt"),
+        (col("cum") * 2L - col("cnt") + 1L).as("dr"))
+    cells.join(ranks, Seq("v"))
+      .select(col("a"),
+        col("c").cast("decimal(12,0)").as("c"),
+        col("dr").cast("decimal(14,0)").as("dr"),
+        col("cnt").cast("decimal(12,0)").as("cnt"))
+      .agg(
+        sum(when(col("a"), col("c")).otherwise(lit(0))).cast("long").as("n_a"),
+        sum(when(!col("a"), col("c")).otherwise(lit(0))).cast("long")
+          .as("n_b"),
+        sum(when(col("a"), col("c") * col("dr")).otherwise(lit(0)))
+          .cast("double").as("two_ra"),
+        sum(col("c") * (col("cnt") * col("cnt") - 1)).cast("double")
+          .as("tie_t"))
+      .select(col("n_a"), col("n_b"),
+        expr(AucExpr).as("auc"), expr(MwZExpr).as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov: D = max_v |F_a(v) − F_b(v)|,
+    * exact as max |cum_a·n_b − cum_b·n_a| / (n_a·n_b) over the pooled
+    * distinct-value grid. Both groups' CDFs ride ONE bucketed
+    * two-phase prefix pass (the [[Quantiles.cumDist]] shape with a
+    * weight column per side), so the only full-input work is the
+    * per-(value) conditional-count aggregation.
+    *
+    * @return one row: (n_a, n_b, d, ks_stat) where
+    *         ks_stat = d·√(n_a·n_b/(n_a+n_b))
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      gA: String,
+      gB: String,
+      valueExpr: Column): DataFrame = {
+    val nB = df.sparkSession.sessionState.conf.numShufflePartitions
+    val dist = df
+      .filter(col(groupCol).isin(gA, gB))
+      .select((col(groupCol) === gA).as("a"), valueExpr.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranges = dist.agg(min("v").as("vmin"), max("v").as("vmax"))
+    val bucketed = dist.crossJoin(broadcast(ranges))
+      .withColumn("bkt",
+        ((col("v") - col("vmin")) * nB / (col("vmax") - col("vmin") + 1))
+          .cast("long"))
+    val offsets = bucketed.groupBy("bkt")
+      .agg(sum("ca").as("pa"), sum("cb").as("pb"))
+      .withColumn("offa", coalesce(
+        sum(col("pa")).over(Window.partitionBy(lit(0)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("offb", coalesce(
+        sum(col("pb")).over(Window.partitionBy(lit(0)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_a", sum(col("pa")).over(Window.partitionBy(lit(0))))
+      .withColumn("n_b", sum(col("pb")).over(Window.partitionBy(lit(0))))
+      .select("bkt", "offa", "offb", "n_a", "n_b")
+    bucketed
+      .withColumn("la", sum(col("ca")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lb", sum(col("cb")).over(
+        Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("n_a"), col("n_b"),
+        abs((col("la") + col("offa")).cast("decimal(18,0)") *
+            col("n_b").cast("decimal(18,0)") -
+          (col("lb") + col("offb")).cast("decimal(18,0)") *
+            col("n_a").cast("decimal(18,0)")).as("dnum"))
+      .groupBy("n_a", "n_b")
+      .agg(max("dnum").as("dnum"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CAST(dnum AS DOUBLE) /
+                (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))""").as("d"),
+        expr("""CAST(dnum AS DOUBLE) /
+                (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) *
+                sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE) /
+                     (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))""")
+          .as("ks_stat"))
+  }
+
+  /** Kendall's tau-b between two BOUNDED-cardinality integer-safe
+    * measures, computed on the contingency table: concordant /
+    * discordant pair totals are Σ c₁·c₂ over cell pairs, so the
+    * quadratic work is |X|·|Y| squared CELLS (e.g. 50×7 here), never
+    * input pairs. The cell self-join is a broadcast nested-loop by
+    * construction — allowlisted in PlanSpec with the codebook-sized
+    * frames; for high-cardinality measures, bin first.
+    *
+    * tau_b = 2(C−D) / √((n(n−1)−T_x)(n(n−1)−T_y)),
+    * T_x = Σ_x c_x(c_x−1) (and symmetrically T_y).
+    *
+    * @return one row: (n, concordant, discordant, tau_b)
+    */
+  def kendallTauB(
+      df: DataFrame,
+      xExpr: Column,
+      yExpr: Column): DataFrame = {
+    val cells = df.select(xExpr.as("x"), yExpr.as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).cast("decimal(14,0)").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cells
+      .join(broadcast(cells.select(col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2"))),
+        col("x") < col("x2") && col("y") =!= col("y2"))
+      .agg(
+        sum(when(col("y") < col("y2"), col("c") * col("c2"))
+          .otherwise(lit(0))).cast("double").as("conc"),
+        sum(when(col("y") > col("y2"), col("c") * col("c2"))
+          .otherwise(lit(0))).cast("double").as("disc"))
+    val tx = cells.groupBy("x").agg(sum("c").as("cx"))
+      .agg(sum(col("cx") * (col("cx") - 1)).cast("double").as("tie_x"))
+    val ty = cells.groupBy("y").agg(sum("c").as("cy"))
+      .agg(sum(col("cy") * (col("cy") - 1)).cast("double").as("tie_y"))
+    val nn = cells.agg(sum(col("c")).cast("long").as("n"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(nn))
+      .select(col("n"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        expr("""2.0*(conc - disc) /
+                sqrt((CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0) - tie_x)
+                   * (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0) - tie_y))""")
+          .as("tau_b"))
+  }
+
+  /** Gini coefficient per group of a non-negative integer-safe
+    * measure, tie-adjusted via average ranks:
+    * G = 2Σ rᵢxᵢ/(n·Σx) − (n+1)/n, with 2Σ rᵢxᵢ folding exactly as
+    * Σ_v v·cnt·(2·cum−cnt+1) over the [[Quantiles.cumDist]]
+    * distinct-value frame — no per-row ranking, no global sort.
+    *
+    * @return (group, n, gini)
+    */
+  def giniByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    Quantiles.cumDist(df, col(groupCol), valueExpr)
+      .select(col("g"), col("n"),
+        col("v").cast("decimal(10,0)").as("v"),
+        col("cnt").cast("decimal(12,0)").as("cnt"),
+        (col("cum") * 2L - col("cnt") + 1L).cast("decimal(14,0)").as("dr"))
+      .groupBy("g", "n")
+      .agg(
+        sum(col("v") * col("cnt") * col("dr")).cast("double").as("drx"),
+        sum(col("v") * col("cnt")).cast("double").as("sx"))
+      .select(col("g"), col("n"),
+        expr("""CASE WHEN sx = 0.0 THEN 0.0
+                ELSE drx/(CAST(n AS DOUBLE)*sx)
+                     - (CAST(n AS DOUBLE) + 1.0)/CAST(n AS DOUBLE)
+                END""").as("gini"))
+  }
+
+  /** First-significant-digit (Benford) profile of a positive measure:
+    * per-digit observed counts and shares against the Benford
+    * expectation log₁₀(1+1/d), with the per-digit χ² contribution.
+    * The digit is STRING arithmetic on the floored integer — no
+    * log-of-double boundary risk cross-engine. One hash aggregation
+    * to ≤9 rows; the global-share window rides that 9-row frame
+    * (PlanSpec partitionless-window allowlist).
+    *
+    * @return (digit, n_obs, share, benford, chi2_part)
+    */
+  def benfordProfile(df: DataFrame, valueExpr: Column): DataFrame = {
+    df.select(valueExpr.as("p"))
+      .filter(col("p") >= 1)
+      .select(substring(floor(col("p")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(n_obs AS DOUBLE)/CAST(n AS DOUBLE)").as("share"),
+        expr("log10(1.0 + 1.0/CAST(digit AS DOUBLE))").as("benford"),
+        expr("""(CAST(n_obs AS DOUBLE)
+                  - CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+                *(CAST(n_obs AS DOUBLE)
+                  - CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+                /(CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))""")
+          .as("chi2_part"))
+  }
+}

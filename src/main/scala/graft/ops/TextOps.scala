@@ -192,6 +192,33 @@ object TextOps {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
 
+  /** Sentence count: non-blank segments between `.!?` runs. Kept in
+    * the Java/RE2 regex common subset so the oracle splits the same.
+    */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(coalesce(text, lit("")), "[.!?]+"),
+      w => length(trim(w)) > 0)).cast("long")
+
+  /** Flesch reading-ease from (n_words, n_sents, n_syll) integer
+    * columns in scope — one closing double expression, shared
+    * token-for-token with the oracle. */
+  val FleschExpr: String =
+    """CASE WHEN n_sents = 0 OR n_words = 0 THEN 0.0
+       ELSE 206.835
+            - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sents AS DOUBLE))
+            - 84.6*(CAST(n_syll AS DOUBLE)/CAST(n_words AS DOUBLE))
+       END"""
+
+  /** Syllable proxy: vowel-group count over the whole lowercased
+    * text. Spaces and punctuation break groups, so this equals the
+    * per-word vowel-group sum without a per-word walk — the standard
+    * readability approximation, exact as an integer and engine-
+    * portable (no dictionary, no heuristics that diverge).
+    */
+  def vowelGroupCount(text: Column): Column =
+    size(regexp_extract_all(lower(coalesce(text, lit(""))),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+
   /** BPE-style pretokenization count: runs of letters / digits /
     * other, each optionally absorbing one leading space (the GPT-2
     * pretokenizer shape, ASCII-simplified so Java and RE2 regex

@@ -8,7 +8,7 @@ import graft.Tables
 import graft.ops.{
   Anomaly, AsOf, BloomJoin, Cohorts, Funnels, FuzzyJoin, Graphs, Moments,
   Prefix, RangeJoin, Scd, Sequences, Sessions, Similarity, Skew,
-  SnapshotDiff, Timeseries}
+  SeriesOps, SnapshotDiff, StatTests, Timeseries}
 
 /** Third operator pack: as-of join, embedding near-dup pairs, JSON
   * extraction, rollup, distinct counting, exact positional median.
@@ -1083,6 +1083,105 @@ object ExtQueries {
         floor(col("l_extendedprice") * 100).cast("long"))
         .withColumnRenamed("g", "l_returnflag")),
 
+    // HITS hubs/authorities on the user->event_type bipartite graph:
+    // two exact integer power-iteration rounds (unnormalized — the
+    // partition-order-invariant form), closing share normalization.
+    "q_hits" -> ((s, d) =>
+      Graphs.hits(Tables.events(s, d), "user_id", "event_type")),
+
+    // l-diversity audit over the k-anonymity quasi-identifier
+    // buckets: distinct sensitive values (lang) per equivalence
+    // class, at-risk below l=3. One aggregation with a distinct
+    // expansion — the release-gate counterpart of q_k_anonymity.
+    "q_l_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), expr("n_chars div 1000").as("len_kb"),
+          col("lang"))
+        .groupBy(col("source"), col("len_kb"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("lang")).as("l_div"))
+        .withColumn("at_risk", (col("l_div") < 3L).cast("long"))),
+
+    // Pointwise mutual-information decomposition of the
+    // (returnflag, linestatus) contingency: per-cell MI contribution
+    // from exact counts — margins ride partitioned windows on the
+    // 6-cell frame, the grand total a global window on the same rows
+    // (no second scan). Summing the parts gives I(X;Y); emitting
+    // per-cell keeps every double a closed form of integers.
+    "q_mutual_info" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_xy"))
+        .withColumn("nx",
+          sum(col("n_xy")).over(Window.partitionBy(col("l_returnflag"))))
+        .withColumn("ny",
+          sum(col("n_xy")).over(Window.partitionBy(col("l_linestatus"))))
+        .withColumn("n", sum(col("n_xy")).over(Window.partitionBy()))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_xy"),
+          expr(MiPartExpr).as("mi_part"))),
+
+    // Additive seasonal decomposition of the hourly event series:
+    // centered 24h moving-average trend, hour-of-day seasonal means
+    // from the INTEGER detrended series (24·cnt − Σwin), remainder.
+    // All windows ride the calendar-bounded hourly summary frame.
+    "q_seasonal" -> ((s, d) =>
+      SeriesOps.seasonalDecompose(Tables.events(s, d), "ts")),
+
+    // Lagged cross-correlation between purchase and click daily
+    // counts at lags 0..7: integer day-number equi-joins over the
+    // daily summary frame, exact Pearson sufficient sums per lag.
+    "q_cross_corr" -> ((s, d) =>
+      SeriesOps.crossCorrelation(Tables.events(s, d), "event_type",
+        "ts", "purchase", "click", maxLag = 7)),
+
+    // Exact trailing-7-day distinct active users per day: per-user
+    // interval merge → ±1 boundary deltas → distributed running
+    // total (Prefix machinery). No day×user fan-out, no per-day
+    // distinct pass — the 100 TB WAU shape.
+    "q_sliding_distinct" -> ((s, d) =>
+      SeriesOps.slidingDistinctActives(Tables.events(s, d),
+        "user_id", "ts", windowDays = 7)),
+
+    // Mann-Whitney rank-sum between return flags on quantity: exact
+    // doubled average ranks over the cumDist distinct-value frame,
+    // tie-corrected z, AUC as the probability-of-superiority reading.
+    "q_mann_whitney" -> ((s, d) =>
+      StatTests.mannWhitney(Tables.lineitem(s, d), "l_returnflag",
+        "A", "N", col("l_quantity").cast("long"))),
+
+    // The same U machinery read as exact tie-adjusted ROC-AUC: how
+    // well does event value (cents) separate purchases from clicks.
+    "q_auc" -> ((s, d) =>
+      StatTests.mannWhitney(Tables.events(s, d), "event_type",
+        "purchase", "click", floor(col("value") * 100).cast("long"))),
+
+    // Two-sample Kolmogorov-Smirnov D between return flags on price
+    // cents: both CDFs ride one bucketed two-phase prefix pass; the
+    // max |F_a - F_b| numerator stays integral.
+    "q_ks_test" -> ((s, d) =>
+      StatTests.ksTest(Tables.lineitem(s, d), "l_returnflag",
+        "A", "N", floor(col("l_extendedprice") * 100).cast("long"))),
+
+    // Kendall tau-b on the (quantity, linenumber) contingency table:
+    // concordant/discordant totals from cell-pair products (50x7
+    // cells), never input pairs.
+    "q_kendall" -> ((s, d) =>
+      StatTests.kendallTauB(Tables.lineitem(s, d),
+        col("l_quantity").cast("long"), col("l_linenumber").cast("long"))),
+
+    // Gini concentration of price cents per return flag from the
+    // cumDist frame: tie-adjusted doubled-rank fold, no global sort.
+    "q_gini" -> ((s, d) =>
+      StatTests.giniByGroup(Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_extendedprice") * 100).cast("long"))
+        .withColumnRenamed("g", "l_returnflag")),
+
+    // Benford first-digit profile of order totals with per-digit
+    // chi-square contributions — string arithmetic on the floored
+    // integer, no log-of-double digit extraction.
+    "q_benford" -> ((s, d) =>
+      StatTests.benfordProfile(Tables.orders(s, d), col("o_totalprice"))),
+
     // Resource-allocation node similarity (the exactly-computable
     // Adamic-Adar cousin) over the user->event_type bipartite graph:
     // grouped posting-list pair generation, fixed-point 1/deg
@@ -1322,6 +1421,13 @@ object ExtQueries {
     */
   private val AbUpliftExpr: String =
     "CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0"
+  /** Per-cell PMI-weighted MI contribution from exact counts; shared
+    * Spark↔oracle token for token. */
+  private val MiPartExpr: String =
+    """(CAST(n_xy AS DOUBLE)/CAST(n AS DOUBLE)) *
+       ln((CAST(n_xy AS DOUBLE)*CAST(n AS DOUBLE)) /
+          (CAST(nx AS DOUBLE)*CAST(ny AS DOUBLE)))"""
+
   private val AbZExpr: String =
     """CASE WHEN n0 = 0 OR n1 = 0 OR k0 + k1 = 0
             OR k0 + k1 = n0 + n1 THEN 0.0
@@ -2602,6 +2708,284 @@ object ExtQueries {
                  (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
             END AS rho
           FROM s""",
+
+    // two unrolled exact power-iteration rounds; share is the one
+    // closing double
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT user_id AS u,
+              event_type AS t FROM events),
+          h1 AS (SELECT u, CAST(count(*) AS DECIMAL(18,0)) AS h1
+            FROM e GROUP BY u),
+          a1 AS (SELECT t, CAST(sum(h1) AS DECIMAL(18,0)) AS a1
+            FROM e JOIN h1 USING (u) GROUP BY t),
+          h2 AS (SELECT u, CAST(sum(a1) AS DECIMAL(18,0)) AS h2
+            FROM e JOIN a1 USING (t) GROUP BY u),
+          a2 AS (SELECT t, CAST(sum(h2) AS DECIMAL(28,0)) AS a2
+            FROM e JOIN h2 USING (u) GROUP BY t),
+          w AS (SELECT t, a1, a2, sum(a2) OVER () AS tot
+            FROM a2 JOIN a1 USING (t))
+          SELECT t AS authority, CAST(a1 AS BIGINT) AS a1,
+            CAST(a2 AS BIGINT) AS a2,
+            CAST(a2 AS DOUBLE)/CAST(tot AS DOUBLE) AS share
+          FROM w""",
+
+    // distinct-sensitive-value count per quasi bucket
+    "q_l_diversity" ->
+      """SELECT source, n_chars // 1000 AS len_kb,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT lang) AS BIGINT) AS l_div,
+            CAST(CASE WHEN count(DISTINCT lang) < 3 THEN 1 ELSE 0 END
+              AS BIGINT) AS at_risk
+          FROM documents GROUP BY 1, 2""",
+
+    // margins/total as windows over the 6-cell frame; mi_part shared
+    // with MiPartExpr token for token
+    "q_mutual_info" -> {
+      s"""WITH cells AS (SELECT l_returnflag, l_linestatus,
+              count(*) AS n_xy FROM lineitem GROUP BY 1, 2),
+          m AS (SELECT l_returnflag, l_linestatus, n_xy,
+              sum(n_xy) OVER (PARTITION BY l_returnflag) AS nx,
+              sum(n_xy) OVER (PARTITION BY l_linestatus) AS ny,
+              sum(n_xy) OVER () AS n
+            FROM cells)
+          SELECT l_returnflag, l_linestatus,
+            CAST(n_xy AS BIGINT) AS n_xy, $MiPartExpr AS mi_part
+          FROM m"""
+    },
+
+    // integer detrending (24*cnt - sumw) keeps the seasonal means
+    // exact; trend/remainder NULL on incomplete edge windows
+    "q_seasonal" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+              count(*) AS cnt FROM events GROUP BY 1),
+          w AS (SELECT h, cnt, CAST(hour(h) AS INTEGER) AS hod,
+              CASE WHEN count(*) OVER win = 24
+                   THEN sum(cnt) OVER win END AS sumw,
+              CASE WHEN count(*) OVER win = 24
+                   THEN 24*cnt - sum(cnt) OVER win END AS d24
+            FROM hourly
+            WINDOW win AS (ORDER BY h ROWS BETWEEN 11 PRECEDING
+              AND 12 FOLLOWING)),
+          se AS (SELECT hod, CAST(sum(d24) AS BIGINT) AS sd,
+              count(d24) AS sc FROM w GROUP BY hod)
+          SELECT strftime(w.h, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+            CAST(sumw AS DOUBLE)/24.0 AS trend,
+            CASE WHEN sc = 0 THEN 0.0
+            ELSE CAST(sd AS DOUBLE)/(24.0*CAST(sc AS DOUBLE))
+            END AS seasonal,
+            CAST(d24 AS DOUBLE)/24.0 -
+            CASE WHEN sc = 0 THEN 0.0
+            ELSE CAST(sd AS DOUBLE)/(24.0*CAST(sc AS DOUBLE))
+            END AS remainder
+          FROM w JOIN se ON se.hod = w.hod""",
+
+    // integer day numbers make the lag joins equi-joins; Pearson
+    // closing expression shared with SeriesOps.PearsonExpr
+    "q_cross_corr" -> {
+      s"""WITH daily AS MATERIALIZED (SELECT
+              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS DECIMAL(12,0)) AS ca,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                END) AS DECIMAL(12,0)) AS cb
+            FROM events WHERE event_type IN ('purchase','click')
+            GROUP BY 1),
+          l AS (SELECT unnest(range(0, 8)) AS lag),
+          j AS (SELECT l.lag, a.ca, b.cb
+            FROM l CROSS JOIN daily a
+            JOIN daily b ON b.dn + l.lag = a.dn),
+          s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(ca) AS DOUBLE) AS sx,
+              CAST(sum(cb) AS DOUBLE) AS sy,
+              CAST(sum(ca*ca) AS DOUBLE) AS sxx,
+              CAST(sum(cb*cb) AS DOUBLE) AS syy,
+              CAST(sum(ca*cb) AS DOUBLE) AS sxy
+            FROM j GROUP BY lag)
+          SELECT CAST(lag AS BIGINT) AS lag, n_days,
+            ${SeriesOps.PearsonExpr} AS r
+          FROM s"""
+    },
+
+    // the oracle is the O(days × users) brute force the operator
+    // avoids: count distinct users per trailing window directly
+    "q_sliding_distinct" ->
+      """WITH ud AS MATERIALIZED (SELECT DISTINCT
+              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+              user_id FROM events),
+          days AS (SELECT DISTINCT dn FROM ud)
+          SELECT days.dn AS day_n,
+            CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+          FROM days JOIN ud ON ud.dn BETWEEN days.dn - 6 AND days.dn
+          GROUP BY 1""",
+
+    // pooled doubled ranks over distinct values; tie term folds as
+    // sum c*(cnt^2-1); closing AUC/z expression text shared with
+    // StatTests.mannWhitney token for token
+    "q_mann_whitney" -> {
+      s"""WITH t AS (SELECT (l_returnflag = 'A') AS a,
+              CAST(floor(l_quantity) AS BIGINT) AS v
+            FROM lineitem WHERE l_returnflag IN ('A','N')),
+          cells AS (SELECT a, v, count(*) AS c FROM t GROUP BY 1, 2),
+          pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+            FROM cells GROUP BY v),
+          ranks AS (SELECT v, cnt,
+              2*sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - cnt + 1 AS dr
+            FROM pooled),
+          j AS (SELECT cells.a, CAST(cells.c AS DECIMAL(12,0)) AS c,
+              CAST(ranks.dr AS DECIMAL(14,0)) AS dr,
+              CAST(ranks.cnt AS DECIMAL(12,0)) AS cnt
+            FROM cells JOIN ranks ON ranks.v = cells.v),
+          s AS (SELECT
+              CAST(sum(CASE WHEN a THEN c
+                       ELSE CAST(0 AS DECIMAL(12,0)) END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN NOT a THEN c
+                       ELSE CAST(0 AS DECIMAL(12,0)) END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a THEN c*dr
+                       ELSE CAST(0 AS DECIMAL(26,0)) END) AS DOUBLE)
+                AS two_ra,
+              CAST(sum(c*(cnt*cnt - 1)) AS DOUBLE) AS tie_t
+            FROM j)
+          SELECT n_a, n_b, ${StatTests.AucExpr} AS auc,
+            ${StatTests.MwZExpr} AS z
+          FROM s"""
+    },
+
+    // identical machinery read as tie-adjusted ROC-AUC of event value
+    // separating purchases from clicks
+    "q_auc" -> {
+      s"""WITH t AS (SELECT (event_type = 'purchase') AS a,
+              CAST(floor(value*100) AS BIGINT) AS v
+            FROM events WHERE event_type IN ('purchase','click')),
+          cells AS (SELECT a, v, count(*) AS c FROM t GROUP BY 1, 2),
+          pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+            FROM cells GROUP BY v),
+          ranks AS (SELECT v, cnt,
+              2*sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - cnt + 1 AS dr
+            FROM pooled),
+          j AS (SELECT cells.a, CAST(cells.c AS DECIMAL(12,0)) AS c,
+              CAST(ranks.dr AS DECIMAL(14,0)) AS dr,
+              CAST(ranks.cnt AS DECIMAL(12,0)) AS cnt
+            FROM cells JOIN ranks ON ranks.v = cells.v),
+          s AS (SELECT
+              CAST(sum(CASE WHEN a THEN c
+                       ELSE CAST(0 AS DECIMAL(12,0)) END) AS BIGINT) AS n_a,
+              CAST(sum(CASE WHEN NOT a THEN c
+                       ELSE CAST(0 AS DECIMAL(12,0)) END) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a THEN c*dr
+                       ELSE CAST(0 AS DECIMAL(26,0)) END) AS DOUBLE)
+                AS two_ra,
+              CAST(sum(c*(cnt*cnt - 1)) AS DOUBLE) AS tie_t
+            FROM j)
+          SELECT n_a, n_b, ${StatTests.AucExpr} AS auc,
+            ${StatTests.MwZExpr} AS z
+          FROM s"""
+    },
+
+    // exact integer D numerator: max |cum_a*n_b - cum_b*n_a|
+    "q_ks_test" ->
+      """WITH t AS (SELECT (l_returnflag = 'A') AS a,
+              CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+            FROM lineitem WHERE l_returnflag IN ('A','N')),
+          dist AS (SELECT v,
+              sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS cb
+            FROM t GROUP BY v),
+          c AS (SELECT v,
+              CAST(sum(ca) OVER w AS DECIMAL(18,0)) AS cuma,
+              CAST(sum(cb) OVER w AS DECIMAL(18,0)) AS cumb,
+              CAST(sum(ca) OVER () AS DECIMAL(18,0)) AS na,
+              CAST(sum(cb) OVER () AS DECIMAL(18,0)) AS nb
+            FROM dist
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW)),
+          s AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              max(abs(cuma*nb - cumb*na)) AS dnum
+            FROM c GROUP BY 1, 2)
+          SELECT n_a, n_b,
+            CAST(dnum AS DOUBLE) /
+            (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) AS d,
+            CAST(dnum AS DOUBLE) /
+            (CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)) *
+            sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE) /
+                 (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) AS ks_stat
+          FROM s""",
+
+    // concordant/discordant from contingency-cell pair products
+    "q_kendall" ->
+      """WITH t AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+              CAST(l_linenumber AS BIGINT) AS y FROM lineitem),
+          cells AS MATERIALIZED (SELECT x, y,
+              CAST(count(*) AS DECIMAL(14,0)) AS c
+            FROM t GROUP BY 1, 2),
+          p AS (SELECT
+              CAST(sum(CASE WHEN c1.y < c2.y THEN c1.c*c2.c
+                       ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+                AS conc,
+              CAST(sum(CASE WHEN c1.y > c2.y THEN c1.c*c2.c
+                       ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+                AS disc
+            FROM cells c1 JOIN cells c2
+              ON c1.x < c2.x AND c1.y <> c2.y),
+          tx AS (SELECT CAST(sum(cx*(cx - 1)) AS DOUBLE) AS tie_x
+            FROM (SELECT CAST(sum(c) AS DECIMAL(18,0)) AS cx
+                  FROM cells GROUP BY x)),
+          ty AS (SELECT CAST(sum(cy*(cy - 1)) AS DOUBLE) AS tie_y
+            FROM (SELECT CAST(sum(c) AS DECIMAL(18,0)) AS cy
+                  FROM cells GROUP BY y)),
+          nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+          SELECT n, CAST(conc AS BIGINT) AS concordant,
+            CAST(disc AS BIGINT) AS discordant,
+            2.0*(conc - disc) /
+            sqrt((CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0) - tie_x)
+               * (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0) - tie_y))
+              AS tau_b
+          FROM p, tx, ty, nn""",
+
+    // tie-adjusted doubled-rank Gini over the distinct-value frame
+    "q_gini" ->
+      """WITH t AS (SELECT l_returnflag AS g,
+              CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+            FROM lineitem),
+          cd AS (SELECT g, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+          r AS (SELECT g, CAST(v AS DECIMAL(10,0)) AS v,
+              CAST(cnt AS DECIMAL(12,0)) AS cnt,
+              CAST(2*sum(cnt) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - cnt + 1 AS DECIMAL(14,0)) AS dr,
+              sum(cnt) OVER (PARTITION BY g) AS n
+            FROM cd),
+          s AS (SELECT g, CAST(n AS BIGINT) AS n,
+              CAST(sum(v*cnt*dr) AS DOUBLE) AS drx,
+              CAST(sum(v*cnt) AS DOUBLE) AS sx
+            FROM r GROUP BY 1, 2)
+          SELECT g AS l_returnflag, n,
+            CASE WHEN sx = 0.0 THEN 0.0
+            ELSE drx/(CAST(n AS DOUBLE)*sx)
+                 - (CAST(n AS DOUBLE) + 1.0)/CAST(n AS DOUBLE)
+            END AS gini
+          FROM s""",
+
+    // first significant digit via string arithmetic on the floored
+    // integer; Benford expectation and chi-square parts closed-form
+    "q_benford" ->
+      """WITH t AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders WHERE o_totalprice >= 1),
+          c AS (SELECT digit, count(*) AS n_obs FROM t GROUP BY digit),
+          w AS (SELECT digit, n_obs, sum(n_obs) OVER () AS n FROM c)
+          SELECT digit, n_obs,
+            CAST(n_obs AS DOUBLE)/CAST(n AS DOUBLE) AS share,
+            log10(1.0 + 1.0/CAST(digit AS DOUBLE)) AS benford,
+            (CAST(n_obs AS DOUBLE)
+               - CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+            *(CAST(n_obs AS DOUBLE)
+               - CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+            /(CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))
+              AS chi2_part
+          FROM w""",
 
     // integer floor division keeps the 1/deg weights exact
     "q_node_sim" ->

@@ -592,6 +592,17 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Flesch reading-ease per document from exact integer counts:
+    // whitespace words, regex sentence segments, vowel-group
+    // syllables — one codegen'd pass, one closing double expression.
+    "q_readability" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).as("n_words"),
+        TextOps.sentenceCount(col("text")).as("n_sents"),
+        TextOps.vowelGroupCount(col("text")).as("n_syll"))
+        .withColumn("flesch", expr(TextOps.FleschExpr))),
+
     // Corpus token-budget report — the "how many tokens do I actually
     // have, and where" rollup every training-mix decision starts from:
     // per source, docs, whitespace tokens, BPE-ish tokens, and the
@@ -2257,6 +2268,21 @@ object OpsQueries {
             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))
               AS BIGINT) AS n_bpe_tokens
           FROM documents""",
+
+    // integer counts, then the Flesch expression shared with
+    // TextOps.FleschExpr token for token
+    "q_readability" ->
+      s"""WITH m AS (SELECT doc_id,
+              CAST(len($ws) AS BIGINT) AS n_words,
+              CAST(len(list_filter(regexp_split_to_array(
+                COALESCE(text, ''), '[.!?]+'), w -> trim(w) <> ''))
+                AS BIGINT) AS n_sents,
+              CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                '[aeiouy]+', 0)) AS BIGINT) AS n_syll
+            FROM documents)
+          SELECT doc_id, n_words, n_sents, n_syll,
+            ${graft.ops.TextOps.FleschExpr} AS flesch
+          FROM m""",
     "q_token_budget" ->
       s"""WITH per AS (SELECT source,
               CAST(len($ws) AS BIGINT) AS nt,

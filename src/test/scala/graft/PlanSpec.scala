@@ -338,7 +338,11 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
-      "q_histogram_eqdepth", "q_kmv_intersect", "q_kmv_merge",
+      "q_histogram_eqdepth", "q_kendall", // contingency-CELL pairs:
+      // frame bounded by |X|·|Y| (50×7 here), plus 1-row tie/total
+      // broadcasts — never input pairs
+      "q_kmv_intersect", "q_kmv_merge",
+      "q_ks_test", // 1-row global (vmin, vmax) range broadcast
       "q_knn_classify", // 50-query broadcast vs train scan — the
       // documented exact-anchor shape (same as q_ann_cosine)
       "q_length_band", "q_minhash_recall", "q_mix_sources",
@@ -367,6 +371,15 @@ class PlanSpec extends AnyFunSuite {
     // ntile_global). A new query acquiring one fails here and must be
     // frame-size-audited and added consciously.
     val allowed = Set(
+      "q_benford", // global-share window over the ≤9-row digit frame
+      "q_ks_test", // prefix windows over the ≤numShufflePartitions-row
+      // per-bucket OFFSETS summary (the cumDist shape, pooled group)
+      "q_seasonal", // moving average over the calendar-bounded hourly
+      // summary frame (one row per hour WITH data)
+      "q_hits", // share window over the authority-cardinality frame
+      "q_mutual_info", // grand-total window over the |X|·|Y|-cell frame
+      "q_sliding_distinct", // runningTotal's offsets window
+      // (~numShufflePartitions rows; the q_shard_assign machinery)
       "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res", "q_ann_pq",
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
