@@ -1083,6 +1083,58 @@ object ExtQueries {
         floor(col("l_extendedprice") * 100).cast("long"))
         .withColumnRenamed("g", "l_returnflag")),
 
+    // Daily burst detection per event type: Poisson-style z of each
+    // day's count against the trailing 7-observed-day baseline —
+    // integer excess (7·cnt − Σwin) with one closing z expression.
+    // Windows partition by type, so parallelism is type-count, and
+    // the frame is the calendar-bounded daily summary.
+    "q_burst" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("dn")
+        .rowsBetween(-7, -1)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("dn"))
+        .groupBy("event_type", "dn").agg(count(lit(1)).as("cnt"))
+        .withColumn("cw", count(lit(1)).over(w))
+        .withColumn("sumw",
+          when(col("cw") === 7, sum(col("cnt")).over(w)))
+        .withColumn("d7", lit(7L) * col("cnt") - col("sumw"))
+        .select(col("event_type"), col("dn").cast("long").as("day_n"),
+          col("cnt"), expr(BurstZExpr).as("z"),
+          expr(s"CASE WHEN ($BurstZExpr) > 3.0 THEN 1 ELSE 0 END")
+            .cast("long").as("burst"))
+    }),
+
+    // Reliability/calibration table: value-band bins vs purchase
+    // rate — exact integer sums per bin, closing rate/mean divisions.
+    "q_calibration" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(least(floor(col("value") / 50), lit(9)).cast("long")
+          .as("bin"),
+          (col("event_type") === "purchase").cast("long").as("y"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          sum("cents").as("sc"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE)").as("pos_rate"),
+          expr("CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)/100.0")
+            .as("mean_value"))),
+
+    // Correlated LATERAL subquery (top-2 orders per customer):
+    // Catalyst decorrelates the ORDER BY/LIMIT lateral into a ranked
+    // join — the SQL-surface twin of q_group_topk's aggregator path.
+    "q_lateral_topk" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_lat_customer")
+      Tables.orders(s, d).createOrReplaceTempView("graft_lat_orders")
+      s.sql("""
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM graft_lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""")
+    }),
+
     // HITS hubs/authorities on the user->event_type bipartite graph:
     // two exact integer power-iteration rounds (unnormalized — the
     // partition-order-invariant form), closing share normalization.
@@ -1421,6 +1473,13 @@ object ExtQueries {
     */
   private val AbUpliftExpr: String =
     "CAST(k1 AS DOUBLE)/n1 - CAST(k0 AS DOUBLE)/n0"
+  /** Poisson-style burst z from the integer excess d7 = 7·cnt − Σwin
+    * and its trailing sum; shared Spark↔oracle token for token. */
+  private val BurstZExpr: String =
+    """CASE WHEN sumw IS NULL OR sumw = 0 THEN NULL
+       ELSE CAST(d7 AS DOUBLE)/(7.0*sqrt(CAST(sumw AS DOUBLE)/7.0))
+       END"""
+
   /** Per-cell PMI-weighted MI contribution from exact counts; shared
     * Spark↔oracle token for token. */
   private val MiPartExpr: String =
@@ -2708,6 +2767,47 @@ object ExtQueries {
                  (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
             END AS rho
           FROM s""",
+
+    // trailing 7-observed-day baseline; z text shared with BurstZExpr
+    "q_burst" -> {
+      s"""WITH daily AS (SELECT event_type,
+              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+              count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, dn, cnt,
+              CASE WHEN count(*) OVER win = 7
+                   THEN sum(cnt) OVER win END AS sumw
+            FROM daily
+            WINDOW win AS (PARTITION BY event_type ORDER BY dn
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+          e AS (SELECT event_type, dn, cnt, sumw,
+              7*cnt - sumw AS d7 FROM w)
+          SELECT event_type, CAST(dn AS BIGINT) AS day_n, cnt,
+            $BurstZExpr AS z,
+            CAST(CASE WHEN ($BurstZExpr) > 3.0 THEN 1 ELSE 0 END
+              AS BIGINT) AS burst
+          FROM e"""
+    },
+
+    // exact integer sums per value band; closing divisions only
+    "q_calibration" ->
+      """SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS n_pos,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS pos_rate,
+            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE)/100.0 AS mean_value
+          FROM events GROUP BY 1""",
+
+    // the IDENTICAL lateral SQL runs on both engines
+    "q_lateral_topk" ->
+      """SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+          FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""",
 
     // two unrolled exact power-iteration rounds; share is the one
     // closing double

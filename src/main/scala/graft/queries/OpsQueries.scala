@@ -592,6 +592,12 @@ object OpsQueries {
         TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
 
+    // Top-20 RAKE keywords over the corpus: stopword/punctuation
+    // phrase spans, fixed-point deg/freq word scores, exact integer
+    // phrase scores — ranking hash-verifies cross-engine.
+    "q_rake" -> ((s, d) =>
+      graft.ops.Rake.keywords(Tables.documents(s, d), "text", topK = 20)),
+
     // Flesch reading-ease per document from exact integer counts:
     // whitespace words, regex sentence segments, vowel-group
     // syllables — one codegen'd pass, one closing double expression.
@@ -2268,6 +2274,37 @@ object OpsQueries {
             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0))
               AS BIGINT) AS n_bpe_tokens
           FROM documents""",
+
+    // same phrase split (regexp_replace needs 'g': Spark replaces all
+    // matches, DuckDB only the first without it); integer deg/freq
+    // scores via floor division — positive operands, so // == div
+    "q_rake" -> {
+      val stopRe = "\\b(" + graft.ops.Rake.Stopwords.mkString("|") + ")\\b"
+      s"""WITH t AS (SELECT regexp_replace(regexp_replace(
+              lower(COALESCE(text, '')), '[^a-z ]+', '|', 'g'),
+              '$stopRe', '|', 'g') AS s
+            FROM documents),
+          p0 AS (SELECT trim(ph) AS phrase
+            FROM t, unnest(string_split(t.s, '|')) AS u(ph)),
+          p AS MATERIALIZED (SELECT phrase FROM p0 WHERE phrase <> ''),
+          occ AS (SELECT wd,
+              CAST(len(list_filter(string_split(p.phrase, ' '),
+                w -> w <> '')) AS BIGINT) AS nw
+            FROM p, unnest(string_split(p.phrase, ' ')) AS u2(wd)
+            WHERE wd <> ''),
+          ws AS (SELECT wd, CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(nw) AS BIGINT) AS deg FROM occ GROUP BY wd),
+          wsc AS (SELECT wd, (1000 * deg) // freq AS s1000 FROM ws),
+          pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY phrase),
+          pw AS (SELECT pd.phrase, pd.n, wd
+            FROM pd, unnest(string_split(pd.phrase, ' ')) AS u3(wd)
+            WHERE wd <> ''),
+          sc AS (SELECT phrase, n, CAST(sum(s1000) AS BIGINT) AS score1000
+            FROM pw JOIN wsc USING (wd) GROUP BY 1, 2)
+          SELECT phrase, n, score1000 FROM sc
+          ORDER BY score1000 DESC, phrase LIMIT 20"""
+    },
 
     // integer counts, then the Flesch expression shared with
     // TextOps.FleschExpr token for token
