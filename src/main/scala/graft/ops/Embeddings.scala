@@ -81,4 +81,50 @@ object Embeddings {
           x => floor(x.cast("double") * 127d / mx + 0.5d).cast("long")))
         .as("qvec"))
   }
+
+  /** Exact Gram + covariance matrix of the leading `dims` embedding
+    * components: components quantize to fixed-point longs
+    * (⌊x·scale⌋ on the double-widened float — identical both
+    * engines), and every (i ≤ j) cell is an exact DECIMAL fold of
+    * products, so Σxᵢxⱼ hash-verifies where a float accumulation is
+    * partition-order noise. Covariance is the one closing double:
+    * (Σxᵢxⱼ/n − x̄ᵢx̄ⱼ)/scale².
+    *
+    * Scale shape: NO self-join — each row emits its d(d+1)/2 upper
+    * triangle through one per-row nested transform + explode, then
+    * ONE partial-combining hash aggregation over d(d+1)/2 cells. The
+    * shuffle carries cells, never vectors. d is a literal, so the
+    * whole triangle expression stays codegen'd.
+    *
+    * @return (i, j, n, gram_q, cov) for 0 ≤ i ≤ j < dims
+    */
+  def gramMatrix(
+      df: DataFrame,
+      vecCol: String,
+      dims: Int,
+      scale: Int = 1000): DataFrame = {
+    val qv = transform(slice(col(vecCol), 1, dims),
+      x => floor(x.cast("double") * scale.toDouble).cast("decimal(18,0)"))
+    val cells = expr(
+      s"""flatten(transform(qv, (xi, i) ->
+            transform(slice(qv, i + 1, $dims - i), (xj, k) ->
+              struct(i AS i, i + k AS j, xi AS xi, xj AS xj))))""")
+    df.select(qv.as("qv"))
+      .select(explode(cells).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"),
+        col("c.xi").as("xi"), col("c.xj").as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi") * col("xj")).cast("decimal(38,0)").as("gq"),
+        sum(col("xi")).cast("decimal(28,0)").as("si"),
+        sum(col("xj")).cast("decimal(28,0)").as("sj"))
+      .select(col("i"), col("j"), col("n"),
+        col("gq").cast("double").as("gram_q"),
+        expr(s"""(CAST(gq AS DOUBLE)/CAST(n AS DOUBLE)
+                  - (CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                    *(CAST(sj AS DOUBLE)/CAST(n AS DOUBLE)))
+                 /(CAST($scale AS DOUBLE)*CAST($scale AS DOUBLE))""")
+          .as("cov"))
+  }
 }

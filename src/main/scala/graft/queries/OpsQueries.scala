@@ -272,6 +272,14 @@ object OpsQueries {
           col("code").cast("long").as("code"))
     }),
 
+    // Exact Gram + covariance matrix over the leading 16 embedding
+    // dims: per-row upper-triangle explode (no self-join), one hash
+    // aggregation over 136 cells, fixed-point products so the matrix
+    // hash-verifies (graft.ops.Embeddings.gramMatrix).
+    "q_gram" -> ((s, d) =>
+      Embeddings.gramMatrix(Tables.embeddings(s, d), "embedding",
+        dims = 16)),
+
     // Per-label quantized centroids: floor(x·1024) longs summed
     // exactly, divided back in fixed order — bit-deterministic under
     // any partitioning, unlike a float mean (library path
@@ -2083,6 +2091,28 @@ object OpsQueries {
                    x -> abs(CAST(x AS DOUBLE)))) AS mx
                FROM embeddings) e,
               range(1, 65) t(k)""",
+    // the float component widens to DOUBLE before the fixed-point
+    // floor on BOTH engines (float arithmetic would diverge); the
+    // upper triangle comes from a bounded self-join here — the
+    // operator itself never joins
+    "q_gram" ->
+      """WITH q AS (SELECT vec_id, r.i AS i,
+              CAST(floor(CAST(embedding[r.i + 1] AS DOUBLE) * 1000.0)
+                AS DECIMAL(18,0)) AS x
+            FROM embeddings, range(16) r(i)),
+          p AS (SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i),
+          s AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+              sum(xi*xj) AS gq, sum(xi) AS si, sum(xj) AS sj
+            FROM p GROUP BY 1, 2)
+          SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+            CAST(gq AS DOUBLE) AS gram_q,
+            (CAST(gq AS DOUBLE)/CAST(n AS DOUBLE)
+              - (CAST(si AS DOUBLE)/CAST(n AS DOUBLE))
+                *(CAST(sj AS DOUBLE)/CAST(n AS DOUBLE)))
+            /(CAST(1000 AS DOUBLE)*CAST(1000 AS DOUBLE)) AS cov
+          FROM s""",
+
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" ->
       s"""WITH w AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS w FROM documents),

@@ -71,6 +71,21 @@ class AnalyticsExtraSpec extends AnyFunSuite {
     assert(out === Set("big dog", "small dog"))
   }
 
+  test("gramMatrix: hand 2-d example with exact population covariance") {
+    // vectors (1,2) and (3,4): all three cells have cov 1.0
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.gramMatrix(df, "embedding", dims = 2).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("gram_q"),
+          r.getAs[Double]("cov"))).toMap
+    assert(out.keySet === Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(out((0L, 0L))._2 === 1.0e7)
+    assert(out((0L, 1L))._2 === 1.4e7)
+    assert(out((1L, 1L))._2 === 2.0e7)
+    assert(out.values.forall(v => v._1 === 2L && math.abs(v._3 - 1.0) < 1e-12))
+  }
+
   test("burst z: flat history then an impulse crosses 3 sigma") {
     def at(day: Int): Timestamp =
       Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")
