@@ -1083,6 +1083,18 @@ object ExtQueries {
         floor(col("l_extendedprice") * 100).cast("long"))
         .withColumnRenamed("g", "l_returnflag")),
 
+    // Ordered group concatenation (LISTAGG/STRING_AGG parity): the
+    // sort inside array_sort makes the result order-deterministic;
+    // buffer bounded by nations-per-region (use the TopKRows
+    // aggregator instead when group sizes are unbounded).
+    "q_string_agg" -> ((s, d) =>
+      Tables.nation(s, d).join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))),
+
     // Daily burst detection per event type: Poisson-style z of each
     // day's count against the trailing 7-observed-day baseline —
     // integer excess (7·cnt − Σwin) with one closing z expression.
@@ -2767,6 +2779,12 @@ object ExtQueries {
                  (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
             END AS rho
           FROM s""",
+
+    "q_string_agg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+            string_agg(n_name, ',' ORDER BY n_name) AS nations
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name""",
 
     // trailing 7-observed-day baseline; z text shared with BurstZExpr
     "q_burst" -> {

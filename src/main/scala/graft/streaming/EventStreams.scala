@@ -740,4 +740,81 @@ object EventStreams {
           }
       }
   }
+
+  final case class DayCount(dayN: Long, n: Long)
+
+  /** Burst-monitor state: counts for days still inside the watermark
+    * plus the trailing ≤7 finalized day counts (both dayN-ascending).
+    */
+  final case class BurstState(open: Seq[DayCount], hist: Seq[DayCount])
+
+  final case class BurstOut(
+      event_type: String, day_n: Long, cnt: Long,
+      z: Option[Double], burst: Long)
+
+  /** Streaming twin of the batch burst detector (`q_burst`): per
+    * event type, each day's count scores a Poisson-style z against
+    * the trailing 7 FINALIZED observed days. A day finalizes exactly
+    * when the watermark passes its end — Spark has already dropped
+    * anything older than the watermark, so a finalized count can
+    * never be amended and the emission matches the batch
+    * `7·cnt − Σwin` arithmetic bit for bit on the shared days.
+    *
+    * Scale shape: one shuffle on the type key; state per type is at
+    * most (open days within the watermark + 7) (day, long) pairs —
+    * never event-proportional. Idle types expire via event-time TTL
+    * after their last open day finalizes and drains.
+    */
+  def dailyBursts(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      stateTtlMillis: Long = 14L * 24 * 3600 * 1000): Dataset[BurstOut] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[Event], state: GroupState[BurstState]) =>
+          val prev = state.getOption.getOrElse(BurstState(Nil, Nil))
+          // 1) fold this batch's rows into the open-day counts
+          //    (order-free sums — iterator order doesn't matter)
+          val add = rows.toSeq.groupBy(e => math.floorDiv(e.ts.getTime, DayMs))
+            .view.mapValues(_.size.toLong).toMap
+          val open0 = (prev.open.map(d => d.dayN -> d.n).toMap.keySet ++
+            add.keySet).toSeq.sorted.map { d =>
+            val before = prev.open.find(_.dayN == d).map(_.n).getOrElse(0L)
+            DayCount(d, before + add.getOrElse(d, 0L))
+          }
+          // 2) finalize every open day whose end the watermark passed,
+          //    in day order, rolling the 7-day history as we go
+          val wm = state.getCurrentWatermarkMs()
+          val (fin, stillOpen) = open0.partition(d => (d.dayN + 1) * DayMs <= wm)
+          var hist = prev.hist
+          val out = Vector.newBuilder[BurstOut]
+          for (d <- fin) {
+            val z =
+              if (hist.size == 7) {
+                val sumw = hist.map(_.n).sum
+                if (sumw == 0) None
+                else Some((7L * d.n - sumw).toDouble /
+                  (7.0 * math.sqrt(sumw.toDouble / 7.0)))
+              } else None
+            out += BurstOut(typ, d.dayN, d.n, z,
+              if (z.exists(_ > 3.0)) 1L else 0L)
+            hist = (hist :+ DayCount(d.dayN, d.n)).takeRight(7)
+          }
+          if (stillOpen.isEmpty && fin.isEmpty && state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(BurstState(stillOpen, hist))
+            val anchor = stillOpen.headOption.map(d => (d.dayN + 1) * DayMs)
+              .getOrElse(hist.lastOption.map(d =>
+                (d.dayN + 1) * DayMs + stateTtlMillis).getOrElse(wm + DayMs))
+            state.setTimeoutTimestamp(math.max(anchor, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -659,4 +659,70 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got(2L) == ((1L << 40) >> 3) + (1L << 40))
     } finally q.stop()
   }
+
+  test("streaming daily bursts == batch trailing-7-day window on finalized days") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.dailyBursts(input.toDS(), watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bursts").start()
+    var id = 0L
+    def day(d: Int, typ: String, n: Int): Seq[EventStreams.Event] =
+      (1 to n).map { i =>
+        id += 1
+        ev(id, f"2024-01-$d%02d 00:0${i % 6}:0${i % 10}", i.toLong, typ, 1.0)
+      }
+    // click: 12 observed days — 2/day baseline, a 40-event burst on
+    // day 10; view: only 3 observed days (never reaches a full
+    // 7-day baseline, so z stays null)
+    val batch1 = (1 to 6).flatMap(d => day(d, "click", 2)).dropRight(1) ++
+      (1 to 3).flatMap(d => day(d, "view", 1))
+    // day 6's second event arrives a batch late but inside the
+    // watermark — it must still count toward day 6's finalized total
+    val batch2 = Seq(ev(9999, "2024-01-06 00:01:00", 7, "click", 1.0)) ++
+      (7 to 9).flatMap(d => day(d, "click", 2)) ++
+      day(10, "click", 40) ++ (11 to 12).flatMap(d => day(d, "click", 2))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // sentinel far in the future: watermark passes every real day
+      input.addData(ev(100000, "2024-02-01 00:00:00", 1, "wm", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("bursts").collect()
+        .filter(_.getString(0) != "wm")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+        .toSet
+      // batch twin: the q_burst window arithmetic over the same rows
+      val w = Window.partitionBy("event_type").orderBy("dn")
+        .rowsBetween(-7, -1)
+      val zExpr =
+        """CASE WHEN sumw IS NULL OR sumw = 0 THEN NULL
+           ELSE CAST(d7 AS DOUBLE)/(7.0*sqrt(CAST(sumw AS DOUBLE)/7.0))
+           END"""
+      val batch = (batch1 ++ batch2).toDF()
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("dn"))
+        .groupBy("event_type", "dn").agg(count(lit(1)).as("cnt"))
+        .withColumn("cw", count(lit(1)).over(w))
+        .withColumn("sumw", when(col("cw") === 7, sum(col("cnt")).over(w)))
+        .withColumn("d7", lit(7L) * col("cnt") - col("sumw"))
+        .select(col("event_type"), col("dn").cast("long"), col("cnt"),
+          expr(zExpr), expr(s"CASE WHEN ($zExpr) > 3.0 THEN 1 ELSE 0 END")
+            .cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+        .toSet
+      assert(streamed == batch)
+      // the late-arriving day-6 event was folded in before finalize
+      assert(streamed.exists(t => t._1 == "click" &&
+        t._2 == 19728L && t._3 == 2L)) // 2024-01-06 = epoch day 19728
+      // the burst day fired; the view type never got a z
+      assert(streamed.exists(t => t._1 == "click" && t._3 == 40L && t._5 == 1L))
+      assert(streamed.filter(_._1 == "view").forall(t => t._4.isEmpty && t._5 == 0L))
+    } finally q.stop()
+  }
 }
