@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextOps
+
+/** Fourth operator pack: dataset/model EVALUATION and lifecycle
+  * operators — distribution-drift monitors (PSI, per-token
+  * Jensen-Shannon), classifier evaluation (confusion matrix, Cohen's
+  * kappa), schema-evolution union, zone-map construction for
+  * data skipping, linear-interpolation gap fill, and tf-weighted
+  * document cosine pairs. These are the "is my pipeline still
+  * healthy" half of a training-data platform: the reference ships
+  * the ETL (`/root/reference/main.py`); a 100 TB deployment of it
+  * needs exactly these monitors around every snapshot load.
+  *
+  * Same oracle-parity discipline as [[CoreQueries]]: exact integer /
+  * decimal sufficient statistics, ONE closing double expression whose
+  * SQL text is shared verbatim between the Spark plan and the DuckDB
+  * twin, ranked outputs ordered by integer keys only.
+  *
+  * Scale notes: every query is scan → map-side-combining hash
+  * aggregation (+ a 1-row or tiny-frame broadcast where a global
+  * total is needed — flagged in PlanSpec's BNL allowlist). Nothing
+  * here shuffles document payloads or windows over a data-sized
+  * frame without a partition key.
+  */
+object EvalQueries {
+
+  /** Population-Stability-Index contribution of one bin, from exact
+    * integer counts (a, ta = reference bin/total; b, tb = current) —
+    * shared Spark↔oracle token for token. NULL marks a bin absent on
+    * either side (conventionally capped/epsilon-smoothed downstream;
+    * the raw NULL is the honest cross-engine value). Shared with the
+    * streaming drift monitor ([[graft.streaming.EventStreams.psiDrift]]).
+    */
+  private[graft] val PsiPartExpr: String =
+    """CASE WHEN a = 0 OR b = 0 THEN NULL
+       ELSE (CAST(a AS DOUBLE)/ta - CAST(b AS DOUBLE)/tb)
+         * ln((CAST(a AS DOUBLE)*tb)/(CAST(b AS DOUBLE)*ta)) END"""
+
+  /** Per-token Jensen-Shannon divergence contribution between two
+    * corpus halves: p·ln(p/m) + q·ln(q/m) over 2, with m = (p+q)/2;
+    * zero-count sides contribute 0 exactly (lim x·ln x = 0).
+    */
+  private val JsdPartExpr: String =
+    """(CASE WHEN a = 0 THEN 0.0
+        ELSE (CAST(a AS DOUBLE)/ta)
+          * ln((CAST(a AS DOUBLE)/ta)
+              / ((CAST(a AS DOUBLE)/ta + CAST(b AS DOUBLE)/tb)/2)) END
+      + CASE WHEN b = 0 THEN 0.0
+        ELSE (CAST(b AS DOUBLE)/tb)
+          * ln((CAST(b AS DOUBLE)/tb)
+              / ((CAST(a AS DOUBLE)/ta + CAST(b AS DOUBLE)/tb)/2)) END) / 2"""
+
+  /** Cohen's kappa from exact sufficient statistics: n rows, s_diag
+    * agreeing rows, s_prod = Σ_c rowTotal_c·colTotal_c (folded in
+    * DECIMAL(38) — n² leaves long range at ~3·10⁹ rows — and cast to
+    * double ONCE as s_prod_d). κ = (n·s_diag − s_prod)/(n² − s_prod),
+    * evaluated in doubles from the exact inputs with identical
+    * operation order on both engines.
+    */
+  private val KappaExpr: String =
+    """(CAST(n AS DOUBLE)*s_diag - s_prod_d)
+       / (CAST(n AS DOUBLE)*n - s_prod_d)"""
+
+  /** Linear interpolation between anchors (dn, v) and (nd, nv) at
+    * integer position `day`: exact integer numerator, one closing
+    * division. A missing right anchor (series tail) carries the last
+    * value forward.
+    */
+  private val InterpExpr: String =
+    """CASE WHEN nd IS NULL THEN CAST(v AS DOUBLE)
+       ELSE CAST(v AS DOUBLE)
+         + (CAST(nv - v AS DOUBLE) * (day - dn)) / (nd - dn) END"""
+
+  /** Candidate-pruned cosine between tf vectors, from exact integer
+    * dot product and squared norms.
+    */
+  private val CosExpr: String =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"
+
+  /** Clamped value band shared by the confusion-matrix queries: the
+    * "actual" class of an event, and — applied to a deterministically
+    * perturbed value — its "predicted" class. Both engines evaluate
+    * the identical floor/clamp pipeline, so class assignment can
+    * never disagree.
+    */
+  private def band(x: String): String =
+    s"CAST(least(greatest(floor(($x)/125), 0), 3) AS BIGINT)"
+  private val PredNoise = "(pmod(event_id, 7) - 3) * 15"
+  private val PredNoiseSql = "((event_id % 7) - 3) * 15"
+
+  /** (pred, act, cnt) confusion-cell counts: one scan, one map-side-
+    * combining hash agg on a ≤16-cell key space.
+    */
+  private def confusionCells(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr(band("value")).as("act"),
+        expr(band(s"value + $PredNoise")).as("pred"))
+      .groupBy("pred", "act").agg(count(lit(1)).as("cnt"))
+
+  private val confusionCellsSql: String =
+    s"""SELECT ${band("value")} AS act,
+          ${band(s"value + $PredNoiseSql")} AS pred,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Population Stability Index between two deterministic halves of
+    // the event stream (even/odd event_id standing in for the
+    // reference-window vs current-window split a deployment would
+    // use). One scan → 10-bin conditional-count hash agg + a 1-row
+    // totals broadcast; the PSI read-out is per-bin rows (the global
+    // PSI is their sum — left to the reader so no cross-engine float
+    // summation order exists).
+    "q_psi" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        pmod(col("event_id"), lit(2)).as("side"),
+        least(floor(col("value") / 50), lit(9)).cast("long").as("bin"))
+      val binned = e.groupBy("bin").agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      val tot = e.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("tb"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("a"), col("b"),
+          expr(PsiPartExpr).as("psi_part"))
+    }),
+
+    // Vocabulary drift as per-token Jensen-Shannon contributions
+    // between two corpus halves — which tokens explain the
+    // distribution shift, not just that it shifted. Token rows rank
+    // by exact total count (ties by term), never by the float
+    // contribution, so the top-50 cut is bit-stable cross-engine.
+    "q_js_div" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(TextOps.words(col("text"))).as("term"))
+      val counts = toks.groupBy("term").agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+      val tot = toks.agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("tb"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy((col("a") + col("b")).desc, col("term").asc)
+        .limit(50)
+        .select(col("term"), col("a"), col("b"),
+          expr(JsdPartExpr).as("jsd_part"))
+    }),
+
+    // Per-class confusion-matrix metrics for a deterministic
+    // value-band classifier (actual = banded value, predicted =
+    // banded perturbed value). The ≤16-cell count frame is the only
+    // thing that crosses the exchange; per-class tp/fp/fn derive from
+    // it with tiny-frame aggregations — no second scan, no join back
+    // to the events.
+    "q_confusion" -> ((s, d) => {
+      val cells = confusionCells(s, d).persist()
+      val perPred = cells.groupBy(col("pred").as("cls"))
+        .agg(sum("cnt").as("pred_tot"))
+      val perAct = cells.groupBy(col("act").as("cls"))
+        .agg(sum("cnt").as("act_tot"))
+      val diag = cells.filter(col("pred") === col("act"))
+        .select(col("pred").as("cls"), col("cnt").as("tp0"))
+      perPred.join(perAct, Seq("cls"), "full_outer")
+        .join(diag, Seq("cls"), "left_outer")
+        .select(col("cls"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          (coalesce(col("pred_tot"), lit(0L)) -
+            coalesce(col("tp0"), lit(0L))).as("fp"),
+          (coalesce(col("act_tot"), lit(0L)) -
+            coalesce(col("tp0"), lit(0L))).as("fn"))
+        .withColumn("precision_", expr(
+          "CASE WHEN tp + fp = 0 THEN NULL ELSE CAST(tp AS DOUBLE)/(tp + fp) END"))
+        .withColumn("recall_", expr(
+          "CASE WHEN tp + fn = 0 THEN NULL ELSE CAST(tp AS DOUBLE)/(tp + fn) END"))
+        .withColumn("f1", expr(
+          "CASE WHEN 2*tp + fp + fn = 0 THEN NULL " +
+            "ELSE CAST(2*tp AS DOUBLE)/(2*tp + fp + fn) END"))
+    }),
+
+    // Cohen's kappa (chance-corrected agreement) over the same
+    // confusion cells — one row of exact sufficient statistics and
+    // one closing division. The class-marginal products fold in
+    // DECIMAL(38): n² outgrows long at ~3e9 rows (single-digit-TB
+    // territory), so 128-bit partials are the correct-at-scale shape.
+    "q_kappa" -> ((s, d) => {
+      val cells = confusionCells(s, d).persist()
+      val marg = cells.groupBy(col("pred").as("cls"))
+        .agg(sum("cnt").as("pred_tot"))
+        .join(cells.groupBy(col("act").as("cls"))
+          .agg(sum("cnt").as("act_tot")), Seq("cls"), "full_outer")
+        .agg(sum(coalesce(col("pred_tot"), lit(0L)).cast("decimal(19,0)") *
+          coalesce(col("act_tot"), lit(0L)).cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("s_prod"))
+      val agree = cells.agg(
+        sum("cnt").as("n"),
+        sum(when(col("pred") === col("act"), col("cnt")).otherwise(0L))
+          .as("s_diag"))
+      agree.crossJoin(broadcast(
+          marg.select(col("s_prod").cast("double").as("s_prod_d"))))
+        .select(col("n"), col("s_diag"), col("s_prod_d"),
+          expr(KappaExpr).as("kappa"))
+    }),
+
+    // Schema-evolution union: v1 rows (written before the `priority`
+    // column existed) append to v2 rows by NAME, missing columns
+    // null-filled — Spark's unionByName(allowMissingColumns) against
+    // DuckDB's UNION ALL BY NAME. The everyday shape of reading a
+    // parquet lake whose schema grew mid-history.
+    "q_schema_evolve" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_cents"),
+          col("o_orderpriority").as("priority"))
+      v1.unionByName(v2, allowMissingColumns = true)
+    }),
+
+    // Zone-map (data-skipping statistics) construction: per-block
+    // min/max/count of the ship date over l_orderkey div 4096 blocks,
+    // plus whether a 1995 date-range predicate could prune the block.
+    // This is the scan-side pruning the engine's own parquet reader
+    // does with row-group stats, materialized as a queryable table —
+    // the basis for file-skipping manifests at 100 TB. One scan, one
+    // hash agg on the block key (keys are non-negative, so integer
+    // div agrees cross-engine).
+    "q_zonemap" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(expr("l_orderkey div 4096").as("block_id"),
+          col("l_shipdate"))
+        .groupBy("block_id")
+        .agg(count(lit(1)).as("n_rows"),
+          date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))
+        .withColumn("prunable_1995",
+          (col("max_ship") < lit("1995-01-01") ||
+            col("min_ship") > lit("1995-12-31")).cast("long"))),
+
+    // Linear-interpolation gap fill over the per-type daily value
+    // series (anchors = every 3rd day; interpolated days carry the
+    // exact integer-numerator closing division). The generative twin
+    // of q_gapfill's forward fill: resampling sparse telemetry onto a
+    // dense calendar. Window partitions by type (the calendar-bounded
+    // daily frame); sequence fan-out is bounded by the anchor stride.
+    "q_interp_linear" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("dn"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "dn").agg(sum("cents").as("v"))
+        .filter(pmod(col("dn"), lit(3)) === 0)
+      val w = Window.partitionBy("event_type").orderBy("dn")
+      daily
+        .withColumn("nd", lead(col("dn"), 1).over(w))
+        .withColumn("nv", lead(col("v"), 1).over(w))
+        .select(col("event_type"), col("dn"), col("v"), col("nd"), col("nv"),
+          explode(sequence(col("dn"),
+            coalesce(col("nd") - 1, col("dn")))).as("day"))
+        .select(col("event_type"), col("day").cast("long").as("day_n"),
+          expr(InterpExpr).as("v_interp"),
+          (col("day") === col("dn")).cast("long").as("is_anchor"))
+    }),
+
+    // Tf-weighted document cosine pairs via a document-frequency-cut
+    // inverted index: exact integer dot products and squared norms,
+    // integer threshold test (4·dot² ≥ n1·n2 ⇔ cosine ≥ 0.5 for
+    // dot > 0 — no float boundary to flip rows cross-engine). Both
+    // the dot product AND the norms live in the df-pruned vocabulary
+    // (terms in ≤64 docs): hub terms carry no discrimination, and
+    // pruning them from the geometry — the standard stopword-dropped
+    // cosine — is what lets near-dup pairs score high while the pair
+    // fan-out stays bounded by the cut (enforced BEFORE the list
+    // aggregation via a pre-counted semi join, so no unbounded
+    // buffer). At 100 TB the dot/norm partials move to DECIMAL;
+    // posting lists stay cut-bounded.
+    "q_tf_cosine" -> ((s, d) => {
+      val tf0 = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val keep = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("term")
+      val tf = tf0.join(keep, Seq("term"), "left_semi").persist()
+      val norms = tf.groupBy("doc_id")
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val pairs = tf
+        .groupBy("term")
+        .agg(collect_list(struct(col("doc_id"), col("tf"))).as("post"))
+        .select(explode(expr(
+          """filter(
+               flatten(transform(post, p1 ->
+                 transform(post, p2 -> named_struct(
+                   'd1', p1.doc_id, 'd2', p2.doc_id,
+                   'x', p1.tf * p2.tf)))),
+               pr -> pr.d1 < pr.d2)""")).as("pr"))
+        .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"), col("pr.x"))
+        .groupBy("d1", "d2").agg(sum("x").as("dot"))
+      pairs
+        .join(norms.withColumnRenamed("doc_id", "d1")
+          .withColumnRenamed("n2", "n1"), "d1")
+        .join(norms.withColumnRenamed("doc_id", "d2"), "d2")
+        .filter(col("dot") > 0 &&
+          lit(4) * col("dot") * col("dot") >= col("n1") * col("n2"))
+        .select(col("d1"), col("d2"), col("dot"), col("n1"), col("n2"),
+          expr(CosExpr).as("cosine"))
+    }))
+
+  /** DuckDB tokenizer twin of [[TextOps.words]] (see OpsQueries). */
+  private val ws =
+    "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_psi" ->
+      s"""WITH e AS (SELECT event_id % 2 AS side,
+              CAST(least(floor(value/50), 9) AS BIGINT) AS bin FROM events),
+          binned AS (SELECT bin,
+              CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM e GROUP BY bin),
+          tot AS (SELECT
+              CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+              CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+            FROM e)
+          SELECT bin, a, b, $PsiPartExpr AS psi_part FROM binned, tot""",
+
+    "q_js_div" ->
+      s"""WITH toks AS (SELECT doc_id % 2 AS side, unnest($ws) AS term
+            FROM documents),
+          counts AS (SELECT term,
+              CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+            FROM toks GROUP BY term),
+          tot AS (SELECT
+              CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+              CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tb
+            FROM toks),
+          top AS (SELECT term, a, b FROM counts
+            ORDER BY a + b DESC, term ASC LIMIT 50)
+          SELECT term, a, b, $JsdPartExpr AS jsd_part FROM top, tot""",
+
+    "q_confusion" ->
+      s"""WITH cells AS ($confusionCellsSql),
+          per_pred AS (SELECT pred AS cls, CAST(sum(cnt) AS BIGINT) AS pred_tot
+            FROM cells GROUP BY pred),
+          per_act AS (SELECT act AS cls, CAST(sum(cnt) AS BIGINT) AS act_tot
+            FROM cells GROUP BY act),
+          diag AS (SELECT pred AS cls, CAST(cnt AS BIGINT) AS tp0
+            FROM cells WHERE pred = act),
+          j AS (SELECT COALESCE(per_pred.cls, per_act.cls) AS cls,
+              COALESCE(tp0, 0) AS tp,
+              COALESCE(pred_tot, 0) - COALESCE(tp0, 0) AS fp,
+              COALESCE(act_tot, 0) - COALESCE(tp0, 0) AS fn
+            FROM per_pred FULL OUTER JOIN per_act
+              ON per_pred.cls = per_act.cls
+            LEFT JOIN diag ON COALESCE(per_pred.cls, per_act.cls) = diag.cls)
+          SELECT cls, tp, fp, fn,
+            CASE WHEN tp + fp = 0 THEN NULL
+              ELSE CAST(tp AS DOUBLE)/(tp + fp) END AS precision_,
+            CASE WHEN tp + fn = 0 THEN NULL
+              ELSE CAST(tp AS DOUBLE)/(tp + fn) END AS recall_,
+            CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+              ELSE CAST(2*tp AS DOUBLE)/(2*tp + fp + fn) END AS f1
+          FROM j""",
+
+    "q_kappa" ->
+      s"""WITH cells AS MATERIALIZED ($confusionCellsSql),
+          per_pred AS (SELECT pred AS cls, CAST(sum(cnt) AS BIGINT) AS pred_tot
+            FROM cells GROUP BY pred),
+          per_act AS (SELECT act AS cls, CAST(sum(cnt) AS BIGINT) AS act_tot
+            FROM cells GROUP BY act),
+          marg AS (SELECT CAST(CAST(sum(
+              CAST(COALESCE(pred_tot, 0) AS DECIMAL(19,0)) *
+              CAST(COALESCE(act_tot, 0) AS DECIMAL(19,0))) AS DECIMAL(38,0))
+              AS DOUBLE) AS s_prod_d
+            FROM per_pred FULL OUTER JOIN per_act
+              ON per_pred.cls = per_act.cls),
+          agree AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN pred = act THEN cnt ELSE 0 END) AS BIGINT)
+                AS s_diag
+            FROM cells)
+          SELECT n, s_diag, s_prod_d, $KappaExpr AS kappa
+          FROM agree, marg""",
+
+    "q_schema_evolve" ->
+      """SELECT o_orderkey, o_custkey,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+            CAST(NULL AS VARCHAR) AS priority
+          FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_custkey,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+            o_orderpriority AS priority
+          FROM orders WHERE o_orderkey % 2 = 1""",
+
+    "q_zonemap" ->
+      """SELECT l_orderkey // 4096 AS block_id,
+            count(*) AS n_rows,
+            strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+            strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+            CAST(strftime(max(l_shipdate), '%Y-%m-%d') < '1995-01-01'
+              OR strftime(min(l_shipdate), '%Y-%m-%d') > '1995-12-31'
+              AS BIGINT) AS prunable_1995
+          FROM lineitem GROUP BY 1""",
+
+    "q_interp_linear" ->
+      s"""WITH daily AS (SELECT event_type,
+              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+          anchors AS (SELECT event_type, dn, v,
+              lead(dn) OVER (PARTITION BY event_type ORDER BY dn) AS nd,
+              lead(v) OVER (PARTITION BY event_type ORDER BY dn) AS nv
+            FROM daily WHERE dn % 3 = 0),
+          expanded AS (SELECT event_type, dn, v, nd, nv,
+              unnest(generate_series(dn, COALESCE(nd - 1, dn))) AS day
+            FROM anchors)
+          SELECT event_type, CAST(day AS BIGINT) AS day_n,
+            $InterpExpr AS v_interp,
+            CAST(day = dn AS BIGINT) AS is_anchor
+          FROM expanded""",
+
+    "q_tf_cosine" ->
+      s"""WITH tf0 AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest($ws) AS term FROM documents)
+            GROUP BY 1, 2),
+          keep AS (SELECT term FROM tf0 GROUP BY term
+            HAVING count(*) <= 64),
+          tf AS MATERIALIZED (SELECT tf0.* FROM tf0 JOIN keep USING (term)),
+          norms AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+            FROM tf GROUP BY doc_id),
+          pairs AS (SELECT t1.doc_id AS d1, t2.doc_id AS d2,
+              CAST(sum(t1.tf * t2.tf) AS BIGINT) AS dot
+            FROM tf t1 JOIN tf t2 ON t1.term = t2.term
+              AND t1.doc_id < t2.doc_id
+            GROUP BY 1, 2),
+          scored AS (SELECT d1, d2, dot, x.n2 AS n1, y.n2 AS n2
+            FROM pairs
+              JOIN norms x ON pairs.d1 = x.doc_id
+              JOIN norms y ON pairs.d2 = y.doc_id)
+          SELECT d1, d2, dot, n1, n2, $CosExpr AS cosine
+          FROM scored WHERE dot > 0 AND 4*dot*dot >= n1 * n2""")
+}

@@ -741,6 +741,49 @@ object EventStreams {
       }
   }
 
+  /** Streaming PSI drift monitor: every closed event-time window's
+    * value-bin distribution scores against a fixed reference
+    * distribution (bin → count, e.g. the training snapshot's
+    * histogram). The twin of the batch `q_psi` — same bins, same
+    * shared closing expression ([[graft.queries.EvalQueries.PsiPartExpr]]).
+    *
+    * Shape: ONE watermarked windowed aggregation; the 10 fixed bins
+    * pivot into conditional counts on a single row per window, so the
+    * window total and every bin ride the same aggregate — no second
+    * streaming aggregation, no stream-stream join. The reference
+    * histogram is tiny by construction and rides as literals. Output
+    * is per (window, bin): the current count and its PSI
+    * contribution (NULL when a side is empty, as in batch).
+    */
+  def psiDrift(
+      events: DataFrame,
+      ref: Map[Int, Long],
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val refTotal = ref.values.sum
+    val bins = 0 to 9
+    def binOf(c: org.apache.spark.sql.Column) =
+      least(floor(c / 50), lit(9)).cast("int")
+    val counts = bins.map(i =>
+      sum(when(binOf(col("value")) === i, 1L).otherwise(0L)).as(s"b$i"))
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(counts.head, counts.tail: _*)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        expr(bins.map(i => s"b$i").mkString(" + ")).as("tb"),
+        explode(array(bins.map(i => struct(
+          lit(i).cast("long").as("bin"),
+          lit(ref.getOrElse(i, 0L)).as("a"),
+          col(s"b$i").as("b"))): _*)).as("e"))
+      .select(col("window_start"),
+        col("e.bin").as("bin"), col("e.a").as("a"), col("e.b").as("b"),
+        lit(refTotal).as("ta"), col("tb"))
+      .select(col("window_start"), col("bin"), col("a"), col("b"),
+        expr(graft.queries.EvalQueries.PsiPartExpr).as("psi_part"))
+  }
+
   final case class DayCount(dayN: Long, n: Long)
 
   /** Burst-monitor state: counts for days still inside the watermark

@@ -325,6 +325,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q_ols2").contains("Join"), "olsFit2 grew a join")
   }
 
+  test("evaluation-pack operators keep their designed shapes") {
+    // PSI / kappa / confusion: one scan → conditional-count hash agg
+    // with map-side combine; global totals arrive as 1-row broadcasts
+    // (BNL-allowlisted), never a second scan
+    for (q <- Seq("q_psi", "q_kappa", "q_confusion"))
+      assert(plan(q).contains("partial_"),
+        s"$q conditional counts lost map-side combine")
+    // tf-cosine: the df cut lands BEFORE the posting-list aggregation
+    // (the LeftSemi bounds the collect_list buffer — the
+    // resourceAllocation lesson), and pair-gen is the grouped-posting
+    // explode, not a posting self-join
+    val tc = plan("q_tf_cosine")
+    assert(tc.contains("LeftSemi"),
+      s"tf-cosine lost the df-cut semi join:\n$tc")
+    assert(tc.contains("Generate explode"),
+      s"tf-cosine pair generation shape changed:\n$tc")
+    // schema-evolution union: narrow — two scans and a Union, zero
+    // exchanges
+    val se = plan("q_schema_evolve")
+    assert(se.contains("Union") && !se.contains("Exchange"),
+      s"schema union acquired a shuffle:\n$se")
+  }
+
   test("GLOBAL: no query plans a CartesianProduct; BNL only where a tiny broadcast justifies it") {
     // CartesianProduct (the shuffle-based all-pairs join) is banned
     // outright across the whole surface. BroadcastNestedLoopJoin is
@@ -334,6 +357,8 @@ class PlanSpec extends AnyFunSuite {
     // acquiring one must be added here consciously.
     val bnlAllowed = Set(
       "q_assoc_rules", // 1-row corpus-total broadcast
+      "q_psi", "q_js_div", // 1-row side-totals broadcast
+      "q_kappa", // 1-row marginal-product broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",

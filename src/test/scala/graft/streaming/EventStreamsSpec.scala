@@ -660,6 +660,48 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PSI drift scores closed windows against the reference histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Map(0 -> 120L, 1 -> 60L, 2 -> 20L) // bins 3..9 empty in ref
+    val ta = 200L
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.psiDrift(input.toDF(), ref, "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("psi_stream").start()
+    try {
+      // hour 10: bins 0×3, 1×2, 2×1, 5×1 (bin 5 missing from ref)
+      input.addData(
+        ev(1, "2024-01-01 10:01:00", 1, "click", 10.0),
+        ev(2, "2024-01-01 10:02:00", 1, "click", 20.0),
+        ev(3, "2024-01-01 10:03:00", 1, "click", 30.0),
+        ev(4, "2024-01-01 10:10:00", 2, "click", 60.0),
+        ev(5, "2024-01-01 10:20:00", 2, "click", 70.0),
+        ev(6, "2024-01-01 10:30:00", 3, "click", 120.0),
+        ev(7, "2024-01-01 10:40:00", 3, "click", 260.0))
+      q.processAllAvailable()
+      input.addData(ev(8, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("psi_stream").collect()
+        .filter(_.getString(0) == "2024-01-01 10:00:00")
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      assert(got.size == 10)
+      val tb = 7L
+      // Spark's ln codegens to StrictMath.log — mirror it exactly
+      def psi(a: Long, b: Long): Option[Double] =
+        if (a == 0 || b == 0) None
+        else Some((a.toDouble / ta - b.toDouble / tb) *
+          java.lang.StrictMath.log((a.toDouble * tb) / (b.toDouble * ta)))
+      val bcnt = Map(0L -> 3L, 1L -> 2L, 2L -> 1L, 5L -> 1L)
+      for (bin <- 0L to 9L) {
+        val a = ref.getOrElse(bin.toInt, 0L)
+        val b = bcnt.getOrElse(bin, 0L)
+        assert(got(bin) == ((a, b, psi(a, b))),
+          s"bin $bin: ${got(bin)} != ${(a, b, psi(a, b))}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming daily bursts == batch trailing-7-day window on finalized days") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.expressions.Window
