@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.TextOps
+import graft.ops.{Quantiles, TextOps}
 
 /** Fourth operator pack: dataset/model EVALUATION and lifecycle
   * operators — distribution-drift monitors (PSI, per-token
@@ -82,6 +82,24 @@ object EvalQueries {
     */
   private val CosExpr: String =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"
+
+  /** Reciprocal-rank-fusion score of one document from its (possibly
+    * absent) ranks in two lists, k = 60 (the Cormack et al. default).
+    * Only +/÷ of small integers — IEEE correctly-rounded ops, so the
+    * doubles (and any ordering on them) are bit-identical
+    * cross-engine, unlike ln/exp-bearing scores.
+    */
+  private val RrfExpr: String =
+    """COALESCE(CAST(1 AS DOUBLE)/(60 + ra), CAST(0 AS DOUBLE))
+       + COALESCE(CAST(1 AS DOUBLE)/(60 + rb), CAST(0 AS DOUBLE))"""
+
+  /** Gains/lift read-outs from exact cumulative integers. */
+  private val PopShareExpr: String = "CAST(cum_n AS DOUBLE)/tn"
+  private val CaptureExpr: String =
+    "CASE WHEN tp = 0 THEN NULL ELSE CAST(cum_pos AS DOUBLE)/tp END"
+  private val LiftExpr: String =
+    """CASE WHEN tp = 0 OR cum_n = 0 THEN NULL
+       ELSE (CAST(cum_pos AS DOUBLE)*tn)/(CAST(cum_n AS DOUBLE)*tp) END"""
 
   /** Clamped value band shared by the confusion-matrix queries: the
     * "actual" class of an event, and — applied to a deterministically
@@ -271,6 +289,99 @@ object EvalQueries {
           (col("day") === col("dn")).cast("long").as("is_anchor"))
     }),
 
+    // Reciprocal-rank fusion of two retrieval rankings (here: length
+    // and lexical-richness orderings — integer keys, doc_id
+    // tie-break, so both top-100 lists are bit-stable). Each list is
+    // a TakeOrdered top-k; the rank windows run AFTER the limit, over
+    // ≤100 rows (allowlisted); the fusion is one tiny full-outer
+    // join. RRF scores involve only +/÷ of small ints, so ordering by
+    // the float is safe cross-engine (no transcendental in sight).
+    "q_rrf" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(TextOps.words(col("text"))).cast("long").as("wc"))
+        .persist()
+      val wa = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      val wb = Window.orderBy(col("wc").desc, col("doc_id"))
+      val ra = base.orderBy(col("n_chars").desc, col("doc_id")).limit(100)
+        .withColumn("ra", row_number().over(wa).cast("long"))
+        .select("doc_id", "ra")
+      val rb = base.orderBy(col("wc").desc, col("doc_id")).limit(100)
+        .withColumn("rb", row_number().over(wb).cast("long"))
+        .select("doc_id", "rb")
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("ra"), col("rb"),
+          expr(RrfExpr).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
+
+    // Gains/lift curve over descending score bands: cumulative
+    // population share vs cumulative conversion capture per value
+    // bin, from exact integers (the ranked-targeting read-out that
+    // tells you "the top 20% of scores captures X% of conversions").
+    // One scan → 10-bin hash agg; the cumulative window runs over the
+    // ≤10-row bin frame (allowlisted) and totals ride a 1-row
+    // broadcast.
+    "q_gains" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .select(least(floor(col("value") / 50), lit(9)).cast("long")
+            .as("bin"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .persist()
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.agg(sum("n").as("tn"), sum("pos").as("tp"))
+      g.withColumn("cum_n", sum("n").over(w))
+        .withColumn("cum_pos", sum("pos").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"),
+          col("cum_n"), col("cum_pos"),
+          expr(PopShareExpr).as("pop_share"),
+          expr(CaptureExpr).as("capture"),
+          expr(LiftExpr).as("lift"))
+    }),
+
+    // Quantile normalization across sources: each (event_type, value)
+    // maps onto the POOLED distribution's value at the equivalent
+    // rank — the batch-effect removal / cross-source score-alignment
+    // step before mixing corpora. Exact end to end: both cumulative
+    // distributions come from the two-phase scale-safe cumDist
+    // machinery, the target rank is an integer ceiling
+    // t = ⌈cum_s·n_p/n_s⌉, and the pooled lookup is an interval
+    // point-join — pooled rank space [1, n_p] partitions into one
+    // interval per distinct value, each exploded over ≈n_p/32-sized
+    // rank bins, so the join is an equi-join on the bin with a
+    // residual BETWEEN (no as-of sort, no correlated scan; explode
+    // fan-out is 32 + |distinct values| rows total).
+    "q_quantile_norm" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .persist()
+      val srcDist = Quantiles.cumDist(ev, col("g"), col("v"))
+      val poolDist = Quantiles.cumDist(ev, lit("all"), col("v"))
+        .select(col("v").as("v_norm"), col("cnt").as("pcnt"),
+          col("cum").as("cum_p"), col("n").as("n_p"))
+      val poolTot = poolDist.agg(max(col("n_p")).as("n_p"))
+      val tgt = srcDist.crossJoin(broadcast(poolTot))
+        .withColumn("t", expr("(cum * n_p + n - 1) div n"))
+        .withColumn("bin", expr("t div greatest(n_p div 32, 1)"))
+      val pool = poolDist
+        .withColumn("bins", expr(
+          """sequence((cum_p - pcnt + 1) div greatest(n_p div 32, 1),
+             cum_p div greatest(n_p div 32, 1))"""))
+        .select(col("v_norm"), col("cum_p"), col("pcnt"),
+          explode(col("bins")).as("bin"))
+      tgt.join(pool, "bin")
+        .filter(col("t") >= col("cum_p") - col("pcnt") + 1 &&
+          col("t") <= col("cum_p"))
+        .select(col("g").as("event_type"), col("v"),
+          col("cum").as("cum_s"), col("n").as("n_s"),
+          col("t"), col("v_norm"))
+    }),
+
     // Tf-weighted document cosine pairs via a document-frequency-cut
     // inverted index: exact integer dot products and squared norms,
     // integer threshold test (4·dot² ≥ n1·n2 ⇔ cosine ≥ 0.5 for
@@ -427,6 +538,69 @@ object EvalQueries {
             $InterpExpr AS v_interp,
             CAST(day = dn AS BIGINT) AS is_anchor
           FROM expanded""",
+
+    "q_rrf" ->
+      s"""WITH base AS MATERIALIZED (SELECT doc_id, n_chars,
+              CAST(len($ws) AS BIGINT) AS wc FROM documents),
+          r1 AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS ra
+            FROM (SELECT * FROM base
+              ORDER BY n_chars DESC, doc_id LIMIT 100)),
+          r2 AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY wc DESC, doc_id)
+                AS BIGINT) AS rb
+            FROM (SELECT * FROM base ORDER BY wc DESC, doc_id LIMIT 100)),
+          fused AS (SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id, ra, rb
+            FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+          SELECT doc_id, ra, rb, $RrfExpr AS rrf
+          FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+
+    "q_gains" ->
+      s"""WITH b AS (SELECT CAST(least(floor(value/50), 9) AS BIGINT) AS bin,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events),
+          g AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS pos
+            FROM b GROUP BY bin),
+          c AS (SELECT bin, n, pos,
+              CAST(sum(n) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+              CAST(sum(pos) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos
+            FROM g),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+              CAST(sum(pos) AS BIGINT) AS tp FROM g)
+          SELECT bin, n, pos, cum_n, cum_pos,
+            $PopShareExpr AS pop_share, $CaptureExpr AS capture,
+            $LiftExpr AS lift
+          FROM c, tot""",
+
+    "q_quantile_norm" ->
+      """WITH e AS MATERIALIZED (SELECT event_type AS g,
+              CAST(floor(value*100) AS BIGINT) AS v FROM events),
+          src AS (SELECT g, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+          scum AS (SELECT g, v,
+              CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_s,
+              CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_s
+            FROM src),
+          pool AS (SELECT v, count(*) AS cnt FROM e GROUP BY 1),
+          pcum AS MATERIALIZED (SELECT v, CAST(cnt AS BIGINT) AS cnt,
+              CAST(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_p
+            FROM pool),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_p FROM e),
+          tgt AS (SELECT g, v, cum_s, n_s,
+              (cum_s * n_p + n_s - 1) // n_s AS t FROM scum, tot)
+          SELECT g AS event_type, tgt.v AS v, cum_s, n_s, t,
+            pcum.v AS v_norm
+          FROM tgt JOIN pcum
+            ON tgt.t BETWEEN pcum.cum_p - pcum.cnt + 1 AND pcum.cum_p""",
 
     "q_tf_cosine" ->
       s"""WITH tf0 AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf

@@ -359,6 +359,8 @@ class PlanSpec extends AnyFunSuite {
       "q_assoc_rules", // 1-row corpus-total broadcast
       "q_psi", "q_js_div", // 1-row side-totals broadcast
       "q_kappa", // 1-row marginal-product broadcast
+      "q_gains", // 1-row conversion-totals broadcast
+      "q_quantile_norm", // 1-row pooled-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
@@ -408,7 +410,11 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res", "q_ann_pq",
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
-      "q_shard_assign", "q_shuffle_order", "q_skyline")
+      "q_shard_assign", "q_shuffle_order", "q_skyline",
+      "q_rrf", // rank windows AFTER the top-100 limits (≤100-row frames)
+      "q_gains", // cumulative window over the ≤10-row bin frame
+      "q_quantile_norm") // the pooled cumDist's offsets summary (the
+      // q_ks_test shape: constant group folds the partition spec away)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val partitionless = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
