@@ -101,15 +101,27 @@ object EvalQueries {
     """CASE WHEN tp = 0 OR cum_n = 0 THEN NULL
        ELSE (CAST(cum_pos AS DOUBLE)*tn)/(CAST(cum_n AS DOUBLE)*tp) END"""
 
+  /** Vocabulary coverage share from exact cumulative counts. */
+  private val CovExpr: String = "CAST(cum_cnt AS DOUBLE)/tot"
+
+  /** Day-of-week seasonal index: (per-dow mean)/(per-type mean) =
+    * s_d·n_t / (n_d·s_t) from exact integer sums, one closing
+    * expression.
+    */
+  private val SeasonalIdxExpr: String =
+    """CASE WHEN s_t = 0 THEN NULL
+       ELSE (CAST(s_d AS DOUBLE) * n_t) / (CAST(n_d AS DOUBLE) * s_t) END"""
+
   /** Clamped value band shared by the confusion-matrix queries: the
     * "actual" class of an event, and — applied to a deterministically
     * perturbed value — its "predicted" class. Both engines evaluate
     * the identical floor/clamp pipeline, so class assignment can
-    * never disagree.
+    * never disagree. Shared with the streaming accuracy monitor
+    * ([[graft.streaming.EventStreams.accuracyMonitor]]).
     */
-  private def band(x: String): String =
+  private[graft] def band(x: String): String =
     s"CAST(least(greatest(floor(($x)/125), 0), 3) AS BIGINT)"
-  private val PredNoise = "(pmod(event_id, 7) - 3) * 15"
+  private[graft] val PredNoise = "(pmod(event_id, 7) - 3) * 15"
   private val PredNoiseSql = "((event_id % 7) - 3) * 15"
 
   /** (pred, act, cnt) confusion-cell counts: one scan, one map-side-
@@ -287,6 +299,51 @@ object EvalQueries {
         .select(col("event_type"), col("day").cast("long").as("day_n"),
           expr(InterpExpr).as("v_interp"),
           (col("day") === col("dn")).cast("long").as("is_anchor"))
+    }),
+
+    // Vocabulary coverage curve: cumulative share of all token
+    // occurrences covered by the top-k terms — the read-out that
+    // sizes a tokenizer vocabulary ("how many terms cover 95%?").
+    // Ranked by exact integer counts (ties by term); the rank/cumsum
+    // windows run AFTER the top-1000 TakeOrdered cut (bounded frame,
+    // allowlisted), the corpus total rides a 1-row broadcast, and the
+    // term-count frame is persisted across its two consumers.
+    "q_vocab_coverage" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val tot = tf.agg(sum("cnt").as("tot"))
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      tf.orderBy(col("cnt").desc, col("term")).limit(1000)
+        .withColumn("vrank", row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("vrank"), col("term"), col("cnt"), col("cum_cnt"),
+          expr(CovExpr).as("coverage"))
+    }),
+
+    // Day-of-week seasonal index per event type: the per-weekday mean
+    // value over the per-type mean, from exact integer cents sums.
+    // Weekday classes come from epoch-day arithmetic (dn % 7,
+    // Thursday = 0) — engine-proof, where calendar DOW functions
+    // disagree on numbering conventions. One scan → ≤(types×7)-row
+    // agg; per-type totals ride a window over that tiny frame,
+    // PARTITIONED by type.
+    "q_seasonal_index" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))),
+            lit(7)).cast("long").as("dow7"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "dow7")
+        .agg(count(lit(1)).as("n_d"), sum("cents").as("s_d"))
+        .withColumn("n_t", sum("n_d").over(w))
+        .withColumn("s_t", sum("s_d").over(w))
+        .select(col("event_type"), col("dow7"), col("n_d"), col("s_d"),
+          expr(SeasonalIdxExpr).as("idx"))
     }),
 
     // Reciprocal-rank fusion of two retrieval rankings (here: length
@@ -538,6 +595,37 @@ object EvalQueries {
             $InterpExpr AS v_interp,
             CAST(day = dn AS BIGINT) AS is_anchor
           FROM expanded""",
+
+    "q_vocab_coverage" ->
+      s"""WITH tf AS MATERIALIZED (SELECT term, count(*) AS cnt
+            FROM (SELECT unnest($ws) AS term FROM documents) GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM tf),
+          top AS (SELECT term, CAST(cnt AS BIGINT) AS cnt FROM tf
+            ORDER BY cnt DESC, term LIMIT 1000),
+          r AS (SELECT term, cnt,
+              CAST(row_number() OVER (ORDER BY cnt DESC, term)
+                AS BIGINT) AS vrank,
+              CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_cnt
+            FROM top)
+          SELECT vrank, term, cnt, cum_cnt, $CovExpr AS coverage
+          FROM r, tot""",
+
+    "q_seasonal_index" ->
+      s"""WITH e AS (SELECT event_type,
+              CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                AS BIGINT) AS dow7,
+              CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+          g AS (SELECT event_type, dow7, CAST(count(*) AS BIGINT) AS n_d,
+              CAST(sum(cents) AS BIGINT) AS s_d
+            FROM e GROUP BY 1, 2),
+          t AS (SELECT *,
+              CAST(sum(n_d) OVER (PARTITION BY event_type) AS BIGINT) AS n_t,
+              CAST(sum(s_d) OVER (PARTITION BY event_type) AS BIGINT) AS s_t
+            FROM g)
+          SELECT event_type, dow7, n_d, s_d, $SeasonalIdxExpr AS idx
+          FROM t""",
 
     "q_rrf" ->
       s"""WITH base AS MATERIALIZED (SELECT doc_id, n_chars,

@@ -784,6 +784,34 @@ object EventStreams {
         expr(graft.queries.EvalQueries.PsiPartExpr).as("psi_part"))
   }
 
+  /** Streaming classifier-accuracy monitor: per closed event-time
+    * window, the agreement rate of the deterministic value-band
+    * classifier shared with the batch q_confusion/q_kappa
+    * ([[graft.queries.EvalQueries.band]]). ONE watermarked windowed
+    * aggregation — total and agreeing counts are conditional sums on
+    * the same row, the closing division is per-row. The live "is
+    * the model drifting" alarm next to psiDrift's "is the data
+    * drifting".
+    */
+  def accuracyMonitor(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val act = graft.queries.EvalQueries.band("value")
+    val pred = graft.queries.EvalQueries.band(
+      s"value + ${graft.queries.EvalQueries.PredNoise}")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr(pred) === expr(act), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n"), col("n_agree"),
+        expr("CAST(n_agree AS DOUBLE)/n").as("accuracy"))
+  }
+
   final case class DayCount(dayN: Long, n: Long)
 
   /** Burst-monitor state: counts for days still inside the watermark

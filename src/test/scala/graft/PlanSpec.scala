@@ -361,6 +361,7 @@ class PlanSpec extends AnyFunSuite {
       "q_kappa", // 1-row marginal-product broadcast
       "q_gains", // 1-row conversion-totals broadcast
       "q_quantile_norm", // 1-row pooled-total broadcast
+      "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
@@ -412,6 +413,7 @@ class PlanSpec extends AnyFunSuite {
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
       "q_shard_assign", "q_shuffle_order", "q_skyline",
       "q_rrf", // rank windows AFTER the top-100 limits (≤100-row frames)
+      "q_vocab_coverage", // rank/cumsum AFTER the top-1000 limit
       "q_gains", // cumulative window over the ≤10-row bin frame
       "q_quantile_norm") // the pooled cumDist's offsets summary (the
       // q_ks_test shape: constant group folds the partition spec away)

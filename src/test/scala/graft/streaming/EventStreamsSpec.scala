@@ -702,6 +702,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming accuracy monitor == batch band-classifier agreement per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.accuracyMonitor(input.toDF(), "5 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("acc_stream").start()
+    try {
+      // event_id drives the noise: id%7-3 in {-3..3} → ±45 shift
+      val rows = Seq(
+        ev(1, "2024-01-01 10:01:00", 1, "click", 10.0),   // noise -30
+        ev(2, "2024-01-01 10:02:00", 1, "click", 100.0),  // noise -15
+        ev(3, "2024-01-01 10:03:00", 1, "click", 120.0),  // noise 0
+        ev(4, "2024-01-01 10:10:00", 2, "click", 130.0),  // noise +15
+        ev(5, "2024-01-01 10:20:00", 2, "click", 240.0),  // noise +30
+        ev(6, "2024-01-01 10:30:00", 3, "click", 250.0),  // noise +45
+        ev(7, "2024-01-01 10:40:00", 3, "click", 310.0))  // noise -45
+      input.addData(rows: _*); q.processAllAvailable()
+      input.addData(ev(9, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("acc_stream").collect()
+        .filter(_.getString(0) == "2024-01-01 10:00:00")
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length == 1)
+      // batch twin over the same rows, same shared band expressions
+      val want = rows.toDF()
+        .agg(count(lit(1)).as("n"),
+          sum(when(
+            expr(graft.queries.EvalQueries.band(
+              s"value + ${graft.queries.EvalQueries.PredNoise}")) ===
+              expr(graft.queries.EvalQueries.band("value")), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("n"), col("n_agree"),
+          expr("CAST(n_agree AS DOUBLE)/n").as("accuracy"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.head == want.head)
+      // and the agreement itself is nontrivial (some bands flipped)
+      assert(got.head._2 > 0 && got.head._2 < got.head._1)
+    } finally q.stop()
+  }
+
   test("streaming daily bursts == batch trailing-7-day window on finalized days") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.expressions.Window
