@@ -120,4 +120,50 @@ object Features {
             (col("_mad").cast("double") * lit(1.4826)))
           .as(s"${valueCol}_robust_z")): _*)
   }
+
+  /** Quantile normalization across sources: every distinct (group,
+    * value) maps onto the POOLED distribution's value at the
+    * equivalent rank — target rank t = ⌈cum_g·n_pool/n_g⌉, normalized
+    * value = the pooled value whose cumulative interval contains t.
+    * The batch-effect-removal / cross-source score-alignment step
+    * before mixing corpora.
+    *
+    * Shape: ONE corpus scan builds the per-group distinct CDF (the
+    * two-phase scale-safe [[Quantiles.cumDist]]); the pooled CDF
+    * derives from THAT frame as a weighted cumDist — no second scan.
+    * The pooled lookup is an interval point-join: rank space [1, n]
+    * partitions into one interval per distinct pooled value, each
+    * exploded over ≈n/32-sized rank bins, so the join is a bin
+    * equi-join plus a residual BETWEEN — no as-of sort, no correlated
+    * scan; explode fan-out totals ≈32 + |distinct pooled values|
+    * rows. At 100 TB the t product (cum·n_pool) moves to DECIMAL.
+    *
+    * @return one row per distinct (g, v): exact integer `cum_s`,
+    *         `n_s`, target rank `t`, and `v_norm`.
+    */
+  def quantileNormalize(
+      df: DataFrame, gCol: Column, valueExpr: Column): DataFrame = {
+    // persisted: the per-group CDF feeds the pooled re-aggregation,
+    // the 1-row pooled total, AND the target-rank frame
+    val srcDist = Quantiles.cumDist(df, gCol, valueExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val poolDist = Quantiles.cumDist(srcDist, lit("all"), col("v"), col("cnt"))
+      .select(col("v").as("v_norm"), col("cnt").as("pcnt"),
+        col("cum").as("cum_p"), col("n").as("n_p"))
+    val poolTot = srcDist.agg(sum(col("cnt")).as("n_p"))
+    val tgt = srcDist.crossJoin(broadcast(poolTot))
+      .withColumn("t", expr("(cum * n_p + n - 1) div n"))
+      .withColumn("bin", expr("t div greatest(n_p div 32, 1)"))
+    val pool = poolDist
+      .withColumn("bins", expr(
+        """sequence((cum_p - pcnt + 1) div greatest(n_p div 32, 1),
+           cum_p div greatest(n_p div 32, 1))"""))
+      .select(col("v_norm"), col("cum_p"), col("pcnt"),
+        explode(col("bins")).as("bin"))
+    tgt.join(pool, "bin")
+      .filter(col("t") >= col("cum_p") - col("pcnt") + 1 &&
+        col("t") <= col("cum_p"))
+      .select(col("g"), col("v"), col("cum").as("cum_s"),
+        col("n").as("n_s"), col("t"), col("v_norm"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Quantiles, TextOps}
+import graft.ops.TextOps
 
 /** Fourth operator pack: dataset/model EVALUATION and lifecycle
   * operators — distribution-drift monitors (PSI, per-token
@@ -403,41 +403,15 @@ object EvalQueries {
     // Quantile normalization across sources: each (event_type, value)
     // maps onto the POOLED distribution's value at the equivalent
     // rank — the batch-effect removal / cross-source score-alignment
-    // step before mixing corpora. Exact end to end: both cumulative
-    // distributions come from the two-phase scale-safe cumDist
-    // machinery, the target rank is an integer ceiling
-    // t = ⌈cum_s·n_p/n_s⌉, and the pooled lookup is an interval
-    // point-join — pooled rank space [1, n_p] partitions into one
-    // interval per distinct value, each exploded over ≈n_p/32-sized
-    // rank bins, so the join is an equi-join on the bin with a
-    // residual BETWEEN (no as-of sort, no correlated scan; explode
-    // fan-out is 32 + |distinct values| rows total).
-    "q_quantile_norm" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type").as("g"),
-          floor(col("value") * 100).cast("long").as("v"))
-        .persist()
-      val srcDist = Quantiles.cumDist(ev, col("g"), col("v"))
-      val poolDist = Quantiles.cumDist(ev, lit("all"), col("v"))
-        .select(col("v").as("v_norm"), col("cnt").as("pcnt"),
-          col("cum").as("cum_p"), col("n").as("n_p"))
-      val poolTot = poolDist.agg(max(col("n_p")).as("n_p"))
-      val tgt = srcDist.crossJoin(broadcast(poolTot))
-        .withColumn("t", expr("(cum * n_p + n - 1) div n"))
-        .withColumn("bin", expr("t div greatest(n_p div 32, 1)"))
-      val pool = poolDist
-        .withColumn("bins", expr(
-          """sequence((cum_p - pcnt + 1) div greatest(n_p div 32, 1),
-             cum_p div greatest(n_p div 32, 1))"""))
-        .select(col("v_norm"), col("cum_p"), col("pcnt"),
-          explode(col("bins")).as("bin"))
-      tgt.join(pool, "bin")
-        .filter(col("t") >= col("cum_p") - col("pcnt") + 1 &&
-          col("t") <= col("cum_p"))
-        .select(col("g").as("event_type"), col("v"),
-          col("cum").as("cum_s"), col("n").as("n_s"),
-          col("t"), col("v_norm"))
-    }),
+    // step before mixing corpora. See
+    // [[graft.ops.Features.quantileNormalize]]: one corpus scan
+    // (pooled CDF derives from the per-group CDF as a weighted
+    // cumDist), integer ceiling target ranks, interval point-join.
+    "q_quantile_norm" -> ((s, d) =>
+      graft.ops.Features.quantileNormalize(
+        Tables.events(s, d), col("event_type"),
+        floor(col("value") * 100).cast("long"))
+        .withColumnRenamed("g", "event_type")),
 
     // Tf-weighted document cosine pairs via a document-frequency-cut
     // inverted index: exact integer dot products and squared norms,

@@ -647,6 +647,49 @@ class ExtOpsSpec extends AnyFunSuite {
       calm._5 == 9200L && calm._6 == 0L)
   }
 
+  test("quantileNormalize maps group ranks onto pooled values, hand example") {
+    // A = [1,1,2], B = [5]; pooled distinct CDF: 1→[1,2], 2→[3,3],
+    // 5→[4,4] (n_p = 4). Targets: A v=1 cum 2/3 → t=⌈8/3⌉=3 → 2;
+    // A v=2 cum 3/3 → t=4 → 5; B v=5 cum 1/1 → t=4 → 5.
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 5L)).toDF("src", "x")
+    val out = Features.quantileNormalize(df, col("src"), col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("A", 1L)) == ((2L, 3L, 3L, 2L)))
+    assert(out(("A", 2L)) == ((3L, 3L, 4L, 5L)))
+    assert(out(("B", 5L)) == ((1L, 1L, 4L, 5L)))
+    // identical groups are already aligned: normalization is identity
+    val same = Seq(("A", 10L), ("A", 20L), ("B", 10L), ("B", 20L))
+      .toDF("src", "x")
+    val outSame = Features.quantileNormalize(same, col("src"), col("x"))
+      .collect().map(r => (r.getLong(1), r.getLong(5)))
+    assert(outSame.forall { case (v, vn) => v == vn })
+  }
+
+  test("quantileNormalize matches a sequential model on a randomized corpus") {
+    // deterministic pseudo-random corpus (fixed seed, no RNG state)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val g = "g" + (rnd.nextInt(3) + 1)
+      (g, (rnd.nextInt(20) + 1).toLong)
+    }
+    val df = rows.toDF("src", "x")
+    val out = Features.quantileNormalize(df, col("src"), col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // model: pooled sorted multiset; v_norm = pooled value at rank
+    // ceil(cum_g(v) * n_pool / n_g)
+    val pooled = rows.map(_._2).sorted
+    val byG = rows.groupBy(_._1)
+    for ((g, vs) <- byG; v <- vs.map(_._2).distinct) {
+      val cum = vs.count(_._2 <= v).toLong
+      val t = ((cum * pooled.size + vs.size - 1) / vs.size).toInt
+      val want = pooled(t - 1)
+      assert(out((g, v)) == want, s"($g,$v): ${out((g, v))} != $want")
+    }
+  }
+
   test("chunked ETL: bounded-memory per-page loop equals collect-all mode") {
     val server = new MockGithubServer
     server.start()
