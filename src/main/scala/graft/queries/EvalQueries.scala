@@ -104,6 +104,8 @@ object EvalQueries {
   /** Vocabulary coverage share from exact cumulative counts. */
   private val CovExpr: String = "CAST(cum_cnt AS DOUBLE)/tot"
 
+  private val SegMeanExpr: String = graft.ops.Classifier.SegMeanExpr
+
   /** Day-of-week seasonal index: (per-dow mean)/(per-type mean) =
     * s_d·n_t / (n_d·s_t) from exact integer sums, one closing
     * expression.
@@ -400,6 +402,26 @@ object EvalQueries {
           expr(LiftExpr).as("lift"))
     }),
 
+    // Isotonic regression (PAVA) of the conversion rate over score
+    // bins — the calibration step that forces "higher score ⇒ no
+    // lower conversion" before using scores as probabilities. The
+    // minimax closed form fitted(i) = max_{j≤i} min_{k≥i} mean(j..k)
+    // evaluates over the ≤10-row bin frame: prefix sums, a tiny
+    // broadcast pair cross (≤100 rows), an i-explode (≤1000 rows),
+    // two hash aggs. Segment means are single divisions of exact
+    // integers, so the minimax comparisons agree cross-engine. At any
+    // corpus size the post-scan work is constant — the scan is the
+    // only data-sized stage.
+    "q_isotonic" -> ((s, d) =>
+      graft.ops.Classifier.isotonicRates(
+        Tables.events(s, d)
+          .select(least(floor(col("value") / 50), lit(9)).cast("long")
+              .as("bin"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+          .persist())),
+
     // Quantile normalization across sources: each (event_type, value)
     // maps onto the POOLED distribution's value at the equivalent
     // rank — the batch-effect removal / cross-source score-alignment
@@ -639,6 +661,35 @@ object EvalQueries {
             $PopShareExpr AS pop_share, $CaptureExpr AS capture,
             $LiftExpr AS lift
           FROM c, tot""",
+
+    "q_isotonic" ->
+      s"""WITH b AS (SELECT CAST(least(floor(value/50), 9) AS BIGINT) AS bin,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events),
+          g AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY bin),
+          c AS MATERIALIZED (SELECT bin, n, pos,
+              CAST(sum(n) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_n,
+              CAST(sum(pos) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pos
+            FROM g),
+          pairs AS (SELECT js.bin AS j, ks.bin AS k,
+              js.cum_n - js.n AS exn, js.cum_pos - js.pos AS exp_,
+              ks.cum_n AS kn, ks.cum_pos AS kp
+            FROM c js, c ks WHERE js.bin <= ks.bin),
+          tri AS (SELECT j, $SegMeanExpr AS m,
+              unnest(generate_series(j, k)) AS bin
+            FROM pairs),
+          inner_min AS (SELECT bin, j, min(m) AS minm
+            FROM tri GROUP BY 1, 2),
+          fit AS (SELECT bin, max(minm) AS rate_iso
+            FROM inner_min GROUP BY 1)
+          SELECT g.bin, n, pos, CAST(pos AS DOUBLE)/n AS rate_raw,
+            rate_iso
+          FROM g JOIN fit ON g.bin = fit.bin""",
 
     "q_quantile_norm" ->
       """WITH e AS MATERIALIZED (SELECT event_type AS g,

@@ -667,6 +667,43 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(outSame.forall { case (v, vn) => v == vn })
   }
 
+  test("isotonicRates pools adjacent violators and matches sequential PAVA") {
+    // rates 0.5, 0.2, 0.8 over equal bins: PAVA pools (0.5, 0.2) into
+    // 0.35 and leaves 0.8 — fitted nondecreasing
+    val bins = Seq((0L, 10L, 5L), (1L, 10L, 2L), (2L, 10L, 8L))
+      .toDF("bin", "n", "pos")
+    val out = Classifier.isotonicRates(bins).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(0L) == 0.35 && out(1L) == 0.35 && out(2L) == 0.8)
+    // randomized: minimax == sequential pool-adjacent-violators
+    val rnd = new scala.util.Random(11)
+    val rb = (0L to 9L).map(b => (b, rnd.nextInt(50) + 1L))
+      .map { case (b, n) => (b, n, rnd.nextInt(n.toInt + 1).toLong) }
+    val got = Classifier.isotonicRates(rb.toDF("bin", "n", "pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // sequential PAVA on (n, pos) blocks
+    case class Blk(var n: Long, var pos: Long, var size: Int)
+    val stack = scala.collection.mutable.ArrayBuffer[Blk]()
+    for ((_, n, pos) <- rb) {
+      stack += Blk(n, pos, 1)
+      while (stack.length > 1 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        a.pos.toDouble / a.n >= b.pos.toDouble / b.n
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.last
+        a.n += b.n; a.pos += b.pos; a.size += b.size
+      }
+    }
+    val want = stack.flatMap(b =>
+      Seq.fill(b.size)(b.pos.toDouble / b.n)).zipWithIndex
+      .map { case (r, i) => i.toLong -> r }.toMap
+    for (b <- 0L to 9L)
+      assert(math.abs(got(b) - want(b)) < 1e-12, s"bin $b: ${got(b)} vs ${want(b)}")
+    // monotone by construction
+    assert((0L to 8L).forall(b => got(b) <= got(b + 1) + 1e-15))
+  }
+
   test("quantileNormalize matches a sequential model on a randomized corpus") {
     // deterministic pseudo-random corpus (fixed seed, no RNG state)
     val rnd = new scala.util.Random(7)
