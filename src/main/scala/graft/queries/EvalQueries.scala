@@ -402,6 +402,34 @@ object EvalQueries {
           expr(LiftExpr).as("lift"))
     }),
 
+    // Conversion-lag percentiles: per user, the first purchase at or
+    // after their first view; the latency distribution read out as
+    // exact integer-millisecond p50/p90 (conditional-min reads over
+    // the pooled scale-safe cumDist) plus the exact mean. Two hash
+    // aggs on user_id (co-keyed, AQE co-locates) — min-lag equals
+    // lag-of-min-ts since ts ≥ first_view, so the join side never
+    // carries more than one row per user into the agg.
+    "q_conversion_lag" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v"))
+      val lag = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("v"))
+        .groupBy("user_id")
+        .agg(min(unix_millis(col("ts")) - unix_millis(col("v")))
+          .as("lag_ms"))
+        .persist()
+      val cd = graft.ops.Quantiles.cumDist(lag, lit("all"), col("lag_ms"))
+      val reads = cd.agg(
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50_ms"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90_ms"))
+      lag.agg(count(lit(1)).as("n_conv"), sum("lag_ms").as("sum_ms"))
+        .crossJoin(broadcast(reads))
+        .select(col("n_conv"), col("p50_ms"), col("p90_ms"),
+          expr("CAST(sum_ms AS DOUBLE)/n_conv").as("mean_ms"))
+    }),
+
     // Isotonic regression (PAVA) of the conversion rate over score
     // bins — the calibration step that forces "higher score ⇒ no
     // lower conversion" before using scores as probabilities. The
@@ -661,6 +689,30 @@ object EvalQueries {
             $PopShareExpr AS pop_share, $CaptureExpr AS capture,
             $LiftExpr AS lift
           FROM c, tot""",
+
+    "q_conversion_lag" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS v FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          lag AS MATERIALIZED (SELECT e.user_id,
+              CAST(min(epoch_ms(e.ts) - epoch_ms(fv.v)) AS BIGINT) AS lag_ms
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= fv.v
+            GROUP BY 1),
+          d AS (SELECT lag_ms, count(*) AS cnt FROM lag GROUP BY 1),
+          c AS (SELECT lag_ms,
+              CAST(sum(cnt) OVER (ORDER BY lag_ms
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER () AS BIGINT) AS n
+            FROM d),
+          reads AS (SELECT
+              (SELECT min(lag_ms) FROM c WHERE cum*2 >= n) AS p50_ms,
+              (SELECT min(lag_ms) FROM c WHERE cum*10 >= n*9) AS p90_ms),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conv,
+              CAST(sum(lag_ms) AS BIGINT) AS sum_ms FROM lag)
+          SELECT n_conv, p50_ms, p90_ms,
+            CAST(sum_ms AS DOUBLE)/n_conv AS mean_ms
+          FROM tot, reads""",
 
     "q_isotonic" ->
       s"""WITH b AS (SELECT CAST(least(floor(value/50), 9) AS BIGINT) AS bin,

@@ -361,6 +361,7 @@ class PlanSpec extends AnyFunSuite {
       "q_kappa", // 1-row marginal-product broadcast
       "q_gains", // 1-row conversion-totals broadcast
       "q_isotonic", // ≤10-row bin-frame pair cross for the PAVA minimax
+      "q_conversion_lag", // 1-row percentile-reads broadcast
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
@@ -417,6 +418,7 @@ class PlanSpec extends AnyFunSuite {
       "q_vocab_coverage", // rank/cumsum AFTER the top-1000 limit
       "q_gains", // cumulative window over the ≤10-row bin frame
       "q_isotonic", // prefix sums over the ≤10-row bin frame
+      "q_conversion_lag", // the pooled cumDist's offsets summary
       "q_quantile_norm") // the pooled cumDist's offsets summary (the
       // q_ks_test shape: constant group folds the partition spec away)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
