@@ -106,6 +106,25 @@ object EvalQueries {
 
   private val SegMeanExpr: String = graft.ops.Classifier.SegMeanExpr
 
+  /** Leave-one-out target encoding: the bin's conversion mean with
+    * the row itself held out — the standard leakage guard. Exact
+    * integer numerator, one division; singleton bins yield NULL.
+    */
+  private val LooExpr: String =
+    """CASE WHEN n_b = 1 THEN NULL
+       ELSE CAST(s_b - y AS DOUBLE)/(n_b - 1) END"""
+
+  /** OLS slope over a full trailing 7-observation window from exact
+    * integer power sums (the q_ols_fit closed form on a rolling
+    * frame).
+    */
+  private val SlopeExpr: String =
+    """CASE WHEN cw < 7 OR (7*sxx - sx*sx) = 0 THEN NULL
+       ELSE CAST(7*sxy - sx*sy AS DOUBLE)/(7*sxx - sx*sx) END"""
+
+  /** Vocabulary Jaccard between two sources from exact set sizes. */
+  private val JacExpr: String = "CAST(inter AS DOUBLE)/(n1 + n2 - inter)"
+
   /** Day-of-week seasonal index: (per-dow mean)/(per-type mean) =
     * s_d·n_t / (n_d·s_t) from exact integer sums, one closing
     * expression.
@@ -402,6 +421,75 @@ object EvalQueries {
           expr(LiftExpr).as("lift"))
     }),
 
+    // Leave-one-out target encoding of the value band against the
+    // conversion flag — the categorical-feature encoding that doesn't
+    // leak the row's own label. Group sufficient statistics (10 rows)
+    // broadcast back onto the scan; the encoding itself is a
+    // shuffle-free codegen'd projection (the zscore shape).
+    "q_target_encode" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"),
+          least(floor(col("value") / 50), lit(9)).cast("long").as("bin"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+      val g = e.groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("s_b"))
+      e.join(broadcast(g), "bin")
+        .select(col("event_id"), col("bin"), col("y"),
+          expr(LooExpr).as("y_loo"))
+    }),
+
+    // Rolling 7-observed-day OLS trend slope per event type: exact
+    // integer power sums (Σx, Σy, Σxy, Σx²) over the trailing window
+    // of the daily summary — q_burst's calendar-bounded frame with
+    // the q_ols_fit closed form on top. Emits NULL until the window
+    // fills.
+    "q_rolling_slope" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("dn")
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("dn"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "dn").agg(sum("cents").as("y"))
+        .withColumn("cw", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("dn").cast("long")).over(w))
+        .withColumn("sy", sum("y").over(w))
+        .withColumn("sxy", sum(col("dn").cast("long") * col("y")).over(w))
+        .withColumn("sxx",
+          sum(col("dn").cast("long") * col("dn").cast("long")).over(w))
+        .select(col("event_type"), col("dn").cast("long").as("day_n"),
+          col("y"), expr(SlopeExpr).as("slope"))
+    }),
+
+    // Cross-source vocabulary overlap: distinct-term Jaccard between
+    // every source pair — the corpus-mixing diagnostic ("how much of
+    // B is already in A"). One distinct (source, term) frame; pair
+    // generation groups each term's ≤|sources| membership set and
+    // explodes ordered pairs (the posting-list plan, buffer bounded
+    // by the source count); set sizes broadcast back.
+    "q_source_overlap" -> ((s, d) => {
+      val ts = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.words(col("text"))).as("term"))
+        .distinct().persist()
+      val sizes = ts.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ts.groupBy("term")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          """filter(
+               flatten(transform(ss, a ->
+                 transform(ss, b -> named_struct('s1', a, 's2', b)))),
+               p -> p.s1 < p.s2)""")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("n").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("n").as("n2"))), "s2")
+        .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+          expr(JacExpr).as("jaccard"))
+    }),
+
     // Conversion-lag percentiles: per user, the first purchase at or
     // after their first view; the latency distribution read out as
     // exact integer-millisecond p50/p90 (conditional-min reads over
@@ -689,6 +777,50 @@ object EvalQueries {
             $PopShareExpr AS pop_share, $CaptureExpr AS capture,
             $LiftExpr AS lift
           FROM c, tot""",
+
+    "q_target_encode" ->
+      s"""WITH e AS MATERIALIZED (SELECT event_id,
+              CAST(least(floor(value/50), 9) AS BIGINT) AS bin,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events),
+          g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+              CAST(sum(y) AS BIGINT) AS s_b FROM e GROUP BY bin)
+          SELECT event_id, e.bin, CAST(y AS BIGINT) AS y,
+            $LooExpr AS y_loo
+          FROM e JOIN g ON e.bin = g.bin""",
+
+    "q_rolling_slope" ->
+      s"""WITH daily AS (SELECT event_type,
+              datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn,
+              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          win AS (SELECT event_type, dn, y,
+              CAST(count(*) OVER w AS BIGINT) AS cw,
+              CAST(sum(dn) OVER w AS BIGINT) AS sx,
+              CAST(sum(y) OVER w AS BIGINT) AS sy,
+              CAST(sum(dn * y) OVER w AS BIGINT) AS sxy,
+              CAST(sum(dn * dn) OVER w AS BIGINT) AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY dn
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+          SELECT event_type, CAST(dn AS BIGINT) AS day_n, y,
+            $SlopeExpr AS slope
+          FROM win""",
+
+    "q_source_overlap" ->
+      s"""WITH ts AS MATERIALIZED (SELECT DISTINCT source, term
+            FROM (SELECT source, unnest($ws) AS term FROM documents)),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM ts GROUP BY 1),
+          ij AS (SELECT a.source AS s1, b.source AS s2,
+              CAST(count(*) AS BIGINT) AS inter
+            FROM ts a JOIN ts b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2),
+          j AS (SELECT s1, s2, inter, x.n AS n1, y.n AS n2
+            FROM ij JOIN sizes x ON ij.s1 = x.source
+              JOIN sizes y ON ij.s2 = y.source)
+          SELECT s1, s2, inter, n1, n2, $JacExpr AS jaccard FROM j""",
 
     "q_conversion_lag" ->
       """WITH fv AS (SELECT user_id, min(ts) AS v FROM events
