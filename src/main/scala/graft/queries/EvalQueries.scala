@@ -125,6 +125,15 @@ object EvalQueries {
   /** Vocabulary Jaccard between two sources from exact set sizes. */
   private val JacExpr: String = "CAST(inter AS DOUBLE)/(n1 + n2 - inter)"
 
+  /** Graded-gain DCG contribution at one rank: (2^rel − 1)/log2(r+1)
+    * — small-int power and a log2, identical token for token on both
+    * engines; the ndcg@r read divides two cumulative sums of these.
+    */
+  private val DcgPartExpr: String =
+    "(pow(2, rel) - 1)/log2(vrank + 1)"
+  private val IdcgPartExpr: String =
+    "(pow(2, irel) - 1)/log2(vrank + 1)"
+
   /** Day-of-week seasonal index: (per-dow mean)/(per-type mean) =
     * s_d·n_t / (n_d·s_t) from exact integer sums, one closing
     * expression.
@@ -419,6 +428,95 @@ object EvalQueries {
           expr(PopShareExpr).as("pop_share"),
           expr(CaptureExpr).as("capture"),
           expr(LiftExpr).as("lift"))
+    }),
+
+    // TPC-H Q5-flavored five-table join: revenue per nation for one
+    // region and one order year. The join layering is the point:
+    // region→nation broadcast into customer, customer and supplier
+    // broadcast-pruned into the orders⨝lineitem shuffle joins, the
+    // nation-colocation predicate (c_nationkey = s_nationkey) applied
+    // as a join condition, decimal-exact revenue. At 100 TB the only
+    // wide exchanges are on orderkey — dimension pruning rides
+    // broadcasts.
+    "q_join5" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1996)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Malformed-JSON quarantine triage: per event type, how many
+    // payloads parse and the exact sum of the parsed field —
+    // PERMISSIVE from_json (null struct on bad rows) vs DuckDB
+    // json_valid. A deterministic 10% corruption (truncate the
+    // closing byte) stands in for wire damage; the triage is one
+    // scan + one hash agg — the ingest-side dead-letter accounting
+    // every pipeline needs.
+    "q_json_quarantine" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          when(pmod(col("event_id"), lit(10)) === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")).as("raw"))
+        .withColumn("parsed",
+          from_json(col("raw"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("_corrupt_record",
+              org.apache.spark.sql.types.StringType))),
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("parsed._corrupt_record").isNull.cast("long"))
+            .as("n_valid"),
+          sum(col("parsed._corrupt_record").isNotNull.cast("long"))
+            .as("n_invalid"),
+          sum(coalesce(col("parsed.k"), lit(0L))).as("k_sum"))),
+
+    // NDCG@r curve of a system ranking (lexical richness) against
+    // graded relevance (length bands): per rank 1..20, the DCG and
+    // ideal-DCG contributions and their running ratio. Both rankings
+    // are integer-keyed TakeOrdered top-20s; the per-rank windows run
+    // after the limits (≤20-row frames); gains are small-int powers
+    // over a log2 — token-identical cross-engine.
+    "q_ndcg" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("wc"),
+          least(expr("n_chars div 150"), lit(3)).cast("long").as("rel"))
+        .persist()
+      val ws = Window.orderBy(col("wc").desc, col("doc_id"))
+      val wi = Window.orderBy(col("rel").desc, col("doc_id"))
+      val sys = base.orderBy(col("wc").desc, col("doc_id")).limit(20)
+        .withColumn("vrank", row_number().over(ws).cast("long"))
+        .select(col("vrank"), col("doc_id"), col("rel"))
+      val ideal = base.orderBy(col("rel").desc, col("doc_id")).limit(20)
+        .withColumn("vrank", row_number().over(wi).cast("long"))
+        .select(col("vrank"), col("rel").as("irel"))
+      val wc2 = Window.orderBy("vrank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sys.join(ideal, "vrank")
+        .withColumn("dcg_part", expr(DcgPartExpr))
+        .withColumn("idcg_part", expr(IdcgPartExpr))
+        .withColumn("cum_dcg", sum("dcg_part").over(wc2))
+        .withColumn("cum_idcg", sum("idcg_part").over(wc2))
+        .select(col("vrank"), col("doc_id"), col("rel"), col("irel"),
+          col("dcg_part"), col("idcg_part"),
+          expr("cum_dcg / cum_idcg").as("ndcg_at_r"))
     }),
 
     // Leave-one-out target encoding of the value band against the
@@ -777,6 +875,66 @@ object EvalQueries {
             $PopShareExpr AS pop_share, $CaptureExpr AS capture,
             $LiftExpr AS lift
           FROM c, tot""",
+
+    "q_join5" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+         GROUP BY n_name""",
+
+    "q_json_quarantine" ->
+      """WITH r AS (SELECT event_type,
+            CASE WHEN event_id % 10 = 0
+              THEN substring(props, 1, length(props) - 1)
+              ELSE props END AS raw
+          FROM events)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN json_valid(raw) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_valid,
+          CAST(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_invalid,
+          CAST(sum(CASE WHEN json_valid(raw)
+            THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS k_sum
+        FROM r GROUP BY event_type""",
+
+    "q_ndcg" ->
+      s"""WITH base AS MATERIALIZED (SELECT doc_id,
+              CAST(len($ws) AS BIGINT) AS wc,
+              CAST(least(n_chars // 150, 3) AS BIGINT) AS rel
+            FROM documents),
+          sys AS (SELECT doc_id, rel,
+              CAST(row_number() OVER (ORDER BY wc DESC, doc_id)
+                AS BIGINT) AS vrank
+            FROM (SELECT * FROM base ORDER BY wc DESC, doc_id LIMIT 20)),
+          ideal AS (SELECT rel AS irel,
+              CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                AS BIGINT) AS vrank
+            FROM (SELECT * FROM base ORDER BY rel DESC, doc_id LIMIT 20)),
+          parts AS (SELECT vrank, doc_id, rel, irel,
+              $DcgPartExpr AS dcg_part, $IdcgPartExpr AS idcg_part
+            FROM sys JOIN ideal USING (vrank)),
+          cums AS (SELECT *,
+              sum(dcg_part) OVER (ORDER BY vrank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_dcg,
+              sum(idcg_part) OVER (ORDER BY vrank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS cum_idcg
+            FROM parts)
+          SELECT vrank, doc_id, rel, irel, dcg_part, idcg_part,
+            cum_dcg / cum_idcg AS ndcg_at_r
+          FROM cums""",
 
     "q_target_encode" ->
       s"""WITH e AS MATERIALIZED (SELECT event_id,

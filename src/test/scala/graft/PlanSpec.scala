@@ -415,6 +415,7 @@ class PlanSpec extends AnyFunSuite {
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
       "q_shard_assign", "q_shuffle_order", "q_skyline",
       "q_rrf", // rank windows AFTER the top-100 limits (≤100-row frames)
+      "q_ndcg", // rank/cumsum windows AFTER the top-20 limits
       "q_vocab_coverage", // rank/cumsum AFTER the top-1000 limit
       "q_gains", // cumulative window over the ≤10-row bin frame
       "q_isotonic", // prefix sums over the ≤10-row bin frame
