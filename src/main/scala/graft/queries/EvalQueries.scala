@@ -559,6 +559,24 @@ object EvalQueries {
           col("y"), expr(SlopeExpr).as("slope"))
     }),
 
+    // Per-source duplicate rate: the share of each source's documents
+    // that exact dedup (md5 content hash, keep-lowest-id) would drop
+    // — the dataset-health number every ingest dashboard tracks. One
+    // digest-keyed window (shuffle on the 16-byte digest, never the
+    // text) + one source-keyed hash agg.
+    "q_dup_rate" -> ((s, d) => {
+      val w = Window.partitionBy("digest")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("digest"))
+        .withColumn("keeper", min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum((col("doc_id") > col("keeper")).cast("long")).as("n_dup"))
+        .select(col("source"), col("n"), col("n_dup"),
+          expr("CAST(n_dup AS DOUBLE)/n").as("dup_rate"))
+    }),
+
     // Cross-source vocabulary overlap: distinct-term Jaccard between
     // every source pair — the corpus-mixing diagnostic ("how much of
     // B is already in A"). One distinct (source, term) frame; pair
@@ -964,6 +982,19 @@ object EvalQueries {
           SELECT event_type, CAST(dn AS BIGINT) AS day_n, y,
             $SlopeExpr AS slope
           FROM win""",
+
+    "q_dup_rate" ->
+      """WITH h AS (SELECT source, doc_id,
+            md5(COALESCE(text, '')) AS digest,
+            min(doc_id) OVER (PARTITION BY md5(COALESCE(text, '')))
+              AS keeper
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+          CAST(sum(CASE WHEN doc_id > keeper THEN 1 ELSE 0 END)
+            AS DOUBLE)/count(*) AS dup_rate
+        FROM h GROUP BY source""",
 
     "q_source_overlap" ->
       s"""WITH ts AS MATERIALIZED (SELECT DISTINCT source, term
