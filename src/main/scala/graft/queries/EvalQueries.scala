@@ -125,6 +125,14 @@ object EvalQueries {
   /** Vocabulary Jaccard between two sources from exact set sizes. */
   private val JacExpr: String = "CAST(inter AS DOUBLE)/(n1 + n2 - inter)"
 
+  /** Element-wise double sum chains for the embedding oracles — the
+    * left-to-right `+` chain matches the custom expression's strict
+    * sequential fold (the annSql discipline).
+    */
+  private def dotSql(a: String, b: String, d: Int): String =
+    (1 to d).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
   /** Graded-gain DCG contribution at one rank: (2^rel − 1)/log2(r+1)
     * — small-int power and a log2, identical token for token on both
     * engines; the ndcg@r read divides two cumulative sums of these.
@@ -559,6 +567,32 @@ object EvalQueries {
           col("y"), expr(SlopeExpr).as("slope"))
     }),
 
+    // Matryoshka truncation pricing: for the eval queries' exact
+    // top-5 neighbors, the cosine at full dimension vs the first half
+    // of the vector — the measured answer to "can we store half the
+    // embedding". Composes the brute-force anchor (BNL-allowlisted
+    // via q_ann_cosine's shape) with two slice-cosines; all folds are
+    // the strict sequential custom expression, mirrored element by
+    // element in the oracle.
+    "q_matryoshka" -> ((s, d) => {
+      import graft.ops.Similarity
+      val e = Tables.embeddings(s, d)
+      val top = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5)
+      top
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid")
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+          "nid")
+        .select(col("qid"), col("nid"), col("rank"),
+          Similarity.cosine(col("qv"), col("nv")).as("cos_full"),
+          Similarity.cosine(slice(col("qv"), 1, 32),
+            slice(col("nv"), 1, 32)).as("cos_half"))
+    }),
+
     // Per-source duplicate rate: the share of each source's documents
     // that exact dedup (md5 content hash, keep-lowest-id) would drop
     // — the dataset-health number every ingest dashboard tracks. One
@@ -982,6 +1016,28 @@ object EvalQueries {
           SELECT event_type, CAST(dn AS BIGINT) AS day_n, y,
             $SlopeExpr AS slope
           FROM win""",
+
+    "q_matryoshka" -> {
+      val dot = dotSql("qv", "nv", 64)
+      val qn = dotSql("qv", "qv", 64)
+      val nn = dotSql("nv", "nv", 64)
+      val dotH = dotSql("qv", "nv", 32)
+      val qnH = dotSql("qv", "qv", 32)
+      val nnH = dotSql("nv", "nv", 32)
+      s"""WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+            WHERE vec_id < 10),
+          c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+          s AS (SELECT qid, nid,
+              ($dot) / (sqrt($qn) * sqrt($nn)) AS cos_full,
+              ($dotH) / (sqrt($qnH) * sqrt($nnH)) AS cos_half
+            FROM c, q WHERE nid <> qid),
+          r AS (SELECT qid, nid, cos_full, cos_half,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos_full DESC, nid) AS rn
+            FROM s)
+          SELECT qid, nid, CAST(rn AS BIGINT) AS rank, cos_full, cos_half
+          FROM r WHERE rn <= 5"""
+    },
 
     "q_dup_rate" ->
       """WITH h AS (SELECT source, doc_id,
