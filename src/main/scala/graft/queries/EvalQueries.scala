@@ -567,6 +567,28 @@ object EvalQueries {
           col("y"), expr(SlopeExpr).as("slope"))
     }),
 
+    // Shuffle-key skew profile: the frequency histogram of the
+    // user_id key in log2 buckets (exact ilog2 via length(bin(n))−1,
+    // the dsir discipline) with each bucket's share of all events —
+    // the diagnostic that says whether a user-keyed shuffle needs
+    // salting BEFORE the job hits it. One key-count agg, one ≤64-row
+    // bucket agg, a 1-row total broadcast.
+    "q_key_skew" -> ((s, d) => {
+      val pk = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val tot = pk.agg(sum("cnt").as("tot"))
+      pk.withColumn("bucket",
+          expr("CAST(length(bin(cnt)) - 1 AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("sum_events"),
+          min("cnt").as("min_cnt"), max("cnt").as("max_cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_keys"), col("sum_events"),
+          col("min_cnt"), col("max_cnt"),
+          expr("CAST(sum_events AS DOUBLE)/tot").as("event_share"))
+    }),
+
     // Matryoshka truncation pricing: for the eval queries' exact
     // top-5 neighbors, the cosine at full dimension vs the first half
     // of the vector — the measured answer to "can we store half the
@@ -1016,6 +1038,20 @@ object EvalQueries {
           SELECT event_type, CAST(dn AS BIGINT) AS day_n, y,
             $SlopeExpr AS slope
           FROM win""",
+
+    "q_key_skew" ->
+      """WITH pk AS MATERIALIZED (SELECT user_id, count(*) AS cnt
+            FROM events GROUP BY 1),
+          h AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(cnt) AS BIGINT) AS sum_events,
+              CAST(min(cnt) AS BIGINT) AS min_cnt,
+              CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM pk GROUP BY 1),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pk)
+          SELECT bucket, n_keys, sum_events, min_cnt, max_cnt,
+            CAST(sum_events AS DOUBLE)/tot AS event_share
+          FROM h, tot""",
 
     "q_matryoshka" -> {
       val dot = dotSql("qv", "nv", 64)

@@ -363,6 +363,7 @@ class PlanSpec extends AnyFunSuite {
       "q_isotonic", // ≤10-row bin-frame pair cross for the PAVA minimax
       "q_conversion_lag", // 1-row percentile-reads broadcast
       "q_matryoshka", // the q_ann_cosine 10-query broadcast anchor
+      "q_key_skew", // 1-row event-total broadcast
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
