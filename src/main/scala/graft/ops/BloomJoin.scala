@@ -35,7 +35,13 @@ object BloomJoin {
     *   wastes bits; underestimating raises the false-positive rate and
     *   with it the shuffle volume — never correctness).
     */
-  def bloomSemiJoin(
+  /** The probe rows the broadcast bloom lets through — true matches
+    * plus the false-positive margin. The building block of
+    * [[bloomSemiJoin]], exposed so the margin itself can be MEASURED
+    * (q_bloom_fpr prices the structure the way q_ann_recall prices
+    * LSH).
+    */
+  def bloomPrefilter(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
@@ -53,7 +59,17 @@ object BloomJoin {
     val mightContain = GraftColumnBridge.column(
       BloomFilterMightContain(
         ScalarSubquery(bloom.queryExecution.analyzed), probeHash))
-    val prefiltered = probe.filter(mightContain)
+    probe.filter(mightContain)
+  }
+
+  def bloomSemiJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val prefiltered =
+      bloomPrefilter(probe, build, probeKey, buildKey, expectedItems)
     // exact verify: false positives out, result ≡ plain semi join.
     // Qualified references: with probeKey == buildKey (the common
     // case) unqualified col() would be ambiguous against the join.

@@ -567,6 +567,56 @@ object EvalQueries {
           col("y"), expr(SlopeExpr).as("slope"))
     }),
 
+    // IQR outlier detection per group: Tukey's 1.5·IQR whiskers with
+    // FULLY integer comparisons — v < q1 − 1.5(q3−q1) ⇔
+    // 2v < 5q1 − 3q3 — so no float boundary exists anywhere.
+    // Quartiles come from the scale-safe cumDist (ceil-rank
+    // convention); thresholds broadcast back onto the scan and the
+    // flags fold in the same pass.
+    "q_outlier_iqr" -> ((s, d) => {
+      val t = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("v"))
+        .persist()
+      val th = graft.ops.Quantiles.cumDist(t, col("g"), col("v"))
+        .groupBy("g")
+        .agg(min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+      t.join(broadcast(th), "g")
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min("q1").as("q1"), min("q3").as("q3"),
+          sum((lit(2) * col("v") < lit(5) * col("q1") - lit(3) * col("q3"))
+            .cast("long")).as("n_low"),
+          sum((lit(2) * col("v") > lit(5) * col("q3") - lit(3) * col("q1"))
+            .cast("long")).as("n_high"))
+    }),
+
+    // Measured Bloom-filter false-positive rate: the bloom
+    // prefilter's pass count against the exact semi-join truth,
+    // certified within the sizing's nominal bound (the
+    // price-the-approximation discipline of q_ann_recall and the
+    // ε-bounded sketch oracles — bloom bit patterns aren't
+    // cross-engine replicable, so the exact counts hash-verify and
+    // the margin check rides as a boolean).
+    "q_bloom_fpr" -> ((s, d) => {
+      val probe = Tables.lineitem(s, d).select(col("l_partkey"))
+      val build = Tables.part(s, d).filter(col("p_size") === 15)
+        .select(col("p_partkey"))
+      val nProbe = probe.agg(count(lit(1)).as("n_probe"))
+      val nTrue = probe.join(build, probe("l_partkey") === build("p_partkey"),
+        "left_semi").agg(count(lit(1)).as("n_true"))
+      val nPass = graft.ops.BloomJoin
+        .bloomPrefilter(probe, build, "l_partkey", "p_partkey", 100000L)
+        .agg(count(lit(1)).as("n_pass"))
+      nProbe.crossJoin(broadcast(nTrue)).crossJoin(broadcast(nPass))
+        .select(col("n_probe"), col("n_true"),
+          (col("n_pass") - col("n_true") <=
+            (col("n_probe") - col("n_true")).cast("double") * 0.05)
+            .as("fpr_within_bound"))
+    }),
+
     // Shuffle-key skew profile: the frequency histogram of the
     // user_id key in log2 buckets (exact ilog2 via length(bin(n))−1,
     // the dsir discipline) with each bucket's share of all events —
@@ -1038,6 +1088,36 @@ object EvalQueries {
           SELECT event_type, CAST(dn AS BIGINT) AS day_n, y,
             $SlopeExpr AS slope
           FROM win""",
+
+    "q_outlier_iqr" ->
+      """WITH t AS MATERIALIZED (SELECT l_returnflag AS g,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS v
+          FROM lineitem),
+        d AS (SELECT g, v, count(*) AS cnt FROM t GROUP BY 1, 2),
+        c AS (SELECT g, v,
+            CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM d),
+        th AS (SELECT g,
+            min(CASE WHEN cum*4 >= n THEN v END) AS q1,
+            min(CASE WHEN cum*4 >= n*3 THEN v END) AS q3
+          FROM c GROUP BY g)
+        SELECT t.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          q1, q3,
+          CAST(sum(CASE WHEN 2*t.v < 5*th.q1 - 3*th.q3
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+          CAST(sum(CASE WHEN 2*t.v > 5*th.q3 - 3*th.q1
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        FROM t JOIN th ON t.g = th.g GROUP BY t.g, q1, q3""",
+
+    "q_bloom_fpr" ->
+      """WITH b AS (SELECT DISTINCT p_partkey FROM part WHERE p_size = 15),
+          np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM lineitem),
+          nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM b))
+          SELECT n_probe, n_true, TRUE AS fpr_within_bound FROM np, nt""",
 
     "q_key_skew" ->
       """WITH pk AS MATERIALIZED (SELECT user_id, count(*) AS cnt

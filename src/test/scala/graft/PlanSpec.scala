@@ -364,6 +364,7 @@ class PlanSpec extends AnyFunSuite {
       "q_conversion_lag", // 1-row percentile-reads broadcast
       "q_matryoshka", // the q_ann_cosine 10-query broadcast anchor
       "q_key_skew", // 1-row event-total broadcast
+      "q_bloom_fpr", // three 1-row count frames crossed
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
