@@ -60,11 +60,20 @@ def canon(rows, cols):
     return [cols[i] for i in idx], out
 
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+def fresh_con(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    # one connection per QUERY: a single long-lived connection
+    # accumulates allocator fragmentation over ~200 queries and starts
+    # failing tiny block allocations with >100 GB free (every such
+    # "fail" passed when re-run alone — see BENCH_NOTES.md); closing
+    # the connection resets the allocator and removes the flake
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -73,6 +82,7 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        con = fresh_con(sfdir)
         try:
             mine = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchall()
@@ -82,6 +92,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
+            con.close()
             continue
         for side, sql in (("spark", f"SELECT * FROM read_parquet({files!r})"),
                           ("oracle", oracle[name])):
@@ -103,6 +114,7 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name} ({len(mr)} rows)")
+        con.close()
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
