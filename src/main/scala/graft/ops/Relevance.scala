@@ -323,4 +323,57 @@ object Relevance {
         ((col("c_xy").cast("double") * col("nb").cast("double")) /
           (col("cl").cast("double") * col("cr").cast("double"))).as("lift"))
   }
+
+  /** Tf-weighted document cosine pairs over a document-frequency-cut
+    * inverted index — dot products AND norms both live in the pruned
+    * vocabulary (terms in ≤ maxDf docs): hub terms carry no
+    * discrimination, and dropping them from the geometry is what lets
+    * near-dup pairs score high while the pair fan-out stays bounded
+    * by the cut. The threshold is the exact integer test
+    * 4·dot² ≥ n1·n2 ⇔ cosine ≥ 0.5 (for dot > 0) — row membership
+    * can never flip on a float boundary. The df cut applies BEFORE
+    * the posting-list aggregation via a pre-counted semi join, so no
+    * collect_list buffer is ever unbounded. At 100 TB the dot/norm
+    * partials move to DECIMAL; posting lists stay cut-bounded.
+    *
+    * @return (d1, d2, dot, n1, n2, cosine) for pairs with pruned
+    *         cosine ≥ 0.5.
+    */
+  def tfCosinePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Long = 64L): DataFrame = {
+    val tf0 = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val keep = tf0.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("term")
+    val tf = tf0.join(keep, Seq("term"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val pairs = tf
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("post"))
+      .select(explode(expr(
+        """filter(
+             flatten(transform(post, p1 ->
+               transform(post, p2 -> named_struct(
+                 'd1', p1.doc_id, 'd2', p2.doc_id,
+                 'x', p1.tf * p2.tf)))),
+             pr -> pr.d1 < pr.d2)""")).as("pr"))
+      .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"), col("pr.x"))
+      .groupBy("d1", "d2").agg(sum("x").as("dot"))
+    pairs
+      .join(norms.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n2", "n1"), "d1")
+      .join(norms.withColumnRenamed("doc_id", "d2"), "d2")
+      .filter(col("dot") > 0 &&
+        lit(4) * col("dot") * col("dot") >= col("n1") * col("n2"))
+      .select(col("d1"), col("d2"), col("dot"), col("n1"), col("n2"),
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * " +
+          "sqrt(CAST(n2 AS DOUBLE)))").as("cosine"))
+  }
 }

@@ -773,48 +773,13 @@ object EvalQueries {
         floor(col("value") * 100).cast("long"))
         .withColumnRenamed("g", "event_type")),
 
-    // Tf-weighted document cosine pairs via a document-frequency-cut
-    // inverted index: exact integer dot products and squared norms,
-    // integer threshold test (4·dot² ≥ n1·n2 ⇔ cosine ≥ 0.5 for
-    // dot > 0 — no float boundary to flip rows cross-engine). Both
-    // the dot product AND the norms live in the df-pruned vocabulary
-    // (terms in ≤64 docs): hub terms carry no discrimination, and
-    // pruning them from the geometry — the standard stopword-dropped
-    // cosine — is what lets near-dup pairs score high while the pair
-    // fan-out stays bounded by the cut (enforced BEFORE the list
-    // aggregation via a pre-counted semi join, so no unbounded
-    // buffer). At 100 TB the dot/norm partials move to DECIMAL;
-    // posting lists stay cut-bounded.
-    "q_tf_cosine" -> ((s, d) => {
-      val tf0 = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val keep = tf0.groupBy("term").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 64).select("term")
-      val tf = tf0.join(keep, Seq("term"), "left_semi").persist()
-      val norms = tf.groupBy("doc_id")
-        .agg(sum(col("tf") * col("tf")).as("n2"))
-      val pairs = tf
-        .groupBy("term")
-        .agg(collect_list(struct(col("doc_id"), col("tf"))).as("post"))
-        .select(explode(expr(
-          """filter(
-               flatten(transform(post, p1 ->
-                 transform(post, p2 -> named_struct(
-                   'd1', p1.doc_id, 'd2', p2.doc_id,
-                   'x', p1.tf * p2.tf)))),
-               pr -> pr.d1 < pr.d2)""")).as("pr"))
-        .select(col("pr.d1").as("d1"), col("pr.d2").as("d2"), col("pr.x"))
-        .groupBy("d1", "d2").agg(sum("x").as("dot"))
-      pairs
-        .join(norms.withColumnRenamed("doc_id", "d1")
-          .withColumnRenamed("n2", "n1"), "d1")
-        .join(norms.withColumnRenamed("doc_id", "d2"), "d2")
-        .filter(col("dot") > 0 &&
-          lit(4) * col("dot") * col("dot") >= col("n1") * col("n2"))
-        .select(col("d1"), col("d2"), col("dot"), col("n1"), col("n2"),
-          expr(CosExpr).as("cosine"))
-    }))
+    // Tf-weighted document cosine pairs — see
+    // [[graft.ops.Relevance.tfCosinePairs]] (df-pruned geometry,
+    // semi-join-bounded posting buffers, exact integer threshold
+    // 4·dot² ≥ n1·n2 ⇔ cosine ≥ 0.5).
+    "q_tf_cosine" -> ((s, d) =>
+      graft.ops.Relevance.tfCosinePairs(
+        Tables.documents(s, d), "doc_id", "text", maxDf = 64L)))
 
   /** DuckDB tokenizer twin of [[TextOps.words]] (see OpsQueries). */
   private val ws =

@@ -647,6 +647,48 @@ class ExtOpsSpec extends AnyFunSuite {
       calm._5 == 9200L && calm._6 == 0L)
   }
 
+  test("tfCosinePairs matches a sequential pruned-cosine model") {
+    // deterministic corpus: words from a small alphabet, some hub
+    // words everywhere (df-cut them with maxDf=6), some near-dup docs
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 60).map(i => f"w$i%02d").toVector
+    val base = (1 to 8).map { i =>
+      (i.toLong, (1 to 12).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ") + " hub hub")
+    }
+    val dups = base.take(2).map { case (id, t) => (id + 100, t + " w01") }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val got = Relevance.tfCosinePairs(docs, "doc_id", "text", maxDf = 6L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // sequential model
+    val toks = (base ++ dups).map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val tf = toks.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, w, g.size.toLong) } }
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size }
+    val kept = tf.filter(t => df(t._2) <= 6)
+    val norms = kept.groupBy(_._1)
+      .map { case (id, g) => id -> g.map(t => t._3 * t._3).sum }
+    val byDoc = kept.groupBy(_._1)
+      .map { case (id, g) => id -> g.map(t => t._2 -> t._3).toMap }
+    val ids = byDoc.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      dot = byDoc(a).keySet.intersect(byDoc(b).keySet).toSeq
+        .map(w => byDoc(a)(w) * byDoc(b)(w)).sum
+      if dot > 0 && 4 * dot * dot >= norms(a) * norms(b)
+    } yield (a, b) -> (dot, norms(a), norms(b),
+      dot.toDouble / (math.sqrt(norms(a).toDouble) *
+        math.sqrt(norms(b).toDouble)))).toMap
+    assert(got.keySet == want.keySet,
+      s"pairs ${got.keySet} != ${want.keySet}")
+    for ((k, v) <- want) assert(got(k) == v, s"$k: ${got(k)} != $v")
+    // the planted near-dups survive the threshold
+    assert(got.contains((1L, 101L)) && got.contains((2L, 102L)))
+  }
+
   test("quantileNormalize maps group ranks onto pooled values, hand example") {
     // A = [1,1,2], B = [5]; pooled distinct CDF: 1→[1,2], 2→[3,3],
     // 5→[4,4] (n_p = 4). Targets: A v=1 cum 2/3 → t=⌈8/3⌉=3 → 2;
