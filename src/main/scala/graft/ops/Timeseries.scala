@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -211,5 +211,52 @@ object Timeseries {
       col(ordCol),
       xq.as("v_cents"),
       (num.cast("double") / den.cast("double")).as("ewma"))
+  }
+
+  /** Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    * per group, with an h-step-ahead linear forecast — the smallest
+    * forecaster that tracks a trending series (plain EWMA lags a
+    * ramp by a constant; Holt's trend term closes that gap).
+    *
+    * Recurrence (init l₁ = y₁, b₁ = 0):
+    * `l_t = (y_t + l_{t-1} + b_{t-1}) / 2`,
+    * `b_t = (l_t − l_{t-1} + b_{t-1}) / 2`; forecast = l_n + h·b_n.
+    *
+    * Unlike [[ewmaFir]] (which emits a value per ROW and therefore
+    * must stay a fixed-tap window filter), the per-group END-state
+    * fold is genuinely sequential — so it runs as one ordered
+    * `aggregate` fold over the group's collected series. The
+    * collect_list buffer is bounded by the series length (one
+    * element per ORDER BUCKET, calendar-bounded after the daily
+    * pre-aggregation the caller does), never by corpus size; the
+    * fold is strictly left-to-right, so a mirrored fold is
+    * bit-identical cross-engine with no dyadic constraint on the
+    * inputs.
+    *
+    * @return (g, n_obs, level, trend, forecast)
+    */
+  def holtLinear(
+      series: DataFrame,
+      groupCol: Column,
+      orderCol: Column,
+      valueCol: Column,
+      horizon: Int = 7): DataFrame = {
+    series
+      .groupBy(groupCol.as("g"))
+      .agg(array_sort(collect_list(struct(orderCol.as("o"),
+        valueCol.as("y")))).as("steps"))
+      .select(col("g"), size(col("steps")).cast("long").as("n_obs"),
+        expr(
+          """aggregate(slice(steps, 2, size(steps) - 1),
+               named_struct(
+                 'l', CAST(element_at(steps, 1).y AS DOUBLE),
+                 'b', CAST(0 AS DOUBLE)),
+               (acc, x) -> named_struct(
+                 'l', (CAST(x.y AS DOUBLE) + acc.l + acc.b) / 2,
+                 'b', ((CAST(x.y AS DOUBLE) + acc.l + acc.b) / 2
+                   - acc.l + acc.b) / 2))""").as("st"))
+      .select(col("g"), col("n_obs"), col("st.l").as("level"),
+        col("st.b").as("trend"),
+        (col("st.l") + lit(horizon) * col("st.b")).as("forecast"))
   }
 }

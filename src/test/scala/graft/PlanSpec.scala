@@ -362,6 +362,8 @@ class PlanSpec extends AnyFunSuite {
       "q_gains", // 1-row conversion-totals broadcast
       "q_isotonic", // ≤10-row bin-frame pair cross for the PAVA minimax
       "q_conversion_lag", // 1-row percentile-reads broadcast
+      "q_kaplan_meier", // 1-row observation-horizon broadcast
+      "q_heavy_hitters", // 1-row total + 1-row MG-summary broadcasts
       "q_matryoshka", // the q_ann_cosine 10-query broadcast anchor
       "q_key_skew", // 1-row event-total broadcast
       "q_bloom_fpr", // three 1-row count frames crossed

@@ -1,0 +1,143 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MisraGries
+
+/** Fifth-pack operators: Kaplan-Meier survival, Holt linear
+  * forecasting, and the Misra-Gries heavy-hitters aggregator —
+  * model equality on hand-computable inputs plus the invariants that
+  * must survive repartitioning (KM/Holt outputs are bit-stable;
+  * MG's BOUNDS are partition-invariant even though its raw
+  * estimates are not).
+  */
+class StatPackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "5")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("kaplanMeier hand example: deaths, censoring, at-risk, product") {
+    // subjects: u1 born d1 dies d3 (t=2); u2 born d1 dies d1 (t=0);
+    // u3 born d2 never dies (censored at horizon d5, t=3);
+    // u4 born d1 never dies (t=4); u5 death-before-birth event is
+    // ignored, dies d4 after birth d2 (t=2). Horizon = max ts = d5.
+    val rows = Seq(
+      ("u1", "2024-01-01 00:00:00", "b"), ("u1", "2024-01-03 08:00:00", "d"),
+      ("u2", "2024-01-01 06:00:00", "b"), ("u2", "2024-01-01 09:00:00", "d"),
+      ("u3", "2024-01-02 00:00:00", "b"),
+      ("u4", "2024-01-01 00:00:00", "b"),
+      ("u5", "2024-01-01 12:00:00", "d"), // before u5's birth: ignored
+      ("u5", "2024-01-02 00:00:00", "b"), ("u5", "2024-01-04 00:00:00", "d"),
+      ("zz", "2024-01-05 00:00:00", "x")) // horizon carrier, no birth
+      .map { case (u, t, k) => (u, ts(t), k) }
+      .toDF("u", "ts", "kind")
+    val got = Survival.kaplanMeier(rows, col("ts"), col("u"),
+      col("kind") === "b", col("kind") === "d")
+      .orderBy("t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // durations: u2 t=0 death; u1 t=2 death; u5 t=2 death; u3 t=3
+    // censored; u4 t=4 censored. N=5.
+    // t=0: d=1 n=5 surv=4/5; t=2: d=2 n=4 surv=4/5*2/4=2/5
+    // t=3: d=0 n=2 surv unchanged; t=4: d=0 n=1.
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 5L, 0.8),
+      (2L, 2L, 0L, 4L, 0.8 * 0.5),
+      (3L, 0L, 1L, 2L, 0.8 * 0.5),
+      (4L, 0L, 1L, 1L, 0.8 * 0.5)))
+  }
+
+  test("kaplanMeier is repartition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).flatMap { i =>
+      val u = s"u${i % 60}"
+      val day = 1 + rnd.nextInt(25)
+      Seq((u, ts(f"2024-01-$day%02d 00:00:00"),
+        if (rnd.nextBoolean()) "b" else "d"))
+    }.toDF("u", "ts", "kind")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Survival.kaplanMeier(df, col("ts"), col("u"),
+        col("kind") === "b", col("kind") === "d")
+        .orderBy("t").collect().toSeq
+    assert(run(rows) == run(rows.repartition(7, col("kind"))))
+  }
+
+  test("holtLinear matches the sequential recurrence per group") {
+    val rnd = new scala.util.Random(11)
+    val data = for {
+      g <- Seq("a", "b", "c"); i <- 1 to (5 + rnd.nextInt(20))
+    } yield (g, i, rnd.nextInt(1000).toLong)
+    val got = Timeseries.holtLinear(
+      data.toDF("g", "o", "y").repartition(7),
+      col("g"), col("o"), col("y"), horizon = 7)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys.head
+      var b = 0.0
+      for (y <- ys.tail) {
+        val l2 = (y + l + b) / 2
+        b = (l2 - l + b) / 2
+        l = l2
+      }
+      g -> ((ys.size.toLong, l, b, l + 7 * b))
+    }
+    assert(got == want)
+  }
+
+  test("holtLinear single-observation group returns (y, 0)") {
+    val got = Timeseries.holtLinear(
+      Seq(("g", 1, 42L)).toDF("g", "o", "y"),
+      col("g"), col("o"), col("y")).collect()(0)
+    assert(got.getLong(1) == 1L && got.getDouble(2) == 42.0 &&
+      got.getDouble(3) == 0.0 && got.getDouble(4) == 42.0)
+  }
+
+  test("MisraGries certificates hold under every partitioning") {
+    // Zipf-ish stream: key i appears ~N/i times
+    val keys = (1 to 40).flatMap(i => Seq.fill(400 / i)(s"k$i"))
+    val n = keys.size.toLong
+    val truth = keys.groupBy(identity).map { case (k, g) =>
+      k -> g.size.toLong }
+    for (k <- Seq(4, 8, 16); parts <- Seq(1, 3, 13)) {
+      val df = spark.sparkContext.parallelize(keys, parts).toDF("kk")
+      val summary = df.agg(MisraGries.mgSummary(k)(col("kk")))
+        .as[Seq[(String, Long)]].collect()(0).toMap
+      assert(summary.size <= k, s"k=$k parts=$parts: ${summary.size}")
+      val bound = n.toDouble / (k + 1)
+      for ((key, est) <- summary) {
+        assert(est <= truth(key), s"overcount $key: $est > ${truth(key)}")
+        assert(truth(key) - est <= bound,
+          s"k=$k parts=$parts undercount $key: ${truth(key)} - $est")
+      }
+      for ((key, cnt) <- truth if cnt > bound)
+        assert(summary.contains(key),
+          s"k=$k parts=$parts lost heavy hitter $key ($cnt > $bound)")
+    }
+  }
+
+  test("MisraGries sequential small case is exact under capacity") {
+    // 3 distinct keys, k=4: no decay ever fires, counts are exact
+    val keys = Seq("a", "a", "b", "c", "a", "b")
+    val got = spark.sparkContext.parallelize(keys, 2).toDF("kk")
+      .agg(MisraGries.mgSummary(4)(col("kk")))
+      .as[Seq[(String, Long)]].collect()(0).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+}
