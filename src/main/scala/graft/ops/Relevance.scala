@@ -376,4 +376,46 @@ object Relevance {
         expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * " +
           "sqrt(CAST(n2 AS DOUBLE)))").as("cosine"))
   }
+
+  /** Zipf power-law fit of the term-frequency distribution: OLS of
+    * ln(count) on ln(rank) over the full rank-frequency curve —
+    * slope ≈ −1 is Zipf's law; a corpus far off that line is a
+    * red flag (boilerplate floods or truncated vocabulary) every
+    * corpus-health dashboard checks.
+    *
+    * Ranks come WITHOUT a global sort: [[Quantiles.cumDist]] on the
+    * NEGATED count gives each tied-count block its rank range
+    * [cum−block+1, cum] (descending counts), and the per-point rows
+    * explode from those ranges. For tied values ln(count) is
+    * constant across the block, so the fit is independent of
+    * within-block order — rank ranges are all the ordering needed.
+    * The explode emits exactly |vocab| rows total; ranges unroll in
+    * ≤4096-element chunks so no single row materializes a tie-block
+    * (real corpora put ~half the vocabulary in the count=1 block —
+    * chunking keeps that block's array bounded).
+    *
+    * ln runs on exact integer-valued doubles on both engines; the
+    * fit itself is [[Regression.olsFit]] (exact integer/decimal
+    * sufficient sums over cent-quantized points).
+    *
+    * @return (n, beta0, beta1, r2) — n = vocabulary size.
+    */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val chunk = 4096
+    val tc = docs
+      .select(explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val blocks = Quantiles.cumDist(tc, lit(0), -col("c"))
+    val points = blocks
+      .select((-col("v")).as("c"), (col("cum") - col("cnt") + 1).as("lo"),
+        col("cum").as("hi"))
+      .select(col("c"), col("hi"),
+        explode(expr(s"sequence(lo, hi, $chunk)")).as("cs"))
+      .select(col("c"),
+        explode(expr(s"sequence(cs, least(cs + ${chunk - 1}, hi))"))
+          .as("r"))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    Regression.olsFit(points, yCol = "y", xCol = "x", groupCols = Seq.empty)
+  }
 }

@@ -726,4 +726,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick k items per query maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the
+    * diversity-aware selection step between retrieval and use
+    * (dedup-aware RAG contexts, diverse training-example curation).
+    * First pick = pure argmax rel (empty selected set scores 0
+    * redundancy); ties break on the smaller id.
+    *
+    * Inputs are per-query CANDIDATE frames (already cut to a
+    * retrieval top-N — that bound, not corpus size, caps all work
+    * here): `cands` (qid, nid, rel) and `simPairs` (qid, a, b, s)
+    * holding candidate-candidate similarities in both directions.
+    * The greedy loop is inherently sequential per query, so it runs
+    * as a k-step `aggregate` fold over each query's collected
+    * candidate array — one shuffle on qid, O(k·N²) lambda work per
+    * query, all queries in parallel. Only integer ids leave the
+    * operator: the floats drive comparisons, never output — which is
+    * what makes the result hash-stable cross-engine (float
+    * comparisons agree when the similarity bits agree; see the
+    * `annSql` fold discipline).
+    *
+    * @return (qid, pick_rank ∈ 1..k, nid) in selection order.
+    */
+  def mmrRerank(
+      cands: DataFrame,
+      simPairs: DataFrame,
+      k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val lam = lambda.toString
+    val c = cands.groupBy("qid")
+      .agg(array_sort(collect_list(struct(col("nid"), col("rel"))))
+        .as("cands"))
+    val p = simPairs.groupBy("qid")
+      .agg(collect_list(struct(col("a"), col("b"), col("s"))).as("sims"))
+    c.join(p, Seq("qid"), "left")
+      .select(col("qid"), expr(
+        s"""aggregate(sequence(1, $k), CAST(array() AS ARRAY<BIGINT>),
+             (sel, it) -> CASE WHEN size(filter(cands,
+                 c -> NOT array_contains(sel, c.nid))) = 0 THEN sel
+               ELSE array_append(sel, (array_min(transform(
+                 filter(cands, c -> NOT array_contains(sel, c.nid)),
+                 c -> named_struct(
+                   'ns', -($lam * c.rel - (1 - $lam) * coalesce(
+                     array_max(transform(
+                       filter(sims, p -> p.a = c.nid
+                         AND array_contains(sel, p.b)),
+                       p -> p.s)), CAST(0 AS DOUBLE))),
+                   'nid', c.nid)))).nid) END)""").as("sel"))
+      .select(col("qid"),
+        posexplode(col("sel")).as(Seq("pos", "nid")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("nid"))
+  }
 }

@@ -70,6 +70,40 @@ object StatQueries {
         col("event_type"), col("day"), col("y"), horizon = 7)
         .withColumnRenamed("g", "event_type")),
 
+    // Zipf power-law fit of the term-frequency curve: OLS of
+    // ln(count) on ln(rank), ranks from block rank-ranges (no global
+    // sort — see Relevance.zipfFit). Slope ≈ −1 is healthy natural
+    // text; the uniform synthetic vocabulary reads near 0 — the
+    // honest number for this corpus.
+    "q_zipf_fit" -> ((s, d) =>
+      graft.ops.Relevance.zipfFit(Tables.documents(s, d), "text")),
+
+    // Maximal-Marginal-Relevance re-rank (λ=1/2, k=3) of each anchor
+    // query's brute-force top-10 — the diversity-aware selection
+    // step between retrieval and use. Only integer ids are emitted:
+    // floats drive the greedy comparisons (bit-stable cross-engine
+    // via the annSql fold discipline), never the output.
+    "q_mmr_rerank" -> ((s, d) => {
+      import graft.ops.Similarity
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val top = Similarity.bruteForceTopK(q, corpus, k = 10).persist()
+      val cands = top.join(q, "qid").join(corpus, "nid")
+        .select(col("qid"), col("nid"),
+          Similarity.cosine(col("qv"), col("nv")).as("rel"))
+      val pv = top.join(corpus, "nid")
+        .select(col("qid"), col("nid"), col("nv"))
+      val sims = pv.as("p1")
+        .join(pv.as("p2"), col("p1.qid") === col("p2.qid") &&
+          col("p1.nid") =!= col("p2.nid"))
+        .select(col("p1.qid").as("qid"), col("p1.nid").as("a"),
+          col("p2.nid").as("b"),
+          Similarity.cosine(col("p1.nv"), col("p2.nv")).as("s"))
+      Similarity.mmrRerank(cands, sims, k = 3)
+    }),
+
     // Certified Misra-Gries heavy hitters over a Zipf-surrogate key:
     // the one-pass k-counter summary, priced against exact truth.
     // Output rows are the TRUE heavy hitters (exact count > n/(k+1),
@@ -96,7 +130,97 @@ object StatQueries {
             AND (cnt - p._2) * ${MgK + 1} <= n)""").as("within_bound"))
     }))
 
+  /** DuckDB tokenizer twin of `TextOps.words` (the shared contract
+    * used across the query packs).
+    */
+  private val Ws =
+    "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
+
+  /** Element-wise double sum chain matching the custom float-dot
+    * expression's strict sequential fold (the annSql discipline —
+    * same helper as EvalQueries.dotSql).
+    */
+  private def dotSql(a: String, b: String, d: Int): String =
+    (1 to d).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest($Ws) AS term FROM documents),
+          tc AS MATERIALIZED (SELECT term, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1),
+          pts AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC)
+                AS DOUBLE)) AS x,
+              ln(CAST(c AS DOUBLE)) AS y FROM tc),
+          t AS (SELECT CAST(floor(x * 100) AS BIGINT) AS xq,
+              CAST(floor(y * 100) AS BIGINT) AS yq FROM pts),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) AS DOUBLE) AS nd,
+              CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+              CAST(sum(xq*xq) AS DOUBLE) AS sxx,
+              CAST(sum(xq*yq) AS DOUBLE) AS sxy,
+              CAST(sum(yq*yq) AS DOUBLE) AS syy
+            FROM t),
+          s2 AS (SELECT n, nd, sx, sy,
+              nd*sxx - sx*sx AS varx, nd*syy - sy*sy AS vary,
+              nd*sxy - sx*sy AS cov FROM s),
+          s3 AS (SELECT *, CASE WHEN varx = 0 THEN 0.0 ELSE cov/varx END
+                AS beta1 FROM s2)
+          SELECT n, (sy - beta1*sx)/nd/100.0 AS beta0, beta1,
+            CASE WHEN varx = 0 OR vary = 0 THEN 0.0
+                 ELSE (cov*cov)/(varx*vary) END AS r2
+          FROM s3""",
+
+    "q_mmr_rerank" -> {
+      val dot = dotSql("qv", "nv", 64)
+      val qn = dotSql("qv", "qv", 64)
+      val nn = dotSql("nv", "nv", 64)
+      val dab = dotSql("av", "bv", 64)
+      val na = dotSql("av", "av", 64)
+      val nb = dotSql("bv", "bv", 64)
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+          sc AS MATERIALIZED (SELECT qid, nid,
+              ($dot) / (sqrt($qn) * sqrt($nn)) AS rel
+            FROM c, q WHERE nid <> qid),
+          top AS MATERIALIZED (SELECT qid, nid, rel FROM (
+              SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel DESC, nid) AS rn FROM sc) WHERE rn <= 10),
+          pv AS MATERIALIZED (SELECT t.qid, t.nid, e.embedding AS v
+            FROM top t JOIN embeddings e ON e.vec_id = t.nid),
+          sims AS MATERIALIZED (SELECT p1.qid, p1.nid AS a, p2.nid AS b,
+              ($dab) / (sqrt($na) * sqrt($nb)) AS s
+            FROM (SELECT qid, nid, v AS av FROM pv) p1
+            JOIN (SELECT qid, nid, v AS bv FROM pv) p2
+              ON p1.qid = p2.qid AND p1.nid <> p2.nid),
+          r1 AS (SELECT qid, nid FROM (SELECT qid, nid,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY -(0.5*rel - 0.5*CAST(0 AS DOUBLE)), nid) AS rn
+              FROM top) WHERE rn = 1),
+          r2c AS (SELECT t.qid, t.nid, t.rel, s.s AS ms
+            FROM top t JOIN r1 ON t.qid = r1.qid AND t.nid <> r1.nid
+            JOIN sims s ON s.qid = t.qid AND s.a = t.nid AND s.b = r1.nid),
+          r2 AS (SELECT qid, nid FROM (SELECT qid, nid,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY -(0.5*rel - 0.5*ms), nid) AS rn
+              FROM r2c) WHERE rn = 1),
+          r3c AS (SELECT t.qid, t.nid, t.rel, max(s.s) AS ms
+            FROM top t JOIN r1 ON t.qid = r1.qid
+            JOIN r2 ON t.qid = r2.qid
+            JOIN sims s ON s.qid = t.qid AND s.a = t.nid
+              AND (s.b = r1.nid OR s.b = r2.nid)
+            WHERE t.nid <> r1.nid AND t.nid <> r2.nid
+            GROUP BY t.qid, t.nid, t.rel),
+          r3 AS (SELECT qid, nid FROM (SELECT qid, nid,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY -(0.5*rel - 0.5*ms), nid) AS rn
+              FROM r3c) WHERE rn = 1)
+          SELECT qid, CAST(1 AS BIGINT) AS pick_rank, nid FROM r1
+          UNION ALL SELECT qid, CAST(2 AS BIGINT), nid FROM r2
+          UNION ALL SELECT qid, CAST(3 AS BIGINT), nid FROM r3"""
+    },
 
     "q_kaplan_meier" ->
       """WITH fv AS (SELECT user_id, min(ts) AS b FROM events

@@ -364,6 +364,7 @@ class PlanSpec extends AnyFunSuite {
       "q_conversion_lag", // 1-row percentile-reads broadcast
       "q_kaplan_meier", // 1-row observation-horizon broadcast
       "q_heavy_hitters", // 1-row total + 1-row MG-summary broadcasts
+      "q_mmr_rerank", // the q_ann_cosine 10-query broadcast anchor
       "q_matryoshka", // the q_ann_cosine 10-query broadcast anchor
       "q_key_skew", // 1-row event-total broadcast
       "q_bloom_fpr", // three 1-row count frames crossed

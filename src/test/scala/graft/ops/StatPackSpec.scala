@@ -132,6 +132,113 @@ class StatPackSpec extends AnyFunSuite {
     }
   }
 
+  test("mmrRerank hand example: near-dup demoted below diverse pick") {
+    // n1 rel .95; n2 rel .94 but sim(n1,n2)=.99 (near-dup of n1);
+    // n3 rel .5, sim ~.1 to both. Pure relevance would pick n2
+    // second; MMR picks the diverse n3.
+    val cands = Seq((1L, 1L, 0.95), (1L, 2L, 0.94), (1L, 3L, 0.5))
+      .toDF("qid", "nid", "rel")
+    val sims = Seq(
+      (1L, 1L, 2L, 0.99), (1L, 2L, 1L, 0.99),
+      (1L, 1L, 3L, 0.1), (1L, 3L, 1L, 0.1),
+      (1L, 2L, 3L, 0.1), (1L, 3L, 2L, 0.1))
+      .toDF("qid", "a", "b", "s")
+    val got = Similarity.mmrRerank(cands, sims, k = 3)
+      .orderBy("pick_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmrRerank matches a sequential greedy model, any partitioning") {
+    val rnd = new scala.util.Random(29)
+    val qids = (1L to 5L).toSeq
+    val cands = for (q <- qids; n <- 1L to 8L)
+      yield (q, n, rnd.nextDouble())
+    val sims = for {
+      q <- qids; a <- 1L to 8L; b <- 1L to 8L if a != b
+    } yield (q, a, b, { val base = rnd.nextDouble(); base })
+    // symmetric sims: regenerate deterministically keyed on (q, lo, hi)
+    val symSims = sims.map { case (q, a, b, _) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      (q, a, b, ((q * 31 + lo) * 31 + hi).toDouble / 4000.0)
+    }
+    def model(q: Long): Seq[Long] = {
+      val rel = cands.filter(_._1 == q).map(c => c._2 -> c._3).toMap
+      val sim = symSims.filter(_._1 == q)
+        .map(p => (p._2, p._3) -> p._4).toMap
+      var sel = Vector.empty[Long]
+      for (_ <- 1 to 3) {
+        val rem = rel.keys.filterNot(sel.contains).toSeq
+        if (rem.nonEmpty) {
+          val best = rem.map { c =>
+            val red = sel.map(s => sim((c, s))).foldLeft(0.0)(math.max)
+            (-(0.5 * rel(c) - 0.5 * red), c)
+          }.min
+          sel :+= best._2
+        }
+      }
+      sel
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Similarity.mmrRerank(
+        cands.toDF("qid", "nid", "rel").repartition(parts),
+        symSims.toDF("qid", "a", "b", "s").repartition(parts), k = 3)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      assert(got == qids.map(q => q -> model(q)).toMap)
+    }
+  }
+
+  test("mmrRerank with fewer candidates than k stops early") {
+    val cands = Seq((1L, 7L, 0.9)).toDF("qid", "nid", "rel")
+    val sims = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("qid", "a", "b", "s")
+    val got = Similarity.mmrRerank(cands, sims, k = 3).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L &&
+      got(0).getLong(2) == 7L)
+  }
+
+  test("zipfFit recovers slope ~ -1 on a planted power law") {
+    // term i appears floor(1200/i) times, i = 1..40
+    val docs = (1 to 40).flatMap(i =>
+      Seq.fill(1200 / i)(s"t$i")).grouped(50)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Relevance.zipfFit(docs, "text").collect()(0)
+    val (n, b1, r2) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+    assert(n == 40L)
+    assert(b1 < -0.9 && b1 > -1.1, s"slope $b1")
+    assert(r2 > 0.98, s"r2 $r2")
+  }
+
+  test("zipfFit block rank-ranges equal the sorted-rank model") {
+    // heavy ties: counts collide across terms
+    val docs = (1 to 30).flatMap(i => Seq.fill(1 + (i % 5))(s"w$i"))
+      .grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = Relevance.zipfFit(docs, "text").collect()(0)
+    // model: rank by (count desc, any tie order) — cent-quantized
+    // olsFit arithmetic replicated with StrictMath.log (= codegen ln)
+    val counts = (1 to 30).map(i => 1L + (i % 5))
+    val ranked = counts.sortBy(-_).zipWithIndex
+      .map { case (c, idx) => (idx + 1L, c) }
+    val pts = ranked.map { case (rk, c) =>
+      (math.floor(StrictMath.log(rk.toDouble) * 100.0).toLong,
+        math.floor(StrictMath.log(c.toDouble) * 100.0).toLong)
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val varX = n * sxx - sx * sx
+    val cov = n * sxy - sx * sy
+    val beta1 = cov / varX
+    assert(r.getLong(0) == 30L)
+    assert(r.getDouble(2) == beta1,
+      s"${r.getDouble(2)} != $beta1")
+  }
+
   test("MisraGries sequential small case is exact under capacity") {
     // 3 distinct keys, k=4: no decay ever fires, counts are exact
     val keys = Seq("a", "a", "b", "c", "a", "b")
