@@ -135,4 +135,66 @@ object Regression {
       dd: String, e: String, f: String,
       g: String, h: String, i: String): String =
     s"$a*($e*$i - $f*$h) - $b*($dd*$i - $f*$g) + $cc*($dd*$h - $e*$g)"
+
+  /** Absolute prediction residual in exact cents, shared verbatim
+    * with the conformal oracle: the double arithmetic inside is
+    * identical token-for-token, and the floor-to-cents makes every
+    * downstream rank/compare integer-exact.
+    */
+  val ResidCentsExpr: String =
+    "CAST(floor(abs(y - (beta0 + beta1 * x)) * 100) AS BIGINT)"
+
+  /** Split-conformal prediction interval for the [[olsFit]] line —
+    * the distribution-free way to turn ANY point predictor into a
+    * calibrated interval (Vovk et al.; Lei et al. 2018): fit on the
+    * train fold, take the ⌈(n_cal+1)·α⌉-th smallest absolute
+    * residual on a DISJOINT calibration fold as the radius q̂, then
+    * report honest MEASURED coverage on a third test fold (the
+    * ≥α guarantee is marginal over splits — an expectation, so it is
+    * not emitted as a certificate; the measured number is).
+    *
+    * Scale shape: one olsFit aggregation over train; residual ranks
+    * on the calibration fold via the bucketed two-phase
+    * [[Quantiles.cumDist]] (never a global sort); exact integer
+    * coverage counts on test. The fitted line and q̂ travel as 1-row
+    * broadcasts. `alphaNum/alphaDen` give the level as an exact
+    * rational (9/10 = 90%) so the rank threshold
+    * k = ⌈(n_cal+1)·num/den⌉ is pure integer arithmetic.
+    *
+    * @param foldExpr integer expression ≥ 0; %3 splits train/cal/test
+    * @return one row (n_train, n_cal, n_test, q_hat, n_covered,
+    *         coverage)
+    */
+  def splitConformal(
+      df: DataFrame,
+      yCol: String,
+      xCol: String,
+      foldExpr: Column,
+      alphaNum: Int = 9,
+      alphaDen: Int = 10): DataFrame = {
+    val base = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"), (foldExpr % 3).as("fold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = olsFit(base.filter(col("fold") === 0), "y", "x", Seq.empty)
+      .select(col("n").as("n_train"), col("beta0"), col("beta1"))
+    val calRes = base.filter(col("fold") === 1)
+      .crossJoin(broadcast(fit))
+      .select(col("n_train"), expr(ResidCentsExpr).as("rq"))
+    val qhat = Quantiles.cumDist(calRes, lit(0), col("rq"))
+      .agg(first(col("n")).as("n_cal"),
+        min(when(col("cum") * alphaDen >=
+          (col("n") + 1) * alphaNum, col("v"))).as("q_hat"))
+    val out = base.filter(col("fold") === 2)
+      .crossJoin(broadcast(fit))
+      .crossJoin(broadcast(qhat))
+      .select(col("n_train"), col("n_cal"), col("q_hat"),
+        (expr(ResidCentsExpr) <= col("q_hat")).cast("long").as("cov"))
+      .groupBy("n_train", "n_cal", "q_hat")
+      .agg(count(lit(1)).as("n_test"), sum("cov").as("n_covered"))
+      .select(col("n_train"), col("n_cal"), col("n_test"), col("q_hat"),
+        col("n_covered"),
+        expr("CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)")
+          .as("coverage"))
+    out
+  }
 }

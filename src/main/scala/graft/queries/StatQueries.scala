@@ -70,6 +70,18 @@ object StatQueries {
         col("event_type"), col("day"), col("y"), horizon = 7)
         .withColumnRenamed("g", "event_type")),
 
+    // Split-conformal prediction interval for the price~quantity OLS
+    // line: fit on fold 0, radius q_hat = the ⌈(n_cal+1)·9/10⌉-th
+    // smallest |residual| (exact cents rank via the bucketed
+    // cumDist) on fold 1, honest MEASURED coverage on fold 2. The
+    // ≥90% guarantee is marginal over splits (an expectation), so no
+    // always-true boolean is claimed — the measured number is the
+    // deliverable.
+    "q_conformal" -> ((s, d) =>
+      graft.ops.Regression.splitConformal(Tables.lineitem(s, d),
+        yCol = "l_extendedprice", xCol = "l_quantity",
+        foldExpr = col("l_orderkey") * 7 + col("l_linenumber"))),
+
     // Zipf power-law fit of the term-frequency curve: OLS of
     // ln(count) on ln(rank), ranks from block rank-ranges (no global
     // sort — see Relevance.zipfFit). Slope ≈ −1 is healthy natural
@@ -145,6 +157,46 @@ object StatQueries {
       .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_conformal" ->
+      """WITH b AS MATERIALIZED (SELECT CAST(l_quantity AS DOUBLE) AS x,
+              CAST(l_extendedprice AS DOUBLE) AS y,
+              (l_orderkey * 7 + l_linenumber) % 3 AS fold FROM lineitem),
+          t AS (SELECT CAST(floor(x * 100) AS BIGINT) AS xq,
+              CAST(floor(y * 100) AS BIGINT) AS yq FROM b WHERE fold = 0),
+          s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) AS DOUBLE) AS nd,
+              CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(yq) AS DOUBLE) AS sy,
+              CAST(sum(xq*xq) AS DOUBLE) AS sxx,
+              CAST(sum(xq*yq) AS DOUBLE) AS sxy
+            FROM t),
+          s2 AS (SELECT n, nd, sx, sy, nd*sxx - sx*sx AS varx,
+              nd*sxy - sx*sy AS cov FROM s),
+          fit AS (SELECT n AS n_train,
+              CASE WHEN varx = 0 THEN 0.0 ELSE cov/varx END AS beta1,
+              (sy - (CASE WHEN varx = 0 THEN 0.0 ELSE cov/varx END)*sx)
+                /nd/100.0 AS beta0 FROM s2),
+          cal AS MATERIALIZED (SELECT
+              CAST(floor(abs(y - (beta0 + beta1 * x)) * 100) AS BIGINT)
+                AS rq
+            FROM b, fit WHERE fold = 1),
+          cd AS (SELECT rq, count(*) AS cnt FROM cal GROUP BY 1),
+          cc AS (SELECT rq, CAST(sum(cnt) OVER (ORDER BY rq) AS BIGINT)
+                AS cum,
+              (SELECT CAST(count(*) AS BIGINT) FROM cal) AS n_cal
+            FROM cd),
+          qh AS (SELECT min(n_cal) AS n_cal,
+              min(CASE WHEN cum * 10 >= (n_cal + 1) * 9 THEN rq END)
+                AS q_hat FROM cc),
+          tst AS (SELECT f.n_train, q.n_cal, q.q_hat,
+              CASE WHEN CAST(floor(abs(y - (beta0 + beta1 * x)) * 100)
+                AS BIGINT) <= q.q_hat THEN 1 ELSE 0 END AS cov
+            FROM b, fit f, qh q WHERE fold = 2)
+          SELECT n_train, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+            q_hat, CAST(sum(cov) AS BIGINT) AS n_covered,
+            CAST(sum(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              AS coverage
+          FROM tst GROUP BY n_train, n_cal, q_hat""",
 
     "q_zipf_fit" ->
       s"""WITH toks AS (SELECT unnest($Ws) AS term FROM documents),

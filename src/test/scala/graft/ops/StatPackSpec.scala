@@ -239,6 +239,35 @@ class StatPackSpec extends AnyFunSuite {
       s"${r.getDouble(2)} != $beta1")
   }
 
+  test("splitConformal hand example: exact fit, rank radius, coverage") {
+    // train (fold 0): y = 2x exactly -> beta1 = 2, beta0 = 0.
+    // cal (fold 1): dyadic residuals 0.25/0.5/0.75/1.0 -> rq
+    // 25/50/75/100; alpha 3/4, n_cal=4 -> k = ceil(5*3/4) = 4 ->
+    // q_hat = 100. test (fold 2): residuals 0.75 (covered) and 1.25
+    // (not) -> coverage 1/2.
+    val rows = Seq(
+      (1.0, 2.0, 0L), (2.0, 4.0, 0L), (3.0, 6.0, 0L),
+      (1.0, 2.25, 1L), (2.0, 4.5, 1L), (3.0, 6.75, 1L), (4.0, 9.0, 1L),
+      (1.0, 2.75, 2L), (2.0, 5.25, 2L))
+      .toDF("x0", "y0", "f")
+    val r = Regression.splitConformal(rows, "y0", "x0", col("f"),
+      alphaNum = 3, alphaDen = 4).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == ((3L, 4L, 2L, 100L, 1L, 0.5)))
+  }
+
+  test("splitConformal is repartition-invariant") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 300).map { i =>
+      val x = rnd.nextInt(50).toDouble
+      (x, 3.0 * x + rnd.nextInt(100) / 4.0, i.toLong)
+    }.toDF("x0", "y0", "f")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Regression.splitConformal(df, "y0", "x0", col("f"))
+        .collect().toSeq
+    assert(run(rows) == run(rows.repartition(11)))
+  }
+
   test("MisraGries sequential small case is exact under capacity") {
     // 3 distinct keys, k=4: no decay ever fires, counts are exact
     val keys = Seq("a", "a", "b", "c", "a", "b")
