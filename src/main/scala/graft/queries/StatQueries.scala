@@ -116,6 +116,42 @@ object StatQueries {
       Similarity.mmrRerank(cands, sims, k = 3)
     }),
 
+    // CMS join-cardinality estimate, priced against truth: the
+    // optimizer-statistics primitive — |A ⋈ B on k| estimated as the
+    // min-over-rows inner product of the two sides' count-min rows
+    // (AMS-style), from two constant-size sketches and NO join. The
+    // inner product can only overcount (hash collisions add mass),
+    // so `never_under` is a certified always-true bound; the exact
+    // join size (computed here only to price the estimate) and the
+    // relative error are emitted alongside. Sketches ride 1-row
+    // broadcasts; each side is one map-side-combining pass.
+    "q_join_size_est" -> ((s, d) => {
+      import graft.functions.CmsSketch
+      val W = 1024
+      val D = 3
+      val ev = Tables.events(s, d).select(col("user_id").as("k"))
+      val ord = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val skA = ev.agg(CmsSketch.cmsSketch(W, D)(col("k")).as("a"),
+        count(lit(1)).as("n_a"))
+      val skB = ord.agg(CmsSketch.cmsSketch(W, D)(col("k")).as("b"),
+        count(lit(1)).as("n_b"))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("ca"))
+        .join(ord.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("exact_size"))
+      skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+        .select(col("n_a"), col("n_b"), col("exact_size"),
+          expr(s"""array_min(transform(sequence(0, ${D - 1}), d ->
+            aggregate(sequence(0, ${W - 1}), CAST(0 AS BIGINT),
+              (acc, w) -> acc + element_at(a, d * $W + w + 1)
+                * element_at(b, d * $W + w + 1))))""").as("est_size"))
+        .select(col("n_a"), col("n_b"), col("exact_size"),
+          col("est_size"),
+          (col("est_size") >= col("exact_size")).as("never_under"),
+          expr("""(CAST(est_size AS DOUBLE) - CAST(exact_size AS DOUBLE))
+            / CAST(exact_size AS DOUBLE)""").as("rel_err"))
+    }),
+
     // Certified Misra-Gries heavy hitters over a Zipf-surrogate key:
     // the one-pass k-counter summary, priced against exact truth.
     // Output rows are the TRUE heavy hitters (exact count > n/(k+1),
@@ -333,6 +369,38 @@ object StatQueries {
             f.l + 7 * f.b AS forecast
           FROM fold f JOIN nn n
             ON f.event_type = n.event_type AND f.rn = n.n_obs""",
+
+    "q_join_size_est" -> {
+      val W = 1024
+      val P = graft.functions.CmsSketch.P
+      def bkt(r: Int, v: String): String = {
+        val (a, b) = graft.functions.CmsSketch.RowAB(r)
+        s"((($a * ($v % $P) + $b) % $P) % $W)"
+      }
+      val rows = (0 until 3).flatMap(r => Seq(
+        s"a$r AS (SELECT ${bkt(r, "k")} AS bkt, sum(c) AS s" +
+          " FROM ca GROUP BY 1)",
+        s"b$r AS (SELECT ${bkt(r, "k")} AS bkt, sum(c) AS s" +
+          " FROM cb GROUP BY 1)",
+        s"ip$r AS (SELECT COALESCE(sum(a$r.s * b$r.s), 0) AS v" +
+          s" FROM a$r JOIN b$r USING (bkt))")).mkString(",\n          ")
+      s"""WITH ea AS (SELECT user_id AS k FROM events),
+          ob AS (SELECT o_custkey AS k FROM orders),
+          ca AS MATERIALIZED (SELECT k, count(*) AS c FROM ea GROUP BY 1),
+          cb AS MATERIALIZED (SELECT k, count(*) AS c FROM ob GROUP BY 1),
+          exact AS (SELECT CAST(COALESCE(sum(ca.c * cb.c), 0) AS BIGINT)
+              AS exact_size FROM ca JOIN cb USING (k)),
+          na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ea),
+          nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM ob),
+          $rows,
+          est AS (SELECT CAST(least(ip0.v, ip1.v, ip2.v) AS BIGINT)
+              AS est_size FROM ip0, ip1, ip2)
+          SELECT n_a, n_b, exact_size, est_size,
+            est_size >= exact_size AS never_under,
+            (CAST(est_size AS DOUBLE) - CAST(exact_size AS DOUBLE))
+            / CAST(exact_size AS DOUBLE) AS rel_err
+          FROM na, nb, exact, est"""
+    },
 
     "q_heavy_hitters" ->
       """WITH k AS (SELECT concat('k', CAST(CAST(floor(100 / (1 +

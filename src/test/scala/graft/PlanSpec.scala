@@ -366,6 +366,7 @@ class PlanSpec extends AnyFunSuite {
       "q_heavy_hitters", // 1-row total + 1-row MG-summary broadcasts
       "q_mmr_rerank", // the q_ann_cosine 10-query broadcast anchor
       "q_conformal", // 1-row fitted-line + radius broadcasts
+      "q_join_size_est", // two 1-row sketch broadcasts + exact anchor
       "q_matryoshka", // the q_ann_cosine 10-query broadcast anchor
       "q_key_skew", // 1-row event-total broadcast
       "q_bloom_fpr", // three 1-row count frames crossed

@@ -268,6 +268,41 @@ class StatPackSpec extends AnyFunSuite {
     assert(run(rows) == run(rows.repartition(11)))
   }
 
+  test("CMS inner product matches the model and never undercounts") {
+    import graft.functions.CmsSketch
+    val W = 16
+    val D = 3
+    val rnd = new scala.util.Random(17)
+    val as = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val bs = Seq.fill(500)(rnd.nextInt(60).toLong)
+    def arr(keys: Seq[Long]): Array[Long] = {
+      val a = new Array[Long](W * D)
+      for (k <- keys; r <- 0 until D)
+        a(r * W + CmsSketch.bucket(k, r, W)) += 1
+      a
+    }
+    val (aArr, bArr) = (arr(as), arr(bs))
+    val wantEst = (0 until D).map { r =>
+      (0 until W).map(w => aArr(r * W + w) * bArr(r * W + w)).sum
+    }.min
+    val exact = {
+      val ca = as.groupBy(identity).map { case (k, g) => k -> g.size }
+      val cb = bs.groupBy(identity).map { case (k, g) => k -> g.size }
+      ca.keys.filter(cb.contains).map(k => ca(k).toLong * cb(k)).sum
+    }
+    assert(wantEst >= exact)
+    val skA = spark.sparkContext.parallelize(as, 5).toDF("k")
+      .agg(CmsSketch.cmsSketch(W, D)(col("k"))).as[Seq[Long]]
+      .collect()(0)
+    val skB = spark.sparkContext.parallelize(bs, 3).toDF("k")
+      .agg(CmsSketch.cmsSketch(W, D)(col("k"))).as[Seq[Long]]
+      .collect()(0)
+    val gotEst = (0 until D).map { r =>
+      (0 until W).map(w => skA(r * W + w) * skB(r * W + w)).sum
+    }.min
+    assert(gotEst == wantEst)
+  }
+
   test("MisraGries sequential small case is exact under capacity") {
     // 3 distinct keys, k=4: no decay ever fires, counts are exact
     val keys = Seq("a", "a", "b", "c", "a", "b")
