@@ -78,6 +78,46 @@ object Checks {
   }
 
   /** Union a set of single-row check reports into one report table. */
+  /** Modulus for [[partitionDigest]]: 2^61, so per-row 60-bit hash
+    * values stay strictly below it and the summed digest fits BIGINT
+    * after the mod on both engines.
+    */
+  val DigestMod: Long = 2305843009213693952L
+
+  /** Order-insensitive per-partition content fingerprint: each row
+    * hashes to a 60-bit integer (the first 15 hex digits of the md5
+    * of a caller-built canonical row string), and a partition's
+    * digest is the SUM of its row hashes mod 2^61 — the anti-entropy
+    * primitive for reconciling replicated/backfilled snapshots
+    * without moving data. Sum (not xor/min) makes the digest
+    * INCREMENTALLY MAINTAINABLE under the snapshot sinks' append/
+    * delete lifecycle: digest(P ∪ Δ) = (digest(P) + digest(Δ)) mod M
+    * and deletes subtract — so a CDC consumer can roll the expected
+    * fingerprint forward without rescanning, then compare against a
+    * scan only on mismatch. (md5 is the cross-engine contract, as in
+    * the dedup family; collisions of a SUM of 60-bit hashes are a
+    * reconciliation-grade risk bound, not a security one.)
+    *
+    * One hash aggregation; the decimal(38) sum keeps the fold exact
+    * and order-free at any partition size.
+    *
+    * @param rowStr canonical row string — deterministic columns only
+    *               (integers/strings; no raw doubles, whose
+    *               formatting is engine-specific)
+    * @return one row per partition: (partCols..., n_rows, digest)
+    */
+  def partitionDigest(
+      df: DataFrame,
+      partCols: Seq[String],
+      rowStr: Column): DataFrame = {
+    val h = conv(substring(md5(rowStr), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.select(partCols.map(col) :+ h.as("h"): _*)
+      .groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h")) % DigestMod).cast("long").as("digest"))
+  }
+
   def reportAll(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_ unionAll _)
 }

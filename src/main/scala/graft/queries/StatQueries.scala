@@ -116,6 +116,19 @@ object StatQueries {
       Similarity.mmrRerank(cands, sims, k = 3)
     }),
 
+    // Per-day snapshot content fingerprint: order-insensitive
+    // sum-mod-2^61 of 60-bit md5 row hashes — the anti-entropy check
+    // that reconciles replicated/backfilled partitions without
+    // moving rows, incrementally maintainable under append/delete
+    // (see Checks.partitionDigest). Canonical row string uses only
+    // integer/string columns (double formatting is engine-specific).
+    "q_table_digest" -> ((s, d) =>
+      graft.ops.Checks.partitionDigest(
+        Tables.events(s, d).withColumn("day", to_date(col("ts"))),
+        Seq("day"),
+        concat_ws("|", col("event_id").cast("string"), col("event_type"),
+          col("user_id").cast("string")))),
+
     // CMS join-cardinality estimate, priced against truth: the
     // optimizer-statistics primitive — |A ⋈ B on k| estimated as the
     // min-over-rows inner product of the two sides' count-min rows
@@ -369,6 +382,14 @@ object StatQueries {
             f.l + 7 * f.b AS forecast
           FROM fold f JOIN nn n
             ON f.event_type = n.event_type AND f.rn = n.n_obs""",
+
+    "q_table_digest" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+              CAST(event_id AS VARCHAR), event_type,
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT))
+            % 2305843009213693952 AS BIGINT) AS digest
+        FROM events GROUP BY 1""",
 
     "q_join_size_est" -> {
       val W = 1024

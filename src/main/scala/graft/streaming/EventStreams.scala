@@ -888,4 +888,78 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  final case class HoltOut(
+      event_type: String, day: Long, y: Long,
+      level: Double, trend: Double, forecast: Double)
+
+  /** Holt fold state (public for the state encoder): open-day counts
+    * plus the (level, trend) pair expressed after `nObs` finalized
+    * days.
+    */
+  final case class HoltState(
+      open: List[DayCount], l: Double, b: Double, nObs: Long)
+
+  /** Streaming Holt level+trend forecaster — the streaming twin of
+    * [[graft.ops.Timeseries.holtLinear]] (α = β = 1/2, h = 7).
+    * Open days accumulate order-free counts in state; when the
+    * watermark passes a day's end the day FINALIZES, in day order,
+    * and the (l, b) recurrence advances exactly as the batch fold
+    * does (init l = first day's count, b = 0) — so after any prefix
+    * of finalized days the emitted level/trend/forecast are
+    * bit-equal to batch `holtLinear` over that prefix (the spec pins
+    * it). Only closed days touch the recurrence: a late arrival
+    * inside the watermark lands in its open day BEFORE finalization,
+    * and the watermark drops anything later, so the fold never sees
+    * a day twice.
+    *
+    * Scale shape: one shuffle on the group key; state per group is
+    * (l, b, nObs) plus the ≤ watermark-span open-day list.
+    */
+  def holtForecasts(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      stateTtlMillis: Long = 14L * 24 * 3600 * 1000): Dataset[HoltOut] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          val prev = state.getOption.getOrElse(HoltState(Nil, 0.0, 0.0, 0L))
+          val add = rows.toSeq.groupBy(e => math.floorDiv(e.ts.getTime, DayMs))
+            .view.mapValues(_.size.toLong).toMap
+          val open0 = (prev.open.map(_.dayN).toSet ++ add.keySet)
+            .toSeq.sorted.map { d =>
+            val before = prev.open.find(_.dayN == d).map(_.n).getOrElse(0L)
+            DayCount(d, before + add.getOrElse(d, 0L))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (fin, stillOpen) = open0.partition(d => (d.dayN + 1) * DayMs <= wm)
+          var (l, b, nObs) = (prev.l, prev.b, prev.nObs)
+          val out = Vector.newBuilder[HoltOut]
+          for (d <- fin) {
+            val y = d.n.toDouble
+            if (nObs == 0L) { l = y; b = 0.0 }
+            else {
+              val l2 = (y + l + b) / 2
+              b = (l2 - l + b) / 2
+              l = l2
+            }
+            nObs += 1
+            out += HoltOut(typ, d.dayN, d.n, l, b, l + 7 * b)
+          }
+          if (stillOpen.isEmpty && fin.isEmpty && state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(HoltState(stillOpen.toList, l, b, nObs))
+            val anchor = stillOpen.headOption.map(d => (d.dayN + 1) * DayMs)
+              .getOrElse(wm + stateTtlMillis)
+            state.setTimeoutTimestamp(math.max(anchor, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
 }

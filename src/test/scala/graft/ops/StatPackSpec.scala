@@ -303,6 +303,33 @@ class StatPackSpec extends AnyFunSuite {
     assert(gotEst == wantEst)
   }
 
+  test("partitionDigest: incremental law, corruption, invariance") {
+    import graft.ops.Checks
+    val rows = (1L to 500L).map(i => (i % 4, i, s"v$i"))
+    def dig(data: Seq[(Long, Long, String)], parts: Int) =
+      Checks.partitionDigest(
+        spark.sparkContext.parallelize(data, parts).toDF("p", "id", "s"),
+        Seq("p"),
+        concat_ws("|", col("id").cast("string"), col("s")))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val whole = dig(rows, 6)
+    // partitioning-invariant
+    assert(whole == dig(rows, 1))
+    // incremental: digest(A ∪ B) = (digest(A) + digest(B)) mod M
+    val (a, b) = rows.splitAt(137)
+    val (da, db) = (dig(a, 3), dig(b, 3))
+    for ((p, (n, d)) <- whole) {
+      val (na, xa) = da.getOrElse(p, (0L, 0L))
+      val (nb, xb) = db.getOrElse(p, (0L, 0L))
+      assert(n == na + nb)
+      assert(d == (xa + xb) % Checks.DigestMod, s"partition $p")
+    }
+    // single-field corruption flips the digest
+    val corrupted = rows.updated(42, rows(42).copy(_3 = "vX"))
+    assert(dig(corrupted, 6)(rows(42)._1) != whole(rows(42)._1))
+  }
+
   test("MisraGries sequential small case is exact under capacity") {
     // 3 distinct keys, k=4: no decay ever fires, counts are exact
     val keys = Seq("a", "a", "b", "c", "a", "b")

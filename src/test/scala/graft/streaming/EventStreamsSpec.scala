@@ -808,4 +808,71 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.filter(_._1 == "view").forall(t => t._4.isEmpty && t._5 == 0L))
     } finally q.stop()
   }
+
+  test("streaming Holt forecasts are bit-equal to the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.holtForecasts(input.toDS(),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("holt").start()
+    var id = 0L
+    def day(d: Int, typ: String, n: Int): Seq[EventStreams.Event] =
+      (1 to n).map { i =>
+        id += 1
+        ev(id, f"2024-01-$d%02d 00:0${i % 6}:0${i % 10}", i.toLong, typ, 1.0)
+      }
+    val batch1 = (1 to 4).flatMap(d => day(d, "click", 1 + d)).dropRight(1) ++
+      (2 to 3).flatMap(d => day(d, "view", 5 - d))
+    // day 4's last click arrives a batch late but inside the
+    // watermark: it must count toward day 4 before that day closes
+    val batch2 = Seq(ev(9999, "2024-01-04 00:01:00", 7, "click", 1.0)) ++
+      (5 to 8).flatMap(d => day(d, "click", 12 - d)) ++
+      Seq(ev(10000, "2024-01-06 03:00:00", 2, "view", 1.0))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(ev(100000, "2024-02-01 00:00:00", 1, "wm", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("holt").collect()
+        .filter(_.getString(0) != "wm")
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      // sequential model: exactly the batch holtLinear recurrence
+      val byDay = (batch1 ++ batch2)
+        .groupBy(e => (e.event_type, math.floorDiv(e.ts.getTime, 86400000L)))
+        .view.mapValues(_.size.toLong).toMap
+      val want = byDay.keys.map(_._1).toSet.flatMap { (typ: String) =>
+        val days = byDay.keys.filter(_._1 == typ).map(_._2).toSeq.sorted
+        var (l, b) = (0.0, 0.0)
+        days.zipWithIndex.map { case (d, i) =>
+          val y = byDay((typ, d)).toDouble
+          if (i == 0) { l = y; b = 0.0 }
+          else { val l2 = (y + l + b) / 2; b = (l2 - l + b) / 2; l = l2 }
+          (typ, d) -> (byDay((typ, d)), l, b, l + 7 * b)
+        }
+      }.toMap
+      assert(streamed == want)
+      // cross-check the final state against the BATCH OPERATOR itself
+      val batchOp = graft.ops.Timeseries.holtLinear(
+        (batch1 ++ batch2).toDF()
+          .groupBy(org.apache.spark.sql.functions.col("event_type"),
+            org.apache.spark.sql.functions.expr(
+              "CAST(floor(unix_millis(ts) / 86400000) AS BIGINT)").as("d"),
+          ).agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("y")),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("d"),
+        org.apache.spark.sql.functions.col("y"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      for ((typ, (lv, tr, fc)) <- batchOp) {
+        val lastDay = byDay.keys.filter(_._1 == typ).map(_._2).max
+        val (_, sl, sb, sf) = streamed((typ, lastDay))
+        assert((sl, sb, sf) == ((lv, tr, fc)), s"type $typ")
+      }
+    } finally q.stop()
+  }
 }
