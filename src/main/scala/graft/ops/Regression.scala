@@ -136,6 +136,44 @@ object Regression {
       g: String, h: String, i: String): String =
     s"$a*($e*$i - $f*$h) - $b*($dd*$i - $f*$g) + $cc*($dd*$h - $e*$g)"
 
+  /** Theil-Sen robust trend slope per group: the MEDIAN of all
+    * pairwise slopes (y₂−y₁)/(x₂−x₁) — a single wild outlier that
+    * drags the OLS line barely moves it (29.3% breakdown point).
+    * The complement to [[olsFit]] on dirty operational series.
+    *
+    * MUST run on a pre-aggregated series frame (one row per (group,
+    * x) — e.g. daily rollups): pair generation is a within-group
+    * self-join, O(T²) pairs for a T-point series, which is constant
+    * work when T is calendar-bounded and would be quadratic in the
+    * corpus if fed raw rows. The median is an exact rank read over
+    * the per-group collected slope array (bounded by T²); slope
+    * doubles are single divisions of exact integers, so ordering and
+    * the midpoint average agree bit-for-bit cross-engine.
+    *
+    * @return (g, n_pairs, ts_slope)
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val a = df.select(groupCol.as("g"), xCol.as("x"), yCol.as("y"))
+    val p = a.as("l")
+      .join(a.as("r"), col("l.g") === col("r.g") && col("l.x") < col("r.x"))
+      .select(col("l.g").as("g"),
+        ((col("r.y") - col("l.y")).cast("double") /
+          (col("r.x") - col("l.x")).cast("double")).as("sl"))
+    p.groupBy("g")
+      .agg(sort_array(collect_list(col("sl"))).as("sls"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("g"), col("n_pairs"), expr(
+        """CASE WHEN n_pairs % 2 = 1
+           THEN element_at(sls, CAST((n_pairs + 1) div 2 AS INT))
+           ELSE (element_at(sls, CAST(n_pairs div 2 AS INT))
+             + element_at(sls, CAST(n_pairs div 2 + 1 AS INT))) / 2
+           END""").as("ts_slope"))
+  }
+
   /** Absolute prediction residual in exact cents, shared verbatim
     * with the conformal oracle: the double arithmetic inside is
     * identical token-for-token, and the floor-to-cents makes every

@@ -116,6 +116,54 @@ object StatQueries {
       Similarity.mmrRerank(cands, sims, k = 3)
     }),
 
+    // Theil-Sen robust slope of daily event volume per type — the
+    // outlier-immune twin of q_rolling_slope's OLS trend: median of
+    // all pairwise day slopes over the calendar-bounded daily
+    // rollup (T ≤ 31 ⇒ ≤ 465 pairs/group; the self-join touches
+    // only the pre-aggregated frame).
+    "q_theil_sen" -> ((s, d) =>
+      graft.ops.Regression.theilSen(
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+              .as("x"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("x"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Histogram selectivity estimation priced against truth — the
+    // other optimizer-statistics primitive: a 32-bucket equi-depth
+    // histogram (exact rank boundaries from the bucketed cumDist)
+    // answers "what fraction of rows is <= V" by linear
+    // interpolation, and the exact answer (a conditional-max read
+    // over the SAME cumdist frame — no second scan) prices it. The
+    // estimator text is shared verbatim with the oracle.
+    "q_selectivity_est" -> ((s, d) => {
+      val cents = floor(col("l_extendedprice").cast("double") * 100)
+        .cast("long")
+      val cd = graft.ops.Quantiles.cumDist(
+        Tables.lineitem(s, d).select(cents.as("vc")), lit(0), col("vc"))
+      val aggs =
+        (1 to SelB).map(k =>
+          min(when(col("cum") * SelB >= col("n") * k, col("v")))
+            .as(s"b$k")) ++
+        SelPreds.zipWithIndex.map { case (p, i) =>
+          coalesce(max(when(col("v") <= p, col("cum"))), lit(0L))
+            .as(s"x$i") } :+
+        first(col("n")).as("n")
+      val bounds = cd.agg(min("v").as("b0"), aggs: _*)
+      bounds
+        .select(col("*"), explode(array(SelPreds.zipWithIndex.map {
+          case (p, i) =>
+            struct(lit(p).as("vq"), col(s"x$i").as("n_exact"))
+        }: _*)).as("pr"))
+        .select(col("pr.vq").as("vq"), col("pr.n_exact").as("n_exact"),
+          col("n"), expr(selEstExpr).as("est"))
+        .select(col("vq"), col("n"), col("n_exact"), col("est"),
+          expr("""(est - CAST(n_exact AS DOUBLE))
+            / CAST(n AS DOUBLE)""").as("abs_err_share"))
+    }),
+
     // Per-day snapshot content fingerprint: order-insensitive
     // sum-mod-2^61 of 60-bit md5 row hashes — the anti-entropy check
     // that reconciles replicated/backfilled partitions without
@@ -190,6 +238,29 @@ object StatQueries {
           expr(s"""exists(summary, p -> p._1 = kk AND p._2 <= cnt
             AND (cnt - p._2) * ${MgK + 1} <= n)""").as("within_bound"))
     }))
+
+  /** Bucket count for the equi-depth selectivity histogram. */
+  private val SelB = 32
+
+  /** Range-selectivity estimate from B equi-depth boundaries
+    * b0..bB: full buckets below the probe contribute n/B each, the
+    * straddling bucket linearly interpolates — the textbook
+    * optimizer estimator. Shared TEXT between the Spark plan and the
+    * DuckDB twin (identical token sequence ⇒ identical IEEE sums);
+    * duplicate boundaries (heavy ties) fall into the zero branch
+    * before any division, so no 0/0 path exists.
+    */
+  private def selEstExpr: String =
+    (1 to SelB).map { k =>
+      s"""CASE WHEN vq >= b$k THEN CAST(n AS DOUBLE)/$SelB
+          WHEN vq < b${k - 1} THEN 0.0
+          ELSE CAST(n AS DOUBLE)/$SelB
+            * (CAST(vq - b${k - 1} AS DOUBLE)
+               / CAST(b$k - b${k - 1} AS DOUBLE)) END"""
+    }.mkString("(", " + ", ")")
+
+  /** Probe points (cents) for `q_selectivity_est`. */
+  private val SelPreds = Seq(1000000L, 2500000L, 5000000L)
 
   /** DuckDB tokenizer twin of `TextOps.words` (the shared contract
     * used across the query packs).
@@ -382,6 +453,56 @@ object StatQueries {
             f.l + 7 * f.b AS forecast
           FROM fold f JOIN nn n
             ON f.event_type = n.event_type AND f.rn = n.n_obs""",
+
+    "q_theil_sen" ->
+      """WITH daily AS MATERIALIZED (SELECT event_type AS g,
+              CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS x,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          p AS (SELECT l.g,
+              CAST(r.y - l.y AS DOUBLE) / CAST(r.x - l.x AS DOUBLE) AS sl
+            FROM daily l JOIN daily r ON l.g = r.g AND l.x < r.x),
+          s AS (SELECT g, list_sort(list(sl)) AS sls,
+              CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+          SELECT g AS event_type, n_pairs,
+            CASE WHEN n_pairs % 2 = 1
+            THEN sls[CAST((n_pairs + 1) // 2 AS BIGINT)]
+            ELSE (sls[CAST(n_pairs // 2 AS BIGINT)]
+              + sls[CAST(n_pairs // 2 + 1 AS BIGINT)]) / 2
+            END AS ts_slope
+          FROM s""",
+
+    "q_selectivity_est" -> {
+      val mins = (1 to SelB).map(k =>
+        s"min(CASE WHEN cum * $SelB >= n * $k THEN v END) AS b$k")
+        .mkString(", ")
+      val exacts = SelPreds.zipWithIndex.map { case (p, i) =>
+        s"COALESCE(max(CASE WHEN v <= $p THEN cum END), 0) AS x$i"
+      }.mkString(", ")
+      val cases = SelPreds.indices.map(i =>
+        s"WHEN $i THEN b.x$i").mkString(" ")
+      val values = SelPreds.zipWithIndex.map { case (p, i) =>
+        s"($p, $i)" }.mkString(", ")
+      s"""WITH vc AS MATERIALIZED (SELECT CAST(floor(
+              CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS vc
+            FROM lineitem),
+          cd AS (SELECT vc AS v, count(*) AS cnt FROM vc GROUP BY 1),
+          cc AS MATERIALIZED (SELECT v,
+              CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+              (SELECT CAST(count(*) AS BIGINT) FROM vc) AS n FROM cd),
+          bounds AS (SELECT min(v) AS b0, $mins, $exacts, min(n) AS n
+            FROM cc),
+          preds(vq, i) AS (VALUES $values),
+          e AS (SELECT CAST(p.vq AS BIGINT) AS vq, b.n,
+              CASE p.i $cases END AS n_exact,
+              $selEstExpr AS est
+            FROM preds p, bounds b)
+          SELECT vq, n, n_exact, est,
+            (est - CAST(n_exact AS DOUBLE)) / CAST(n AS DOUBLE)
+              AS abs_err_share
+          FROM e"""
+    },
 
     "q_table_digest" ->
       """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows,

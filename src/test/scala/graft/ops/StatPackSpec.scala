@@ -330,6 +330,29 @@ class StatPackSpec extends AnyFunSuite {
     assert(dig(corrupted, 6)(rows(42)._1) != whole(rows(42)._1))
   }
 
+  test("theilSen resists the outlier that drags OLS") {
+    // y = 2x on days 1..9 plus one wild point (x=10, y=1000):
+    // OLS slope blows past 2; the pairwise-slope median stays near 2
+    // (exact value: median of the 45 pair slopes)
+    val pts = (1L to 9L).map(x => ("a", x, 2 * x)) :+ (("a", 10L, 1000L))
+    val df = pts.toDF("g0", "x0", "y0").repartition(4)
+    val r = Regression.theilSen(df, col("g0"), col("x0"), col("y0"))
+      .collect()(0)
+    assert(r.getLong(1) == 45L)
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if pts(i)._2 < pts(j)._2
+    } yield (pts(j)._3 - pts(i)._3).toDouble /
+        (pts(j)._2 - pts(i)._2)).sorted
+    val want = slopes(22) // 45 pairs: odd, the 23rd (1-based) slope
+    assert(r.getDouble(2) == want)
+    assert(want == 2.0, s"robust slope should stay 2.0, got $want")
+    val ols = Regression.olsFit(
+      df.select(col("g0"), col("x0").cast("double").as("x"),
+        col("y0").cast("double").as("y")), "y", "x", Seq("g0"))
+      .collect()(0).getDouble(3) // beta1 (slope); index 2 is beta0
+    assert(ols > 30.0, s"OLS slope should be dragged, got $ols")
+  }
+
   test("MisraGries sequential small case is exact under capacity") {
     // 3 distinct keys, k=4: no decay ever fires, counts are exact
     val keys = Seq("a", "a", "b", "c", "a", "b")
