@@ -574,6 +574,74 @@ object Graphs {
         expr("CAST(a2 AS DOUBLE)/CAST(tot AS DOUBLE)").as("share"))
   }
 
+  /** Shared Spark↔oracle text for a community's modularity
+    * contribution: e_c/m − (d_c/2m)². Both engines compute the same
+    * IEEE sequence over the same exact longs (e_in, d_sum, m), so
+    * the doubles are bit-identical.
+    */
+  val ModularityExpr: String =
+    """CAST(e_in AS DOUBLE) / CAST(m AS DOUBLE)
+       - (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+       * (CAST(d_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))""".stripMargin
+
+  /** Newman modularity per community over an UNDIRECTED simple
+    * graph: Q_c = e_c/m − (d_c/2m)², where e_c counts intra-community
+    * edges, d_c sums member degrees, and m is the edge total — the
+    * standard "is this partition better than chance" score for a
+    * community assignment (e.g. [[labelPropagation]]'s output).
+    * Σ_c Q_c is the global Q; per-community rows keep the readout
+    * hash-checkable and point at WHICH communities carry the
+    * structure.
+    *
+    * Exactness: e_c, d_c, m are exact longs from count/sum aggs; the
+    * only doubles are the closing [[ModularityExpr]], token-shared
+    * with the oracle.
+    *
+    * Scale shape: edge canonicalization is one distinct agg; then a
+    * degree agg, two label equi-joins on node id, and a label agg —
+    * all partial-combining hash operations on (long, long) rows. The
+    * 1-row edge total arrives as a broadcast. The canonical edge
+    * frame is persisted once for its three consumers (m, degrees,
+    * endpoint labeling); ContextCleaner frees it when unreferenced.
+    *
+    * @param labels (node, label) — e.g. [[labelPropagation]] output.
+    * @return (label, n_nodes, e_in, d_sum, q_part)
+    */
+  def modularity(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edgesIn
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e.agg(count(lit(1)).as("m"))
+    val lbl = labels.select(
+      col("node").cast("long").as("node"), col("label").cast("long").as("lbl"))
+    val ein = e
+      .join(lbl.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(lbl, Seq("node"))
+      .groupBy(col("lbl").as("label"))
+      .agg(sum("deg").as("d_sum"), count(lit(1)).as("n_nodes"))
+    dsum.join(ein, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
+        expr(ModularityExpr).as("q_part"))
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD =>
       lr.rdd.unpersist(blocking = false)

@@ -74,4 +74,42 @@ object Layout {
       .sortBy(bucketCol)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Compaction planning over a file/partition inventory: assign
+    * sort-ordered entries to output bins by cumulative byte offset —
+    * bin = floor(bytes-before / target) — and roll up each bin's
+    * file count, payload, and key range. This is the OPTIMIZE /
+    * small-file-compaction planner readout: which inputs coalesce
+    * into which target-sized outputs, preserving the sort order so
+    * each output file stays range-prunable.
+    *
+    * Offset binning (vs per-bin greedy first-fit) is deliberately a
+    * pure prefix function: deterministic under any partitioning,
+    * no sequential fold. A bin can exceed `target` by at most one
+    * entry's bytes — the same tolerance file compactors accept.
+    *
+    * The input is an INVENTORY (one row per file/partition — bounded
+    * by file count, not data size); the prefix sum over it is a
+    * driver-scale window the caller sizes, not a data-path scan.
+    * All arithmetic is exact longs; positive operands make Spark's
+    * `div` and the oracle's `//` agree.
+    *
+    * @return (bin, n_files, bytes, first_key, last_key)
+    */
+  def compactionBins(
+      inventory: DataFrame,
+      keyCol: Column,
+      bytesCol: Column,
+      target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    inventory
+      .select(keyCol.as("k"), bytesCol.cast("long").as("bytes"))
+      .withColumn("off", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"off div ${target}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
+        min("k").as("first_key"), max("k").as("last_key"))
+  }
 }

@@ -259,4 +259,70 @@ object Timeseries {
         col("st.b").as("trend"),
         (col("st.l") + lit(horizon) * col("st.b")).as("forecast"))
   }
+
+  /** Additive Holt-Winters (level + trend + period-p seasonality,
+    * α = β = γ = 1/2) per group with a one-step-ahead forecast — the
+    * [[holtLinear]] upgrade for series with a weekly shape: plain
+    * Holt forecasts Monday from a Sunday-dominated level; the
+    * seasonal term removes that bias.
+    *
+    * Recurrence (zero-seeded seasonals, l₁ = y₁, b₁ = 0; row t ≥ 2
+    * reads/updates seasonal slot (t−1) mod p):
+    * `l_t = ((y_t − s_slot) + l_{t−1} + b_{t−1}) / 2`,
+    * `b_t = (l_t − l_{t−1} + b_{t−1}) / 2`,
+    * `s_slot ← ((y_t − l_t) + s_slot) / 2`;
+    * forecast₁ = l_n + b_n + s_{n mod p}. Zero seeding is part of
+    * the operator contract (no lookahead pass), so early rows carry
+    * the raw signal into the slots and the fit converges within a
+    * few periods — exactly like the oracle's unrolled recursion.
+    *
+    * Like [[holtLinear]], the genuinely sequential fold runs as one
+    * ordered `aggregate` over the group's collected series (bounded
+    * by ORDER BUCKETS — calendar days — not corpus size); the slot
+    * array is p doubles carried through the fold. Every arithmetic
+    * step is mirrored token-for-token in the oracle's recursive CTE,
+    * so the IEEE sequence — and the bits — match cross-engine.
+    *
+    * @return (g, n_obs, level, trend, s_next, forecast)
+    */
+  def holtWinters(
+      series: DataFrame,
+      groupCol: Column,
+      orderCol: Column,
+      valueCol: Column,
+      period: Int = 7): DataFrame = {
+    require(period >= 2, "period must be at least 2")
+    val p = period
+    // l_t appears inside b_t and s_t: the lambda has no let-binding,
+    // so the expression repeats — the oracle repeats it identically.
+    val lt = s"""((CAST(x.y AS DOUBLE)
+        - element_at(acc.s, CAST(acc.i % $p AS INT) + 1))
+        + acc.l + acc.b) / 2"""
+    series
+      .groupBy(groupCol.as("g"))
+      .agg(array_sort(collect_list(struct(orderCol.as("o"),
+        valueCol.as("y")))).as("steps"))
+      .select(col("g"), size(col("steps")).cast("long").as("n_obs"),
+        expr(
+          s"""aggregate(slice(steps, 2, size(steps) - 1),
+               named_struct(
+                 'i', CAST(1 AS BIGINT),
+                 'l', CAST(element_at(steps, 1).y AS DOUBLE),
+                 'b', CAST(0 AS DOUBLE),
+                 's', array_repeat(CAST(0 AS DOUBLE), $p)),
+               (acc, x) -> named_struct(
+                 'i', acc.i + 1,
+                 'l', $lt,
+                 'b', ($lt - acc.l + acc.b) / 2,
+                 's', transform(acc.s, (sv, si) ->
+                   IF(si = CAST(acc.i % $p AS INT),
+                     ((CAST(x.y AS DOUBLE) - $lt) + sv) / 2,
+                     sv))))""").as("st"))
+      .select(col("g"), col("n_obs"), col("st.l").as("level"),
+        col("st.b").as("trend"),
+        expr(s"element_at(st.s, CAST(n_obs % $p AS INT) + 1)")
+          .as("s_next"))
+      .withColumn("forecast",
+        expr("level + trend + s_next"))
+  }
 }

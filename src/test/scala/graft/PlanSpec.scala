@@ -386,7 +386,10 @@ class PlanSpec extends AnyFunSuite {
       "q_length_band", "q_minhash_recall", "q_mix_sources",
       "q_mix_temperature", "q_ntile_global", "q_pq_codes",
       "q_sample_weighted", "q_stats_collect", "q_tfidf",
-      "q_token_budget", "q_web_domains")
+      "q_token_budget", "q_web_domains",
+      "q_modularity", // 1-row edge-total broadcast
+      "q_naive_bayes") // vocab × class-params and test-doc × class
+      // skeleton crosses — the class frame is a tiny broadcast
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val p = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
@@ -428,8 +431,12 @@ class PlanSpec extends AnyFunSuite {
       "q_gains", // cumulative window over the ≤10-row bin frame
       "q_isotonic", // prefix sums over the ≤10-row bin frame
       "q_conversion_lag", // the pooled cumDist's offsets summary
-      "q_quantile_norm") // the pooled cumDist's offsets summary (the
+      "q_quantile_norm", // the pooled cumDist's offsets summary (the
       // q_ks_test shape: constant group folds the partition spec away)
+      "q_selectivity_est", // global cumDist offsets (constant group)
+      "q_stump", // the two global cumDist prefix passes
+      "q_compact_bins") // prefix sum over the file INVENTORY —
+      // bounded by file count, never data size
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val partitionless = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
