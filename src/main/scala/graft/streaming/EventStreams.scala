@@ -962,4 +962,80 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  final case class HwOut(
+      event_type: String, day: Long, y: Long,
+      level: Double, trend: Double, s_next: Double, forecast: Double)
+
+  /** Holt-Winters fold state: open-day counts plus (level, trend,
+    * seasonal slots) after `nObs` finalized days.
+    */
+  final case class HwState(
+      open: List[DayCount], l: Double, b: Double,
+      s: List[Double], nObs: Long)
+
+  /** Streaming Holt-Winters forecaster — the streaming twin of
+    * [[graft.ops.Timeseries.holtWinters]] (α = β = γ = 1/2,
+    * period 7, zero-seeded slots). Identical finalize-in-day-order
+    * discipline as [[holtForecasts]]; the recurrence additionally
+    * reads/updates seasonal slot nObs % 7, exactly the batch fold's
+    * index arithmetic, so after any finalized prefix the emitted
+    * (level, trend, s_next, forecast) are bit-equal to the batch
+    * operator over that prefix (the spec pins it).
+    *
+    * Scale shape: one shuffle on the group key; state per group is
+    * (l, b, 7 doubles, nObs) plus the ≤ watermark-span open-day
+    * list — constant size however long the stream runs.
+    */
+  def hwForecasts(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes",
+      stateTtlMillis: Long = 14L * 24 * 3600 * 1000): Dataset[HwOut] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[Event], state: GroupState[HwState]) =>
+          val prev = state.getOption.getOrElse(
+            HwState(Nil, 0.0, 0.0, List.fill(7)(0.0), 0L))
+          val add = rows.toSeq.groupBy(e => math.floorDiv(e.ts.getTime, DayMs))
+            .view.mapValues(_.size.toLong).toMap
+          val open0 = (prev.open.map(_.dayN).toSet ++ add.keySet)
+            .toSeq.sorted.map { d =>
+            val before = prev.open.find(_.dayN == d).map(_.n).getOrElse(0L)
+            DayCount(d, before + add.getOrElse(d, 0L))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (fin, stillOpen) = open0.partition(d => (d.dayN + 1) * DayMs <= wm)
+          var (l, b, nObs) = (prev.l, prev.b, prev.nObs)
+          val s = prev.s.toArray
+          val out = Vector.newBuilder[HwOut]
+          for (d <- fin) {
+            val y = d.n.toDouble
+            if (nObs == 0L) { l = y; b = 0.0 }
+            else {
+              val slot = (nObs % 7).toInt
+              val l2 = ((y - s(slot)) + l + b) / 2
+              b = (l2 - l + b) / 2
+              s(slot) = ((y - l2) + s(slot)) / 2
+              l = l2
+            }
+            nObs += 1
+            val sNext = s((nObs % 7).toInt)
+            out += HwOut(typ, d.dayN, d.n, l, b, sNext, l + b + sNext)
+          }
+          if (stillOpen.isEmpty && fin.isEmpty && state.hasTimedOut) {
+            state.remove()
+          } else {
+            state.update(HwState(stillOpen.toList, l, b, s.toList, nObs))
+            val anchor = stillOpen.headOption.map(d => (d.dayN + 1) * DayMs)
+              .getOrElse(wm + stateTtlMillis)
+            state.setTimeoutTimestamp(math.max(anchor, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -875,4 +875,81 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming Holt-Winters is bit-equal to the batch seasonal fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val out = EventStreams.hwForecasts(input.toDS(),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("hw").start()
+    var id = 0L
+    def day(d: Int, typ: String, n: Int): Seq[EventStreams.Event] =
+      (1 to n).map { i =>
+        id += 1
+        ev(id, f"2024-01-$d%02d 00:0${i % 6}:0${i % 10}", i.toLong, typ, 1.0)
+      }
+    // 16 days of a weekly-ish click pattern (+ a late arrival inside
+    // the watermark) and a short view series
+    val batch1 = (1 to 9).flatMap(d => day(d, "click", 3 + (d % 7))).dropRight(1) ++
+      (2 to 4).flatMap(d => day(d, "view", 6 - d))
+    val batch2 = Seq(ev(9999, "2024-01-09 00:01:00", 7, "click", 1.0)) ++
+      (10 to 16).flatMap(d => day(d, "click", 3 + (d % 7)))
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(ev(100000, "2024-02-01 00:00:00", 1, "wm", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hw").collect()
+        .filter(_.getString(0) != "wm")
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6))))
+        .toMap
+      // per-day sequential model: the batch holtWinters recurrence
+      val byDay = (batch1 ++ batch2)
+        .groupBy(e => (e.event_type, math.floorDiv(e.ts.getTime, 86400000L)))
+        .view.mapValues(_.size.toLong).toMap
+      val want = byDay.keys.map(_._1).toSet.flatMap { (typ: String) =>
+        val days = byDay.keys.filter(_._1 == typ).map(_._2).toSeq.sorted
+        val s = Array.fill(7)(0.0)
+        var (l, b) = (0.0, 0.0)
+        days.zipWithIndex.map { case (d, i) =>
+          val y = byDay((typ, d)).toDouble
+          if (i == 0) { l = y; b = 0.0 }
+          else {
+            val slot = (i % 7)
+            val l2 = ((y - s(slot)) + l + b) / 2
+            b = (l2 - l + b) / 2
+            s(slot) = ((y - l2) + s(slot)) / 2
+            l = l2
+          }
+          val sNext = s((i + 1) % 7)
+          (typ, d) -> ((byDay((typ, d)), l, b, sNext, l + b + sNext))
+        }
+      }.toMap
+      assert(streamed == want)
+      // the late click landed in day 9 before it closed
+      assert(streamed((("click", 19731L)))._1 ==
+        byDay(("click", 19731L))) // 2024-01-09 = epoch day 19731
+      // cross-check the final state against the BATCH OPERATOR itself
+      val F = org.apache.spark.sql.functions
+      val batchOp = graft.ops.Timeseries.holtWinters(
+        (batch1 ++ batch2).toDF()
+          .groupBy(F.col("event_type"),
+            F.expr("CAST(floor(unix_millis(ts) / 86400000) AS BIGINT)")
+              .as("d"))
+          .agg(F.count(F.lit(1)).as("y")),
+        F.col("event_type"), F.col("d"), F.col("y"), period = 7)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      for ((typ, (lv, tr, sn, fc)) <- batchOp) {
+        val lastDay = byDay.keys.filter(_._1 == typ).map(_._2).max
+        val (_, sl, sb, ss, sf) = streamed((typ, lastDay))
+        assert((sl, sb, ss, sf) == ((lv, tr, sn, fc)), s"type $typ")
+      }
+    } finally q.stop()
+  }
 }
