@@ -143,15 +143,24 @@ object Moments {
       groupCol: String,
       xExpr: org.apache.spark.sql.Column,
       yExpr: org.apache.spark.sql.Column): DataFrame = {
-    def doubledRanks(e: org.apache.spark.sql.Column, out: String): DataFrame =
-      Quantiles.cumDist(df, col(groupCol), e)
+    // one scan: the projected (g, xv, yv) base feeds BOTH cumDist
+    // rank frames and the rank-lookup join. At sf0.1 this is
+    // time-neutral (2.4 s either way — the cost is the rank-lookup
+    // shuffle join against the near-unique price rank frame, not the
+    // 3-column scans), but at 100 TB re-reading the source three
+    // times loses to caching the projection.
+    val base = df
+      .select(col(groupCol).as("g"), xExpr.as("xv"), yExpr.as("yv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def doubledRanks(c: String, out: String): DataFrame =
+      Quantiles.cumDist(base, col("g"), col(c))
         .select(col("g"), col("v"),
           (col("cum") * 2L - col("cnt") + 1L).as(out))
 
-    val rx = doubledRanks(xExpr, "rx")
-    val ry = doubledRanks(yExpr, "ry")
-    val ranked = df
-      .select(col(groupCol).as("g"), xExpr.as("xv"), yExpr.as("yv"))
+    val rx = doubledRanks("xv", "rx")
+    val ry = doubledRanks("yv", "ry")
+    val ranked = base
       .join(rx.withColumnRenamed("v", "xv"), Seq("g", "xv"))
       .join(ry.withColumnRenamed("v", "yv"), Seq("g", "yv"))
       .select(col("g"),
