@@ -259,4 +259,72 @@ object StatTests {
                 /(CAST(n AS DOUBLE)*log10(1.0 + 1.0/CAST(digit AS DOUBLE)))""")
           .as("chi2_part"))
   }
+
+  /** Shared Spark↔oracle fold bodies for [[brownForsythe]]: the
+    * between-group and within-group sum-of-squares terms, folded
+    * over the per-group (n_g, s, q) stats sorted by group.
+    */
+  val BfNumTerm: String =
+    """CAST(x.n_g AS DOUBLE)
+       * (CAST(x.s AS DOUBLE) / CAST(x.n_g AS DOUBLE)
+          - CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(x.s AS DOUBLE) / CAST(x.n_g AS DOUBLE)
+          - CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))"""
+  val BfDenTerm: String =
+    """CAST(x.q AS DOUBLE)
+       - CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE) / CAST(x.n_g AS DOUBLE)"""
+  val BfFExpr: String =
+    """CASE WHEN den = 0.0 OR k <= 1 THEN NULL
+       ELSE (CAST(n - k AS DOUBLE) * num) / (CAST(k - 1 AS DOUBLE) * den)
+       END"""
+
+  /** Brown-Forsythe test of variance homogeneity (Levene with the
+    * MEDIAN center — the robust variant): one-way ANOVA F over the
+    * absolute deviations z = |x − med_g|. The gatekeeper before
+    * pooled-variance tests (a significant F says Welch, not Student)
+    * and a drift check in its own right: variance drift with a
+    * stable mean is invisible to the mean-shift monitors.
+    *
+    * Exactness: group medians are exact rank reads on
+    * [[Quantiles.cumDist]]; z is an exact long; Σz and Σz² fold in
+    * DECIMAL(38,0) (Σz² passes 2^63 in the single-digit-TB range);
+    * the F assembles from per-group (n_g, Σz, Σz²) in a fold over
+    * groups SORTED by key, every double expression token-shared with
+    * the oracle ([[BfNumTerm]]/[[BfDenTerm]]/[[BfFExpr]]).
+    *
+    * Scale shape: one cumDist pass for medians (broadcast back), one
+    * partial-combining stats agg; the closing fold runs over the
+    * k-row collected group frame. The deviation scan reuses the
+    * persisted projection rather than re-reading the source.
+    *
+    * @return 1 row: (k, n, num, den, f_stat)
+    */
+  def brownForsythe(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), valueExpr.as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = Quantiles.cumDist(base, col("g"), col("v"))
+      .groupBy("g")
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+    val z = base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    val gstats = z.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("z").cast("decimal(38,0)")).as("s"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).as("q"))
+    gstats
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum(col("s")).cast("decimal(38,0)").as("sz"),
+        sort_array(collect_list(struct(col("g"),
+          col("n_g"), col("s"), col("q")))).as("gs"))
+      .select(col("k"), col("n"),
+        expr(s"""aggregate(gs, CAST(0 AS DOUBLE),
+            (a, x) -> a + ($BfNumTerm))""").as("num"),
+        expr(s"""aggregate(gs, CAST(0 AS DOUBLE),
+            (a, x) -> a + ($BfDenTerm))""").as("den"))
+      .select(col("k"), col("n"), col("num"), col("den"),
+        expr(BfFExpr).as("f_stat"))
+  }
 }

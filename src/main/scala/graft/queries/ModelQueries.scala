@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.ops.{Classifier, Graphs, Layout, Timeseries}
+import graft.ops.{Classifier, Graphs, Layout, Quantiles, StatTests, Timeseries}
 
 /** Sixth operator pack: model-quality and planning primitives —
   * partition quality for community detection (modularity), the two
@@ -90,7 +92,92 @@ object ModelQueries {
           .groupBy(concat(to_date(col("ts")).cast("string"), lit("|"),
             col("event_type")).as("k"))
           .agg(sum(length(col("props"))).cast("long").as("bytes")),
-        col("k"), col("bytes"), CompactTarget)))
+        col("k"), col("bytes"), CompactTarget)),
+
+    // Seasonal-adjusted robust anomalies: per (type, day-of-week)
+    // MEDIAN seasonal baseline, then median/MAD robust z over the
+    // residuals per type — variance drift and weekday shape can't
+    // mask a genuine spike (plain q_robust_z flags every Sunday on a
+    // weekly-shaped series; this flags only days off their OWN
+    // weekday). All medians are exact rank reads; the calendar-
+    // bounded daily frame is persisted once for its three passes.
+    "q_seasonal_outliers" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("dow",
+          pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
+            .cast("long"))
+        .persist()
+      val sea = Quantiles.cumDist(daily,
+        concat(col("event_type"), lit("|"), col("dow")), col("y"))
+        .groupBy("g")
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("sea_med"))
+      val resid = daily
+        .join(broadcast(sea),
+          concat(col("event_type"), lit("|"), col("dow")) === col("g"))
+        .select(col("event_type"), col("day"), col("y"), col("sea_med"),
+          (col("y") - col("sea_med")).as("resid"))
+        .persist()
+      val medR = Quantiles.cumDist(resid, col("event_type"), col("resid"))
+        .groupBy(col("g").as("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med_r"))
+      val withMr = resid.join(broadcast(medR), Seq("event_type"))
+        .persist()
+      val mad = Quantiles.cumDist(withMr, col("event_type"),
+        abs(col("resid") - col("med_r")))
+        .groupBy(col("g").as("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("mad"))
+      withMr.join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("y"), col("sea_med"),
+          col("resid"),
+          expr(s"CASE WHEN mad = 0 THEN NULL ELSE $RzExpr END").as("rz"),
+          expr(s"""CASE WHEN mad = 0 THEN false
+              ELSE abs($RzExpr) > 3.0 END""").as("is_out"))
+    }),
+
+    // Brown-Forsythe variance-homogeneity F over price deviations
+    // per return flag — the gatekeeper the test battery was missing
+    // (mean-shift monitors can't see variance drift).
+    "q_levene" -> ((s, d) =>
+      StatTests.brownForsythe(Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_extendedprice") * 100).cast("long"))),
+
+    // Mean-average-precision trail of the wc-ranked top 20 against
+    // binary relevance (the q_ndcg anchor with 0/1 labels): per rank,
+    // precision@r and the running AP — the set-retrieval twin of the
+    // graded-gain NDCG readout.
+    "q_map_eval" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(graft.ops.TextOps.words(col("text"))).cast("long").as("wc"),
+          expr("CASE WHEN n_chars div 150 >= 2 THEN 1 ELSE 0 END")
+            .cast("long").as("rel"))
+      val ws = Window.orderBy(col("wc").desc, col("doc_id"))
+      val wc2 = Window.orderBy("vrank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.orderBy(col("wc").desc, col("doc_id")).limit(20)
+        .withColumn("vrank", row_number().over(ws).cast("long"))
+        .withColumn("cum_rel", sum("rel").over(wc2))
+        .withColumn("ap_num", sum(expr(MapTermExpr)).over(wc2))
+        .select(col("vrank"), col("doc_id"), col("rel"), col("cum_rel"),
+          expr(PAtRExpr).as("p_at_r"),
+          expr("""ap_num / CAST(CASE WHEN cum_rel = 0 THEN 1
+              ELSE cum_rel END AS DOUBLE)""").as("ap_at_r"))
+    }))
+
+  /** Shared Spark↔oracle text for the seasonal-residual robust z
+    * ((resid − med_r) / (MAD·1.4826)).
+    */
+  private val RzExpr: String =
+    """(CAST(resid AS DOUBLE) - CAST(med_r AS DOUBLE))
+       / (CAST(mad AS DOUBLE) * 1.4826)"""
+
+  /** Shared precision@r and AP summand texts for `q_map_eval`. */
+  private val PAtRExpr: String =
+    "CAST(cum_rel AS DOUBLE) / CAST(vrank AS DOUBLE)"
+  private val MapTermExpr: String =
+    s"CAST(rel AS DOUBLE) * ($PAtRExpr)"
 
   /** Unrolled synchronous label-propagation round (the q_label_prop
     * oracle shape): packed-long argmax for mode-with-min-tie-break.
@@ -274,6 +361,119 @@ object ModelQueries {
             FROM ps GROUP BY 1, 2)
           SELECT doc_id, actual, mb.cls AS pred, mb.score AS best_score
           FROM ag"""
+    },
+
+    "q_seasonal_outliers" ->
+      s"""WITH daily AS MATERIALIZED (SELECT event_type,
+              CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y,
+              (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+                % 7 AS dow
+            FROM events GROUP BY 1, 2),
+          s0 AS (SELECT event_type, dow, y, count(*) AS c
+                 FROM daily GROUP BY 1, 2, 3),
+          s1 AS (SELECT event_type, dow, y AS v,
+              CAST(sum(c) OVER (PARTITION BY event_type, dow
+                ORDER BY y) AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY event_type, dow)
+                AS BIGINT) AS nn
+            FROM s0),
+          sea AS (SELECT event_type, dow,
+              min(CASE WHEN cum*2 >= nn THEN v END) AS sea_med
+            FROM s1 GROUP BY 1, 2),
+          r AS MATERIALIZED (SELECT d.event_type, d.day, d.y, s.sea_med,
+              d.y - s.sea_med AS resid
+            FROM daily d JOIN sea s
+              ON d.event_type = s.event_type AND d.dow = s.dow),
+          m0 AS (SELECT event_type, resid, count(*) AS c
+                 FROM r GROUP BY 1, 2),
+          m1 AS (SELECT event_type, resid AS v,
+              CAST(sum(c) OVER (PARTITION BY event_type
+                ORDER BY resid) AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY event_type)
+                AS BIGINT) AS nn
+            FROM m0),
+          medr AS (SELECT event_type,
+              min(CASE WHEN cum*2 >= nn THEN v END) AS med_r
+            FROM m1 GROUP BY 1),
+          r2 AS MATERIALIZED (SELECT r.event_type, r.day, r.y, r.sea_med,
+              r.resid, m.med_r, abs(r.resid - m.med_r) AS dev
+            FROM r JOIN medr m ON r.event_type = m.event_type),
+          d0 AS (SELECT event_type, dev, count(*) AS c
+                 FROM r2 GROUP BY 1, 2),
+          d1 AS (SELECT event_type, dev AS v,
+              CAST(sum(c) OVER (PARTITION BY event_type
+                ORDER BY dev) AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY event_type)
+                AS BIGINT) AS nn
+            FROM d0),
+          madt AS (SELECT event_type,
+              min(CASE WHEN cum*2 >= nn THEN v END) AS mad
+            FROM d1 GROUP BY 1)
+          SELECT r2.event_type, r2.day, r2.y, r2.sea_med, r2.resid,
+            CASE WHEN mad = 0 THEN NULL ELSE $RzExpr END AS rz,
+            CASE WHEN mad = 0 THEN false
+                 ELSE abs($RzExpr) > 3.0 END AS is_out
+          FROM r2 JOIN madt ON r2.event_type = madt.event_type""",
+
+    "q_levene" -> {
+      val numT = StatTests.BfNumTerm.replace("x.", "")
+      val denT = StatTests.BfDenTerm.replace("x.", "")
+      s"""WITH base AS MATERIALIZED (SELECT l_returnflag AS g,
+              CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+            FROM lineitem),
+          cd AS (SELECT g, v, count(*) AS c FROM base GROUP BY 1, 2),
+          cc AS (SELECT g, v,
+              CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                AS cum,
+              CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS nn
+            FROM cd),
+          med AS (SELECT g, min(CASE WHEN cum*2 >= nn THEN v END) AS med
+                  FROM cc GROUP BY 1),
+          z AS (SELECT b.g, abs(b.v - m.med) AS z
+                FROM base b JOIN med m ON b.g = m.g),
+          gs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+              sum(z) AS s, sum(z*z) AS q FROM z GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n_g) AS BIGINT) AS n, sum(s) AS sz FROM gs),
+          terms AS (SELECT k, n,
+              list($numT ORDER BY g) AS nts,
+              list($denT ORDER BY g) AS dts
+            FROM gs CROSS JOIN tot GROUP BY 1, 2),
+          f0 AS (SELECT k, n,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), nts),
+                (a, x) -> a + x) AS num,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), dts),
+                (a, x) -> a + x) AS den
+            FROM terms)
+          SELECT k, n, num, den, ${StatTests.BfFExpr} AS f_stat FROM f0"""
+    },
+
+    "q_map_eval" -> {
+      val ws = "list_filter(string_split(COALESCE(text, ''), ' '), " +
+        "w -> w <> '')"
+      s"""WITH base AS (SELECT doc_id, CAST(len($ws) AS BIGINT) AS wc,
+              CAST(CASE WHEN n_chars // 150 >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS rel
+            FROM documents),
+          top AS MATERIALIZED (SELECT doc_id, wc, rel,
+              CAST(ROW_NUMBER() OVER (ORDER BY wc DESC, doc_id)
+                AS BIGINT) AS vrank
+            FROM base ORDER BY wc DESC, doc_id LIMIT 20),
+          c1 AS (SELECT vrank, doc_id, rel,
+              CAST(sum(rel) OVER (ORDER BY vrank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rel
+            FROM top),
+          c2 AS (SELECT vrank, doc_id, rel, cum_rel,
+              sum($MapTermExpr) OVER (ORDER BY vrank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS ap_num
+            FROM c1)
+          SELECT vrank, doc_id, rel, cum_rel,
+            $PAtRExpr AS p_at_r,
+            ap_num / CAST(CASE WHEN cum_rel = 0 THEN 1
+              ELSE cum_rel END AS DOUBLE) AS ap_at_r
+          FROM c2"""
     },
 
     "q_compact_bins" ->

@@ -435,8 +435,9 @@ class PlanSpec extends AnyFunSuite {
       // q_ks_test shape: constant group folds the partition spec away)
       "q_selectivity_est", // global cumDist offsets (constant group)
       "q_stump", // the two global cumDist prefix passes
-      "q_compact_bins") // prefix sum over the file INVENTORY —
+      "q_compact_bins", // prefix sum over the file INVENTORY —
       // bounded by file count, never data size
+      "q_map_eval") // rank/cumsum windows AFTER the top-20 limit
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val partitionless = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

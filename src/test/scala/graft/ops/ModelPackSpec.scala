@@ -178,6 +178,51 @@ class ModelPackSpec extends AnyFunSuite {
     assert(got(21L)._2 == "en" && got(22L)._2 == "de")
   }
 
+  test("brownForsythe matches the sequential model and ranks variance drift") {
+    val rnd = new scala.util.Random(23)
+    // group a: tight around 100; group b: wide; group c: tight
+    val data =
+      (1 to 200).map(_ => ("a", 100L + rnd.nextInt(11) - 5)) ++
+        (1 to 200).map(_ => ("b", 100L + rnd.nextInt(161) - 80)) ++
+        (1 to 200).map(_ => ("c", 300L + rnd.nextInt(11) - 5))
+    val r = StatTests.brownForsythe(
+      data.toDF("g", "x").repartition(6), "g", col("x")).collect()(0)
+    // sequential model with the same fold order (groups sorted)
+    def lowerMed(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((vs.size - 1) / 2)
+    }
+    val gs = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val med = lowerMed(rows.map(_._2))
+      val zs = rows.map(t => math.abs(t._2 - med))
+      (g, rows.size.toLong, zs.sum, zs.map(z => z * z).sum)
+    }
+    val (k, n) = (gs.size.toLong, gs.map(_._2).sum)
+    val sz = gs.map(_._3).sum
+    val num = gs.foldLeft(0.0) { case (a, (_, ng, s, _)) =>
+      a + ng.toDouble * (s.toDouble / ng.toDouble - sz.toDouble / n.toDouble) *
+        (s.toDouble / ng.toDouble - sz.toDouble / n.toDouble)
+    }
+    val den = gs.foldLeft(0.0) { case (a, (_, ng, s, q)) =>
+      a + (q.toDouble - s.toDouble * s.toDouble / ng.toDouble)
+    }
+    val f = ((n - k).toDouble * num) / ((k - 1).toDouble * den)
+    assert(r.getLong(0) == k && r.getLong(1) == n)
+    assert(r.getDouble(2) == num && r.getDouble(3) == den)
+    assert(r.getDouble(4) == f)
+    // the wide group makes the homogeneity F large
+    assert(f > 10.0, s"F=$f")
+    // homogeneous control: same spreads, different centers → small F
+    val ctrl =
+      (1 to 200).map(_ => ("a", 100L + rnd.nextInt(21) - 10)) ++
+        (1 to 200).map(_ => ("b", 500L + rnd.nextInt(21) - 10))
+    val f2 = StatTests.brownForsythe(
+      ctrl.toDF("g", "x"), "g", col("x")).collect()(0).getDouble(4)
+    // same spreads, different centers: an order of magnitude below
+    // the genuine variance drift (chance variation keeps it small
+    // but not pinned)
+    assert(f2 * 10 < f, s"control F=$f2 vs drift F=$f")
+  }
+
   test("compactionBins: offset binning, key ranges, overflow tolerance") {
     val inv = Seq(("a", 60L), ("b", 50L), ("c", 10L), ("d", 100L),
       ("e", 30L), ("f", 40L))
