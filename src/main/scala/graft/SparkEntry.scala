@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.OpsQueries.queries ++
       graft.queries.ExtQueries.queries ++ graft.queries.EvalQueries.queries ++
-      graft.queries.StatQueries.queries ++ graft.queries.ModelQueries.queries
+      graft.queries.StatQueries.queries ++
+      graft.queries.ModelQueries.queries ++ graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++ graft.queries.OpsQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++ graft.queries.EvalQueries.oracleSql ++
-      graft.queries.StatQueries.oracleSql ++ graft.queries.ModelQueries.oracleSql
+      graft.queries.StatQueries.oracleSql ++
+      graft.queries.ModelQueries.oracleSql ++ graft.queries.TpchQueries.oracleSql
 }

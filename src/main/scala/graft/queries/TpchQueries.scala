@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic decision-support queries (TPC-H Q3/Q5/Q10 shapes, adapted
+  * to the synthetic schema's columns) — the "a user switching engines
+  * runs their existing reports" evidence: multi-way dim/fact joins,
+  * a selective date window, exact-money aggregation, deterministic
+  * top-N.
+  *
+  * Money discipline: revenue Σ price·(1−discount) folds in
+  * DECIMAL(28,6) (the q_agg_lineitem convention) and the ORDER/LIMIT
+  * runs on the EXACT decimal — ties broken by the unique key — so
+  * the top-N set is deterministic cross-engine; the double cast
+  * happens only in the output projection.
+  *
+  * Scale shape: nation/region are broadcast (constant-size dims);
+  * customer/orders/lineitem/supplier join as shuffled hash joins on
+  * their keys with the date/segment/flag filters pushed to the scans
+  * (AQE re-plans the post-filter sides; at TPC-H scale all four
+  * scale with SF, so forcing a broadcast would be wrong).
+  */
+object TpchQueries {
+
+  /** Exact revenue fold: Σ price·(1−disc) in DECIMAL(28,6). */
+  private def revd(price: Column, disc: Column): Column =
+    sum((price.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - disc.cast("decimal(18,2)")))
+      .cast("decimal(28,6)"))
+
+  private val RevSql =
+    """SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       AS DECIMAL(28,6)))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q3 — shipping priority: unshipped-at-D revenue of BUILDING
+    // customers' orders, top 10 by exact revenue.
+    "q_tpch_q3" -> ((s, d) => {
+      val D = "2000-01-01"
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(D).cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(D).cast("timestamp_ntz"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(revd(col("l_extendedprice"), col("l_discount")).as("revd"))
+        .orderBy(col("revd").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          col("revd").cast("double").as("revenue"),
+          to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+          col("o_orderpriority"))
+    }),
+
+    // Q5 — local supplier volume: revenue where customer and
+    // supplier share an ASIA nation, by nation.
+    "q_tpch_q5" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("n_nationkey", "n_name")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revd(col("l_extendedprice"), col("l_discount")).as("revd"))
+        .select(col("n_name"), col("revd").cast("double").as("revenue"))
+    }),
+
+    // Q10 — returned-item reporting: per-customer lost revenue from
+    // 'R' lineitems in a quarter, top 20 by exact revenue.
+    "q_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(revd(col("l_extendedprice"), col("l_discount")).as("revd"))
+        .orderBy(col("revd").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("revd").cast("double").as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_tpch_q3" ->
+      s"""WITH agg AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
+              $RevSql AS revd
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2000-01-01'
+              AND l_shipdate > TIMESTAMP '2000-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revd DESC, l_orderkey LIMIT 10)
+          SELECT l_orderkey, CAST(revd AS DOUBLE) AS revenue,
+            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+            o_orderpriority
+          FROM agg""",
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, CAST($RevSql AS DOUBLE) AS revenue
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            AND c.c_nationkey = s.s_nationkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name""",
+
+    "q_tpch_q10" ->
+      s"""WITH agg AS (SELECT c_custkey, c_name, c_acctbal, n_name,
+              $RevSql AS revd
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revd DESC, c_custkey LIMIT 20)
+          SELECT c_custkey, c_name, CAST(revd AS DOUBLE) AS revenue,
+            c_acctbal, n_name
+          FROM agg""")
+}
