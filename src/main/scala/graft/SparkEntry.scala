@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++ graft.queries.OpsQueries.queries ++
       graft.queries.ExtQueries.queries ++ graft.queries.EvalQueries.queries ++
       graft.queries.StatQueries.queries ++
-      graft.queries.ModelQueries.queries ++ graft.queries.TpchQueries.queries
+      graft.queries.ModelQueries.queries ++
+      graft.queries.TpchQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +30,7 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++ graft.queries.OpsQueries.oracleSql ++
       graft.queries.ExtQueries.oracleSql ++ graft.queries.EvalQueries.oracleSql ++
       graft.queries.StatQueries.oracleSql ++
-      graft.queries.ModelQueries.oracleSql ++ graft.queries.TpchQueries.oracleSql
+      graft.queries.ModelQueries.oracleSql ++
+      graft.queries.TpchQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }

@@ -541,4 +541,50 @@ object Dedup {
           "\n").as("clean_text"))
       .select(col("id").as(idCol), col("n_kept"), col("n_dropped"), col("clean_text"))
   }
+
+  /** C4-style boilerplate scrub: drop every line that occurs in more
+    * than `maxDf` distinct documents OF THE SAME GROUP (domain /
+    * source) — navigation chrome, license banners, cookie notices.
+    * Unlike [[lineDedup]] (which keeps one global winner per line),
+    * boilerplate removal drops ALL copies including the first: a
+    * line shared across a domain's pages is template, not content.
+    *
+    * Shape: one posexplode to (group, line) rows, one hash agg to
+    * per-(group, line) distinct-doc counts (`count(distinct id)`
+    * plans as a two-phase partial agg on (group, line, id) — never a
+    * global sort), one equi-join back, one per-document rebuild agg.
+    * The shuffles carry line text once each way; at 100 TB, swap the
+    * join key for a line digest the same way [[passageDupStats]]
+    * ships md5 bytes.
+    *
+    * @return (idCol, group, n_kept, n_dropped, clean_text)
+    */
+  def boilerplateScrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      maxDf: Int = 1): DataFrame = {
+    require(maxDf >= 1, "maxDf must keep at least singleton lines")
+    val lines = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = lines.groupBy(col("grp"), col("line"))
+      .agg(count_distinct(col("id")).as("ndocs"))
+    lines.join(dfreq, Seq("grp", "line"))
+      .groupBy(col("id"), col("grp"))
+      .agg(
+        sum(when(col("ndocs") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ndocs") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("ndocs") <= maxDf,
+              struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("grp"),
+        col("n_kept"), col("n_dropped"), col("clean_text"))
+  }
 }

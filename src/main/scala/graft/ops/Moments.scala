@@ -69,6 +69,29 @@ object Moments {
                 END""").as("kurt_excess"))
   }
 
+  /** Jarque-Bera normality statistic per group, assembled on top of
+    * [[momentsByGroup]]'s exact-power-sum skew/kurtosis:
+    * JB = n/6·(skew² + kurt_excess²/4). Large JB says the residual
+    * or measure is not normal — the gate before z-score thresholds
+    * and parametric intervals are trusted. Adds zero passes: one
+    * closing expression over the per-group moments row, token-shared
+    * with the oracle ([[JbExpr]]).
+    *
+    * @return (group, n, skew, kurt_excess, jb_stat)
+    */
+  def jarqueBera(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    momentsByGroup(df, groupCol, valueCol)
+      .select(col("g"), col("n"), col("skew"), col("kurt_excess"),
+        expr(JbExpr).as("jb_stat"))
+
+  /** Shared Spark↔oracle closing expression for [[jarqueBera]]. */
+  val JbExpr: String =
+    """CAST(n AS DOUBLE)/6.0
+       * (skew*skew + kurt_excess*kurt_excess/4.0)"""
+
   /** Welch's unequal-variance t-test between two groups, from exact
     * fixed-point (cents) first and second moments. One aggregation
     * over the filtered input produces both groups' statistics

@@ -101,4 +101,36 @@ object Profile {
           (col("n_total") * col("row_total") * col("col_total")).cast("double"))
           .as("chi_term"))
   }
+
+  /** Shared Spark↔oracle closing expression for [[cramersV]]. */
+  val CvExpr: String =
+    """CASE WHEN r < 2 OR c < 2 OR n = 0 THEN NULL
+       ELSE sqrt(chi2 / (CAST(n AS DOUBLE)
+                         * CAST(least(r, c) - 1 AS DOUBLE)))
+       END"""
+
+  /** Cramér's V effect size on top of [[chiSquareCells]]: the
+    * [0,1]-normalized strength of association between two categorical
+    * columns — χ² says "dependent", V says "how much", comparably
+    * across grids of different shape. The χ² total folds over the
+    * CELL frame sorted by (a, b) (bounded |a|·|b| rows), so the
+    * double sum is order-deterministic and token-shared with the
+    * oracle ([[CvExpr]]); everything data-sized already happened in
+    * the one cell aggregation.
+    *
+    * @return 1 row: (r, c, n, chi2, cramers_v)
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareCells(df, aCol, bCol)
+      .agg(
+        count_distinct(col("a")).as("r"),
+        count_distinct(col("b")).as("c"),
+        max(col("n_total")).as("n"),
+        sort_array(collect_list(struct(col("a"), col("b"), col("chi_term"))))
+          .as("cs"))
+      .select(col("r"), col("c"), col("n"),
+        expr("""aggregate(cs, CAST(0 AS DOUBLE),
+            (acc, x) -> acc + x.chi_term)""").as("chi2"))
+      .select(col("r"), col("c"), col("n"), col("chi2"),
+        expr(CvExpr).as("cramers_v"))
 }

@@ -286,11 +286,10 @@ object StatTests {
     * stable mean is invisible to the mean-shift monitors.
     *
     * Exactness: group medians are exact rank reads on
-    * [[Quantiles.cumDist]]; z is an exact long; Σz and Σz² fold in
-    * DECIMAL(38,0) (Σz² passes 2^63 in the single-digit-TB range);
-    * the F assembles from per-group (n_g, Σz, Σz²) in a fold over
-    * groups SORTED by key, every double expression token-shared with
-    * the oracle ([[BfNumTerm]]/[[BfDenTerm]]/[[BfFExpr]]).
+    * [[Quantiles.cumDist]]; z is an exact long; the F itself is
+    * [[anovaF]] over the deviation frame (Σz / Σz² fold in
+    * DECIMAL(38,0); every double expression token-shared with the
+    * oracle via [[BfNumTerm]]/[[BfDenTerm]]/[[BfFExpr]]).
     *
     * Scale shape: one cumDist pass for medians (broadcast back), one
     * partial-combining stats agg; the closing fold runs over the
@@ -310,7 +309,26 @@ object StatTests {
       .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
     val z = base.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("z"))
-    val gstats = z.groupBy("g")
+    anovaF(z, "g", col("z"))
+  }
+
+  /** One-way ANOVA F over an integer-safe measure: between-group vs
+    * within-group sum of squares of the RAW values — the mean-shift
+    * complement of [[brownForsythe]] (which is exactly this fold over
+    * median deviations). Per-group sufficient statistics (n_g, Σv,
+    * Σv²) fold in DECIMAL(38,0) in ONE partial-combining hash
+    * aggregation; the closing doubles assemble in a fold over the
+    * k-row group frame SORTED by key, token-shared with the oracle
+    * ([[BfNumTerm]]/[[BfDenTerm]]/[[BfFExpr]]).
+    *
+    * @return 1 row: (k, n, num, den, f_stat)
+    */
+  def anovaF(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val gstats = df.select(col(groupCol).as("g"), valueExpr.as("z"))
+      .groupBy("g")
       .agg(count(lit(1)).as("n_g"),
         sum(col("z").cast("decimal(38,0)")).as("s"),
         sum((col("z") * col("z")).cast("decimal(38,0)")).as("q"))
@@ -326,5 +344,74 @@ object StatTests {
             (a, x) -> a + ($BfDenTerm))""").as("den"))
       .select(col("k"), col("n"), col("num"), col("den"),
         expr(BfFExpr).as("f_stat"))
+  }
+
+  /** Per-group Kruskal-Wallis H term (2R_g)²/n_g — doubled rank sums
+    * keep tie-averaged ranks integral (the [[mannWhitney]] trick).
+    */
+  val KwTerm: String =
+    "CAST(x.r2 AS DOUBLE)*CAST(x.r2 AS DOUBLE)/CAST(x.n_g AS DOUBLE)"
+
+  /** H from the doubled-rank fold with the tie correction:
+    * H = [3/(n(n+1))·Σ(2R_g)²/n_g − 3(n+1)] / (1 − T/(n³−n)).
+    */
+  val KwHExpr: String =
+    """CASE WHEN n <= 1 OR tie_t >= CAST(n AS DOUBLE)
+              *(CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - 1.0) THEN NULL
+       ELSE (3.0*q4/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) + 1.0))
+             - 3.0*(CAST(n AS DOUBLE) + 1.0))
+            / (1.0 - tie_t/(CAST(n AS DOUBLE)
+               *(CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - 1.0)))
+       END"""
+
+  /** Kruskal-Wallis rank test across k groups of an integer-safe
+    * measure — the nonparametric one-way ANOVA ([[anovaF]] on ranks):
+    * does ANY group's distribution sit higher than the others?
+    *
+    * Pooled tie-averaged ranks stay exact as doubled integers
+    * (2·rank = 2·cum − cnt + 1) read off [[Quantiles.cumDist]] over
+    * the distinct-value frame; per-group doubled rank sums and the
+    * tie term Σ_v cnt³−cnt (folded per cell as Σ c·(cnt²−1), no
+    * second distinct pass) ride ONE hash aggregation over the
+    * cell×rank join. The closing H assembles from the k-row group
+    * frame sorted by key ([[KwTerm]]/[[KwHExpr]] token-shared with
+    * the oracle).
+    *
+    * Scale shape: input rows fold to (group, value) cells first; the
+    * rank frame is one row per distinct value. DECIMAL operands:
+    * cell counts 12 digits, doubled ranks 14 — products ≤ 38 in both
+    * engines to ~1e12 rows.
+    *
+    * @return 1 row: (k, n, tie_t, q4, h_stat)
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"), valueExpr.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = Quantiles
+      .cumDist(cells, lit(0), col("v"), col("c"))
+      .select(col("v"), col("cnt"),
+        (col("cum") * 2L - col("cnt") + 1L).as("dr"))
+    val gsum = cells.join(ranks, Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c").cast("decimal(12,0)") * col("dr").cast("decimal(14,0)"))
+          .cast("decimal(38,0)").as("r2"),
+        sum(col("c").cast("decimal(12,0)") *
+            (col("cnt").cast("decimal(12,0)") * col("cnt").cast("decimal(12,0)")
+              - 1)).cast("decimal(38,0)").as("tt"))
+    gsum
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum(col("tt")).cast("double").as("tie_t"),
+        sort_array(collect_list(struct(col("g"), col("n_g"), col("r2"))))
+          .as("gs"))
+      .select(col("k"), col("n"), col("tie_t"),
+        expr(s"""aggregate(gs, CAST(0 AS DOUBLE),
+            (a, x) -> a + ($KwTerm))""").as("q4"))
+      .select(col("k"), col("n"), col("tie_t"), col("q4"),
+        expr(KwHExpr).as("h_stat"))
   }
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): slide a window of `w`
+  * consecutive k-gram hashes over each document and keep, per
+  * window, the minimum hash (rightmost on ties). The selected
+  * (position, hash) set is a provably bounded-density fingerprint
+  * with the matching GUARANTEE plain 0-mod-p sampling lacks: any
+  * shared substring of at least k+w−1 words produces at least one
+  * common fingerprint, while expected density stays 2/(w+1).
+  * Complements [[graft.ops.TextOps.fingerprint]] (whole-doc rolling
+  * hash: exact-copy detection) and MinHash (set resemblance) with
+  * POSITIONAL partial-overlap evidence — the plagiarism/quotation/
+  * boilerplate-span detector.
+  *
+  * Exactness: k-gram hashes are the corpus-wide word-hash fold
+  * (acc·31 + wordHash mod 1e9+7 — the `q_fingerprint` convention);
+  * the rightmost-min-per-window rule is ONE windowed integer `min`
+  * over the tie-coded key `h·2²⁰ + (2²⁰−1−pos)` (min hash first,
+  * then LARGEST position), decoded back with div/mod on positives —
+  * no struct comparisons, so every engine agrees bit-for-bit.
+  *
+  * Scale shape: hashes materialize per document as an array in the
+  * projection (no shuffle); the only exchange is the per-document
+  * window sort (parallelism = documents) and the closing distinct.
+  * Position capacity is 2²⁰ k-grams per document — beyond
+  * million-word documents, chunk first ([[Chunking]]).
+  */
+object Winnow {
+
+  /** Position capacity per document: keys are h·PosCap + (PosCap−1−pos). */
+  private val PosCap = 1L << 20
+
+  /** Selected winnowing fingerprints, one row per distinct
+    * (document, position, hash) selection.
+    *
+    * @param k shingle width in words (hash unit)
+    * @param w window width in k-grams (guarantee: matches of
+    *          ≥ k+w−1 words share a fingerprint)
+    * @return (id, fp_pos, fp_hash); documents with fewer than
+    *         k+w−1 words emit nothing
+    */
+  def fingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+    val ws = TextOps.words(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(col("ws")) - (k - 1)),
+      i => aggregate(slice(col("ws"), i, lit(k)), lit(0L),
+        (acc, x) => (acc * 31L + TextOps.wordHash(x)) % 1000000007L))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    df.select(col(idCol).as("id"), ws.as("ws"))
+      .filter(size(col("ws")) >= k + w - 1)
+      .select(col("id"), grams.as("hs"))
+      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("id"), col("pos"),
+        (col("h") * PosCap + (lit(PosCap - 1) - col("pos"))).as("key"))
+      .withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("id"),
+        (lit(PosCap - 1) - (col("mk") % PosCap)).as("fp_pos"),
+        expr(s"mk div $PosCap").as("fp_hash"))
+      .distinct()
+  }
+}

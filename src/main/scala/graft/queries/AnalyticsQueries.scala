@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Intervals, Moments, Profile, StatTests, TextOps, Winnow}
+
+/** Seventh operator pack: the k-group hypothesis-test family (ANOVA,
+  * Kruskal-Wallis, Jarque-Bera, Cramér's V), interval coalescing,
+  * exact modes, and two corpus fingerprint/scrub operators
+  * (winnowing, per-source boilerplate removal).
+  *
+  * Oracle-parity discipline as established ([[StatQueries]] header):
+  * exact integer/decimal sufficient statistics, order-deterministic
+  * sorted folds for k-row double sums, every closing double
+  * expression token-shared with the DuckDB twin. Timestamps cross
+  * the engines as floored epoch SECONDS (Spark `cast(long)` ↔ DuckDB
+  * `floor(epoch(...))`), positions/hashes as BIGINT, divisions as
+  * positive-operand `div`/`//`.
+  */
+object AnalyticsQueries {
+
+  /** Whitespace-token expr shared by the documents oracles. */
+  private val ws =
+    "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
+
+  /** Portable word hash (TextOps.wordHash twin), BIGINT. */
+  private def wh(w: String): String =
+    s"(length($w)*10007 + ord(substr($w,1,1))*101 + ord(substr($w,-1,1)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One-way ANOVA F: does mean event value differ by event type?
+    // Exact cent power sums per group; the closing F assembles over
+    // the k-row group frame (see StatTests.anovaF).
+    "q_anova_f" -> ((s, d) =>
+      StatTests.anovaF(Tables.events(s, d), "event_type",
+        floor(col("value") * 100).cast("long"))),
+
+    // Kruskal-Wallis H: nonparametric k-group location test on
+    // quantity by return flag — pooled tie-averaged ranks as exact
+    // doubled integers over the distinct-value frame.
+    "q_kruskal" -> ((s, d) =>
+      StatTests.kruskalWallis(Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_quantity")).cast("long"))),
+
+    // Jarque-Bera normality per return flag, assembled on the
+    // q_moments exact power sums (zero extra passes).
+    "q_jarque_bera" -> ((s, d) =>
+      Moments.jarqueBera(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity")),
+
+    // Cramér's V: strength of the (event type × time-of-day
+    // quadrant) association — the effect size on the q_chisq grid.
+    "q_cramers_v" -> ((s, d) =>
+      Profile.cramersV(
+        Tables.events(s, d).select(
+          col("event_type"), expr("hour(ts) div 6").as("quad")),
+        "event_type", "quad")),
+
+    // Interval coalescing: merge each user's overlapping activity
+    // spans [ts, ts + 60..599 s) into maximal islands. Variable
+    // durations (from the value column) make the running-max island
+    // test genuinely necessary — a long span swallows short ones.
+    "q_merge_intervals" -> ((s, d) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      Intervals.mergeIntervals(Tables.events(s, d),
+        col("user_id"), sec,
+        sec + lit(60L) + floor(col("value") * 100).cast("long") % 540L,
+        col("event_id"))
+        .select(col("k").as("user_id"), col("island"),
+          col("start").as("start_s"), col("end").as("end_s"),
+          col("n_merged"))
+    }),
+
+    // Exact per-group mode: most frequent quantity per return flag,
+    // ties to the LARGEST value — one counts agg + one struct-max
+    // agg, both hash-based and partial-combining (no window, no
+    // sort; the [A1] argmax discipline).
+    "q_mode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("c"), col("v"))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.v").as("mode_qty"), col("m.c").as("n_mode"))),
+
+    // Per-source boilerplate scrub: 4-word lines occurring in >1
+    // distinct documents of the SAME source are template, not
+    // content — drop every copy (C4-style), rebuild clean text.
+    "q_boilerplate" -> ((s, d) => {
+      val toks = TextOps.words(col("text"))
+      val lined = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        when(size(toks) === 0, lit(""))
+          .otherwise(array_join(
+            transform(
+              sequence(lit(0),
+                floor((size(toks) + lit(3)) / lit(4.0)).cast("int") - 1),
+              i => array_join(slice(toks, i * 4 + 1, lit(4)), " ")),
+            "\n")).as("text"))
+      Dedup.boilerplateScrub(lined, "doc_id", "text", "source", maxDf = 1)
+        .withColumnRenamed("grp", "source")
+    }),
+
+    // Winnowing (MOSS) fingerprints: per 4-window of word-3-gram
+    // hashes keep the rightmost minimum — bounded-density positional
+    // fingerprints with the shared-substring guarantee.
+    "q_winnowing" -> ((s, d) =>
+      Winnow.fingerprints(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4)
+        .withColumnRenamed("id", "doc_id")))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_anova_f" -> {
+      val numT = StatTests.BfNumTerm.replace("x.", "")
+      val denT = StatTests.BfDenTerm.replace("x.", "")
+      s"""WITH base AS (SELECT event_type AS g,
+              CAST(floor(value*100) AS BIGINT) AS z FROM events),
+          gs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+              sum(z) AS s, sum(z*z) AS q FROM base GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n_g) AS BIGINT) AS n, sum(s) AS sz FROM gs),
+          terms AS (SELECT k, n,
+              list($numT ORDER BY g) AS nts,
+              list($denT ORDER BY g) AS dts
+            FROM gs CROSS JOIN tot GROUP BY 1, 2),
+          f0 AS (SELECT k, n,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), nts),
+                (a, x) -> a + x) AS num,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), dts),
+                (a, x) -> a + x) AS den
+            FROM terms)
+          SELECT k, n, num, den, ${StatTests.BfFExpr} AS f_stat FROM f0"""
+    },
+
+    "q_kruskal" -> {
+      val term = StatTests.KwTerm.replace("x.", "")
+      s"""WITH base AS (SELECT l_returnflag AS g,
+              CAST(floor(l_quantity) AS BIGINT) AS v FROM lineitem),
+          cd AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                 FROM base GROUP BY 1, 2),
+          pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS cnt
+                   FROM cd GROUP BY 1),
+          rk AS (SELECT v, cnt,
+              CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT)*2 - cnt + 1 AS dr
+            FROM pool),
+          g1 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+              sum(CAST(c AS DECIMAL(12,0))*CAST(dr AS DECIMAL(14,0)))
+                AS r2,
+              sum(CAST(c AS DECIMAL(12,0))
+                  *(CAST(cnt AS DECIMAL(12,0))*CAST(cnt AS DECIMAL(12,0))
+                    - 1)) AS tt
+            FROM cd JOIN rk USING (v) GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(n_g) AS BIGINT) AS n,
+              CAST(sum(tt) AS DOUBLE) AS tie_t FROM g1),
+          terms AS (SELECT k, n, tie_t,
+              list($term ORDER BY g) AS ts
+            FROM g1 CROSS JOIN tot GROUP BY 1, 2, 3),
+          f0 AS (SELECT k, n, tie_t,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+                (a, x) -> a + x) AS q4
+            FROM terms)
+          SELECT k, n, tie_t, q4, ${StatTests.KwHExpr} AS h_stat FROM f0"""
+    },
+
+    "q_jarque_bera" ->
+      s"""WITH t AS (SELECT l_returnflag AS g,
+              CAST(floor(l_quantity) AS BIGINT) AS x FROM lineitem),
+          s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS DOUBLE) AS s1,
+              CAST(sum(x*x) AS DOUBLE) AS s2,
+              CAST(sum(x*x*x) AS DOUBLE) AS s3,
+              CAST(sum(x*x*x*x) AS DOUBLE) AS s4
+            FROM t GROUP BY g),
+          m AS (SELECT g, n,
+            CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+            ELSE (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n)) /
+                 ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+            END AS skew,
+            CASE WHEN s2/n - (s1/n)*(s1/n) <= 0.0 THEN 0.0
+            ELSE (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                    - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n)) /
+                 ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0
+            END AS kurt_excess
+          FROM s)
+          SELECT g, n, skew, kurt_excess, ${Moments.JbExpr} AS jb_stat
+          FROM m""",
+
+    "q_cramers_v" ->
+      s"""WITH s AS (SELECT event_type AS a, hour(ts) // 6 AS b
+            FROM events),
+          cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+                    FROM s GROUP BY 1, 2),
+          r AS (SELECT a, CAST(sum(obs) AS BIGINT) AS row_total
+                FROM cells GROUP BY 1),
+          c AS (SELECT b, CAST(sum(obs) AS BIGINT) AS col_total
+                FROM cells GROUP BY 1),
+          t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_total FROM cells),
+          grid AS (SELECT r.a AS a, c.b AS b,
+              row_total, col_total, n_total,
+              CAST(CAST(n_total*COALESCE(obs, 0) - row_total*col_total
+                     AS HUGEINT)
+                   * (n_total*COALESCE(obs, 0) - row_total*col_total)
+                   AS DOUBLE)
+                / CAST(n_total*row_total*col_total AS DOUBLE) AS chi_term
+            FROM r CROSS JOIN c CROSS JOIN t
+            LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b),
+          agg AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+              CAST(count(DISTINCT b) AS BIGINT) AS c,
+              max(n_total) AS n,
+              list(chi_term ORDER BY a, b) AS cs
+            FROM grid),
+          f0 AS (SELECT r, c, n,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+                (acc, x) -> acc + x) AS chi2
+            FROM agg)
+          SELECT r, c, n, chi2, ${Profile.CvExpr} AS cramers_v FROM f0""",
+
+    "q_merge_intervals" ->
+      """WITH base AS (SELECT user_id AS k,
+              CAST(floor(epoch(ts)) AS BIGINT) AS s,
+              CAST(floor(epoch(ts)) AS BIGINT)
+                + 60 + CAST(floor(value*100) AS BIGINT) % 540 AS e,
+              event_id AS rid
+            FROM events),
+          w1 AS (SELECT k, s, e, rid,
+              max(e) OVER (PARTITION BY k ORDER BY s, rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM base),
+          w2 AS (SELECT k, s, e, rid,
+              CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                AS opens
+            FROM w1),
+          w3 AS (SELECT k, s, e,
+              CAST(sum(opens) OVER (PARTITION BY k ORDER BY s, rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS island
+            FROM w2)
+          SELECT k AS user_id, island,
+            CAST(min(s) AS BIGINT) AS start_s,
+            CAST(max(e) AS BIGINT) AS end_s,
+            CAST(count(*) AS BIGINT) AS n_merged
+          FROM w3 GROUP BY 1, 2""",
+
+    "q_mode" ->
+      """WITH cn AS (SELECT l_returnflag,
+              CAST(floor(l_quantity) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1, 2)
+          SELECT l_returnflag,
+            (max({'c': c, 'v': v})).v AS mode_qty,
+            (max({'c': c, 'v': v})).c AS n_mode
+          FROM cn GROUP BY 1""",
+
+    "q_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $ws AS ws FROM documents),
+          lined AS (SELECT doc_id, source,
+              CASE WHEN len(ws) = 0 THEN ''
+              ELSE array_to_string(list_transform(
+                     range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT)),
+                     i -> array_to_string(ws[i*4+1 : i*4+4], ' ')),
+                   chr(10))
+              END AS text FROM toks),
+          l AS (SELECT doc_id, source, u.pos AS pos, u.line AS line
+                FROM (
+              SELECT doc_id, source,
+                unnest(list_transform(range(1, len(ln)+1),
+                  i -> {'pos': i, 'line': ln[i]})) AS u
+              FROM (SELECT doc_id, source,
+                      string_split(text, chr(10)) AS ln FROM lined))),
+          dfreq AS (SELECT source, line,
+              count(DISTINCT doc_id) AS ndocs
+            FROM l GROUP BY 1, 2)
+          SELECT doc_id, source,
+            CAST(count(*) FILTER (WHERE ndocs <= 1) AS BIGINT) AS n_kept,
+            CAST(count(*) FILTER (WHERE ndocs > 1) AS BIGINT)
+              AS n_dropped,
+            COALESCE(string_agg(CASE WHEN ndocs <= 1 THEN line END,
+                chr(10) ORDER BY pos), '') AS clean_text
+          FROM l JOIN dfreq USING (source, line)
+          GROUP BY 1, 2""",
+
+    "q_winnowing" ->
+      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+          docs AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 6),
+          gh AS (SELECT doc_id,
+              list_transform(range(1, len(ws) - 1), i ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(ws[i : i+2],
+                      w -> CAST(${wh("w")} AS BIGINT))),
+                  (acc, x) -> (acc*31 + x) % 1000000007)) AS hs
+            FROM docs),
+          e AS (SELECT doc_id, u.pos - 1 AS pos, u.h AS h FROM (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(hs)+1),
+                  i -> {'pos': i, 'h': hs[i]})) AS u
+              FROM gh)),
+          kk AS (SELECT doc_id, pos,
+              h*1048576 + (1048575 - pos) AS key FROM e),
+          m AS (SELECT doc_id, pos,
+              min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+            FROM kk)
+          SELECT DISTINCT doc_id,
+            1048575 - (mk % 1048576) AS fp_pos,
+            mk // 1048576 AS fp_hash
+          FROM m WHERE pos >= 3""")
+}

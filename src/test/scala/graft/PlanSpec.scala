@@ -372,6 +372,7 @@ class PlanSpec extends AnyFunSuite {
       "q_bloom_fpr", // three 1-row count frames crossed
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_vocab_coverage", // 1-row corpus-total broadcast
+      "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
@@ -434,6 +435,7 @@ class PlanSpec extends AnyFunSuite {
       "q_quantile_norm", // the pooled cumDist's offsets summary (the
       // q_ks_test shape: constant group folds the partition spec away)
       "q_selectivity_est", // global cumDist offsets (constant group)
+      "q_kruskal", // pooled-rank cumDist offsets (constant group)
       "q_stump", // the two global cumDist prefix passes
       "q_compact_bins", // prefix sum over the file INVENTORY —
       // bounded by file count, never data size

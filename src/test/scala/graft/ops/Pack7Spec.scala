@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand examples for the seventh pack: interval coalescing, winnowing
+  * fingerprints, boilerplate scrub, Kruskal-Wallis, one-way ANOVA,
+  * Cramér's V, and Jarque-Bera.
+  */
+class Pack7Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "5")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("mergeIntervals: running max merges nested and chained spans") {
+    // key A: [0,10) ∪ [5,20) chain; [25,26) nests inside [21,30) even
+    // though it SORTS after; [40,41) isolated. Key B: one span.
+    val rows = Seq(
+      ("A", 0L, 10L, 1L), ("A", 5L, 20L, 2L), ("A", 21L, 30L, 3L),
+      ("A", 25L, 26L, 4L), ("A", 40L, 41L, 5L), ("B", 7L, 8L, 6L))
+      .toDF("k", "s", "e", "id")
+    val out = Intervals
+      .mergeIntervals(rows, col("k"), col("s"), col("e"), col("id"))
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("island")) ->
+        (r.getAs[Long]("start"), r.getAs[Long]("end"),
+          r.getAs[Long]("n_merged"))).toMap
+    assert(out(("A", 1L)) === ((0L, 20L, 2L)))
+    assert(out(("A", 2L)) === ((21L, 30L, 2L)))
+    assert(out(("A", 3L)) === ((40L, 41L, 1L)))
+    assert(out(("B", 1L)) === ((7L, 8L, 1L)))
+    assert(out.size === 4)
+  }
+
+  test("mergeIntervals: tied starts never split an island") {
+    val rows = Seq(("A", 0L, 3L, 1L), ("A", 0L, 9L, 2L), ("A", 4L, 5L, 3L))
+      .toDF("k", "s", "e", "id")
+    val out = Intervals
+      .mergeIntervals(rows, col("k"), col("s"), col("e"), col("id"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_merged") === 3L)
+    assert(out.head.getAs[Long]("end") === 9L)
+  }
+
+  test("winnowing: shared >= k+w-1 word substring shares a fingerprint") {
+    // MOSS guarantee at k=3, w=4: any common 6-word run must yield at
+    // least one common (hash) selection.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"$shared seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("fp_hash"))
+    val h1 = fps.collect { case (1L, h) => h }.toSet
+    val h2 = fps.collect { case (2L, h) => h }.toSet
+    assert(h1.intersect(h2).nonEmpty,
+      s"no shared fingerprint: $h1 vs $h2")
+  }
+
+  test("winnowing: density and rightmost-min tie rule") {
+    // 8 words -> 6 3-gram hashes -> 3 full windows (positions 3..5);
+    // selections are distinct (pos, hash) pairs, at most one per
+    // window, each the window min.
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text").collect()
+    assert(fps.nonEmpty && fps.length <= 3)
+    // every selected hash is a real 3-gram hash of the doc
+    val ws = "a b c d e f g h".split(" ")
+    def wh(w: String): Long =
+      w.length.toLong * 10007L + w.head.toLong * 101L + w.last.toLong
+    val grams = ws.sliding(3).map(
+      _.foldLeft(0L)((acc, w) => (acc * 31L + wh(w)) % 1000000007L)).toSeq
+    fps.foreach { r =>
+      val h = r.getAs[Long]("fp_hash")
+      val p = r.getAs[Long]("fp_pos")
+      assert(grams(p.toInt) === h, s"pos $p hash $h not the gram hash")
+    }
+  }
+
+  test("boilerplateScrub drops every copy of a shared line, per group") {
+    val docs = Seq(
+      (1L, "s1", "the same banner\nunique one"),
+      (2L, "s1", "the same banner\nunique two"),
+      (3L, "s2", "the same banner\nunique three"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup
+      .boilerplateScrub(docs, "doc_id", "text", "source", maxDf = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text"))).toMap
+    // s1's banner is boilerplate (2 docs); s2's single copy is content
+    assert(out(1L) === ((1L, 1L, "unique one")))
+    assert(out(2L) === ((1L, 1L, "unique two")))
+    assert(out(3L) === ((2L, 0L, "the same banner\nunique three")))
+  }
+
+  test("kruskalWallis matches the textbook H on a tied example") {
+    // groups: a={1,2,2}, b={2,3}, c={3,3,4}
+    // pooled sorted: 1,2,2,2,3,3,3,4 (n=8)
+    // avg ranks: 1->1; 2->3; 3->6; 4->8 (doubled: 2,6,12,16)
+    // 2R_a=2+6+6=14, 2R_b=6+12=18, 2R_c=12+12+16=40
+    // ties T = (3^3-3)+(3^3-3) = 48
+    // H = [3/(8*9)*(14^2/3+18^2/2+40^2/3) - 27] / (1 - 48/504)
+    val df = (Seq(("a", 1), ("a", 2), ("a", 2), ("b", 2), ("b", 3)) ++
+      Seq(("c", 3), ("c", 3), ("c", 4))).toDF("g", "v")
+    val r = StatTests.kruskalWallis(df, "g", col("v").cast("long"))
+      .collect().head
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Double]("tie_t") === 48.0)
+    val q4 = 14.0 * 14 / 3 + 18.0 * 18 / 2 + 40.0 * 40 / 3
+    assert(math.abs(r.getAs[Double]("q4") - q4) < 1e-9)
+    val h = (3.0 * q4 / 72.0 - 27.0) / (1.0 - 48.0 / 504.0)
+    assert(math.abs(r.getAs[Double]("h_stat") - h) < 1e-9)
+  }
+
+  test("anovaF matches the textbook F and degenerates to NULL") {
+    // a={1,2,3} (mean 2), b={4,5,6} (mean 5): SSB=3*(1.5^2)*2=13.5,
+    // SSW=2+2=4, F = (13.5/1) / (4/4) = 13.5
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6))
+      .toDF("g", "v")
+    val r = StatTests.anovaF(df, "g", col("v").cast("long")).collect().head
+    assert(math.abs(r.getAs[Double]("f_stat") - 13.5) < 1e-9)
+    // one group: F undefined
+    val one = Seq(("a", 1), ("a", 2)).toDF("g", "v")
+    val r1 = StatTests.anovaF(one, "g", col("v").cast("long")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("f_stat")))
+  }
+
+  test("cramersV: perfect association reads 1, independence reads 0") {
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(7)(("y", "q")))
+      .toDF("a", "b")
+    val v1 = Profile.cramersV(perfect, "a", "b").collect().head
+    assert(math.abs(v1.getAs[Double]("cramers_v") - 1.0) < 1e-12)
+    val indep = (Seq.fill(6)(("x", "p")) ++ Seq.fill(6)(("x", "q")) ++
+      Seq.fill(6)(("y", "p")) ++ Seq.fill(6)(("y", "q"))).toDF("a", "b")
+    val v0 = Profile.cramersV(indep, "a", "b").collect().head
+    assert(math.abs(v0.getAs[Double]("cramers_v")) < 1e-12)
+  }
+
+  test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
+    val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
+      .toDF("k", "v")
+    val m = Moments.momentsByGroup(df, "k", "v").collect().head
+    val jb = Moments.jarqueBera(df, "k", "v").collect().head
+    val want = m.getAs[Long]("n").toDouble / 6.0 *
+      (math.pow(m.getAs[Double]("skew"), 2) +
+        math.pow(m.getAs[Double]("kurt_excess"), 2) / 4.0)
+    assert(math.abs(jb.getAs[Double]("jb_stat") - want) < 1e-12)
+    assert(jb.getAs[Double]("jb_stat") > 0.0)
+  }
+}
