@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
@@ -19,16 +18,20 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: k-gram hashes are the corpus-wide word-hash fold
   * (acc·31 + wordHash mod 1e9+7 — the `q_fingerprint` convention);
-  * the rightmost-min-per-window rule is ONE windowed integer `min`
-  * over the tie-coded key `h·2²⁰ + (2²⁰−1−pos)` (min hash first,
-  * then LARGEST position), decoded back with div/mod on positives —
-  * no struct comparisons, so every engine agrees bit-for-bit.
+  * the rightmost-min-per-window rule is an integer `least` fold over
+  * the tie-coded key `h·2²⁰ + (2²⁰−1−pos)` (min hash first, then
+  * LARGEST position), decoded back with div/mod on positives — no
+  * struct comparisons, so every engine agrees bit-for-bit.
   *
-  * Scale shape: hashes materialize per document as an array in the
-  * projection (no shuffle); the only exchange is the per-document
-  * window sort (parallelism = documents) and the closing distinct.
-  * Position capacity is 2²⁰ k-grams per document — beyond
-  * million-word documents, chunk first ([[Chunking]]).
+  * Scale shape: the ENTIRE selection happens inside the row's array
+  * domain — k-gram hashes, per-window minima, and dedup
+  * (`array_distinct`) are codegen'd expressions in the projection,
+  * so the operator is embarrassingly parallel with ZERO exchanges
+  * (compare a window-function formulation, which would shuffle one
+  * row per k-gram just to sort each document's own positions). Work
+  * is O(words·w) per document. Position capacity is 2²⁰ k-grams per
+  * document — beyond million-word documents, chunk first
+  * ([[Chunking]]).
   */
 object Winnow {
 
@@ -56,19 +59,20 @@ object Winnow {
       sequence(lit(1), size(col("ws")) - (k - 1)),
       i => aggregate(slice(col("ws"), i, lit(k)), lit(0L),
         (acc, x) => (acc * 31L + TextOps.wordHash(x)) % 1000000007L))
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), 0)
+    // per full window ending at 0-based k-gram position p: the least
+    // tie-coded key over positions p-w+1 .. p
+    val sel = transform(
+      sequence(lit(w - 1), size(col("hs")) - 1),
+      p => aggregate(sequence(p - (w - 1), p), lit(Long.MaxValue),
+        (acc, i) => least(acc,
+          element_at(col("hs"), i + 1) * PosCap
+            + (lit(PosCap - 1) - i))))
     df.select(col(idCol).as("id"), ws.as("ws"))
       .filter(size(col("ws")) >= k + w - 1)
       .select(col("id"), grams.as("hs"))
-      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
-      .select(col("id"), col("pos"),
-        (col("h") * PosCap + (lit(PosCap - 1) - col("pos"))).as("key"))
-      .withColumn("mk", min(col("key")).over(win))
-      .filter(col("pos") >= w - 1)
+      .select(col("id"), explode(array_distinct(sel)).as("mk"))
       .select(col("id"),
         (lit(PosCap - 1) - (col("mk") % PosCap)).as("fp_pos"),
         expr(s"mk div $PosCap").as("fp_hash"))
-      .distinct()
   }
 }
