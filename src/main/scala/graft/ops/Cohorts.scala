@@ -44,4 +44,101 @@ object Cohorts {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_active"))
   }
+
+  /** RFM segmentation: per-entity Recency / Frequency / Monetary
+    * quintile scores against a fixed reporting anchor — the classic
+    * customer-value readout, built scale-safe. Each measure's
+    * quintile comes from an exact rank read on [[Quantiles.cumDist]]
+    * over the measure's DISTINCT-value frame (`⌈5·cum/n⌉` via
+    * positive integer `div` — never a global NTILE sort, whose
+    * parallelism is 1). Recency is inverted (`6 − q`) so 5 always
+    * means "best": most recent, most frequent, highest spend.
+    *
+    * Scale shape: one hash aggregation to the per-entity frame
+    * (persisted — it feeds three cumDist passes and the final
+    * lookups), three distinct-value cumDist pipelines (each orders of
+    * magnitude below the entity count), three equi-joins back. The
+    * anchor is a caller-supplied literal date, not a data-derived
+    * 1-row broadcast: reporting runs pin their as-of date anyway, and
+    * it keeps the plan join-free of scalar crosses.
+    *
+    * @param anchorDate 'yyyy-MM-dd' as-of date (recency = days from
+    *                   last activity to the anchor)
+    * @return (user_id, rec_days, freq, mon_cents,
+    *         r_score, f_score, m_score, segment)
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsExpr: org.apache.spark.sql.Column,
+      anchorDate: String): DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        datediff(lit(anchorDate).cast("date"), max(to_date(col(tsCol))))
+          .cast("long").as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(centsExpr.cast("long")).as("mon_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // quintile read off the distinct-value CDF: ⌈5·cum/n⌉ ∈ 1..5
+    def quint(c: String): DataFrame =
+      Quantiles.cumDist(per, lit(0), col(c))
+        .select(col("v").as(c),
+          expr("(5*cum + n - 1) div n").as(s"q_$c"))
+
+    per
+      .join(quint("rec_days"), Seq("rec_days"))
+      .join(quint("freq"), Seq("freq"))
+      .join(quint("mon_cents"), Seq("mon_cents"))
+      .select(col("user_id"), col("rec_days"), col("freq"),
+        col("mon_cents"),
+        (lit(6L) - col("q_rec_days")).as("r_score"),
+        col("q_freq").as("f_score"),
+        col("q_mon_cents").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"),
+          col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /** Shared Spark↔oracle closing expression for [[smoothedRates]]:
+    * additive (empirical-Bayes-style) shrinkage toward the global
+    * rate with prior strength m — `(s + m·S/N) / (n + m)`.
+    */
+  def SmoothExpr(m: Int): String =
+    s"""(CAST(s AS DOUBLE)
+        + $m.0*(CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)))
+       / (CAST(n AS DOUBLE) + $m.0)"""
+
+  /** Per-entity success rates shrunk toward the global rate: the
+    * low-volume-entity fix for rate rankings (a 1/1 user must not
+    * outrank a 95/100 one). `smoothed = (s_i + m·p̄)/(n_i + m)` with
+    * p̄ the GLOBAL success rate and m the prior's pseudo-count
+    * weight. All sufficient statistics are exact integers; the two
+    * closing divisions are one token-shared expression.
+    *
+    * Scale shape: one conditional-count hash aggregation to the
+    * per-entity frame; the global totals re-aggregate THAT frame
+    * (never a second input scan) into one row, broadcast back as the
+    * documented tiny-cross pattern.
+    *
+    * @return (user_id, n, s, smoothed_rate)
+    */
+  def smoothedRates(
+      events: DataFrame,
+      userCol: String,
+      successExpr: org.apache.spark.sql.Column,
+      priorWeight: Int = 20): DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successExpr, 1L).otherwise(0L)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(sum(col("n")).as("ng"), sum(col("s")).as("sg"))
+    per.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"), col("s"),
+        expr(SmoothExpr(priorWeight)).as("smoothed_rate"))
+  }
 }

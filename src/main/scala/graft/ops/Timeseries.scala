@@ -325,4 +325,34 @@ object Timeseries {
       .withColumn("forecast",
         expr("level + trend + s_next"))
   }
+  /** Exact rolling median of an integral series per group: the
+    * robust trailing-window smoother (a single spike moves a rolling
+    * mean by spike/width but the median not at all). Window rows are
+    * collected into a bounded array (≤ `width` elements), sorted, and
+    * read at the discrete median position ⌈len/2⌉ — all integer
+    * expressions, so cross-engine exact. Early rows smooth over the
+    * shorter available prefix, matching the SQL frame semantics.
+    *
+    * Scale shape: one window pass partitioned by group over the
+    * CALENDAR-bounded series frame (callers pass pre-aggregated
+    * daily/hourly points, one row per period); the collected buffer
+    * is `width` longs.
+    *
+    * @return input columns (g, t, y) plus roll_med
+    */
+  def rollingMedian(
+      df: DataFrame,
+      gCol: Column,
+      tCol: Column,
+      yCol: Column,
+      width: Int = 7): DataFrame = {
+    require(width >= 1, "window width must be positive")
+    val win = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(-(width - 1), 0)
+    df.select(gCol.as("g"), tCol.as("t"), yCol.as("y"))
+      .withColumn("buf", sort_array(collect_list(col("y")).over(win)))
+      .select(col("g"), col("t"), col("y"),
+        expr("element_at(buf, CAST((size(buf) + 1) div 2 AS INT))")
+          .as("roll_med"))
+  }
 }

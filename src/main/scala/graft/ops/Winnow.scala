@@ -75,4 +75,46 @@ object Winnow {
         (lit(PosCap - 1) - (col("mk") % PosCap)).as("fp_pos"),
         expr(s"mk div $PosCap").as("fp_hash"))
   }
+
+  /** Overlap-candidate pairs from winnowing fingerprints — the
+    * plagiarism/quotation detector [[fingerprints]] exists to feed:
+    * document pairs sharing at least `minShared` distinct selected
+    * hashes, with the shared count as evidence. By the winnowing
+    * guarantee every common word run of length ≥ k+w−1 contributes a
+    * shared fingerprint, so genuine partial overlaps can't be missed;
+    * `maxDf` drops corpus-ubiquitous fingerprints (boilerplate) the
+    * same way [[Dedup.jaccardPairs]] cuts hot shingles.
+    *
+    * Scale shape: the posting frame is built once and persisted (it
+    * feeds both the document-frequency cut and the pair join); pair
+    * generation GROUPS the posting list per hash and explodes ordered
+    * pairs (the [[Dedup.jaccardPairs]] rewrite — one posting
+    * pipeline, fan-out bounded by maxDf²), never a posting self-join.
+    *
+    * @return (doc_id_a, doc_id_b, shared) with doc_id_a < doc_id_b
+    */
+  def overlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 256): DataFrame = {
+    val posts = fingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash").as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hcut = posts.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxDf)
+      .select(col("h"))
+    posts.join(hcut, Seq("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("id"))).as("docs"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("doc_id_a"), col("b").as("doc_id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

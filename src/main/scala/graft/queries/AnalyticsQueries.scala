@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Intervals, Moments, Profile, StatTests, TextOps, Winnow}
+import graft.ops.{Cohorts, Dedup, Intervals, Moments, Profile, StatTests,
+  TextOps, Timeseries, Winnow}
 
 /** Seventh operator pack: the k-group hypothesis-test family (ANOVA,
   * Kruskal-Wallis, Jarque-Bera, Cramér's V), interval coalescing,
@@ -112,7 +113,39 @@ object AnalyticsQueries {
     "q_winnowing" -> ((s, d) =>
       Winnow.fingerprints(Tables.documents(s, d), "doc_id", "text",
         k = 3, w = 4)
-        .withColumnRenamed("id", "doc_id")))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Overlap-candidate pairs on those fingerprints: documents
+    // sharing >= 2 selected hashes (quotation/plagiarism evidence),
+    // grouped posting-list pair generation, df-cut boilerplate.
+    "q_winnow_pairs" -> ((s, d) =>
+      Winnow.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2)),
+
+    // Exact rolling 7-day median of daily volume per event type —
+    // the robust smoother over the calendar-bounded daily frame.
+    "q_rolling_median" -> ((s, d) =>
+      Timeseries.rollingMedian(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("day"), col("y"), width = 7)
+        .select(col("g").as("event_type"), col("t").as("day"),
+          col("y"), col("roll_med"))),
+
+    // RFM segmentation of purchasers: exact quintile scores via
+    // cumDist rank reads (no global NTILE sort), recency inverted so
+    // 5 = best on every axis.
+    "q_rfm" -> ((s, d) =>
+      Cohorts.rfm(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", floor(col("value") * 100), "2024-02-01")),
+
+    // Per-user purchase rate shrunk toward the global rate with a
+    // 20-pseudo-count prior — the low-volume ranking fix.
+    "q_smoothed_rates" -> ((s, d) =>
+      Cohorts.smoothedRates(Tables.events(s, d), "user_id",
+        col("event_type") === "purchase", priorWeight = 20)))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -287,7 +320,86 @@ object AnalyticsQueries {
           GROUP BY 1, 2""",
 
     "q_winnowing" ->
-      s"""WITH toks AS (SELECT doc_id, $ws AS ws FROM documents),
+      s"""WITH $winnowCtes
+          SELECT DISTINCT doc_id,
+            1048575 - (mk % 1048576) AS fp_pos,
+            mk // 1048576 AS fp_hash
+          FROM m WHERE pos >= 3""",
+
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+          fp AS MATERIALIZED (SELECT DISTINCT doc_id,
+              mk // 1048576 AS h FROM m WHERE pos >= 3),
+          hc AS (SELECT h FROM fp GROUP BY 1
+                 HAVING count(*) >= 2 AND count(*) <= 256)
+          SELECT f1.doc_id AS doc_id_a, f2.doc_id AS doc_id_b,
+            CAST(count(*) AS BIGINT) AS shared
+          FROM fp f1 JOIN fp f2 USING (h) JOIN hc USING (h)
+          WHERE f1.doc_id < f2.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    "q_rolling_median" ->
+      """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          b AS (SELECT g, t, y,
+              list_sort(list(y) OVER (PARTITION BY g ORDER BY t
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS buf
+            FROM d)
+          SELECT g AS event_type, t AS day, y,
+            buf[(len(buf)+1)//2] AS roll_med
+          FROM b""",
+
+    "q_rfm" ->
+      """WITH per AS MATERIALIZED (SELECT user_id,
+              CAST(date_diff('day', max(CAST(ts AS DATE)),
+                DATE '2024-02-01') AS BIGINT) AS rec_days,
+              CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+                AS mon_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          qr AS (SELECT v AS rec_days, (5*cum + n - 1) // n AS q_r
+            FROM (SELECT v,
+                CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS n
+              FROM (SELECT rec_days AS v, count(*) AS c
+                    FROM per GROUP BY 1))),
+          qf AS (SELECT v AS freq, (5*cum + n - 1) // n AS q_f
+            FROM (SELECT v,
+                CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS n
+              FROM (SELECT freq AS v, count(*) AS c
+                    FROM per GROUP BY 1))),
+          qm AS (SELECT v AS mon_cents, (5*cum + n - 1) // n AS q_m
+            FROM (SELECT v,
+                CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS n
+              FROM (SELECT mon_cents AS v, count(*) AS c
+                    FROM per GROUP BY 1)))
+          SELECT p.user_id, p.rec_days, p.freq, p.mon_cents,
+            6 - q_r AS r_score, q_f AS f_score, q_m AS m_score,
+            CAST(6 - q_r AS VARCHAR) || CAST(q_f AS VARCHAR)
+              || CAST(q_m AS VARCHAR) AS segment
+          FROM per p JOIN qr USING (rec_days) JOIN qf USING (freq)
+          JOIN qm USING (mon_cents)""",
+
+    "q_smoothed_rates" ->
+      s"""WITH per AS MATERIALIZED (SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+            FROM events GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS ng,
+              CAST(sum(s) AS BIGINT) AS sg FROM per)
+          SELECT user_id, n, s, ${Cohorts.SmoothExpr(20)}
+            AS smoothed_rate
+          FROM per CROSS JOIN tot""")
+
+  /** Shared winnowing CTE chain (k=3, w=4): ends at `m` holding
+    * (doc_id, pos, mk) — the per-window tie-coded minimum keys.
+    */
+  private def winnowCtes: String =
+    s"""toks AS (SELECT doc_id, $ws AS ws FROM documents),
           docs AS (SELECT doc_id, ws FROM toks WHERE len(ws) >= 6),
           gh AS (SELECT doc_id,
               list_transform(range(1, len(ws) - 1), i ->
@@ -306,9 +418,5 @@ object AnalyticsQueries {
           m AS (SELECT doc_id, pos,
               min(key) OVER (PARTITION BY doc_id ORDER BY pos
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
-            FROM kk)
-          SELECT DISTINCT doc_id,
-            1048575 - (mk % 1048576) AS fp_pos,
-            mk // 1048576 AS fp_hash
-          FROM m WHERE pos >= 3""")
+            FROM kk)"""
 }

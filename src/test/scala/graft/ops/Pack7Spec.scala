@@ -147,6 +147,73 @@ class Pack7Spec extends AnyFunSuite {
     assert(math.abs(v0.getAs[Double]("cramers_v")) < 1e-12)
   }
 
+  test("winnow overlapPairs finds the quoting pair, not the stranger") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro words here $shared closing words here"),
+      (2L, s"$shared totally different tail follows now okay"),
+      (3L, "nothing in common with either of those two documents"))
+      .toDF("doc_id", "text")
+    val pairs = Winnow
+      .overlapPairs(docs, "doc_id", "text", minShared = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id_a"), r.getAs[Long]("doc_id_b")))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("rollingMedian: spike-robust, short prefixes use available rows") {
+    val pts = Seq(("a", 1, 5), ("a", 2, 6), ("a", 3, 100), ("a", 4, 7),
+      ("a", 5, 5), ("a", 6, 6), ("a", 7, 7), ("a", 8, 8)).toDF("g", "t", "y")
+    val out = Timeseries
+      .rollingMedian(pts, col("g"), col("t"), col("y").cast("long"), 7)
+      .collect().map(r => r.getAs[Int]("t") -> r.getAs[Long]("roll_med"))
+      .toMap
+    assert(out(1) === 5L) // buf [5]
+    assert(out(2) === 5L) // buf [5,6] -> lower middle
+    assert(out(3) === 6L) // buf [5,6,100]
+    assert(out(7) === 6L) // buf [5,5,6,6,7,7,100] -> 6, spike ignored
+    assert(out(8) === 7L) // buf drops t=1: sorted [5,6,6,7,7,8,100] -> 7
+  }
+
+  test("rfm: quintiles are exact CDF reads, recency inverted") {
+    import java.sql.Timestamp
+    // 5 users with strictly increasing recency/frequency/monetary
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map { i =>
+        (u.toLong, Timestamp.valueOf(s"2024-01-0$u 00:00:00"), i * 1.0)
+      }
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = Cohorts
+      .rfm(df, "user_id", "ts", floor(col("value") * 100), "2024-02-01")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+          r.getAs[Long]("m_score"), r.getAs[String]("segment"))).toMap
+    // user 5: most recent (last day), most frequent, highest spend
+    assert(out(5L) === ((5L, 5L, 5L, "555")))
+    assert(out(1L) === ((1L, 1L, 1L, "111")))
+    assert(out(3L) === ((3L, 3L, 3L, "333")))
+  }
+
+  test("smoothedRates shrinks low-volume users toward the global rate") {
+    // u1: 1/1 raw (raw rank #1); u2: 95/100; u3: 0/99 background
+    // global = 96/200 — the prior pulls the 1/1 user below the
+    // 95/100 one, which is the point of the shrinkage
+    val rows = Seq((1L, true)) ++
+      (1 to 95).map(_ => (2L, true)) ++ (1 to 5).map(_ => (2L, false)) ++
+      (1 to 99).map(_ => (3L, false))
+    val df = rows.toDF("u", "ok")
+    val out = Cohorts.smoothedRates(df, "u", col("ok"), priorWeight = 20)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("smoothed_rate"))
+      .toMap
+    val p = 96.0 / 200.0
+    assert(math.abs(out(1L) - (1.0 + 20 * p) / 21.0) < 1e-12)
+    assert(math.abs(out(2L) - (95.0 + 20 * p) / 120.0) < 1e-12)
+    assert(out(2L) > out(1L), "the 95/100 user must outrank the 1/1 user")
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
