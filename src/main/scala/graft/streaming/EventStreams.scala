@@ -571,6 +571,83 @@ object EventStreams {
       }
   }
 
+  final case class IslandSummary(
+      user_id: Long, start_s: Long, end_s: Long, n_merged: Long)
+
+  /** Open coalesced-interval state in epoch seconds (public: the
+    * state encoder's generated code must be able to construct it).
+    */
+  final case class IslandState(start: Long, end: Long, n: Long)
+
+  /** Streaming twin of [[graft.ops.Intervals.mergeIntervals]]: each
+    * event opens a span [s, s + durSeconds(e)) and overlapping or
+    * touching spans coalesce per user into islands. An island closes
+    * when the event-time watermark passes its running max END — by
+    * then every arrival that survives the watermark must start past
+    * it, so no in-watermark event can ever extend the island (the
+    * variable-span generalization of [[sessionize]]'s gap timeout;
+    * here the timeout horizon moves with max(end), not last-event
+    * time). In-batch, a new span starting past the open island's end
+    * closes it immediately; a delayed span landing wholly BEFORE the
+    * island is emitted as its own complete island (the single-state
+    * approximation [[sessionize]] documents — exact while
+    * watermarkDelay keeps bridgeable spans inside one state window).
+    *
+    * Emitted islands carry epoch-second bounds, bit-identical to the
+    * batch operator's over the same rows (the spec asserts equality).
+    */
+  def mergeIntervalsStream(
+      events: Dataset[Event],
+      durSeconds: Event => Long,
+      watermarkDelay: String = "10 minutes"): Dataset[IslandSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandState, IslandSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[IslandState]) =>
+          def summary(s: IslandState) =
+            IslandSummary(uid, s.start, s.end, s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(summary).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val spans = rows.toSeq
+              .map { e =>
+                val s0 = math.floorDiv(e.ts.getTime, 1000L)
+                (s0, s0 + durSeconds(e), e.event_id)
+              }
+              .sortBy { case (s0, _, id) => (s0, id) }
+            var closed = List.empty[IslandSummary]
+            var cur = state.getOption
+            for ((s0, e0, _) <- spans) {
+              cur match {
+                case Some(st) if s0 > st.end =>
+                  closed ::= summary(st)
+                  cur = Some(IslandState(s0, e0, 1))
+                case Some(st) if e0 < st.start =>
+                  // wholly before the open island: a complete past
+                  // island of its own (delayed-but-in-watermark)
+                  closed ::= IslandSummary(uid, s0, e0, 1)
+                case Some(st) =>
+                  cur = Some(IslandState(math.min(st.start, s0),
+                    math.max(st.end, e0), st.n + 1))
+                case None =>
+                  cur = Some(IslandState(s0, e0, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.end * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming OHLC bars — the streaming twin of
     * [[graft.ops.Timeseries.resampleOhlc]]: per (event_type, hour)
     * deterministic open/high/low/close via the SAME struct-min trick,

@@ -952,4 +952,80 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+  test("interval merge stream: variable spans coalesce, close on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // span length = value seconds (the test keeps it explicit)
+    val islands = EventStreams.mergeIntervalsStream(input.toDS(),
+      durSeconds = e => e.value.toLong, watermarkDelay = "1 minute")
+    val q = islands.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("islands").start()
+    try {
+      // u1: [00:00, +600s) swallows [05:00, +10s); [11:00,...) is past
+      // the 600s end (10:10) -> closes island 1 in-batch
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 600.0),
+        ev(2, "2024-01-01 10:05:00", 1, "click", 10.0),
+        ev(3, "2024-01-01 10:11:00", 1, "click", 30.0))
+      q.processAllAvailable()
+      // watermark jump via another user -> island 2 times out
+      input.addData(ev(9, "2024-01-01 12:00:00", 2, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 14:00:00", 3, "click", 5.0))
+      q.processAllAvailable()
+      val u1 = spark.table("islands").as[EventStreams.IslandSummary]
+        .collect().filter(_.user_id == 1L).sortBy(_.start_s)
+      assert(u1.length == 2)
+      val base = ts("2024-01-01 10:00:00").getTime / 1000L
+      assert(u1(0) == EventStreams.IslandSummary(1L, base, base + 600L, 2L))
+      assert(u1(1) == EventStreams.IslandSummary(
+        1L, base + 660L, base + 690L, 1L))
+    } finally q.stop()
+  }
+
+  test("interval merge stream matches the batch operator on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random spans for 3 users, fed in ts order
+    val evs = (0 until 48).map { i =>
+      val user = 1L + (i % 3)
+      val minute = (i * 7) % 115
+      val dur = 60.0 + (i * 37 % 240)
+      ev(100L + i,
+        f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00",
+        user, "click", dur)
+    }.sortBy(_.ts.getTime)
+    val input = MemoryStream[EventStreams.Event]
+    val islands = EventStreams.mergeIntervalsStream(input.toDS(),
+      durSeconds = e => e.value.toLong, watermarkDelay = "2 minutes")
+    val q = islands.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("islands_eq").start()
+    try {
+      val (a, b) = evs.splitAt(20)
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      // close everything: far-future sentinels for an unused user
+      // (two batches — timeouts fire against the PREVIOUS batch's
+      // watermark, so the second sentinel reaps the last islands)
+      input.addData(ev(999, "2024-01-02 10:00:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(1000, "2024-01-02 12:00:00", 9, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("islands_eq")
+        .as[EventStreams.IslandSummary].collect()
+        .filter(_.user_id <= 3L)
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_merged)).sorted
+      val batchIn = evs.toDF()
+      val sec = col("ts").cast("timestamp").cast("long")
+      val batch = graft.ops.Intervals.mergeIntervals(batchIn,
+        col("user_id"), sec, sec + col("value").cast("long"),
+        col("event_id"))
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("start"),
+          r.getAs[Long]("end"), r.getAs[Long]("n_merged"))).sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
