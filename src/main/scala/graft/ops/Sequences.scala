@@ -171,4 +171,31 @@ object Sequences {
         (col("w_sum").cast("double") /
           lit(math.pow(2.0, horizonDays))).as("score"))
   }
+
+  /** Collapse consecutive repeats: keep each event only when its type
+    * differs from the user's immediately preceding event — the
+    * bot-retry / double-fire scrub that turns raw click logs into
+    * transition-clean sequences ([[transitionCounts]] and
+    * [[topPaths]] assume this has happened; self-loops otherwise
+    * dominate both). One lag window per user (the ordering exchange
+    * those downstream ops need anyway), deterministic under the
+    * (ts, tiebreak) order.
+    *
+    * @return (user_id, ts_s epoch-seconds, event_type) — the kept rows
+    */
+  def collapseRuns(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col(typeCol))
+      .select(col(userCol).as("user_id"),
+        col(tsCol).cast("timestamp").cast("long").as("ts_s"),
+        col(typeCol).as("event_type"))
+  }
 }

@@ -145,7 +145,14 @@ object AnalyticsQueries {
     // 20-pseudo-count prior — the low-volume ranking fix.
     "q_smoothed_rates" -> ((s, d) =>
       Cohorts.smoothedRates(Tables.events(s, d), "user_id",
-        col("event_type") === "purchase", priorWeight = 20)))
+        col("event_type") === "purchase", priorWeight = 20)),
+
+    // Consecutive-repeat collapse: drop events repeating the user's
+    // immediately preceding type (bot retries / double fires) —
+    // the scrub the sequence-mining ops assume.
+    "q_collapse_runs" -> ((s, d) =>
+      graft.ops.Sequences.collapseRuns(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id")))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -393,7 +400,16 @@ object AnalyticsQueries {
               CAST(sum(s) AS BIGINT) AS sg FROM per)
           SELECT user_id, n, s, ${Cohorts.SmoothExpr(20)}
             AS smoothed_rate
-          FROM per CROSS JOIN tot""")
+          FROM per CROSS JOIN tot""",
+
+    "q_collapse_runs" ->
+      """WITH l AS (SELECT user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type,
+              lag(event_type, 1) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev
+            FROM events)
+          SELECT user_id, ts_s, event_type FROM l
+          WHERE prev IS NULL OR prev <> event_type""")
 
   /** Shared winnowing CTE chain (k=3, w=4): ends at `m` holding
     * (doc_id, pos, mk) — the per-window tie-coded minimum keys.

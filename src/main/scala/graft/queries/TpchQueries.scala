@@ -90,6 +90,62 @@ object TpchQueries {
         .select(col("n_name"), col("revd").cast("double").as("revenue"))
     }),
 
+    // Q7 — volume shipping: bilateral trade between two nations by
+    // ship year (supplier nation × customer nation, either
+    // direction). The nation pair filter applies to the BROADCAST
+    // dim joins; the fact joins stay key-partitioned hash joins.
+    "q_tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revd(col("l_extendedprice"), col("l_discount")).as("revd"))
+        .select(col("supp_nation"), col("cust_nation"),
+          col("l_year").cast("long").as("l_year"),
+          col("revd").cast("double").as("revenue"))
+    }),
+
+    // Q18 — large-volume orders: orders whose total quantity clears
+    // a threshold (HAVING semi-join on an aggregate), with customer
+    // detail, top 100 by total price. The qualifying-keys frame is a
+    // reduced aggregate (one row per BIG order) — broadcast-joined
+    // back, so the fact table shuffles once for the agg and once for
+    // the detail join, never sorts globally (TopK via limit).
+    "q_tpch_q18" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(
+        col("l_orderkey"), floor(col("l_quantity")).cast("long").as("q"))
+      val big = l.groupBy("l_orderkey").agg(sum(col("q")).as("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      Tables.orders(s, d)
+        .join(big, big("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Q10 — returned-item reporting: per-customer lost revenue from
     // 'R' lineitems in a quarter, top 20 by exact revenue.
     "q_tpch_q10" -> ((s, d) => {
@@ -146,6 +202,36 @@ object TpchQueries {
             AND o_orderdate >= TIMESTAMP '1996-01-01'
             AND o_orderdate < TIMESTAMP '1997-01-01'
           GROUP BY n_name""",
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            CAST($RevSql AS DOUBLE) AS revenue
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          GROUP BY 1, 2, 3""",
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+              CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300)
+          SELECT c_name, c_custkey, o_orderkey,
+            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+            o_totalprice, sum_qty
+          FROM orders o
+          JOIN big ON big.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     "q_tpch_q10" ->
       s"""WITH agg AS (SELECT c_custkey, c_name, c_acctbal, n_name,
