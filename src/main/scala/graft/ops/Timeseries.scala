@@ -325,6 +325,76 @@ object Timeseries {
       .withColumn("forecast",
         expr("level + trend + s_next"))
   }
+
+  /** Per-day sMAPE term over exact integer (actual, forecast) —
+    * shared token-for-token with the oracle ([[forecastBacktest]]).
+    */
+  val SmapeTerm: String =
+    """CASE WHEN CAST(x.y AS DOUBLE) + CAST(x.f AS DOUBLE) = 0.0
+       THEN 0.0
+       ELSE 2.0*abs(CAST(x.y AS DOUBLE) - CAST(x.f AS DOUBLE))
+            /(CAST(x.y AS DOUBLE) + CAST(x.f AS DOUBLE))
+       END"""
+
+  /** Closing mean for [[forecastBacktest]]. */
+  val SmapeExpr: String =
+    "CASE WHEN n_days = 0 THEN NULL ELSE ssum/CAST(n_days AS DOUBLE) END"
+
+  /** Forecast backtest: hold out the days from `splitDay` on and
+    * score the two standard baselines per group — naive (last
+    * training value) and seasonal-naive (value `season` days
+    * earlier) — by sMAPE. The honesty gate for fancier forecasters:
+    * a Holt/Holt-Winters model that can't beat seasonal-naive on the
+    * backtest is mis-specified, and the baseline table is the
+    * readout that says so.
+    *
+    * Exactness: actuals and both forecasts are exact integers (the
+    * naive forecast is an argmax struct read, seasonal-naive an
+    * equi-join on the shifted calendar day); each day's sMAPE term
+    * is one double expression over those integers and the mean folds
+    * over the horizon-bounded test frame SORTED by day
+    * ([[SmapeTerm]]/[[SmapeExpr]] token-shared with the oracle).
+    *
+    * Scale shape: one hash aggregation to the daily frame (caller
+    * supplies it pre-aggregated), argmax + shifted self-join on that
+    * CALENDAR-bounded frame, one closing fold per (group, method).
+    * Test days whose seasonal lag is absent from the daily frame drop
+    * from BOTH methods (inner join), keeping the comparison paired.
+    *
+    * @return (g, method, n_days, smape)
+    */
+  def forecastBacktest(
+      daily: DataFrame,
+      gCol: Column,
+      tCol: Column,
+      yCol: Column,
+      splitDay: String,
+      season: Int = 7): DataFrame = {
+    val base = daily.select(gCol.as("g"), tCol.as("t"), yCol.as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val split = lit(splitDay).cast("date")
+    val lastTrain = base.filter(col("t") < split)
+      .groupBy("g")
+      .agg(max(struct(col("t"), col("y"))).as("m"))
+      .select(col("g"), col("m.y").as("naive_f"))
+    val seasonal = base.select(col("g"),
+      date_add(col("t"), season).as("t"), col("y").as("snaive_f"))
+    base.filter(col("t") >= split)
+      .join(lastTrain, Seq("g"))
+      .join(seasonal, Seq("g", "t"))
+      .selectExpr("g", "t", "y",
+        "stack(2, 'naive', naive_f, 'snaive', snaive_f) AS (method, f)")
+      .groupBy(col("g"), col("method"))
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("t"), col("y"), col("f"))))
+          .as("pts"))
+      .select(col("g"), col("method"), col("n_days"),
+        expr(s"""aggregate(pts, CAST(0 AS DOUBLE),
+            (a, x) -> a + ($SmapeTerm))""").as("ssum"))
+      .select(col("g"), col("method"), col("n_days"),
+        expr(SmapeExpr).as("smape"))
+  }
+
   /** Exact rolling median of an integral series per group: the
     * robust trailing-window smoother (a single spike moves a rolling
     * mean by spike/width but the median not at all). Window rows are

@@ -152,7 +152,19 @@ object AnalyticsQueries {
     // the scrub the sequence-mining ops assume.
     "q_collapse_runs" -> ((s, d) =>
       graft.ops.Sequences.collapseRuns(Tables.events(s, d),
-        "user_id", "ts", "event_type", "event_id")))
+        "user_id", "ts", "event_type", "event_id")),
+
+    // Forecast backtest: naive vs seasonal-naive sMAPE per event
+    // type on the held-out last week — the honesty gate in front of
+    // the Holt/Holt-Winters forecasters.
+    "q_forecast_backtest" -> ((s, d) =>
+      Timeseries.forecastBacktest(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("day"), col("y"),
+        splitDay = "2024-01-25", season = 7)
+        .withColumnRenamed("g", "event_type")))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -409,7 +421,33 @@ object AnalyticsQueries {
                 ORDER BY ts, event_id) AS prev
             FROM events)
           SELECT user_id, ts_s, event_type FROM l
-          WHERE prev IS NULL OR prev <> event_type""")
+          WHERE prev IS NULL OR prev <> event_type""",
+
+    "q_forecast_backtest" -> {
+      val term = Timeseries.SmapeTerm.replace("x.", "")
+      s"""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          lastt AS (SELECT g, (max({'t': t, 'y': y})).y AS naive_f
+            FROM d WHERE t < DATE '2024-01-25' GROUP BY 1),
+          sn AS (SELECT g, t + 7 AS t, y AS snaive_f FROM d),
+          te AS (SELECT d.g, d.t, d.y, naive_f, snaive_f
+            FROM d JOIN lastt USING (g) JOIN sn USING (g, t)
+            WHERE d.t >= DATE '2024-01-25'),
+          u AS (SELECT g, t, y, 'naive' AS method, naive_f AS f FROM te
+            UNION ALL
+            SELECT g, t, y, 'snaive' AS method, snaive_f AS f FROM te),
+          a AS (SELECT g, method, CAST(count(*) AS BIGINT) AS n_days,
+              list($term ORDER BY t) AS terms
+            FROM u GROUP BY 1, 2),
+          f0 AS (SELECT g, method, n_days,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+                (a, x) -> a + x) AS ssum
+            FROM a)
+          SELECT g AS event_type, method, n_days,
+            ${Timeseries.SmapeExpr} AS smape
+          FROM f0"""
+    })
 
   /** Shared winnowing CTE chain (k=3, w=4): ends at `m` holding
     * (doc_id, pos, mk) — the per-window tie-coded minimum keys.

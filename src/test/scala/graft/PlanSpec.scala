@@ -54,6 +54,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("TPC-H shapes: dims broadcast, top-N is TakeOrdered, no global sort") {
+    // constant-size dims (nation/region) must broadcast; the exact
+    // top-N orderings must plan as TakeOrderedAndProject (heap over
+    // partitions), never a global Sort of the aggregate
+    for (q <- Seq("q_tpch_q5", "q_tpch_q7", "q_tpch_q10")) {
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q lost its dimension broadcast")
+    }
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18")) {
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q top-N is not a TakeOrdered heap")
+    }
+  }
+
   test("as-of join plans one key shuffle, never a cross product") {
     val p = plan("q_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))

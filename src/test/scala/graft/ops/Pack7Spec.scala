@@ -214,6 +214,40 @@ class Pack7Spec extends AnyFunSuite {
     assert(out(2L) > out(1L), "the 95/100 user must outrank the 1/1 user")
   }
 
+  test("collapseRuns keeps only type changes, per user, in time order") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), 1L, "a"), (2L, t(1), 1L, "a"), (3L, t(2), 1L, "b"),
+      (4L, t(3), 1L, "b"), (5L, t(4), 1L, "a"), (6L, t(0), 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sequences
+      .collapseRuns(rows, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(out.count(_._1 == 1L) === 3) // a, b, a — runs collapsed
+    assert(out.count(_._1 == 2L) === 1)
+  }
+
+  test("forecastBacktest: naive vs seasonal-naive sMAPE, paired days") {
+    import java.sql.Date
+    // 10 train days with period-2 pattern 10,20,...; 2 test days
+    // continuing it: snaive is perfect (smape 0), naive forecasts the
+    // last train value 20 for actuals 10, 20
+    val days = (1 to 12).map { i =>
+      ("a", Date.valueOf(f"2024-01-$i%02d"), if (i % 2 == 1) 10L else 20L)
+    }
+    val df = days.toDF("g", "t", "y")
+    val out = Timeseries
+      .forecastBacktest(df, col("g"), col("t"), col("y"), "2024-01-11", 2)
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("smape"))).toMap
+    assert(out("snaive") === ((2L, 0.0)))
+    // naive: day11 |10-20|*2/30 = 2/3, day12 0 -> mean 1/3
+    assert(math.abs(out("naive")._2 - (2.0 / 3.0 + 0.0) / 2.0) < 1e-12)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
