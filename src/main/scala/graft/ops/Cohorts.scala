@@ -103,6 +103,44 @@ object Cohorts {
           col("m_score").cast("string")))
   }
 
+  /** Daily-activity streaks: per user, total active days and the
+    * longest run of CONSECUTIVE calendar days with activity — the
+    * retention/habit readout (gaps-and-islands over points with a
+    * 1-day gap; [[graft.ops.Intervals.mergeIntervals]] is the span
+    * generalization). Ties on length resolve to the LATEST streak
+    * start via one struct-max — deterministic, no second window.
+    *
+    * Scale shape: the log reduces to distinct (user, day) first
+    * (map-side partial distinct), then one window pass partitioned by
+    * user over that calendar-bounded frame, then two hash aggs.
+    *
+    * @return (user_id, n_active_days, longest_streak, streak_start)
+    */
+  def activityStreaks(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val order = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val upto = order.rowsBetween(Window.unboundedPreceding, 0)
+    days
+      .withColumn("prev", lag(col("day"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          datediff(col("day"), col("prev")) > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(upto))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        max(struct(col("len"), col("d"))).as("m"))
+      .select(col("user_id"), col("n_active_days"),
+        col("m.len").as("longest_streak"),
+        col("m.d").cast("string").as("streak_start"))
+  }
+
   /** Shared Spark↔oracle closing expression for [[smoothedRates]]:
     * additive (empirical-Bayes-style) shrinkage toward the global
     * rate with prior strength m — `(s + m·S/N) / (n + m)`.

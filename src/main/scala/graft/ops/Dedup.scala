@@ -542,6 +542,55 @@ object Dedup {
       .select(col("id").as(idCol), col("n_kept"), col("n_dropped"), col("clean_text"))
   }
 
+  /** Near-duplicate pairs under Hamming distance over a 64-bit
+    * signature packed as two unsigned 32-bit halves (the
+    * [[Multimodal.perceptualHash]] layout) — the image analog of
+    * [[simHashPairs]]. Pigeonhole blocking: 4 disjoint 16-bit bands;
+    * any pair within distance ≤ 3 must agree exactly on at least one
+    * band, so recall is EXACT for maxDist ≤ 3 while candidates stay
+    * Σ|bucket|² over band-key buckets, never all pairs. Verification
+    * is the codegen'd `bit_count(xor)` popcount on the halves.
+    *
+    * Scale shape: one signature frame feeds the grouped posting-list
+    * pair generation (the [[jaccardPairs]] rewrite — no self-join of
+    * the signature lineage); distinct() collapses pairs that
+    * co-bucket in several bands.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist
+    */
+  def hammingPairs64(
+      df: DataFrame,
+      idCol: String,
+      loCol: String,
+      hiCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4 bands of 16 bits give exact recall only to distance 3")
+    val bands = df
+      .select(col(idCol).as("id"), col(loCol).as("lo"), col(hiCol).as("hi"))
+      .select(col("id"), col("lo"), col("hi"), explode(array(
+        (0 until 4).map { b =>
+          val src = if (b < 2) col("lo") else col("hi")
+          struct(lit(b).as("b"),
+            shiftright(src, (b % 2) * 16).bitwiseAND(lit(65535L))
+              .as("bkey"))
+        }: _*)).as("band"))
+      .select(col("id"), col("lo"), col("hi"),
+        col("band.b").as("b"), col("band.bkey").as("bkey"))
+    bands
+      .groupBy(col("b"), col("bkey"))
+      .agg(collect_list(struct(col("id"), col("lo"), col("hi"))).as("docs"))
+      .select(explode(col("docs")).as("x"), col("docs"))
+      .select(col("x"), explode(col("docs")).as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (bit_count(col("x.lo").bitwiseXOR(col("y.lo"))) +
+          bit_count(col("x.hi").bitwiseXOR(col("y.hi"))))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** C4-style boilerplate scrub: drop every line that occurs in more
     * than `maxDf` distinct documents OF THE SAME GROUP (domain /
     * source) — navigation chrome, license banners, cookie notices.

@@ -154,6 +154,12 @@ object AnalyticsQueries {
       graft.ops.Sequences.collapseRuns(Tables.events(s, d),
         "user_id", "ts", "event_type", "event_id")),
 
+    // Daily-activity streaks: gaps-and-islands over distinct active
+    // days; longest consecutive run per user, latest-start tie-break
+    // via struct-max (no second window).
+    "q_streaks" -> ((s, d) =>
+      Cohorts.activityStreaks(Tables.events(s, d), "user_id", "ts")),
+
     // Forecast backtest: naive vs seasonal-naive sMAPE per event
     // type on the held-out last week — the honesty gate in front of
     // the Holt/Holt-Winters forecasters.
@@ -422,6 +428,30 @@ object AnalyticsQueries {
             FROM events)
           SELECT user_id, ts_s, event_type FROM l
           WHERE prev IS NULL OR prev <> event_type""",
+
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          l AS (SELECT user_id, day,
+              lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+            FROM days),
+          b AS (SELECT user_id, day,
+              CASE WHEN prev IS NULL
+                     OR date_diff('day', prev, day) > 1
+                   THEN 1 ELSE 0 END AS brk
+            FROM l),
+          i AS (SELECT user_id, day,
+              CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS isl
+            FROM b),
+          s AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len,
+              min(day) AS d
+            FROM i GROUP BY 1, 2)
+          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+            (max({'len': len, 'd': d})).len AS longest_streak,
+            CAST((max({'len': len, 'd': d})).d AS VARCHAR) AS streak_start
+          FROM s GROUP BY 1""",
 
     "q_forecast_backtest" -> {
       val term = Timeseries.SmapeTerm.replace("x.", "")

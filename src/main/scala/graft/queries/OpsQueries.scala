@@ -761,6 +761,18 @@ object OpsQueries {
       Multimodal.perceptualHash(s,
         Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"))),
 
+    // Image near-dup PAIRS on the perceptual hash: pigeonhole 16-bit
+    // bands (exact recall to Hamming 3) + popcount verify — the
+    // multimodal twin of q_simhash_pairs.
+    "q_phash_pairs" -> ((s, d) => {
+      val ph = Multimodal.perceptualHash(s,
+        Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"))
+      Dedup.hammingPairs64(ph, "media_id", "ahash_lo", "ahash_hi",
+        maxDist = 3)
+        .select(col("id_a").as("media_id_a"),
+          col("id_b").as("media_id_b"), col("dist"))
+    }),
+
     // Frame-sampling pipeline: one row per sampled frame slice, the
     // explode shape a video pipeline needs; same oracle discipline.
     "q_multimodal_frames" -> ((s, d) => {
@@ -2376,6 +2388,23 @@ object OpsQueries {
          FROM documents""",
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_image_phash" -> imagePhashSql,
+    "q_phash_pairs" ->
+      s"""WITH ph AS MATERIALIZED ($imagePhashSql),
+          bands AS MATERIALIZED (
+            SELECT media_id, ahash_lo AS lo, ahash_hi AS hi, u.b AS b,
+              CASE u.b WHEN 0 THEN ahash_lo & 65535
+                       WHEN 1 THEN (ahash_lo >> 16) & 65535
+                       WHEN 2 THEN ahash_hi & 65535
+                       ELSE (ahash_hi >> 16) & 65535 END AS bkey
+            FROM ph, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+          pr AS (SELECT DISTINCT b1.media_id AS media_id_a,
+              b2.media_id AS media_id_b,
+              CAST(bit_count(xor(b1.lo, b2.lo))
+                   + bit_count(xor(b1.hi, b2.hi)) AS BIGINT) AS dist
+            FROM bands b1 JOIN bands b2
+              ON b1.b = b2.b AND b1.bkey = b2.bkey
+            WHERE b1.media_id < b2.media_id)
+          SELECT media_id_a, media_id_b, dist FROM pr WHERE dist <= 3""",
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_resize" -> multimodalResizeSql,
     "q_multimodal_audio" -> multimodalAudioSql,

@@ -248,6 +248,51 @@ class Pack7Spec extends AnyFunSuite {
     assert(math.abs(out("naive")._2 - (2.0 / 3.0 + 0.0) / 2.0) < 1e-12)
   }
 
+  test("hammingPairs64: banded recall is exact to distance 3") {
+    // base signature; d1 flips 1 bit in lo; d3 flips 3 bits spread
+    // across bands; d4 flips 4 (one per band) — beyond the gate
+    val base = (0xABCD1234L, 0x0F0F9999L)
+    val rows = Seq(
+      (1L, base._1, base._2),
+      (2L, base._1 ^ 1L, base._2), // dist 1
+      (3L, base._1 ^ (1L << 1) ^ (1L << 17), base._2 ^ (1L << 2)), // 3
+      (4L, base._1 ^ 1L ^ (1L << 16), base._2 ^ 1L ^ (1L << 16)))
+      .toDF("id", "lo", "hi")
+    val pairs = Dedup.hammingPairs64(rows, "id", "lo", "hi", maxDist = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("dist")).toMap
+    assert(pairs((1L, 2L)) === 1L)
+    assert(pairs((1L, 3L)) === 3L)
+    assert(!pairs.contains((1L, 4L))) // dist 4: correctly outside
+    assert(!pairs.contains((2L, 3L))) // dist 4 via both halves
+  }
+
+  test("activityStreaks: longest consecutive-day run, latest tie-break") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // u1: days 1,2,3 then 5,6 -> longest 3 from Jan 1; two events on
+    // day 2 must not double-count. u2: days 4 and 6,7 -> longest 2
+    // (tie 1 vs 2? no: 4 alone=1, 6-7=2)
+    val rows = Seq(
+      (1L, t(1)), (1L, t(2)), (1L, t(2)), (1L, t(3)), (1L, t(5)),
+      (1L, t(6)), (2L, t(4)), (2L, t(6)), (2L, t(7)))
+      .toDF("user_id", "ts")
+    val out = Cohorts.activityStreaks(rows, "user_id", "ts")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_active_days"), r.getAs[Long]("longest_streak"),
+          r.getAs[String]("streak_start"))).toMap
+    assert(out(1L) === ((5L, 3L, "2024-01-01")))
+    assert(out(2L) === ((3L, 2L, "2024-01-06")))
+    // tie on length -> latest start
+    val tie = Seq((3L, t(1)), (3L, t(2)), (3L, t(9)), (3L, t(10)))
+      .toDF("user_id", "ts")
+    val r3 = Cohorts.activityStreaks(tie, "user_id", "ts").collect().head
+    assert(r3.getAs[Long]("longest_streak") === 2L)
+    assert(r3.getAs[String]("streak_start") === "2024-01-09")
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
