@@ -103,6 +103,117 @@ object Cohorts {
           col("m_score").cast("string")))
   }
 
+  /** Cohort LTV curve: cumulative revenue per signup-week cohort by
+    * weeks since signup — [[weeklyRetention]]'s money twin, the
+    * payback readout ("when does a cohort's cumulative spend cross
+    * its acquisition cost"). Revenue is exact integer cents; the
+    * cumulative sum rides the (cohort × offset) frame, bounded by
+    * calendar weeks squared, never data-sized.
+    *
+    * Scale shape: cohort assignment is the same single user-partition
+    * window the per-user frame needs anyway; the base projection is
+    * persisted because the weekly-revenue and cohort-size aggregates
+    * both consume it.
+    *
+    * @return (cohort_week, week_offset, n_users, wk_cents, cum_cents)
+    */
+  def ltvCurve(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsExpr: org.apache.spark.sql.Column,
+      revenueWhen: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val base = events
+      .select(
+        col(userCol).as("user_id"),
+        to_date(date_trunc("week", col(tsCol))).as("event_week"),
+        when(revenueWhen, centsExpr.cast("long")).otherwise(0L).as("cents"))
+      .withColumn("cohort_week", min(col("event_week")).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weekly = base
+      .groupBy(col("cohort_week"),
+        (datediff(col("event_week"), col("cohort_week")) / lit(7))
+          .cast("long").as("week_offset"))
+      .agg(sum(col("cents")).as("wk_cents"))
+    val sizes = base.groupBy(col("cohort_week"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    weekly.join(sizes, Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("wk_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"), col("wk_cents"),
+        col("cum_cents"))
+  }
+
+  /** Shared Spark↔oracle closing expression for [[paretoShare]]. */
+  val ParetoExpr: String =
+    """CASE WHEN total_cents = 0 THEN NULL
+       ELSE CAST(top_cents AS DOUBLE)/CAST(total_cents AS DOUBLE)
+       END"""
+
+  /** Revenue concentration: the share of total spend held by users
+    * at or above the 90th-percentile per-user spend — the "do 10% of
+    * users carry the corpus" scalar that [[graft.ops.StatTests
+    * .giniByGroup]] generalizes to a full coefficient. The threshold
+    * is an exact rank read on the global [[Quantiles.cumDist]] over
+    * DISTINCT per-user totals (tie-inclusive: everyone AT the
+    * threshold value counts as top), so the number is deterministic
+    * under any partitioning.
+    *
+    * @return 1 row: (n_users, p90_cents, top_cents, total_cents,
+    *         top_share)
+    */
+  def paretoShare(
+      events: DataFrame,
+      userCol: String,
+      centsExpr: org.apache.spark.sql.Column): DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sum(centsExpr.cast("long")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = Quantiles.cumDist(per, lit(0), col("cents"))
+      .agg(min(when(col("cum") * 10L >= col("n") * 9L, col("v")))
+        .as("p90_cents"))
+    per.crossJoin(broadcast(thr))
+      .agg(
+        count(lit(1)).as("n_users"),
+        max(col("p90_cents")).as("p90_cents"),
+        sum(when(col("cents") >= col("p90_cents"), col("cents"))
+          .otherwise(0L)).as("top_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("n_users"), col("p90_cents"), col("top_cents"),
+        col("total_cents"), expr(ParetoExpr).as("top_share"))
+  }
+
+  /** New vs returning users per day: a user counts as new on their
+    * first-ever active day, returning on any later active day. One
+    * distinct (user, day) reduction, one user-partition window min,
+    * one daily conditional-count aggregation.
+    *
+    * @return (day, n_new, n_returning)
+    */
+  def newVsReturning(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+      .withColumn("first_day", min(col("day")).over(w))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(col("day").cast("string").as("day"), col("n_new"),
+        col("n_returning"))
+  }
+
   /** Daily-activity streaks: per user, total active days and the
     * longest run of CONSECUTIVE calendar days with activity — the
     * retention/habit readout (gaps-and-islands over points with a

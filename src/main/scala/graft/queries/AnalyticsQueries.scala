@@ -160,6 +160,23 @@ object AnalyticsQueries {
     "q_streaks" -> ((s, d) =>
       Cohorts.activityStreaks(Tables.events(s, d), "user_id", "ts")),
 
+    // Cohort LTV curve: cumulative purchase cents per signup-week
+    // cohort by weeks since signup — retention's money twin.
+    "q_ltv_curve" -> ((s, d) =>
+      Cohorts.ltvCurve(Tables.events(s, d), "user_id", "ts",
+        floor(col("value") * 100), col("event_type") === "purchase")),
+
+    // Revenue concentration: spend share of users at or above the
+    // 90th-percentile per-user spend (tie-inclusive exact threshold).
+    "q_pareto_share" -> ((s, d) =>
+      Cohorts.paretoShare(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", floor(col("value") * 100))),
+
+    // New vs returning actives per day — the growth decomposition.
+    "q_new_vs_returning" -> ((s, d) =>
+      Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
+
     // Forecast backtest: naive vs seasonal-naive sMAPE per event
     // type on the held-out last week — the honesty gate in front of
     // the Holt/Holt-Winters forecasters.
@@ -428,6 +445,66 @@ object AnalyticsQueries {
             FROM events)
           SELECT user_id, ts_s, event_type FROM l
           WHERE prev IS NULL OR prev <> event_type""",
+
+    "q_ltv_curve" ->
+      """WITH e AS (SELECT user_id,
+              CAST(date_trunc('week', ts) AS DATE) AS event_week,
+              CASE WHEN event_type = 'purchase'
+                   THEN CAST(floor(value*100) AS BIGINT)
+                   ELSE 0 END AS cents
+            FROM events),
+          c AS MATERIALIZED (SELECT user_id, event_week, cents,
+              min(event_week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM e),
+          weekly AS (SELECT cohort_week,
+              CAST((event_week - cohort_week) // 7 AS BIGINT)
+                AS week_offset,
+              CAST(sum(cents) AS BIGINT) AS wk_cents
+            FROM c GROUP BY 1, 2),
+          sizes AS (SELECT cohort_week,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM c GROUP BY 1)
+          SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+            week_offset, n_users, wk_cents,
+            CAST(sum(wk_cents) OVER (PARTITION BY cohort_week
+              ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+          FROM weekly JOIN sizes USING (cohort_week)""",
+
+    "q_pareto_share" ->
+      s"""WITH per AS MATERIALIZED (SELECT user_id,
+              CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT)
+                AS cents
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          cdf AS (SELECT v,
+              CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+              CAST(sum(c) OVER () AS BIGINT) AS n
+            FROM (SELECT cents AS v, count(*) AS c FROM per GROUP BY 1)),
+          thr AS (SELECT min(CASE WHEN cum*10 >= n*9 THEN v END)
+                AS p90_cents FROM cdf),
+          agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+              max(p90_cents) AS p90_cents,
+              CAST(sum(CASE WHEN cents >= p90_cents THEN cents
+                       ELSE 0 END) AS BIGINT) AS top_cents,
+              CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM per CROSS JOIN thr)
+          SELECT n_users, p90_cents, top_cents, total_cents,
+            ${Cohorts.ParetoExpr} AS top_share
+          FROM agg""",
+
+    "q_new_vs_returning" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          f AS (SELECT user_id, day,
+              min(day) OVER (PARTITION BY user_id) AS first_day
+            FROM days)
+          SELECT CAST(day AS VARCHAR) AS day,
+            CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+            CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returning
+          FROM f GROUP BY 1""",
 
     "q_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

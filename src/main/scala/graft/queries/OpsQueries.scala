@@ -773,6 +773,17 @@ object OpsQueries {
           col("id_b").as("media_id_b"), col("dist"))
     }),
 
+    // ... and the duplicate-image CLUSTERS those pairs induce
+    // (connected components, lowest-id canonical keeper).
+    "q_phash_clusters" -> ((s, d) => {
+      val ph = Multimodal.perceptualHash(s,
+        Multimodal.attachBinary(Tables.documents(s, d), "doc_id", "text"))
+      val pairs = Dedup.hammingPairs64(ph, "media_id", "ahash_lo",
+        "ahash_hi", maxDist = 3)
+      graft.ops.Clusters.dedupClusters(ph, "media_id", pairs,
+        "id_a", "id_b")
+    }),
+
     // Frame-sampling pipeline: one row per sampled frame slice, the
     // explode shape a video pipeline needs; same oracle discipline.
     "q_multimodal_frames" -> ((s, d) => {
@@ -2389,7 +2400,36 @@ object OpsQueries {
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_image_phash" -> imagePhashSql,
     "q_phash_pairs" ->
-      s"""WITH ph AS MATERIALIZED ($imagePhashSql),
+      s"""WITH $phashPairsCtes
+          SELECT media_id_a, media_id_b, dist FROM pr WHERE dist <= 3""",
+    "q_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCtes,
+          pairs AS (SELECT media_id_a, media_id_b FROM pr
+                    WHERE dist <= 3),
+          edges AS (SELECT media_id_a AS a, media_id_b AS b FROM pairs
+                    UNION ALL SELECT media_id_b, media_id_a FROM pairs),
+          reach(node, root) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (SELECT node, MIN(root) AS comp FROM reach GROUP BY node)
+          SELECT p.media_id,
+            COALESCE(c.comp, p.media_id) AS cluster_id,
+            CAST(p.media_id = COALESCE(c.comp, p.media_id) AS BIGINT)
+              AS is_keeper
+          FROM ph p LEFT JOIN comp c ON c.node = p.media_id""",
+    "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_resize" -> multimodalResizeSql,
+    "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_clips" -> multimodalClipsSql
+  )
+
+  /** Shared phash-pair CTE chain: the stub aHash per document, the
+    * 4×16-bit pigeonhole bands, and the popcount-verified candidate
+    * pairs (`pr(media_id_a, media_id_b, dist)`).
+    */
+  private def phashPairsCtes: String =
+    s"""ph AS MATERIALIZED ($imagePhashSql),
           bands AS MATERIALIZED (
             SELECT media_id, ahash_lo AS lo, ahash_hi AS hi, u.b AS b,
               CASE u.b WHEN 0 THEN ahash_lo & 65535
@@ -2403,13 +2443,7 @@ object OpsQueries {
                    + bit_count(xor(b1.hi, b2.hi)) AS BIGINT) AS dist
             FROM bands b1 JOIN bands b2
               ON b1.b = b2.b AND b1.bkey = b2.bkey
-            WHERE b1.media_id < b2.media_id)
-          SELECT media_id_a, media_id_b, dist FROM pr WHERE dist <= 3""",
-    "q_multimodal_frames" -> multimodalFramesSql,
-    "q_multimodal_resize" -> multimodalResizeSql,
-    "q_multimodal_audio" -> multimodalAudioSql,
-    "q_multimodal_clips" -> multimodalClipsSql
-  )
+            WHERE b1.media_id < b2.media_id)"""
 
   /** Stub-path aHash twin: cell i = byte (i mod n), integer grand
     * mean, mean-threshold bits packed into two unsigned halves —

@@ -386,6 +386,7 @@ class PlanSpec extends AnyFunSuite {
       "q_bloom_fpr", // three 1-row count frames crossed
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_smoothed_rates", // 1-row global-prior broadcast
+      "q_pareto_share", // 1-row p90-threshold broadcast
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
@@ -452,6 +453,7 @@ class PlanSpec extends AnyFunSuite {
       "q_selectivity_est", // global cumDist offsets (constant group)
       "q_kruskal", // pooled-rank cumDist offsets (constant group)
       "q_rfm", // three quintile cumDist offsets (constant group)
+      "q_pareto_share", // global cumDist offsets (constant group)
       "q_stump", // the two global cumDist prefix passes
       "q_compact_bins", // prefix sum over the file INVENTORY —
       // bounded by file count, never data size

@@ -293,6 +293,58 @@ class Pack7Spec extends AnyFunSuite {
     assert(r3.getAs[String]("streak_start") === "2024-01-09")
   }
 
+  test("ltvCurve: cumulative cohort revenue by week offset") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // u1 signs up week of Jan 1 (Mon), buys 100 then 200 two weeks
+    // later; u2 same cohort, one view only (0 cents)
+    val rows = Seq(
+      (1L, t(2), "purchase", 1.00), (1L, t(16), "purchase", 2.00),
+      (2L, t(3), "view", 9.99))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Cohorts.ltvCurve(rows, "user_id", "ts",
+      floor(col("value") * 100), col("event_type") === "purchase")
+      .collect()
+      .map(r => r.getAs[Long]("week_offset") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("wk_cents"),
+          r.getAs[Long]("cum_cents"))).toMap
+    assert(out(0L) === ((2L, 100L, 100L)))
+    assert(out(2L) === ((2L, 200L, 300L)))
+  }
+
+  test("paretoShare: tie-inclusive 90th-percentile spend share") {
+    // 10 users: nine spend 10, one spends 910 -> p90 = 910 (cum 10/10
+    // at 910; cum 9/10 at 10 -> 10*10 >= 9*10 ALSO holds at v=10!)
+    // exact read: min v with 10*cum >= 9*n -> v=10 qualifies (cum=9):
+    // 90 >= 90 -> threshold 10, tie-inclusive top = everyone.
+    val rows = (1 to 9).map(u => (u.toLong, 0.10)) :+ (10L, 9.10)
+    val df = rows.toDF("user_id", "value")
+    val r = Cohorts.paretoShare(df, "user_id", floor(col("value") * 100))
+      .collect().head
+    assert(r.getAs[Long]("p90_cents") === 10L)
+    assert(r.getAs[Double]("top_share") === 1.0)
+    // make the threshold bite: distinct spends 1..9 cents + one 910;
+    // cum reaches 9/10 at v=9 -> p90 = 9, top = users 9 and 10
+    val rows2 = (1 to 9).map(u => (u.toLong, u / 100.0)) :+ (10L, 9.10)
+    val r2 = Cohorts.paretoShare(rows2.toDF("user_id", "value"),
+      "user_id", floor(col("value") * 100)).collect().head
+    assert(r2.getAs[Long]("p90_cents") === 9L)
+    assert(math.abs(r2.getAs[Double]("top_share") - 919.0 / 955.0) < 1e-12)
+  }
+
+  test("newVsReturning splits first-ever day from later days") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val rows = Seq((1L, t(1)), (1L, t(1)), (1L, t(2)), (2L, t(2)))
+      .toDF("user_id", "ts")
+    val out = Cohorts.newVsReturning(rows, "user_id", "ts")
+      .collect()
+      .map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_returning"))).toMap
+    assert(out("2024-01-01") === ((1L, 0L)))
+    assert(out("2024-01-02") === ((1L, 1L)))
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
