@@ -418,4 +418,43 @@ object Relevance {
         log(col("c").cast("double")).as("y"))
     Regression.olsFit(points, yCol = "y", xCol = "x", groupCols = Seq.empty)
   }
+
+  /** Positional phrase search: documents containing the EXACT word
+    * sequence, with occurrence counts — the inverted-index probe a
+    * search engine runs for quoted queries ([[postingLists]] is the
+    * index side; this is the consult side). Each phrase term's
+    * postings shift left by its offset and equi-join on
+    * (doc, position): a row survives all joins iff the terms sit at
+    * consecutive positions.
+    *
+    * Scale shape: ONE tokenize+posexplode pass filtered to the
+    * phrase's terms (persisted — it feeds one filter per term), then
+    * |phrase|−1 equi-joins on (id, pos) whose sides are only the
+    * matching-term postings, orders of magnitude below the corpus.
+    * Never a `contains` scan over full text, and never a join keyed
+    * on the raw word (which would collide all positions of a hot
+    * term before the position test).
+    *
+    * @return (idCol, n_occ) — documents with ≥ 1 occurrence
+    */
+  def phraseMatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val postings = df
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = postings.filter(col("w") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(postings.filter(col("w") === w)
+          .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+    }
+    matched.groupBy(col("id").as(idCol)).agg(count(lit(1)).as("n_occ"))
+  }
 }

@@ -177,6 +177,12 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Quoted-phrase search via positional posting joins — the
+    // inverted-index probe, never a contains() scan.
+    "q_phrase_search" -> ((s, d) =>
+      graft.ops.Relevance.phraseMatch(Tables.documents(s, d),
+        "doc_id", "text", Seq("table", "table"))),
+
     // Forecast backtest: naive vs seasonal-naive sMAPE per event
     // type on the held-out last week — the honesty gate in front of
     // the Holt/Holt-Winters forecasters.
@@ -492,6 +498,15 @@ object AnalyticsQueries {
           SELECT n_users, p90_cents, top_cents, total_cents,
             ${Cohorts.ParetoExpr} AS top_share
           FROM agg""",
+
+    "q_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $ws AS ws FROM documents),
+          p AS (SELECT doc_id,
+              CAST(len(list_filter(range(1, len(ws)),
+                i -> ws[i] = 'table' AND ws[i+1] = 'table'))
+                AS BIGINT) AS n_occ
+            FROM t)
+          SELECT doc_id, n_occ FROM p WHERE n_occ > 0""",
 
     "q_new_vs_returning" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -345,6 +345,21 @@ class Pack7Spec extends AnyFunSuite {
     assert(out("2024-01-02") === ((1L, 1L)))
   }
 
+  test("phraseMatch: consecutive positions only, overlaps counted") {
+    val docs = Seq(
+      (1L, "x a b c y a b"), // "a b c": 1; "a b": 2
+      (2L, "a c b"), // words present, never consecutive
+      (3L, "a a a")) // "a a" overlaps: 2
+      .toDF("doc_id", "text")
+    def run(p: String*): Map[Long, Long] =
+      Relevance.phraseMatch(docs, "doc_id", "text", p)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(run("a", "b", "c") === Map(1L -> 1L))
+    assert(run("a", "b") === Map(1L -> 2L))
+    assert(run("a", "a") === Map(3L -> 2L))
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
