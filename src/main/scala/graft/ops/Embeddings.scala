@@ -48,6 +48,67 @@ object Embeddings {
         col("n"))
   }
 
+  /** Per-dimension mean product term for [[centroidDrift]]'s folds
+    * (quantized at 2^10 — the [[quantizedCentroids]] convention),
+    * token-shared with the oracle.
+    */
+  val DriftDot: String =
+    """(CAST(x.qa AS DOUBLE)/CAST(x.na AS DOUBLE)/1024.0)
+       * (CAST(x.qb AS DOUBLE)/CAST(x.nb AS DOUBLE)/1024.0)"""
+  val DriftAa: String =
+    """(CAST(x.qa AS DOUBLE)/CAST(x.na AS DOUBLE)/1024.0)
+       * (CAST(x.qa AS DOUBLE)/CAST(x.na AS DOUBLE)/1024.0)"""
+  val DriftBb: String =
+    """(CAST(x.qb AS DOUBLE)/CAST(x.nb AS DOUBLE)/1024.0)
+       * (CAST(x.qb AS DOUBLE)/CAST(x.nb AS DOUBLE)/1024.0)"""
+
+  /** Embedding-distribution drift between two cohorts: cosine and L2
+    * distance between the cohorts' mean vectors — the cheap first
+    * alarm before re-clustering ("did this week's embeddings move").
+    * Per-dimension sums are exact integers on the 2^10 fixed-point
+    * grid ([[quantizedCentroids]]); the closing dot/norm folds run
+    * over the DIMENSION-bounded frame sorted by position, every
+    * double expression token-shared with the oracle
+    * ([[DriftDot]]/[[DriftAa]]/[[DriftBb]]).
+    *
+    * Scale shape: ONE posexplode scan with conditional per-cohort
+    * sums, shuffling one row per dimension regardless of corpus
+    * size; the fold is a single collected 64-struct array.
+    *
+    * @return 1 row: (n_a, n_b, cos_sim, l2_dist)
+    */
+  def centroidDrift(
+      df: DataFrame,
+      vecCol: String,
+      cohortWhen: org.apache.spark.sql.Column): DataFrame = {
+    val comp = df
+      .select(cohortWhen.as("a"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("a"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * 1024).cast("long").as("q"))
+      .groupBy("pos")
+      .agg(
+        sum(when(col("a"), col("q")).otherwise(0L)).as("qa"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), col("q")).otherwise(0L)).as("qb"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    comp
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sort_array(collect_list(struct(col("pos"), col("qa"), col("na"),
+          col("qb"), col("nb")))).as("ds"))
+      .select(col("n_a"), col("n_b"),
+        expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
+            (acc, x) -> acc + ($DriftDot))""").as("dot"),
+        expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
+            (acc, x) -> acc + ($DriftAa))""").as("aa"),
+        expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
+            (acc, x) -> acc + ($DriftBb))""").as("bb"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CASE WHEN aa = 0.0 OR bb = 0.0 THEN NULL
+                ELSE dot/(sqrt(aa)*sqrt(bb)) END""").as("cos_sim"),
+        expr("sqrt(greatest(aa - 2*dot + bb, CAST(0 AS DOUBLE)))")
+          .as("l2_dist"))
+  }
+
   /** Plain float-mean centroids (production path; see class doc for
     * why this variant carries no cross-engine oracle).
     */

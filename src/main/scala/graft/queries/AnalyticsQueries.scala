@@ -183,6 +183,12 @@ object AnalyticsQueries {
       graft.ops.Relevance.phraseMatch(Tables.documents(s, d),
         "doc_id", "text", Seq("table", "table"))),
 
+    // Embedding-distribution drift: cosine/L2 between the even- and
+    // odd-id cohorts' mean vectors on the exact fixed-point grid.
+    "q_embed_drift" -> ((s, d) =>
+      graft.ops.Embeddings.centroidDrift(Tables.embeddings(s, d),
+        "embedding", col("vec_id") % 2 === 0)),
+
     // Forecast backtest: naive vs seasonal-naive sMAPE per event
     // type on the held-out last week — the honesty gate in front of
     // the Holt/Holt-Winters forecasters.
@@ -498,6 +504,43 @@ object AnalyticsQueries {
           SELECT n_users, p90_cents, top_cents, total_cents,
             ${Cohorts.ParetoExpr} AS top_share
           FROM agg""",
+
+    "q_embed_drift" -> {
+      import graft.ops.Embeddings.{DriftAa, DriftBb, DriftDot}
+      def t(s: String) = s.replace("x.", "")
+      s"""WITH comp AS (
+            SELECT (vec_id % 2 = 0) AS a, i AS pos,
+              CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1024)
+                AS BIGINT) AS q
+            FROM embeddings CROSS JOIN range(0, 64) t(i)),
+          dims AS (SELECT pos,
+              CAST(sum(CASE WHEN a THEN q ELSE 0 END) AS BIGINT) AS qa,
+              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN NOT a THEN q ELSE 0 END) AS BIGINT)
+                AS qb,
+              CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb
+            FROM comp GROUP BY 1),
+          agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+              list(${t(DriftDot)} ORDER BY pos) AS dts,
+              list(${t(DriftAa)} ORDER BY pos) AS ats,
+              list(${t(DriftBb)} ORDER BY pos) AS bts
+            FROM dims),
+          f0 AS (SELECT n_a, n_b,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), dts),
+                (acc, x) -> acc + x) AS dot,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), ats),
+                (acc, x) -> acc + x) AS aa,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), bts),
+                (acc, x) -> acc + x) AS bb
+            FROM agg)
+          SELECT n_a, n_b,
+            CASE WHEN aa = 0.0 OR bb = 0.0 THEN NULL
+            ELSE dot/(sqrt(aa)*sqrt(bb)) END AS cos_sim,
+            sqrt(greatest(aa - 2*dot + bb, CAST(0 AS DOUBLE)))
+              AS l2_dist
+          FROM f0"""
+    },
 
     "q_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $ws AS ws FROM documents),

@@ -360,6 +360,24 @@ class Pack7Spec extends AnyFunSuite {
     assert(run("a", "a") === Map(3L -> 2L))
   }
 
+  test("centroidDrift: identical cohorts read cos 1 / l2 0, orthogonal 0") {
+    val same = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.centroidDrift(same, "embedding",
+      col("vec_id") % 2 === 0).collect().head
+    assert(r.getAs[Double]("cos_sim") === 1.0)
+    assert(r.getAs[Double]("l2_dist") === 0.0)
+    val ortho = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Embeddings.centroidDrift(ortho, "embedding",
+      col("vec_id") % 2 === 0).collect().head
+    assert(r2.getAs[Double]("cos_sim") === 0.0)
+    assert(math.abs(r2.getAs[Double]("l2_dist") - math.sqrt(2)) < 1e-12)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
