@@ -189,6 +189,34 @@ object AnalyticsQueries {
       graft.ops.Embeddings.centroidDrift(Tables.embeddings(s, d),
         "embedding", col("vec_id") % 2 === 0)),
 
+    // Quality-prune pricing sweep: for stopword-mass thresholds
+    // t/10 (t = 1..5), the docs and token mass a cut at t would keep
+    // — the q_ann_recall pricing discipline applied to the filter
+    // decision, ONE aggregation for all five operating points (each
+    // keep test is the exact integer comparison 10·stops >= t·words).
+    "q_quality_sweep" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(TextOps.words(col("text")).as("ws"))
+        .select(size(col("ws")).cast("long").as("nw"),
+          TextOps.stopwordHits(col("ws"),
+            TextOps.StopwordProfiles.head._2).as("st"))
+      val aggs = Seq(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens")) ++ (1 to 5).flatMap(t => Seq(
+        sum(when(col("st") * 10 >= col("nw") * t, 1L).otherwise(0L))
+          .as(s"kd_$t"),
+        sum(when(col("st") * 10 >= col("nw") * t, col("nw"))
+          .otherwise(0L)).as(s"kt_$t")))
+      val stacked = (1 to 5)
+        .map(t => s"$t, kd_$t, kt_$t").mkString(", ")
+      base.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_docs", "n_tokens",
+          s"stack(5, $stacked) AS (threshold, kept_docs, kept_tokens)")
+        .select(col("threshold").cast("long").as("threshold"),
+          col("kept_docs"), col("kept_tokens"),
+          expr("kept_docs * 1000000 div n_docs").as("docs_ppm"),
+          expr("kept_tokens * 1000000 div n_tokens").as("tokens_ppm"))
+    }),
+
     // Forecast backtest: naive vs seasonal-naive sMAPE per event
     // type on the held-out last week — the honesty gate in front of
     // the Holt/Holt-Winters forecasters.
@@ -504,6 +532,35 @@ object AnalyticsQueries {
           SELECT n_users, p90_cents, top_cents, total_cents,
             ${Cohorts.ParetoExpr} AS top_share
           FROM agg""",
+
+    "q_quality_sweep" -> {
+      val stopEn = TextOps.StopwordProfiles.head._2
+        .map(s => s"'$s'").mkString(", ")
+      val kds = (1 to 5).map(t =>
+        s"""CAST(sum(CASE WHEN st*10 >= nw*$t THEN 1 ELSE 0 END)
+            AS BIGINT) AS kd_$t,
+            CAST(sum(CASE WHEN st*10 >= nw*$t THEN nw ELSE 0 END)
+            AS BIGINT) AS kt_$t""").mkString(",\n            ")
+      val unions = (1 to 5).map(t =>
+        s"""SELECT $t AS threshold, kd_$t AS kept_docs,
+            kt_$t AS kept_tokens, n_docs, n_tokens FROM a""")
+        .mkString("\n            UNION ALL ")
+      s"""WITH toks AS (SELECT $ws AS ws FROM documents),
+          sig AS (SELECT CAST(len(ws) AS BIGINT) AS nw,
+              CAST(len(list_filter(ws, w -> w IN ($stopEn)))
+                AS BIGINT) AS st
+            FROM toks),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nw) AS BIGINT) AS n_tokens,
+            $kds
+            FROM sig),
+          u AS ($unions)
+          SELECT CAST(threshold AS BIGINT) AS threshold, kept_docs,
+            kept_tokens,
+            kept_docs*1000000 // n_docs AS docs_ppm,
+            kept_tokens*1000000 // n_tokens AS tokens_ppm
+          FROM u"""
+    },
 
     "q_embed_drift" -> {
       import graft.ops.Embeddings.{DriftAa, DriftBb, DriftDot}
