@@ -91,4 +91,80 @@ object AsOf {
       .select(leftCols.map(col) ++
         payload.map(p => col(s"__match.$p").as(p + "_asof")): _*)
   }
+
+  /** NEAREST as-of join: attach the right row temporally CLOSEST to
+    * each left row (either direction), ties to the earlier (backward)
+    * match — the sensor-alignment semantic where "latest before" is
+    * wrong half the time. Same union shape as [[joinBackward]] with
+    * BOTH carries: the backward window's `last(ignoreNulls)` and the
+    * forward window's `first(ignoreNulls)` share one partitioning and
+    * one sort, so Catalyst plans ONE exchange + sort for both (a
+    * same-timestamp right row sorts before the left row and is
+    * carried by the backward side at distance 0, which wins every
+    * tie).
+    *
+    * Distances are floored epoch seconds (the cross-engine timestamp
+    * convention). Among right rows tied on (key, time) the carried
+    * payload must be a function of (key, time) — same caveat as
+    * [[joinBackward]] without a tie-breaker.
+    *
+    * @return left columns ++ payload columns as `<p>_near` ++
+    *         `near_dist_s` (null when the key has no right rows)
+    */
+  def joinNearest(
+      left: DataFrame,
+      leftKey: String,
+      leftTime: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    val pSchema = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)) :+
+        org.apache.spark.sql.types.StructField(
+          "__rt", org.apache.spark.sql.types.LongType))
+
+    val taggedLeft = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__tag")) ++
+        leftCols.map(col) ++
+        Seq(lit(null).cast(pSchema).as("__p")): _*)
+    val taggedRight = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__tag", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(payload.map(col) :+
+          col(rightTime).cast("timestamp").cast("long").as("__rt"): _*)
+          .as("__p")): _*)
+
+    val order = Seq(col("__t").asc, col("__tag").asc)
+    val wb = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tl = col("__t").cast("timestamp").cast("long")
+    val chosen =
+      when(col("__b").isNull && col("__f").isNull,
+        lit(null).cast(pSchema))
+        .when(col("__f").isNull, col("__b"))
+        .when(col("__b").isNull, col("__f"))
+        .when(tl - col("__b.__rt") <= col("__f.__rt") - tl, col("__b"))
+        .otherwise(col("__f"))
+
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__b", last(col("__p"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wf))
+      .filter(col("__tag") === 1)
+      .withColumn("__m", chosen)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m.$p").as(p + "_near")) :+
+        abs(col("__m.__rt") - tl).as("near_dist_s"): _*)
+  }
 }

@@ -177,6 +177,22 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // NEAREST as-of join: each event picks the temporally closest
+    // order either direction (ties backward) — one exchange, both
+    // direction carries in one window sort.
+    "q_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"))
+      graft.ops.AsOf.joinNearest(ev, "user_id", "ts",
+        ord, "o_custkey", "o_orderdate", payload = Seq("o_orderdate"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("o_orderdate_near"), "yyyy-MM-dd")
+            .as("near_order_date"),
+          col("near_dist_s"))
+    }),
+
     // Quoted-phrase search via positional posting joins — the
     // inverted-index probe, never a contains() scan.
     "q_phrase_search" -> ((s, d) =>
@@ -598,6 +614,33 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_asof_nearest" ->
+      """WITH b AS (SELECT event_id, user_id, ts, o_orderdate AS bd
+            FROM events ASOF LEFT JOIN orders
+            ON events.user_id = orders.o_custkey
+              AND events.ts >= orders.o_orderdate),
+          f AS (SELECT event_id, o_orderdate AS fd
+            FROM events ASOF LEFT JOIN orders
+            ON events.user_id = orders.o_custkey
+              AND events.ts <= orders.o_orderdate),
+          j AS (SELECT b.event_id, b.user_id, b.ts, b.bd, f.fd
+            FROM b JOIN f USING (event_id)),
+          pick AS (SELECT event_id, user_id,
+              CASE WHEN bd IS NULL AND fd IS NULL THEN NULL
+                   WHEN fd IS NULL THEN bd
+                   WHEN bd IS NULL THEN fd
+                   WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(bd)) AS BIGINT)
+                        <= CAST(floor(epoch(fd)) AS BIGINT)
+                          - CAST(floor(epoch(ts)) AS BIGINT)
+                   THEN bd ELSE fd END AS nd,
+              CAST(floor(epoch(ts)) AS BIGINT) AS tse
+            FROM j)
+          SELECT event_id, user_id,
+            strftime(nd, '%Y-%m-%d') AS near_order_date,
+            abs(CAST(floor(epoch(nd)) AS BIGINT) - tse) AS near_dist_s
+          FROM pick""",
 
     "q_phrase_search" ->
       s"""WITH t AS (SELECT doc_id, $ws AS ws FROM documents),

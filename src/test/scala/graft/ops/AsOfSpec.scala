@@ -56,4 +56,36 @@ class AsOfSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
+
+  test("nearest as-of: closest either way, ties backward, one exchange") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-03 00:00:00")), // b@01 d=2, f@04 d=1 → f
+      (2L, 10L, ts("2024-01-02 00:00:00")), // b@01 d=1, f@04 d=2 → b
+      (3L, 10L, ts("2023-12-30 00:00:00")), // before all → forward
+      (4L, 10L, ts("2024-02-01 00:00:00")), // after all → backward
+      (5L, 99L, ts("2024-01-01 00:00:00")), // no rights → null
+      (6L, 10L, ts("2024-01-02 12:00:00"))) // equidistant 36h → backward
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-04 00:00:00"), "b"))
+      .toDF("rk", "rt", "tag")
+    val df = AsOf.joinNearest(left, "k", "t", right, "rk", "rt", Seq("tag"))
+    val out = df.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("tag_near"), r.getAs[java.lang.Long]("near_dist_s")))
+      .toMap
+    assert(out(1L) === (("b", 86400L)))
+    assert(out(2L) === (("a", 86400L)))
+    assert(out(3L) === (("a", 2L * 86400L)))
+    assert(out(4L) === (("b", 28L * 86400L)))
+    assert(out(5L) === ((null, null)))
+    assert(out(6L)._1 === "a") // exact tie → backward
+    // both direction carries share one partitioning+sort: one exchange
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 2, s"expected union+window exchanges only:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
 }
