@@ -364,6 +364,60 @@ object StatTests {
                *(CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - 1.0)))
        END"""
 
+  /** Runs-test z with the exact-integer guards folded in:
+    * μ = 2ab/(a+b)+1, σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1)).
+    */
+  val RunsZExpr: String =
+    """CASE WHEN n_up = 0 OR n_down = 0
+              OR 2*n_up*n_down <= n_up + n_down THEN NULL
+       ELSE (CAST(n_runs AS DOUBLE)
+             - (2.0*CAST(n_up AS DOUBLE)*CAST(n_down AS DOUBLE)
+                /(CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0))
+            / sqrt(2.0*CAST(n_up AS DOUBLE)*CAST(n_down AS DOUBLE)
+              *(2.0*CAST(n_up AS DOUBLE)*CAST(n_down AS DOUBLE)
+                - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+              /((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                *(CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                *(CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE) - 1.0)))
+       END"""
+
+  /** Wald-Wolfowitz runs test per group on a series' up/down moves:
+    * is the sign sequence random, or trending/oscillating? Too FEW
+    * runs says trend (momentum), too many says oscillation — the
+    * randomness companion to the Theil-Sen slope (which sizes a
+    * trend but can't certify one). Zero deltas drop (the standard
+    * treatment); n_up / n_down / n_runs are exact integers off two
+    * lag windows sharing one partition sort, and z is one closing
+    * expression ([[RunsZExpr]], token-shared with the oracle) —
+    * NULL when either sign is absent or the variance degenerates.
+    *
+    * Scale shape: callers pass the pre-aggregated series (one row
+    * per period); both lags ride a single exchange partitioned by
+    * group over that calendar-bounded frame.
+    *
+    * @return (g, n_up, n_down, n_runs, z)
+    */
+  def runsTest(
+      series: DataFrame,
+      gCol: Column,
+      tCol: Column,
+      yCol: Column): DataFrame = {
+    val byT = Window.partitionBy(col("g")).orderBy(col("t"))
+    series.select(gCol.as("g"), tCol.as("t"), yCol.as("y"))
+      .withColumn("prev", lag(col("y"), 1).over(byT))
+      .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+      .withColumn("s", when(col("y") > col("prev"), 1L).otherwise(-1L))
+      .withColumn("ps", lag(col("s"), 1).over(byT))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("ps").isNull || col("s") =!= col("ps"), 1L)
+          .otherwise(0L)).as("n_runs"))
+      .select(col("g"), col("n_up"), col("n_down"), col("n_runs"),
+        expr(RunsZExpr).as("z"))
+  }
+
   /** Kruskal-Wallis rank test across k groups of an integer-safe
     * measure — the nonparametric one-way ANOVA ([[anovaF]] on ranks):
     * does ANY group's distribution sit higher than the others?

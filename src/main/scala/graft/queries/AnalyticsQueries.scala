@@ -177,6 +177,17 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Runs test on daily volume per event type: too few sign runs =
+    // trend, too many = oscillation — the randomness certificate
+    // next to the Theil-Sen slope.
+    "q_runs_test" -> ((s, d) =>
+      StatTests.runsTest(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("day"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
     // NEAREST as-of join: each event picks the temporally closest
     // order either direction (ties backward) — one exchange, both
     // direction carries in one window sort.
@@ -614,6 +625,31 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_runs_test" ->
+      s"""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          l1 AS (SELECT g, t, y,
+              lag(y) OVER (PARTITION BY g ORDER BY t) AS prev
+            FROM d),
+          sg AS (SELECT g, t,
+              CASE WHEN y > prev THEN 1 ELSE -1 END AS s
+            FROM l1 WHERE prev IS NOT NULL AND y <> prev),
+          l2 AS (SELECT g, s,
+              lag(s) OVER (PARTITION BY g ORDER BY t) AS ps
+            FROM sg),
+          a AS (SELECT g,
+              CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_up,
+              CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_down,
+              CAST(sum(CASE WHEN ps IS NULL OR s <> ps THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_runs
+            FROM l2 GROUP BY 1)
+          SELECT g AS event_type, n_up, n_down, n_runs,
+            ${StatTests.RunsZExpr} AS z
+          FROM a""",
 
     "q_asof_nearest" ->
       """WITH b AS (SELECT event_id, user_id, ts, o_orderdate AS bd

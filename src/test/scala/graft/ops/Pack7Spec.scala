@@ -378,6 +378,29 @@ class Pack7Spec extends AnyFunSuite {
     assert(math.abs(r2.getAs[Double]("l2_dist") - math.sqrt(2)) < 1e-12)
   }
 
+  test("runsTest: alternating and trending sequences, textbook z") {
+    // series 1,2,1,2,1,2 -> signs +,-,+,-,+ : n_up=3 n_down=2 runs=5
+    // mu = 2*3*2/5+1 = 3.4; var = 12*(12-5)/(25*4) = 0.84
+    val alt = Seq(1, 2, 1, 2, 1, 2).zipWithIndex
+      .map { case (y, i) => ("a", i, y) }.toDF("g", "t", "y")
+    val r = StatTests
+      .runsTest(alt, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r.getAs[Long]("n_up") === 3L)
+    assert(r.getAs[Long]("n_down") === 2L)
+    assert(r.getAs[Long]("n_runs") === 5L)
+    assert(math.abs(r.getAs[Double]("z") -
+      (5.0 - 3.4) / math.sqrt(0.84)) < 1e-12)
+    // all-up (monotone) -> n_down = 0 -> z NULL; zero deltas drop
+    val mono = Seq(1, 2, 2, 3, 4).zipWithIndex
+      .map { case (y, i) => ("b", i, y) }.toDF("g", "t", "y")
+    val r2 = StatTests
+      .runsTest(mono, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r2.getAs[Long]("n_up") === 3L && r2.getAs[Long]("n_down") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
