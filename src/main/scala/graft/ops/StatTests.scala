@@ -418,6 +418,67 @@ object StatTests {
         expr(RunsZExpr).as("z"))
   }
 
+  /** Tie-corrected Mann-Kendall variance (n and tie_t exact ints). */
+  val MkVarExpr: String =
+    """(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0)
+        *(2.0*CAST(n AS DOUBLE) + 5.0) - CAST(tie_t AS DOUBLE))/18.0"""
+
+  /** Continuity-corrected Mann-Kendall z off the exact S. */
+  val MkZExpr: String =
+    """CASE WHEN var_s <= 0.0 THEN NULL
+       WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)/sqrt(var_s)
+       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)/sqrt(var_s)
+       ELSE 0.0 END"""
+
+  /** Mann-Kendall trend test per group: S = Σ_{i<j} sign(y_j − y_i)
+    * over the time-ordered series with the tie-corrected variance —
+    * the significance companion to the Theil-Sen slope (which sizes
+    * the trend this test certifies; Kendall's tau machinery applied
+    * against TIME). S folds entirely inside the collected
+    * calendar-bounded series array (exact integer, O(len²) on ≤
+    * days-per-group elements); the tie term Σ t(t−1)(2t+5) is one
+    * hash agg over (group, value) cells; z is one closing expression
+    * ([[MkVarExpr]]/[[MkZExpr]] token-shared with the oracle).
+    *
+    * Scale shape: callers pass the pre-aggregated series; the only
+    * exchanges are two hash aggs to per-group rows plus a broadcast
+    * join between them. Series longer than a few thousand points
+    * should bin first (S's in-array fold is quadratic).
+    *
+    * @return (g, n, s_stat, var_s, z)
+    */
+  def mannKendall(
+      series: DataFrame,
+      gCol: Column,
+      tCol: Column,
+      yCol: Column): DataFrame = {
+    val base = series.select(gCol.as("g"), tCol.as("t"), yCol.as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        expr("transform(sort_array(collect_list(struct(t, y))), x -> x.y)")
+          .as("ys"))
+      .select(col("g"), col("n"),
+        expr("""CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+            ELSE aggregate(sequence(2, CAST(n AS INT)),
+              CAST(0 AS BIGINT), (acc, j) ->
+                acc + size(filter(slice(ys, 1, j - 1),
+                        v -> v < element_at(ys, j)))
+                    - size(filter(slice(ys, 1, j - 1),
+                        v -> v > element_at(ys, j))))
+            END""").as("s_stat"))
+    val ties = base.groupBy(col("g"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(col("c") * (col("c") - 1) * (col("c") * 2 + 5))
+        .as("tie_t"))
+    s.join(broadcast(ties), Seq("g"))
+      .select(col("g"), col("n"), col("s_stat"),
+        expr(MkVarExpr).as("var_s"))
+      .select(col("g"), col("n"), col("s_stat"), col("var_s"),
+        expr(MkZExpr).as("z"))
+  }
+
   /** Kruskal-Wallis rank test across k groups of an integer-safe
     * measure — the nonparametric one-way ANOVA ([[anovaF]] on ranks):
     * does ANY group's distribution sit higher than the others?

@@ -177,6 +177,16 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Mann-Kendall trend test on the same daily series — certifies
+    // what the Theil-Sen slope sizes, tie-corrected variance.
+    "q_mann_kendall" -> ((s, d) =>
+      StatTests.mannKendall(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("day"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
     // Runs test on daily volume per event type: too few sign runs =
     // trend, too many = oscillation — the randomness certificate
     // next to the Theil-Sen slope.
@@ -625,6 +635,34 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_mann_kendall" ->
+      s"""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          arr AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              list(y ORDER BY t) AS ys
+            FROM d GROUP BY 1),
+          sv AS (SELECT g, n,
+              CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+              ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(2, CAST(n + 1 AS BIGINT)), j ->
+                    CAST(len(list_filter(ys[1:CAST(j - 1 AS BIGINT)],
+                      v -> v < ys[j])) AS BIGINT)
+                    - CAST(len(list_filter(ys[1:CAST(j - 1 AS BIGINT)],
+                      v -> v > ys[j])) AS BIGINT))),
+                (a, x) -> a + x)
+              END AS s_stat
+            FROM arr),
+          tt AS (SELECT g,
+              CAST(sum(c*(c - 1)*(c*2 + 5)) AS BIGINT) AS tie_t
+            FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1, 2) GROUP BY 1),
+          f0 AS (SELECT g, n, s_stat, ${StatTests.MkVarExpr} AS var_s
+            FROM sv JOIN tt USING (g))
+          SELECT g AS event_type, n, s_stat, var_s,
+            ${StatTests.MkZExpr} AS z
+          FROM f0""",
 
     "q_runs_test" ->
       s"""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,

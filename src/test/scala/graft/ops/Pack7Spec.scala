@@ -401,6 +401,30 @@ class Pack7Spec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("z")))
   }
 
+  test("mannKendall: textbook S, tie-corrected variance, z") {
+    // [1,2,2,3]: S = 5 (one tied pair contributes 0);
+    // tie term (t=2): 2*1*9 = 18; var = (4*3*13 - 18)/18 = 138/18
+    val rows = Seq(1, 2, 2, 3).zipWithIndex
+      .map { case (y, i) => ("a", i, y) }.toDF("g", "t", "y")
+    val r = StatTests
+      .mannKendall(rows, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("s_stat") === 5L)
+    assert(math.abs(r.getAs[Double]("var_s") - 138.0 / 18.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z") -
+      4.0 / math.sqrt(138.0 / 18.0)) < 1e-12)
+    // strictly decreasing: S = -3, continuity correction from above
+    val dec = Seq(3, 2, 1).zipWithIndex
+      .map { case (y, i) => ("b", i, y) }.toDF("g", "t", "y")
+    val r2 = StatTests
+      .mannKendall(dec, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r2.getAs[Long]("s_stat") === -3L)
+    assert(math.abs(r2.getAs[Double]("z") -
+      (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
