@@ -112,4 +112,60 @@ object Anomaly {
         col("m").getField("c").as("cusum_star"),
         col("m").getField("a").as("cusum_abs"))
   }
+
+  /** Binary-segmentation changepoint LOCATOR per group: the split k
+    * minimizing within-segment sum of squares (ties to the earliest
+    * split) over the time-ordered series — [[cusumChangePoint]]
+    * detects that a level shift happened; this fits WHERE, with the
+    * level on each side and the variance the split explains.
+    *
+    * Exactness: all segment sums/squares fold as exact longs inside
+    * the collected calendar-bounded array; each candidate cost is
+    * the double expression `(QL − SL²/k) + (QR − SR²/(n−k))` over
+    * those integers, written identically in the oracle, so the
+    * argmin (array_position on the exact min) agrees bit-for-bit.
+    * O(n²) integer work per group on ≤ days-per-group elements.
+    *
+    * Scale shape: one hash agg to per-group arrays; everything after
+    * is per-row expression work. Bin first beyond a few thousand
+    * points per group.
+    *
+    * @return (g, n, split_t, mean_left, mean_right, sse_drop)
+    */
+  def changepointBinary(
+      series: DataFrame,
+      gCol: org.apache.spark.sql.Column,
+      tCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    def sl(k: String) =
+      s"CAST(aggregate(slice(ys, 1, $k), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)"
+    def ql(k: String) =
+      s"CAST(aggregate(slice(ys, 1, $k), CAST(0 AS BIGINT), (a, v) -> a + v*v) AS DOUBLE)"
+    val cost =
+      s"""(${ql("k")} - ${sl("k")}*${sl("k")}/CAST(k AS DOUBLE))
+          + ((q_tot - ${ql("k")})
+             - (s_tot - ${sl("k")})*(s_tot - ${sl("k")})
+               /(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"""
+    series.select(gCol.as("g"), tCol.as("t"), yCol.as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        expr("sort_array(collect_list(struct(t, y)))").as("pts"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("n"),
+        expr("transform(pts, x -> x.t)").as("ts"),
+        expr("transform(pts, x -> x.y)").as("ys"))
+      .withColumn("s_tot", expr(sl("CAST(n AS INT)")))
+      .withColumn("q_tot", expr(ql("CAST(n AS INT)")))
+      .withColumn("costs", expr(
+        s"transform(sequence(1, CAST(n - 1 AS INT)), k -> $cost)"))
+      .withColumn("mincost", expr("array_min(costs)"))
+      .withColumn("k", expr("CAST(array_position(costs, mincost) AS INT)"))
+      .select(col("g"), col("n"),
+        expr("CAST(element_at(ts, k) AS STRING)").as("split_t"),
+        expr(s"${sl("k")}/CAST(k AS DOUBLE)").as("mean_left"),
+        expr(s"""(s_tot - ${sl("k")})
+            /(CAST(n AS DOUBLE) - CAST(k AS DOUBLE))""").as("mean_right"),
+        expr("(q_tot - s_tot*s_tot/CAST(n AS DOUBLE)) - mincost")
+          .as("sse_drop"))
+  }
 }

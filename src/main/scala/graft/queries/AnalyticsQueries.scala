@@ -177,6 +177,17 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Changepoint LOCATOR: binary segmentation over daily volume —
+    // where the level shifted, the level each side, and the SSE the
+    // split explains (CUSUM detects; this fits).
+    "q_changepoint" -> ((s, d) =>
+      graft.ops.Anomaly.changepointBinary(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y")),
+        col("event_type"), col("day"), col("y"))
+        .withColumnRenamed("g", "event_type")),
+
     // Mann-Kendall trend test on the same daily series — certifies
     // what the Theil-Sen slope sizes, tie-corrected variance.
     "q_mann_kendall" -> ((s, d) =>
@@ -634,6 +645,48 @@ object AnalyticsQueries {
             sqrt(greatest(aa - 2*dot + bb, CAST(0 AS DOUBLE)))
               AS l2_dist
           FROM f0"""
+    },
+
+    "q_changepoint" -> {
+      def sl(k: String) =
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:$k]),
+            (a, v) -> a + v) AS DOUBLE)"""
+      def ql(k: String) =
+        s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ys[1:$k]),
+            (a, v) -> a + v*v) AS DOUBLE)"""
+      val cost =
+        s"""(${ql("k")} - ${sl("k")}*${sl("k")}/CAST(k AS DOUBLE))
+            + ((q_tot - ${ql("k")})
+               - (s_tot - ${sl("k")})*(s_tot - ${sl("k")})
+                 /(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"""
+      s"""WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS t,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+          arr AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              list(t ORDER BY t) AS ts, list(y ORDER BY t) AS ys
+            FROM d GROUP BY 1 HAVING count(*) >= 2),
+          t1 AS (SELECT g, n, ts, ys,
+              ${sl("CAST(n AS BIGINT)")} AS s_tot,
+              ${ql("CAST(n AS BIGINT)")} AS q_tot
+            FROM arr),
+          t2 AS (SELECT g, n, ts, ys, s_tot, q_tot,
+              list_transform(range(1, CAST(n AS BIGINT)),
+                k -> $cost) AS costs
+            FROM t1),
+          t3 AS (SELECT g, n, ts, ys, s_tot, q_tot, costs,
+              list_aggregate(costs, 'min') AS mincost
+            FROM t2),
+          t4 AS (SELECT g, n, ts, ys, s_tot, q_tot, mincost,
+              CAST(list_position(costs, mincost) AS BIGINT) AS k
+            FROM t3)
+          SELECT g AS event_type, n,
+            CAST(ts[CAST(k AS BIGINT)] AS VARCHAR) AS split_t,
+            ${sl("k")}/CAST(k AS DOUBLE) AS mean_left,
+            (s_tot - ${sl("k")})
+              /(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS mean_right,
+            (q_tot - s_tot*s_tot/CAST(n AS DOUBLE)) - mincost
+              AS sse_drop
+          FROM t4"""
     },
 
     "q_mann_kendall" ->

@@ -425,6 +425,27 @@ class Pack7Spec extends AnyFunSuite {
       (-2.0) / math.sqrt(3.0 * 2.0 * 11.0 / 18.0)) < 1e-12)
   }
 
+  test("changepointBinary locates a planted level shift exactly") {
+    // level 10 for 5 days, then level 50: split after day 5
+    val ys = Seq(10, 11, 9, 10, 10, 50, 51, 49, 50)
+    val rows = ys.zipWithIndex.map { case (y, i) => ("a", i + 1, y) }
+      .toDF("g", "t", "y")
+    val r = graft.ops.Anomaly
+      .changepointBinary(rows, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r.getAs[String]("split_t") === "5")
+    assert(math.abs(r.getAs[Double]("mean_left") - 10.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_right") - 50.0) < 1e-12)
+    assert(r.getAs[Double]("sse_drop") > 0.0)
+    // constant series: zero drop, earliest split on the cost tie
+    val const = (1 to 4).map(i => ("b", i, 7)).toDF("g", "t", "y")
+    val r2 = graft.ops.Anomaly
+      .changepointBinary(const, col("g"), col("t"), col("y").cast("long"))
+      .collect().head
+    assert(r2.getAs[String]("split_t") === "1")
+    assert(math.abs(r2.getAs[Double]("sse_drop")) < 1e-9)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
