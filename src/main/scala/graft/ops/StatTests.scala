@@ -479,6 +479,44 @@ object StatTests {
         expr(MkZExpr).as("z"))
   }
 
+  /** Hodges-Lehmann location estimator per group: the median of all
+    * pairwise Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the point estimate
+    * the Wilcoxon/Mann-Whitney family inverts to, ~95% as efficient
+    * as the mean at the normal yet 29%-breakdown robust (the mean
+    * has 0%, the median pays more efficiency).
+    *
+    * Exactness: pairs materialize over the DISTINCT-value cell frame
+    * (weights c_i·c_j off-diagonal, c(c+1)/2 on it — all exact
+    * longs), doubled sums keep the half-integer averages integral,
+    * and the weighted median is an exact rank read on
+    * [[Quantiles.cumDist]] with the pair weights. Work is
+    * O(distinct² ) per group — built for bounded-cardinality
+    * measures (quantities, counts, cents after binning); the input
+    * rows themselves fold once.
+    *
+    * @return (g, n_pairs, hl_estimate)
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"), valueExpr.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cells.as("a")
+      .join(cells.as("b"),
+        col("a.g") === col("b.g") && col("a.v") <= col("b.v"))
+      .select(col("a.g").as("g"), (col("a.v") + col("b.v")).as("w2"),
+        when(col("a.v") === col("b.v"),
+          expr("a.c * (a.c + 1) div 2"))
+          .otherwise(col("a.c") * col("b.c")).as("wt"))
+    Quantiles.cumDist(pairs, col("g"), col("w2"), col("wt"))
+      .groupBy(col("g"), col("n").as("n_pairs"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("w2med"))
+      .select(col("g"), col("n_pairs"),
+        (col("w2med").cast("double") / 2.0).as("hl_estimate"))
+  }
+
   /** Kruskal-Wallis rank test across k groups of an integer-safe
     * measure — the nonparametric one-way ANOVA ([[anovaF]] on ranks):
     * does ANY group's distribution sit higher than the others?

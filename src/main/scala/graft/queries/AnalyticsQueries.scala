@@ -177,6 +177,14 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Hodges-Lehmann robust location of quantity per return flag:
+    // weighted median of pairwise Walsh averages over the 50-value
+    // cell frame — exact doubled-sum rank read.
+    "q_hodges_lehmann" -> ((s, d) =>
+      StatTests.hodgesLehmann(Tables.lineitem(s, d), "l_returnflag",
+        floor(col("l_quantity")).cast("long"))
+        .withColumnRenamed("g", "l_returnflag")),
+
     // Changepoint LOCATOR: binary segmentation over daily volume —
     // where the level shifted, the level each side, and the SSE the
     // split explains (CUSUM detects; this fits).
@@ -646,6 +654,28 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_hodges_lehmann" ->
+      """WITH cells AS MATERIALIZED (SELECT l_returnflag AS g,
+              CAST(floor(l_quantity) AS BIGINT) AS v,
+              CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1, 2),
+          pairs AS (SELECT a.g, a.v + b.v AS w2,
+              CASE WHEN a.v = b.v THEN a.c*(a.c + 1)//2
+                   ELSE a.c*b.c END AS wt
+            FROM cells a JOIN cells b
+              ON a.g = b.g AND a.v <= b.v),
+          pw AS (SELECT g, w2, CAST(sum(wt) AS BIGINT) AS wt
+            FROM pairs GROUP BY 1, 2),
+          cum AS (SELECT g, w2, wt,
+              CAST(sum(wt) OVER (PARTITION BY g ORDER BY w2)
+                AS BIGINT) AS cum,
+              CAST(sum(wt) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM pw)
+          SELECT g AS l_returnflag, n AS n_pairs,
+            CAST(min(CASE WHEN cum*2 >= n THEN w2 END) AS DOUBLE)/2.0
+              AS hl_estimate
+          FROM cum GROUP BY 1, 2""",
 
     "q_changepoint" -> {
       def sl(k: String) =

@@ -446,6 +446,22 @@ class Pack7Spec extends AnyFunSuite {
     assert(math.abs(r2.getAs[Double]("sse_drop")) < 1e-9)
   }
 
+  test("hodgesLehmann: median of Walsh averages, outlier-robust") {
+    // {1,2,3}: walsh avgs {1, 1.5, 2, 2, 2.5, 3} -> median 2
+    val df = Seq(1, 2, 3).map(("a", _)).toDF("g", "v")
+    val r = StatTests.hodgesLehmann(df, "g", col("v").cast("long"))
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Double]("hl_estimate") === 2.0)
+    // one wild outlier barely moves it: {1,2,3,1000} -> pairs sorted
+    // by doubled sums; HL = 2.5 (vs mean 251.5)
+    val out = Seq(1, 2, 3, 1000).map(("b", _)).toDF("g", "v")
+    val r2 = StatTests.hodgesLehmann(out, "g", col("v").cast("long"))
+      .collect().head
+    assert(r2.getAs[Long]("n_pairs") === 10L)
+    assert(r2.getAs[Double]("hl_estimate") === 2.5)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
