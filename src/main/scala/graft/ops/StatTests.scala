@@ -479,6 +479,46 @@ object StatTests {
         expr(MkZExpr).as("z"))
   }
 
+  /** Per-pair Welch t over the renamed per-group stats row. */
+  val PwTExpr: String =
+    """CASE WHEN na <= 1 OR nb <= 1 THEN NULL
+       ELSE (sa/na - sb/nb)
+            / sqrt((qa - sa*sa/na)/(na - 1)/na
+                   + (qb - sb*sb/nb)/(nb - 1)/nb)
+       END"""
+
+  /** Pairwise Welch contrasts across ALL group pairs — the follow-up
+    * a significant [[anovaF]] demands ("some group differs" → which
+    * ones): per ordered pair, both means and the unequal-variance t.
+    * ONE pass folds the exact per-group sufficient statistics; the
+    * pair grid is a broadcast self-join of that k-row frame (the
+    * [[kendallTauB]] cell-pair shape — quadratic in GROUPS, never in
+    * rows), and every double assembles from the same exact integers
+    * on both engines ([[PwTExpr]]).
+    *
+    * @return (g_a, g_b, n_a, n_b, mean_a, mean_b, t_stat), g_a < g_b
+    */
+  def pairwiseWelch(
+      df: DataFrame,
+      groupCol: String,
+      valueExpr: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), valueExpr.as("z"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("z").cast("decimal(38,0)")).cast("double").as("s"),
+        sum((col("z") * col("z")).cast("decimal(38,0)")).cast("double")
+          .as("q"))
+    g.as("a").join(broadcast(g.as("b")), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        col("a.s").as("sa"), col("b.s").as("sb"),
+        col("a.q").as("qa"), col("b.q").as("qb"))
+      .select(col("g_a"), col("g_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("sa/na").as("mean_a"), expr("sb/nb").as("mean_b"),
+        expr(PwTExpr).as("t_stat"))
+  }
+
   /** Hodges-Lehmann location estimator per group: the median of all
     * pairwise Walsh averages (xᵢ+xⱼ)/2, i ≤ j — the point estimate
     * the Wilcoxon/Mann-Whitney family inverts to, ~95% as efficient

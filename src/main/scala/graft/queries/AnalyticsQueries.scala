@@ -177,6 +177,12 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Pairwise Welch contrasts across event types — which groups the
+    // significant ANOVA actually separates.
+    "q_pairwise_contrasts" -> ((s, d) =>
+      StatTests.pairwiseWelch(Tables.events(s, d), "event_type",
+        floor(col("value") * 100).cast("long"))),
+
     // Hodges-Lehmann robust location of quantity per return flag:
     // weighted median of pairwise Walsh averages over the 50-value
     // cell frame — exact doubled-sum rank read.
@@ -654,6 +660,22 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_pairwise_contrasts" ->
+      s"""WITH base AS (SELECT event_type AS g,
+              CAST(floor(value*100) AS BIGINT) AS z FROM events),
+          g1 AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(z) AS DOUBLE) AS s,
+              CAST(sum(z*z) AS DOUBLE) AS q
+            FROM base GROUP BY 1),
+          p AS (SELECT a.g AS g_a, b.g AS g_b,
+              a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+              a.q AS qa, b.q AS qb
+            FROM g1 a JOIN g1 b ON a.g < b.g)
+          SELECT g_a, g_b, na AS n_a, nb AS n_b,
+            sa/na AS mean_a, sb/nb AS mean_b,
+            ${StatTests.PwTExpr} AS t_stat
+          FROM p""",
 
     "q_hodges_lehmann" ->
       """WITH cells AS MATERIALIZED (SELECT l_returnflag AS g,

@@ -387,6 +387,7 @@ class PlanSpec extends AnyFunSuite {
       "q_quantile_norm", // 1-row pooled-total broadcast
       "q_smoothed_rates", // 1-row global-prior broadcast
       "q_pareto_share", // 1-row p90-threshold broadcast
+      "q_pairwise_contrasts", // k-row group-stats pair cross (k=5)
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",

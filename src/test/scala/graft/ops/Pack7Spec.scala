@@ -462,6 +462,22 @@ class Pack7Spec extends AnyFunSuite {
     assert(r2.getAs[Double]("hl_estimate") === 2.5)
   }
 
+  test("pairwiseWelch: textbook two-group t, all ordered pairs") {
+    val df = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 12, 14).map(("B", _))
+      ++ Seq(5, 6).map(("C", _))).toDF("g", "v")
+    val out = StatTests.pairwiseWelch(df, "g", col("v").cast("long"))
+      .collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) ->
+        r.getAs[Double]("t_stat")).toMap
+    assert(out.size === 3)
+    // A{1..4} vs B{10,12,14}: va=(30-25)/3/4, vb=(440-432)/2/3
+    val va = 5.0 / 12.0
+    val vb = 8.0 / 6.0
+    val want = (2.5 - 12.0) / math.sqrt(va + vb)
+    assert(math.abs(out(("A", "B")) - want) < 1e-12)
+    assert(out(("A", "C")) < 0.0 && out(("B", "C")) > 0.0)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
