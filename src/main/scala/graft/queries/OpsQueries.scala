@@ -94,6 +94,21 @@ object OpsQueries {
         Dedup.minHashLshPairs(docs, "doc_id", "text"), "doc_id_a", "doc_id_b")
     }),
 
+    // Duplicate-family telemetry on those clusters: how many families
+    // of each size — the "is the corpus a few huge templates or many
+    // small dupes" readout that decides the scrub strategy. Two hash
+    // aggs over the cluster assignment.
+    "q_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Clusters.dedupClusters(docs, "doc_id",
+        Dedup.minHashLshPairs(docs, "doc_id", "text"),
+        "doc_id_a", "doc_id_b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(
@@ -2048,6 +2063,12 @@ object OpsQueries {
           SELECT doc_id_a, doc_id_b, shared, na + nb - shared AS n_union
           FROM p WHERE 10*shared >= 7*(na + nb - shared)""",
     "q_dedup_clusters" -> clustersSql,
+    "q_cluster_sizes" ->
+      s"""SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM (SELECT cluster_id, CAST(count(*) AS BIGINT)
+                  AS cluster_size
+                FROM ($clustersSql) c GROUP BY 1) s
+          GROUP BY 1""",
     "q_dedup_keep_best" -> keepBestSql,
     "q_mix_temperature" -> mixTemperatureSql,
     "q_pii_scrub" -> piiScrubSql,
