@@ -177,6 +177,22 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Daily quantile fan: exact p10/p50/p90 of event cents per day
+    // (one cumDist pass partitioned by day — the ops-dashboard band
+    // chart, parallelism = days × buckets).
+    "q_daily_quantiles" -> ((s, d) => {
+      val cents = floor(col("value") * 100).cast("long")
+      graft.ops.Quantiles.cumDist(
+        Tables.events(s, d).select(
+          to_date(col("ts")).cast("string").as("day"), cents.as("v")),
+        col("day"), col("v"))
+        .groupBy(col("g").as("day"))
+        .agg(
+          min(when(col("cum") * 10 >= col("n"), col("v"))).as("p10"),
+          min(when(col("cum") * 2 >= col("n"), col("v"))).as("p50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"))
+    }),
+
     // Pairwise Welch contrasts across event types — which groups the
     // significant ANOVA actually separates.
     "q_pairwise_contrasts" -> ((s, d) =>
@@ -660,6 +676,22 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_daily_quantiles" ->
+      """WITH base AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              CAST(floor(value*100) AS BIGINT) AS v FROM events),
+          cd AS (SELECT day, v, CAST(count(*) AS BIGINT) AS c
+                 FROM base GROUP BY 1, 2),
+          cc AS (SELECT day, v,
+              CAST(sum(c) OVER (PARTITION BY day ORDER BY v)
+                AS BIGINT) AS cum,
+              CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+            FROM cd)
+          SELECT day,
+            min(CASE WHEN cum*10 >= n THEN v END) AS p10,
+            min(CASE WHEN cum*2 >= n THEN v END) AS p50,
+            min(CASE WHEN cum*10 >= n*9 THEN v END) AS p90
+          FROM cc GROUP BY 1""",
 
     "q_pairwise_contrasts" ->
       s"""WITH base AS (SELECT event_type AS g,
