@@ -38,6 +38,38 @@ object TpchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Q1 — pricing summary: the full report (q_agg_lineitem carries
+    // the subset): exact decimal sums incl. the three-factor charge
+    // price·(1−disc)·(1+tax) with precisions sized so every product
+    // stays ≤ 38 digits in BOTH engines; averages close from the
+    // exact sums as one double division each.
+    "q_tpch_q1" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(6,2)")
+      val tax = col("l_tax").cast("decimal(6,2)")
+      val one = lit(1).cast("decimal(6,2)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sq"),
+          sum(price).as("sp"),
+          sum((price * (one - disc)).cast("decimal(28,6)")).as("sdp"),
+          sum(((price * (one - disc)).cast("decimal(20,4)")
+            * (one + tax)).cast("decimal(30,6)")).as("sch"),
+          sum(disc).as("sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sq").cast("double").as("sum_qty"),
+          col("sp").cast("double").as("sum_base_price"),
+          col("sdp").cast("double").as("sum_disc_price"),
+          col("sch").cast("double").as("sum_charge"),
+          expr("CAST(sq AS DOUBLE)/count_order").as("avg_qty"),
+          expr("CAST(sp AS DOUBLE)/count_order").as("avg_price"),
+          expr("CAST(sd AS DOUBLE)/count_order").as("avg_disc"),
+          col("count_order"))
+    }),
+
     // Q3 — shipping priority: unshipped-at-D revenue of BUILDING
     // customers' orders, top 10 by exact revenue.
     "q_tpch_q3" -> ((s, d) => {
@@ -172,6 +204,37 @@ object TpchQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_tpch_q1" ->
+      """WITH a AS (SELECT l_returnflag, l_linestatus,
+              sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+              sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+              sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(6,2))
+                   - CAST(l_discount AS DECIMAL(6,2)))
+                AS DECIMAL(28,6))) AS sdp,
+              sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(6,2))
+                     - CAST(l_discount AS DECIMAL(6,2)))
+                  AS DECIMAL(20,4))
+                * (CAST(1 AS DECIMAL(6,2))
+                   + CAST(l_tax AS DECIMAL(6,2)))
+                AS DECIMAL(30,6))) AS sch,
+              sum(CAST(l_discount AS DECIMAL(6,2))) AS sd,
+              CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY 1, 2)
+          SELECT l_returnflag, l_linestatus,
+            CAST(sq AS DOUBLE) AS sum_qty,
+            CAST(sp AS DOUBLE) AS sum_base_price,
+            CAST(sdp AS DOUBLE) AS sum_disc_price,
+            CAST(sch AS DOUBLE) AS sum_charge,
+            CAST(sq AS DOUBLE)/count_order AS avg_qty,
+            CAST(sp AS DOUBLE)/count_order AS avg_price,
+            CAST(sd AS DOUBLE)/count_order AS avg_disc,
+            count_order
+          FROM a""",
 
     "q_tpch_q3" ->
       s"""WITH agg AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
