@@ -80,4 +80,28 @@ object Survival {
       .select(col("r.t").as("t"), col("r.d").as("d"), col("r.c").as("c"),
         col("r.n").as("n"), col("r.surv").as("surv"))
   }
+
+  /** Restricted mean survival time over a [[kaplanMeier]] life
+    * table: the area under the survival step function up to the last
+    * observed time — "average days survived (capped at the study
+    * horizon)", the single-number summary that stays meaningful when
+    * the median is never reached (surv never crosses 0.5). Folds the
+    * calendar-bounded table LEFT-TO-RIGHT: each step contributes
+    * (t_k − t_{k−1})·S(t_{k−1}) with S = 1 before the first event —
+    * the same ordered-fold discipline as the KM product itself, so
+    * the area hash-matches the oracle's windowed twin.
+    *
+    * @return 1 row: (n, rmst_days)
+    */
+  def restrictedMeanSurvival(km: DataFrame): DataFrame =
+    km.agg(
+      max(col("n")).as("n"),
+      sort_array(collect_list(struct(col("t"), col("surv")))).as("r"))
+      .select(col("n"), expr(
+        """aggregate(sequence(1, size(r)), CAST(0 AS DOUBLE), (a, i) ->
+             a + CAST(element_at(r, i).t
+                   - IF(i = 1, CAST(0 AS BIGINT),
+                        element_at(r, i - 1).t) AS DOUBLE)
+               * IF(i = 1, CAST(1 AS DOUBLE),
+                    element_at(r, i - 1).surv))""").as("rmst_days"))
 }

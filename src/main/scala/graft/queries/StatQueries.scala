@@ -57,6 +57,15 @@ object StatQueries {
         col("event_type") === "view", col("event_type") === "purchase")
     }),
 
+    // Restricted mean survival: area under that same KM step curve —
+    // "average days to conversion, capped at the horizon".
+    "q_rmst" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.ops.Survival.restrictedMeanSurvival(
+        graft.ops.Survival.kaplanMeier(ev, col("ts"), col("user_id"),
+          col("event_type") === "view", col("event_type") === "purchase"))
+    }),
+
     // Holt double-exponential level+trend forecast of daily event
     // volume per type (alpha = beta = 1/2, 7-day-ahead linear
     // forecast). The daily pre-aggregation is the one data-sized
@@ -395,33 +404,31 @@ object StatQueries {
     },
 
     "q_kaplan_meier" ->
-      """WITH fv AS (SELECT user_id, min(ts) AS b FROM events
-            WHERE event_type = 'view' GROUP BY 1),
-          dv AS (SELECT e.user_id, min(e.ts) AS dt
-            FROM events e JOIN fv USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts >= fv.b GROUP BY 1),
-          hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
-          coh AS (SELECT CAST(CASE WHEN d.dt IS NULL
-                THEN date_diff('day', CAST(f.b AS DATE), h.h)
-                ELSE date_diff('day', CAST(f.b AS DATE), CAST(d.dt AS DATE))
-                END AS BIGINT) AS t,
-              CASE WHEN d.dt IS NULL THEN 0 ELSE 1 END AS obs
-            FROM fv f LEFT JOIN dv d USING (user_id), hz h),
-          agg AS MATERIALIZED (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
-              CAST(sum(1 - obs) AS BIGINT) AS c FROM coh GROUP BY 1),
-          tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS ntot FROM agg),
-          st AS MATERIALIZED (SELECT t, d, c,
-              ROW_NUMBER() OVER (ORDER BY t) AS rn,
-              ntot - COALESCE(sum(d + c) OVER (ORDER BY t
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
-            FROM agg, tot),
-          fs AS (SELECT list(CAST(1 AS DOUBLE)
-              - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY t) AS l
-            FROM st)
+      s"""WITH $KmCtes
           SELECT s.t, s.d, s.c, CAST(s.n AS BIGINT) AS n,
             list_reduce(list_prepend(CAST(1 AS DOUBLE),
               list_slice(f.l, 1, s.rn)), (a, b) -> a * b) AS surv
           FROM st s, fs f""",
+
+    "q_rmst" ->
+      s"""WITH $KmCtes,
+          fin AS (SELECT s.t, CAST(s.n AS BIGINT) AS n,
+              list_reduce(list_prepend(CAST(1 AS DOUBLE),
+                list_slice(f.l, 1, s.rn)), (a, b) -> a * b) AS surv
+            FROM st s, fs f),
+          tm AS (SELECT t,
+              CAST(t - COALESCE(lag(t) OVER (ORDER BY t), 0) AS DOUBLE)
+              * COALESCE(lag(surv) OVER (ORDER BY t),
+                  CAST(1 AS DOUBLE)) AS term
+            FROM fin),
+          l AS (SELECT list(term ORDER BY t) AS terms,
+              (SELECT max(n) FROM fin) AS n FROM tm)
+          SELECT n, list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+            (a, b) -> a + b) AS rmst_days
+          FROM l""",
+
+    // (KmCtes is defined at the bottom of this object: the shared
+    // life-table chain both survival oracles build on.)
 
     // NOTE: the sequential (l, b) state fold is mirrored as a
     // recursive CTE, NOT a list_reduce with a struct accumulator —
@@ -553,4 +560,34 @@ object StatQueries {
           t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
           SELECT kk, cnt, n, TRUE AS found, TRUE AS within_bound
           FROM c, t WHERE cnt * 9 > n""")
+
+  /** Shared Kaplan-Meier life-table CTE chain (view→purchase,
+    * censored at the frame horizon) ending at `st` (t, d, c, rn, n)
+    * and `fs` (the ordered survival-factor list) — the base both
+    * `q_kaplan_meier` and `q_rmst` close over.
+    */
+  private def KmCtes: String =
+    """fv AS (SELECT user_id, min(ts) AS b FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+          dv AS (SELECT e.user_id, min(e.ts) AS dt
+            FROM events e JOIN fv USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= fv.b GROUP BY 1),
+          hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+          coh AS (SELECT CAST(CASE WHEN d.dt IS NULL
+                THEN date_diff('day', CAST(f.b AS DATE), h.h)
+                ELSE date_diff('day', CAST(f.b AS DATE), CAST(d.dt AS DATE))
+                END AS BIGINT) AS t,
+              CASE WHEN d.dt IS NULL THEN 0 ELSE 1 END AS obs
+            FROM fv f LEFT JOIN dv d USING (user_id), hz h),
+          agg AS MATERIALIZED (SELECT t, CAST(sum(obs) AS BIGINT) AS d,
+              CAST(sum(1 - obs) AS BIGINT) AS c FROM coh GROUP BY 1),
+          tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS ntot FROM agg),
+          st AS MATERIALIZED (SELECT t, d, c,
+              ROW_NUMBER() OVER (ORDER BY t) AS rn,
+              ntot - COALESCE(sum(d + c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+            FROM agg, tot),
+          fs AS (SELECT list(CAST(1 AS DOUBLE)
+              - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY t) AS l
+            FROM st)"""
 }

@@ -478,6 +478,16 @@ class Pack7Spec extends AnyFunSuite {
     assert(out(("A", "C")) < 0.0 && out(("B", "C")) > 0.0)
   }
 
+  test("restrictedMeanSurvival integrates the KM step curve exactly") {
+    // hand life table: t=2 (d=1,c=0,n=2,surv=.5), t=5 (d=1,c=0,n=1,
+    // surv=0): area = 2*1 + (5-2)*0.5 = 3.5
+    val km = Seq((2L, 1L, 0L, 2L, 0.5), (5L, 1L, 0L, 1L, 0.0))
+      .toDF("t", "d", "c", "n", "surv")
+    val r = Survival.restrictedMeanSurvival(km).collect().head
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Double]("rmst_days") === 3.5)
+  }
+
   test("jarqueBera assembles n/6*(skew^2 + kurt^2/4) from moments") {
     val df = Seq(("g", 1), ("g", 2), ("g", 2), ("g", 3), ("g", 9))
       .toDF("k", "v")
