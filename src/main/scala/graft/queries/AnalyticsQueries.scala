@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,6 +177,27 @@ object AnalyticsQueries {
     // New vs returning actives per day — the growth decomposition.
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
+
+    // Supervised feature frame: per (user, day) activity with lag-1 /
+    // lag-7 features, trailing-7-day sums, and the NEXT-day label —
+    // the training-table builder (all exact integers; one window
+    // partitioning serves every feature and the lead label).
+    "q_lag_features" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val w7 = w.rowsBetween(-6, 0)
+      daily
+        .withColumn("lag1", lag(col("y"), 1).over(w))
+        .withColumn("lag7", lag(col("y"), 7).over(w))
+        .withColumn("sum7", sum(col("y")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("label_next", lead(col("y"), 1).over(w))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("y"), col("lag1"), col("lag7"), col("sum7"), col("n7"),
+          col("label_next"))
+    }),
 
     // Daily quantile fan: exact p10/p50/p90 of event cents per day
     // (one cumDist pass partitioned by day — the ops-dashboard band
@@ -676,6 +698,23 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_lag_features" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2)
+          SELECT user_id, CAST(day AS VARCHAR) AS day, y,
+            lag(y, 1) OVER w AS lag1,
+            lag(y, 7) OVER w AS lag7,
+            CAST(sum(y) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sum7,
+            CAST(count(*) OVER (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS n7,
+            lead(y, 1) OVER w AS label_next
+          FROM d
+          WINDOW w AS (PARTITION BY user_id ORDER BY day)""",
 
     "q_daily_quantiles" ->
       """WITH base AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
