@@ -70,6 +70,23 @@ object TpchQueries {
           col("count_order"))
     }),
 
+    // Q6 — forecast revenue change: pure filter + single exact
+    // aggregate, the predicate-pushdown showcase (all three
+    // predicates reach the scan).
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz")
+          && col("l_discount").cast("decimal(6,2)")
+            .between(lit(0.05).cast("decimal(6,2)"),
+              lit(0.07).cast("decimal(6,2)"))
+          && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(6,2)"))
+            .cast("decimal(28,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     // Q3 — shipping priority: unshipped-at-D revenue of BUILDING
     // customers' orders, top 10 by exact revenue.
     "q_tpch_q3" -> ((s, d) => {
@@ -235,6 +252,19 @@ object TpchQueries {
             CAST(sd AS DOUBLE)/count_order AS avg_disc,
             count_order
           FROM a""",
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(6,2)) AS DECIMAL(28,6)))
+            AS DOUBLE) AS revenue,
+          CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND CAST(l_discount AS DECIMAL(6,2))
+              BETWEEN CAST(0.05 AS DECIMAL(6,2))
+                  AND CAST(0.07 AS DECIMAL(6,2))
+            AND l_quantity < 24""",
 
     "q_tpch_q3" ->
       s"""WITH agg AS (SELECT l_orderkey, o_orderdate, o_orderpriority,
