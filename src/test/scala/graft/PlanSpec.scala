@@ -377,6 +377,7 @@ class PlanSpec extends AnyFunSuite {
       "q_isotonic", // ≤10-row bin-frame pair cross for the PAVA minimax
       "q_conversion_lag", // 1-row percentile-reads broadcast
       "q_kaplan_meier", // 1-row observation-horizon broadcast
+      "q_rmst", // the same KM horizon broadcast, integrated
       "q_heavy_hitters", // 1-row total + 1-row MG-summary broadcasts
       "q_mmr_rerank", // the q_ann_cosine 10-query broadcast anchor
       "q_conformal", // 1-row fitted-line + radius broadcasts
