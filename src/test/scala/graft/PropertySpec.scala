@@ -522,6 +522,71 @@ object PropertySpec extends Properties("graft") {
         r.getLong(5) == best._1.abs.toLong
     }
 
+  // --- winnowing vs brute-force rightmost-min model --------------------
+
+  private def modelWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val ws = text.split(" ").filter(_.nonEmpty)
+    if (ws.length < k + w - 1) Set.empty
+    else {
+      def wh(x: String) =
+        x.length.toLong * 10007L + x.head.toLong * 101L + x.last.toLong
+      val hs = ws.sliding(k)
+        .map(_.foldLeft(0L)((a, x) => (a * 31 + wh(x)) % 1000000007L))
+        .toVector
+      (w - 1 until hs.length).map { p =>
+        val win = p - w + 1 to p
+        val mn = win.map(hs).min
+        val pos = win.filter(i => hs(i) == mn).max
+        (pos.toLong, hs(pos))
+      }.toSet
+    }
+  }
+
+  property("winnowing fingerprints equal the rightmost-min window model") =
+    Prop.forAll(Gen.listOfN(6, Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ee")).map(_.mkString(" "))))) {
+      texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val got = graft.ops.Winnow
+          .fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSet
+        val want = docs.flatMap { case (id, t) =>
+          modelWinnow(t, 3, 4).map(fp => (id, fp))
+        }.toSet
+        got == want
+    }
+
+  // --- interval merge vs brute-force sweep model -----------------------
+
+  property("mergeIntervals equals the sorted running-max sweep model") =
+    Prop.forAll(Gen.listOfN(24, for {
+      k <- Gen.oneOf("u1", "u2", "u3")
+      s <- Gen.choose(0L, 60L)
+      len <- Gen.choose(0L, 15L)
+    } yield (k, s, s + len))) { spans0 =>
+      val spans = spans0.zipWithIndex
+        .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      val got = graft.ops.Intervals
+        .mergeIntervals(spans.toDF("k", "s", "e", "id"),
+          col("k"), col("s"), col("e"), col("id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = spans.groupBy(_._1).flatMap { case (k, ss) =>
+        val sorted = ss.sortBy(x => (x._2, x._4))
+        val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, (_, s, e, _)) => acc match {
+            case (st, en, n) :: rest if s <= en =>
+              (st, math.max(en, e), n + 1) :: rest
+            case _ => (s, e, 1L) :: acc
+          }
+        }
+        islands.map { case (st, en, n) => (k, st, en, n) }
+      }.toSet
+      got == want
+    }
+
   property("containmentPairs equals brute-force asymmetric sets") =
     Prop.forAll(Gen.listOfN(10, docGen)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
