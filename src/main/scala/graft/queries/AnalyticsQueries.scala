@@ -23,6 +23,21 @@ import graft.ops.{Cohorts, Dedup, Intervals, Moments, Profile, StatTests,
   */
 object AnalyticsQueries {
 
+  /** Shared Spark↔oracle expressions for q_sample_size: base rate,
+    * absolute MDE at 5% relative, and the two-proportion n per arm
+    * (z_{.975}=1.96, z_{.80}=0.84 as the standard literals).
+    */
+  private val SampleSizeExprs: (String, String, String) = (
+    "CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE)",
+    "0.05*(CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE))",
+    """CASE WHEN n_success = 0 THEN NULL
+       ELSE ceil(2.0*(1.96 + 0.84)*(1.96 + 0.84)
+         *(CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE))
+         *(1.0 - CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE))
+         /((0.05*(CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE)))
+           *(0.05*(CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE)))))
+       END""")
+
   /** Whitespace-token expr shared by the documents oracles. */
   private val ws =
     "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
@@ -177,6 +192,36 @@ object AnalyticsQueries {
     // New vs returning actives per day — the growth decomposition.
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
+
+    // A/B sample-size calculator: arms needed to detect a 5% relative
+    // lift of the base purchase rate at alpha=.05 / power=.80 (the
+    // standard z constants as literals) — all inputs exact counts,
+    // one closing expression.
+    "q_sample_size" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_success"))
+        .select(col("n_events"), col("n_success"),
+          expr(SampleSizeExprs._1).as("p_base"),
+          expr(SampleSizeExprs._2).as("mde_abs"),
+          expr(SampleSizeExprs._3).as("n_per_arm"))),
+
+    // Week-over-week movers: per event type, first-half vs
+    // second-half counts and the relative ppm change — the ops
+    // dashboard's "what shifted" panel (one conditional-count agg).
+    "q_movers" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(to_date(col("ts")) < lit("2024-01-16").cast("date"),
+            1L).otherwise(0L)).as("c1"),
+          sum(when(to_date(col("ts")) >= lit("2024-01-16").cast("date"),
+            1L).otherwise(0L)).as("c2"))
+        .select(col("event_type"), col("c1"), col("c2"),
+          expr("""CASE WHEN c1 = 0 THEN NULL
+              ELSE CAST((c2 - c1)*1000000 AS DOUBLE)/CAST(c1 AS DOUBLE)
+              END""").as("ppm_change"))),
 
     // Supervised feature frame: per (user, day) activity with lag-1 /
     // lag-7 features, trailing-7-day sums, and the NEXT-day label —
@@ -698,6 +743,34 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_sample_size" ->
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+            FROM events)
+          SELECT n_events, n_success,
+            ${SampleSizeExprs._1} AS p_base,
+            ${SampleSizeExprs._2} AS mde_abs,
+            CAST((${SampleSizeExprs._3}) AS BIGINT) AS n_per_arm
+          FROM a""",
+
+    "q_movers" ->
+      """SELECT event_type,
+          CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                   THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+          CASE WHEN sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                        THEN 1 ELSE 0 END) = 0 THEN NULL
+          ELSE CAST((sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END))*1000000 AS DOUBLE)
+               /CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+          END AS ppm_change
+          FROM events GROUP BY 1""",
 
     "q_lag_features" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
