@@ -38,6 +38,23 @@ object AnalyticsQueries {
            *(0.05*(CAST(n_success AS DOUBLE)/CAST(n_events AS DOUBLE)))))
        END""")
 
+  /** Wald SPRT log-likelihood ratio for p0=.19 vs p1=.21, shared
+    * Spark↔oracle (both engines' ln are correctly rounded on these
+    * operands — the q_entropy convention).
+    */
+  private val SprtLlrExpr: String =
+    """CAST(s_cum AS DOUBLE)
+       *ln(CAST(0.21 AS DOUBLE)/CAST(0.19 AS DOUBLE))
+       + (CAST(n_cum AS DOUBLE) - CAST(s_cum AS DOUBLE))
+         *ln((CAST(1 AS DOUBLE) - CAST(0.21 AS DOUBLE))
+             /(CAST(1 AS DOUBLE) - CAST(0.19 AS DOUBLE)))"""
+
+  /** SPRT decision at the symmetric ln(19) boundaries. */
+  private val SprtDecisionExpr: String =
+    """CASE WHEN llr >= ln(CAST(19 AS DOUBLE)) THEN 'accept_h1'
+       WHEN llr <= -ln(CAST(19 AS DOUBLE)) THEN 'accept_h0'
+       ELSE 'continue' END"""
+
   /** Whitespace-token expr shared by the documents oracles. */
   private val ws =
     "list_filter(string_split(COALESCE(text, ''), ' '), w -> w <> '')"
@@ -192,6 +209,28 @@ object AnalyticsQueries {
     // New vs returning actives per day — the growth decomposition.
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
+
+    // SPRT sequential monitor: Wald's log-likelihood ratio of the
+    // cumulative purchase rate against H0 p=.19 vs H1 p=.21 per day,
+    // with the ln(19) decision boundaries — the "peek daily without
+    // inflating alpha" readout. Cumulative counts ride one window
+    // over the calendar-bounded daily frame.
+    "q_sprt" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("k"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("n_cum", sum(col("n")).over(w))
+        .withColumn("s_cum", sum(col("k")).over(w))
+        .select(col("day"), col("n_cum"), col("s_cum"),
+          expr(SprtLlrExpr).as("llr"))
+        .select(col("day"), col("n_cum"), col("s_cum"), col("llr"),
+          expr(SprtDecisionExpr).as("decision"))
+    }),
 
     // A/B sample-size calculator: arms needed to detect a 5% relative
     // lift of the base purchase rate at alpha=.05 / power=.80 (the
@@ -743,6 +782,24 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_sprt" ->
+      s"""WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM events GROUP BY 1),
+          c AS (SELECT day,
+              CAST(sum(n) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_cum,
+              CAST(sum(k) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS s_cum
+            FROM d),
+          l AS (SELECT day, n_cum, s_cum, $SprtLlrExpr AS llr FROM c)
+          SELECT day, n_cum, s_cum, llr, $SprtDecisionExpr AS decision
+          FROM l""",
 
     "q_sample_size" ->
       s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,

@@ -459,7 +459,9 @@ class PlanSpec extends AnyFunSuite {
       "q_stump", // the two global cumDist prefix passes
       "q_compact_bins", // prefix sum over the file INVENTORY —
       // bounded by file count, never data size
-      "q_map_eval") // rank/cumsum windows AFTER the top-20 limit
+      "q_map_eval", // rank/cumsum windows AFTER the top-20 limit
+      "q_sprt") // cumulative window over the calendar-bounded
+      // daily frame (one row per day WITH data)
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val partitionless = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
