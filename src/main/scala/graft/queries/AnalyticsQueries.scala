@@ -210,6 +210,46 @@ object AnalyticsQueries {
     "q_new_vs_returning" -> ((s, d) =>
       Cohorts.newVsReturning(Tables.events(s, d), "user_id", "ts")),
 
+    // Activity gaps: per user, the idle stretches between active
+    // days (the complement of q_streaks' islands) — churn-risk
+    // surface, one lag window over the distinct-day frame.
+    "q_activity_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull &&
+          datediff(col("day"), col("prev")) > 1)
+        .select(col("user_id"),
+          date_add(col("prev"), 1).cast("string").as("gap_start"),
+          date_sub(col("day"), 1).cast("string").as("gap_end"),
+          (datediff(col("day"), col("prev")) - 1).cast("long")
+            .as("gap_days"))
+    }),
+
+    // Peak concurrency: the sweep-line maximum of overlapping
+    // [ts, ts+dur) spans per user — half-open semantics (a span's
+    // end closes BEFORE an equal-time start opens, the -1-before-+1
+    // sort), ties inside a step group can't change the group max.
+    "q_peak_concurrency" -> ((s, d) => {
+      val sec = col("ts").cast("timestamp").cast("long")
+      val spans = Tables.events(s, d).select(col("user_id"),
+        sec.as("st"),
+        (sec + lit(60L) + floor(col("value") * 100).cast("long") % 540L)
+          .as("en"))
+      val pts = spans.select(col("user_id"), col("st").as("t"),
+        lit(1L).as("delta"))
+        .unionAll(spans.select(col("user_id"), col("en").as("t"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pts.withColumn("depth", sum(col("delta")).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("depth")).as("peak_concurrency"))
+    }),
+
     // SPRT sequential monitor: Wald's log-likelihood ratio of the
     // cumulative purchase rate against H0 p=.19 vs H1 p=.21 per day,
     // with the ln(19) decision boundaries — the "peek daily without
@@ -782,6 +822,40 @@ object AnalyticsQueries {
               AS l2_dist
           FROM f0"""
     },
+
+    "q_activity_gaps" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          l AS (SELECT user_id, day,
+              lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+            FROM days)
+          SELECT user_id,
+            CAST(prev + 1 AS VARCHAR) AS gap_start,
+            CAST(day - 1 AS VARCHAR) AS gap_end,
+            CAST(date_diff('day', prev, day) - 1 AS BIGINT) AS gap_days
+          FROM l
+          WHERE prev IS NOT NULL AND date_diff('day', prev, day) > 1""",
+
+    "q_peak_concurrency" ->
+      """WITH spans AS (SELECT user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS st,
+              CAST(floor(epoch(ts)) AS BIGINT)
+                + 60 + CAST(floor(value*100) AS BIGINT) % 540 AS en
+            FROM events),
+          pts AS (SELECT user_id, st AS t, CAST(1 AS BIGINT) AS delta
+            FROM spans
+            UNION ALL
+            SELECT user_id, en AS t, CAST(-1 AS BIGINT) AS delta
+            FROM spans),
+          dep AS (SELECT user_id,
+              CAST(sum(delta) OVER (PARTITION BY user_id
+                ORDER BY t, delta
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS depth
+            FROM pts)
+          SELECT user_id, CAST(max(depth) AS BIGINT)
+            AS peak_concurrency
+          FROM dep GROUP BY 1""",
 
     "q_sprt" ->
       s"""WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
