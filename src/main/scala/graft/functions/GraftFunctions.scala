@@ -68,5 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.GraftFunctions", name),
         builder))
     ext.injectOptimizerRule(_ => graft.plans.PrefixScanRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.PrefixBarrierStrategy)
   }
 }

@@ -57,10 +57,15 @@ object Quantiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranges = dist.groupBy("g")
       .agg(min("v").as("vmin"), max("v").as("vmax"))
+    // bucket arithmetic in double: (v - vmin) * nB in LONG wraps for
+    // value ranges past ~2^63/nB. Buckets only need to be a weakly
+    // monotone function of v (offsets order by bkt, in-bucket windows
+    // order by v), which floor of a double product of positive
+    // constants preserves — so the wide-range-safe form is exact here.
     val bucketed = dist.join(broadcast(ranges), Seq("g"))
       .withColumn("bkt",
-        ((col("v") - col("vmin")) * nB / (col("vmax") - col("vmin") + 1))
-          .cast("long"))
+        ((col("v") - col("vmin")).cast("double") * nB /
+          (col("vmax") - col("vmin") + 1)).cast("long"))
     // tiny frame: one row per (group, bucket) — prefix offsets and
     // group totals computed here, broadcast back
     val offsets = bucketed.groupBy("g", "bkt").agg(sum("cnt").as("pcnt"))

@@ -156,15 +156,19 @@ object Timeseries {
       .select(col(groupCol).as("g"), xq.as("x"),
         lag(xq, 1).over(w).as("y"))
       .filter(col("y").isNotNull)
+    // second-order products in decimal: Σx² of cents-scale longs per
+    // group passes 2^63 in the single-digit-TB range (the olsFit
+    // overflow discipline) and BIGINT wrap is silent
+    val d18 = "decimal(18,0)"
     pairs
       .groupBy(col("g"))
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("y") * col("y")).cast("double").as("syy"),
-        sum(col("x") * col("y")).cast("double").as("sxy"))
+        sum(col("x").cast(d18) * col("x").cast(d18)).cast("double").as("sxx"),
+        sum(col("y").cast(d18) * col("y").cast(d18)).cast("double").as("syy"),
+        sum(col("x").cast(d18) * col("y").cast(d18)).cast("double").as("sxy"))
       .select(col("g"), col("n_pairs"),
         expr("""CASE WHEN n_pairs*sxx - sx*sx = 0.0
                        OR n_pairs*syy - sy*sy = 0.0 THEN 0.0

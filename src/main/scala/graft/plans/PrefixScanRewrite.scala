@@ -71,16 +71,33 @@ object PrefixScanRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window if isGlobalRowNumber(w) && w.child.resolved &&
+        conf.exchangeReuseEnabled &&
         w.child.stats.sizeInBytes >= minBytes =>
       val origAlias = w.windowExpressions.head.asInstanceOf[Alias]
       val child = w.child
-      // range layout on the window order; pid is stable WITHIN one
-      // execution of the exchange, which is all the decomposition
-      // needs
-      val ranged = RepartitionByExpression(w.orderSpec, child, None)
+      // range layout on the window order. pid consistency between the
+      // rank and count consumers is GUARANTEED, not hoped for, by three
+      // construction choices (without them RangePartitioner re-samples
+      // bounds per execution — seeded by RDD id — and the offsets
+      // silently mismatch the local ranks):
+      //   1. [[PrefixBarrier]] seals this subtree against ColumnPruning
+      //      (the count branch would otherwise prune to the order key
+      //      and carry its OWN, differently-sampled range exchange), so
+      //      both consumers keep a byte-identical copy and exchange
+      //      reuse (gated on exchangeReuseEnabled above) materializes
+      //      the shuffle ONCE;
+      //   2. the partition count is pinned (optNumPartitions below →
+      //      REPARTITION_BY_NUM), so AQE cannot coalesce the reused
+      //      stage's partitions differently for the two readers (pid is
+      //      read AFTER the exchange; a per-consumer coalesce would
+      //      renumber it);
+      //   3. PrefixRewriteSpec asserts the executed plan materializes
+      //      exactly one range exchange.
+      val ranged = RepartitionByExpression(
+        w.orderSpec, child, Some(conf.numShufflePartitions))
       val pidAlias = Alias(SparkPartitionID(), "__pfx_pid")()
       val pid = pidAlias.toAttribute
-      val withPid = Project(child.output :+ pidAlias, ranged)
+      val withPid = PrefixBarrier(Project(child.output :+ pidAlias, ranged))
       // per-partition rank — parallel, the frame Spark's own
       // row_number uses
       val lrnAlias = Alias(

@@ -501,7 +501,12 @@ object EventStreams {
               out.result().iterator
             } else {
               state.update(FunnelState(us, eid))
-              state.setTimeoutTimestamp(us(0) / 1000L + horizonSeconds * 1000L)
+              // clamp past the watermark: once wm passes the horizon the
+              // deadline lands behind it and an unclamped set() throws —
+              // the alarm then fires next batch instead
+              state.setTimeoutTimestamp(math.max(
+                us(0) / 1000L + horizonSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
               out.result().iterator
             }
           }
@@ -564,7 +569,10 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMillis)
+              // clamp: with watermarkDelay > gap the deadline can land
+              // behind the watermark and an unclamped set() throws
+              state.setTimeoutTimestamp(math.max(s.last + gapMillis,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.reverseIterator
           }

@@ -53,6 +53,34 @@ class PrefixRewriteSpec extends AnyFunSuite {
       s"a global window survived:\n${wins.mkString("\n")}")
   }
 
+  test("the rank and count branches share ONE materialized range exchange") {
+    import spark.implicits._
+    // extra non-key columns matter: without the PrefixBarrier,
+    // ColumnPruning specializes the count branch's copy of the
+    // exchange subtree (pruning v/s), the two range exchanges stop
+    // canonicalizing equal, and each samples its OWN partition bounds
+    // — silently mismatching offsets against local ranks
+    val keys = scala.util.Random.shuffle((1 to 2000).map(_.toLong * 7L)).toSeq
+    keys.toDF("k").repartition(5)
+      .selectExpr("k", "k * 2 AS v", "cast(k AS string) AS s")
+      .createOrReplaceTempView("pfx_reuse")
+    val df = spark.sql(
+      "SELECT k, v, s, row_number() OVER (ORDER BY k) AS rn FROM pfx_reuse")
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+    assert(got == want)
+    val p = finalPlan(df)
+    val lines = p.linesIterator.toSeq
+    val materialized = lines.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val reused = lines.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(materialized == 1,
+      s"expected exactly one materialized range exchange, got $materialized:\n$p")
+    assert(reused == 1,
+      s"expected the count branch to reuse the range exchange:\n$p")
+  }
+
   test("rewrite composes with downstream operators referencing rn") {
     import spark.implicits._
     (1L to 100L).toDF("k").createOrReplaceTempView("pfx_t2")

@@ -393,6 +393,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel survives the watermark passing a live user's horizon deadline") {
+    implicit val sqlCtx = spark.sqlContext
+    // regression: an active never-converting user still has state when
+    // the watermark passes first-step + horizon; an unclamped
+    // setTimeoutTimestamp(us(0) + horizon) then lands BEHIND the
+    // watermark and GroupStateImpl throws, crashing the whole query
+    val steps = Seq("signup", "purchase")
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.funnelSteps(input.toDS(), steps,
+      horizonSeconds = 60L, watermarkDelay = "1 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_clamp").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "signup", 0))
+      q.processAllAvailable()
+      // watermark moves to 10:29; deadline (10:01) is now behind it
+      input.addData(ev(2, "2024-01-01 10:30:00", 1, "click", 0))
+      q.processAllAvailable()
+      // the user is STILL live past the deadline — this batch used to
+      // throw IllegalArgumentException inside flatMapGroupsWithState
+      input.addData(ev(3, "2024-01-01 10:40:00", 1, "click", 0))
+      q.processAllAvailable()
+      // sentinel advances the watermark so the clamped timeout fires
+      input.addData(ev(4, "2024-01-01 11:00:00", 99, "signup", 0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_clamp").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step"))).toSet
+      assert(got == Set((1L, 1L), (99L, 1L)), s"got=$got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup suppression equals the batch greedy rule on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
