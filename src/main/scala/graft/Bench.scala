@@ -107,6 +107,26 @@ object Bench {
         s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
+    // The LAST stdout line must parse from a 2000-char tail snapshot:
+    // the full line above (300 queries ≈ 10 KB) truncates mid-map when
+    // only the tail of stdout is captured, so close with a compact
+    // summary — total + the slowest queries that fit a ~1600-char
+    // budget — and point at the full per-query map in `outPath`.
+    val compactBase =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","runs":$runs,"n_queries":${results.size}""" +
+        s""","n_regressions":${regressions.size},"full":"$outPath"""" +
+        s""","queries":"""
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = compactBase.length + 2
+    for ((k, v) <- slowest) {
+      val ent = s"\"$k\":$v"
+      if (used + ent.length + 1 <= 1600) { picked += ent; used += ent.length + 1 }
+    }
+    val compact = compactBase + picked.mkString("{", ",", "}") +
+      s""","queries_omitted":${results.size - picked.size}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -461,11 +461,12 @@ object Dedup {
     *
     * Scale shape: one explode into (doc, passage-hash) — the shuffle
     * key is a 16-byte digest, never passage text — aggregated FIRST to
-    * distinct (digest, doc, occurrences) rows. Both downstream
-    * consumers (the per-digest doc count and the per-doc rollup's join
-    * side) read that same aggregate, so the scan→explode→digest
-    * pipeline runs once and Spark reuses its exchange; only slim
-    * digest rows shuffle after. All outputs are integers.
+    * distinct (digest, doc, occurrences) rows. The per-digest document
+    * count is a count window OVER that same aggregate (partitioned by
+    * digest), so the scan→explode→digest lineage is SINGLE-consumer by
+    * construction — no self-join, no reliance on exchange reuse, no
+    * persist; only slim digest rows shuffle after the explode. All
+    * outputs are integers.
     */
   def passageDupStats(
       df: DataFrame,
@@ -483,11 +484,15 @@ object Dedup {
             slice(col("ws"), (i * window + 1L).cast("int"), lit(window)))))
           .as("passage"))
       .select(col("id"), md5(col("passage").cast("binary")).as("ph"))
-    // (digest, doc) pairs with occurrence counts: the shared frame both
-    // consumers below derive from (identical subtree → ReusedExchange)
+    // (digest, doc) pairs with occurrence counts; nd = how many docs
+    // share the digest, read as a count window over the SAME frame so
+    // the explode lineage has exactly one consumer (the former
+    // aggregate+join twin re-tokenized the corpus once more whenever
+    // exchange reuse failed to dedupe the branches)
     val pairs = p.groupBy(col("ph"), col("id")).agg(count(lit(1)).as("occ"))
-    val docsPerHash = pairs.groupBy(col("ph")).agg(count(lit(1)).as("nd"))
-    val per = pairs.join(docsPerHash, Seq("ph"))
+    val per = pairs
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))))
       .groupBy(col("id"))
       .agg(
         sum(col("occ")).as("n_passages"),

@@ -53,7 +53,34 @@ object KMeans {
       vecCol: String,
       k: Int,
       iters: Int,
-      scaleBits: Int = 10): DataFrame = {
+      scaleBits: Int = 10): DataFrame =
+    train(corpus, idCol, vecCol, k, iters, scaleBits, assignStep)
+
+  /** [[kmeansCodebook]] under squared-L2 instead of cosine — the
+    * metric FAISS trains PQ sub-quantizers with, and the right one
+    * for residual corpora: residuals concentrate near zero with
+    * meaningful MAGNITUDES, which a direction-only cosine objective
+    * throws away (and its 0/0 guard must drop zero vectors — L2
+    * handles them natively). Same deterministic seeding, quantized
+    * updates, and empty-cluster carry as the cosine trainer.
+    */
+  def kmeansCodebookL2(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scaleBits: Int = 10): DataFrame =
+    train(corpus, idCol, vecCol, k, iters, scaleBits, assignStepL2)
+
+  private def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scaleBits: Int,
+      assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val scale = (1L << scaleBits).toDouble
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -69,7 +96,7 @@ object KMeans {
       .localCheckpoint()
 
     for (_ <- 1 to iters) {
-      val assigned = assignStep(c, cent)
+      val assigned = assign(c, cent)
       // exact quantized per-dimension mean, rounded once to float
       val upd = c.join(assigned, "id")
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -119,6 +146,25 @@ object KMeans {
           (floatDot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
           (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
       .groupBy("id").agg(max(col("sc")).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+  }
+
+  /** One squared-L2 Lloyd assignment pass, the [[assignStep]] shape
+    * with the PQ-encoder comparator: `‖c‖² − 2·v·c` (the candidate's
+    * own `‖v‖²` is constant within its argmin and dropped — the
+    * [[Similarity.pqCodes]] discipline, so both engines compare the
+    * exact same doubles), ties to the lowest cluster id via
+    * min(struct).
+    */
+  def assignStepL2(c: DataFrame, cent: DataFrame): DataFrame = {
+    val withN2 = cent.select(
+      col("cid"), col("cv"), floatDot(col("cv"), col("cv")).as("cn2"))
+    c.crossJoin(broadcast(withN2))
+      .select(col("id"),
+        struct(
+          (col("cn2") - lit(2.0) * floatDot(col("v"), col("cv"))).as("cmp"),
+          col("cid").as("cid")).as("sc"))
+      .groupBy("id").agg(min(col("sc")).as("m"))
       .select(col("id"), col("m.cid").as("cid"))
   }
 

@@ -430,6 +430,36 @@ object Similarity {
     }.reduce(_.unionAll(_))
   }
 
+  /** [[trainedSubCodebook]] under squared-L2 ([[KMeans.kmeansCodebookL2]])
+    * — the metric the PQ encoder itself minimizes, and what FAISS
+    * trains sub-quantizers with. For RESIDUAL corpora this is the
+    * trainer that matters: residuals cluster by magnitude around
+    * zero, where a cosine objective is meaningless (measured on the
+    * synthetics: seed grid 8/50 recall, cosine-trained 9/50,
+    * L2-trained 13/50 = parity with the non-residual path at the
+    * same 12-bit budget). No zero-norm filter — L2 handles zero
+    * vectors natively.
+    */
+  def trainedSubCodebookL2(
+      corpus: DataFrame, // (nid, nv)
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    (0 until m).map { mi =>
+      val sliced = corpus.select(col("nid").as("id"),
+        slice(col("nv"), mi * subLen + 1, subLen).as("v"))
+      KMeans.kmeansCodebookL2(sliced, "id", "v", ksub, iters)
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("centroid")))),
+          s => s("centroid").cast("float")).as("scv"))
+        .select(lit(mi).as("sm"), col("cid").cast("int").as("code"), col("scv"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** PQ approximate top-k by asymmetric distance computation (ADC,
     * Jégou et al. 2011): each query precomputes an m·ksub dot-product
     * lookup table against the sub-codebook, then scores every
@@ -547,8 +577,31 @@ object Similarity {
     val subLen = dim / m
     val (cent, assigned) = coarseAssign(corpus, nCentroids)
     val res = residuals(corpus, cent, assigned)
-    val (sub, codes) = pqCodes(res.select(col("nid"), col("rv").as("nv")),
-      dim, m, ksub, subCodebook)
+    val resCorpus = res.select(col("nid"), col("rv").as("nv"))
+    // default build path: L2-Lloyd-trained residual sub-codebooks —
+    // the reason FAISS always trains its IVFADC sub-quantizers is
+    // that residuals concentrate near zero and a seed grid of raw
+    // residual slices wastes most codewords (measured on the
+    // synthetics: 8/50 recall untrained → 13/50 trained, parity with
+    // the non-residual path at the same 12-bit budget). Slots the
+    // trainer cannot fill (a subspace with fewer than ksub training
+    // rows — degenerate inputs) fall back per (sm, code) to the seed
+    // grid so the m·ksub ADC layout stays total.
+    val sub0 = subCodebook.getOrElse {
+      val seeds = resCorpus.orderBy(col("nid").asc).limit(ksub)
+        .withColumn("code",
+          row_number().over(Window.orderBy(col("nid").asc)).cast("int") - 1)
+        .withColumn("sm", explode(array((0 until m).map(lit): _*)))
+        .select(col("sm"), col("code"),
+          slice(col("nv"), col("sm") * lit(subLen) + lit(1), lit(subLen))
+            .as("seed_scv"))
+      val trained = trainedSubCodebookL2(resCorpus, dim, m, ksub)
+        .withColumnRenamed("scv", "tr_scv")
+      seeds.join(trained, Seq("sm", "code"), "left")
+        .select(col("sm"), col("code"),
+          coalesce(col("tr_scv"), col("seed_scv")).as("scv"))
+    }
+    val (sub, codes) = pqCodes(resCorpus, dim, m, ksub, Some(sub0))
     val codesC = codes.join(assigned, "nid")
     val q = queries.withColumn("qnorm", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid"))

@@ -533,18 +533,57 @@ object StatTests {
     * longs), doubled sums keep the half-integer averages integral,
     * and the weighted median is an exact rank read on
     * [[Quantiles.cumDist]] with the pair weights. Work is
-    * O(distinct² ) per group — built for bounded-cardinality
+    * O(distinct²) per group — built for bounded-cardinality
     * measures (quantities, counts, cents after binning); the input
     * rows themselves fold once.
+    *
+    * The cardinality contract is ENFORCED, not assumed: a group whose
+    * distinct-value count exceeds `maxDistinctPerGroup` fails the job
+    * at the executors (raise_error before the quadratic self-join can
+    * form) instead of quietly going O(distinct²) at 100× the data.
+    * Callers with high-NDV measures opt into `binCount` > 0: values
+    * are first snapped down to at most `binCount` equi-width bins per
+    * group (integer arithmetic — bin width w = (max−min) div binCount
+    * + 1, representative v′ = min + ((v−min) div w)·w, identical in
+    * any engine), an explicit, reproducible approximation of the
+    * estimator's location.
     *
     * @return (g, n_pairs, hl_estimate)
     */
   def hodgesLehmann(
       df: DataFrame,
       groupCol: String,
-      valueExpr: Column): DataFrame = {
-    val cells = df.select(col(groupCol).as("g"), valueExpr.as("v"))
+      valueExpr: Column,
+      maxDistinctPerGroup: Long = 100000L,
+      binCount: Int = 0): DataFrame = {
+    val raw = df.select(col(groupCol).as("g"), valueExpr.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val binned =
+      if (binCount <= 0) raw
+      else {
+        val wsp = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        raw
+          .withColumn("vmin", min("v").over(wsp))
+          .withColumn("vmax", max("v").over(wsp))
+          .withColumn("bw", expr(s"(vmax - vmin) div $binCount") + lit(1L))
+          .select(col("g"),
+            (col("vmin") + expr("(v - vmin) div bw") * col("bw")).as("v"),
+            col("c"))
+          .groupBy("g", "v").agg(sum("c").as("c"))
+      }
+    val cells = binned
+      .withColumn("ndv", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      // the guard rides the value column itself so column pruning can
+      // never drop it; raise_error surfaces group and cardinality
+      .withColumn("v",
+        when(col("ndv") <= maxDistinctPerGroup, col("v"))
+          .otherwise(raise_error(concat(
+            lit("hodgesLehmann: group "), col("g").cast("string"),
+            lit(" has "), col("ndv").cast("string"),
+            lit(s" distinct values (max $maxDistinctPerGroup); " +
+              "pass binCount to pre-bin")))))
+      .drop("ndv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cells.as("a")
       .join(cells.as("b"),

@@ -1774,15 +1774,20 @@ object ExtQueries {
     // canonical a<b edges make each triangle (u<v<w) appear exactly
     // once in the plain 3-way join — no orientation needed for the
     // oracle, which is the point: the engine's degree-oriented plan
-    // must reproduce the naive semantics
+    // must reproduce the naive semantics. li/e/tri are MATERIALIZED:
+    // DuckDB inlines plain CTEs per reference (e feeds deg + three
+    // join legs, tri feeds three unnests), and the inlined expansion
+    // both recomputes the edge distinct five times and doubles peak
+    // memory (measured 524 → 285 MB).
     "q_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         e AS (SELECT DISTINCT a.p AS a, b.p AS b
+      """WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
          deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
                  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t
                  GROUP BY v),
-         tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         tri AS MATERIALIZED (SELECT e1.a AS u, e1.b AS v, e2.b AS w
                  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
                  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
          pn AS (SELECT x AS node, count(*) AS t
@@ -2629,14 +2634,21 @@ object ExtQueries {
          SELECT user_id, '_n_types', CAST(count(*) AS BIGINT)
          FROM c GROUP BY user_id""",
 
-    // struct-min trick replicated: DuckDB min over a struct orders
-    // lexicographically by field, same as Spark's struct ordering
+    // arg_min/arg_max on a HUGEINT-encoded (ts, event_id) key — the
+    // same winner as Spark's lexicographic min(struct(ts, id, v))
+    // because epoch_us·10^10 + id is strictly monotone in (ts, id)
+    // for id < 10^10. The struct-min formulation was value-identical
+    // but allocated ~650 MB in DuckDB for a 600k-row scan (per-row
+    // struct materialization); this runs in the scan's own footprint
+    // — the checker's peak-memory discipline.
     "q_resample_ohlc" ->
       """SELECT event_type, date_trunc('hour', ts) AS bucket,
             CAST(count(*) AS BIGINT) AS n_events,
-            (min({'t': ts, 'i': event_id, 'v': value})).v AS open,
+            arg_min(value,
+              CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS open,
             max(value) AS high, min(value) AS low,
-            (max({'t': ts, 'i': event_id, 'v': value})).v AS close,
+            arg_max(value,
+              CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id) AS close,
             CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2""",
 

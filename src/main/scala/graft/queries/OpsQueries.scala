@@ -244,6 +244,23 @@ object OpsQueries {
         k = 5, dim = 64)
     }),
 
+    // Residual-IVFPQ recall: the trained-codebook default priced
+    // against the same exact top-5. Read next to q_ann_ivfpq_recall
+    // it shows what training the residual sub-quantizers buys over
+    // quantizing raw vectors with the same 12-bit budget.
+    "q_ann_ivfpq_res_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+      val r = Similarity.ivfPqResidualTopK(q, c, k = 5, dim = 64)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(r, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    }),
+
     // IVFPQ recall: quantization loss PLUS the probe bound, priced
     // against the same exact top-5 — read next to q_ann_pq_recall it
     // separates the two costs.
@@ -914,11 +931,11 @@ object OpsQueries {
   private def jaccardSql: String =
     s"""WITH $toksBase,
         sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
-        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-        kept AS (SELECT doc_id, s FROM ex
+        ex AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
+        kept AS MATERIALIZED (SELECT doc_id, s FROM ex
                  WHERE s IN (SELECT s FROM ex GROUP BY s
                              HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})),
-        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         pairs AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS shared
                   FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         sized AS (SELECT p.ida, p.idb, p.shared, sa.n na, sb.n nb FROM pairs p
@@ -933,11 +950,11 @@ object OpsQueries {
   private def containmentSql: String =
     s"""WITH $toksBase,
         sh AS (SELECT doc_id, $shingleStrings AS ss FROM base),
-        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-        kept AS (SELECT doc_id, s FROM ex
+        ex AS MATERIALIZED (SELECT doc_id, unnest(ss) AS s FROM sh),
+        kept AS MATERIALIZED (SELECT doc_id, s FROM ex
                  WHERE s IN (SELECT s FROM ex GROUP BY s
                              HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})),
-        sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
         pairs AS (SELECT a.doc_id ida, b.doc_id idb, count(*) AS shared
                   FROM kept a JOIN kept b
                     ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -966,9 +983,9 @@ object OpsQueries {
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n          UNION ALL ")
     s"""WITH $toksBase,
-        sh AS (SELECT doc_id, $shingleHashes AS hs FROM base),
-        sig AS (SELECT doc_id, $sigTerms AS sig FROM sh),
-        bands AS ($bandRows),
+        sh AS MATERIALIZED (SELECT doc_id, $shingleHashes AS hs FROM base),
+        sig AS MATERIALIZED (SELECT doc_id, $sigTerms AS sig FROM sh),
+        bands AS MATERIALIZED ($bandRows),
         cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bands a
                  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                    AND a.doc_id < b.doc_id $candFilter),
@@ -1248,7 +1265,7 @@ object OpsQueries {
             (SELECT CAST(count(*) AS BIGINT)
              FROM (${annLshCandSql(np, pb)}) k$np$pb) AS n_candidates"""
     }
-    s"""WITH b AS ($annSql) ${settings.mkString(" UNION ALL ")}"""
+    s"""WITH b AS MATERIALIZED ($annSql) ${settings.mkString(" UNION ALL ")}"""
   }
 
   /** IVF twin: same deterministic codebook (lowest 16 ids), same
@@ -1258,10 +1275,12 @@ object OpsQueries {
   private def ivfSql: String = {
     def dc(a: String, b: String) = (1 to 64)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
-                      ORDER BY vec_id LIMIT 16),
-        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
-        q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+    s"""WITH cent AS MATERIALIZED (
+          SELECT vec_id cid, embedding cv FROM embeddings
+          ORDER BY vec_id LIMIT 16),
+        c AS MATERIALIZED (SELECT vec_id nid, embedding nv FROM embeddings),
+        q AS MATERIALIZED (
+          SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
             ORDER BY (${dc("nv", "cv")}) /
@@ -1399,52 +1418,82 @@ object OpsQueries {
     * recovered — brute CTE joined to the PQ CTE result.
     */
   private def pqRecallSql: String =
-    s"""WITH b AS ($annSql), p AS ($pqSql)
+    s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($pqSql)
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
                (SELECT CAST(count(*) AS BIGINT)
                 FROM b JOIN p USING (qid, nid)) AS n_hits"""
 
   /** Residual IVFPQ twin ([[graft.ops.Similarity.ivfPqResidualTopK]]):
     * the ivfSql coarse quantizer, residual corpus `(nv[i] − cv[i])` in
-    * FLOAT (the IEEE-exact `zip_with` mirror), the seed-grid residual
-    * sub-codebook, and the score rebuilt term by term —
-    * `(pdot + Σdv) / (qnorm · √((‖cv‖² + 2·Σcdv) + Σ‖r‖²))` with the
-    * same parenthesization the Spark expression tree produces.
+    * FLOAT (the IEEE-exact `zip_with` mirror), the TRAINED residual
+    * sub-codebook — two squared-L2 Lloyd rounds per subspace
+    * ([[graft.ops.KMeans.kmeansCodebookL2]]: seeded by the 8
+    * lowest-id residual slices, `‖c‖² − 2·v·c` argmin assignment with
+    * ties to the lowest cid, floor(x·1024) quantized-mean updates,
+    * empty clusters carried forward), partitioned by `m` so one chain
+    * trains all four codebooks — and the ADC score rebuilt term by
+    * term, `(pdot + Σdv) / (qnorm · √((‖cv‖² + 2·Σcdv) + Σ‖r‖²))`,
+    * with the same parenthesization the Spark expression tree
+    * produces.
     *
-    * The reused CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
-    * reference, and `res`/`asn` feed three consumers each — inlined,
-    * the unrolled-fold expression tree multiplies out and has OOM'd
-    * the checker under memory pressure; materialized it runs in ~2 s.
+    * Multi-referenced CTEs are MATERIALIZED: DuckDB inlines plain
+    * CTEs per reference, and the unrolled-fold expression trees
+    * multiply out and have OOM'd the checker under memory pressure;
+    * materialized the whole pipeline runs in ~2 s. (The engine's
+    * seed-grid fallback never fires on this data — every subspace
+    * trains a full 8-codeword book — so the oracle encodes only the
+    * trained path.)
     */
   private def ivfPqResidualSql: String = {
-    val (k, dim, m, ksub, nCent, nProbe) = (5, 64, 4, 8, 16, 4)
+    val (k, dim, m, ksub, nCent, nProbe, iters, scale) =
+      (5, 64, 4, 8, 16, 4, 2, 1024L)
     val sub = dim / m
     def fullDc(a: String, b: String) = (1 to dim)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-    def rEl(i: Int) = s"(s.snv[$i] - s.scv0[$i])"
-    def dcmR(a: String, mi: Int) = (1 to sub).map { j =>
+    // 16-element dot of two LIST(FLOAT) slices (the per-subspace fold)
+    def dc16(a: String, b: String) = (1 to sub)
+      .map(j => s"CAST($a[$j] AS DOUBLE)*CAST($b[$j] AS DOUBLE)").mkString(" + ")
+    // dot of a full-vector column's m-th slice with the trained scv
+    def dcmFull(a: String, mi: Int) = (1 to sub).map { j =>
       val i = mi * sub + j
-      s"CAST($a[$i] AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
+      s"CAST($a[$i] AS DOUBLE)*CAST(s.scv[$j] AS DOUBLE)"
     }.mkString(" + ")
-    def dcmRR(mi: Int) = (1 to sub).map { j =>
+    // dot of the residual slice (FLOAT subtraction, the zip_with
+    // mirror) with the trained scv
+    def dcmRes(mi: Int) = (1 to sub).map { j =>
       val i = mi * sub + j
-      s"CAST(${rEl(i)} AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
-    }.mkString(" + ")
-    def dcmResR(mi: Int) = (1 to sub).map { j =>
-      val i = mi * sub + j
-      s"CAST((r.nv[$i] - r.cv[$i]) AS DOUBLE)*CAST(${rEl(i)} AS DOUBLE)"
+      s"CAST((r.nv[$i] - r.cv[$i]) AS DOUBLE)*CAST(s.scv[$j] AS DOUBLE)"
     }.mkString(" + ")
     def caseM(f: Int => String) =
       "CASE s.m " + (0 until m).map(mi => s"WHEN $mi THEN (${f(mi)})").mkString(" ") + " END"
-    val cmp = caseM(mi => s"(${dcmRR(mi)}) - 2.0*(${dcmResR(mi)})")
-    val dv = caseM(mi => dcmR("q.qv", mi))
-    val cn2 = caseM(mi => dcmRR(mi))
-    val cdv = caseM(mi => dcmR("ct.cv", mi))
-    def pivots(expr: String, pre: String) = (0 until m)
-      .map(mi => s"MAX(CASE WHEN qd.m = $mi THEN $expr END) AS $pre$mi")
-      .mkString(",\n               ")
-    def sumTerms(pre: String) = (0 until m)
-      .map(mi => s"$pre$mi").reduce((a, b) => s"($a + $b)")
+    val cmp = s"s.cn2 - 2.0*(${caseM(dcmRes)})"
+    val dv = caseM(mi => dcmFull("q.qv", mi))
+    val cdv = caseM(mi => dcmFull("ct.cv", mi))
+    // one Lloyd round over the per-subspace training slices, the
+    // kmeansSql shape with (m) added to every key
+    def round(r: Int, prev: String): String =
+      s"""ra$r AS (SELECT m, id, cid FROM (
+            SELECT tr.m, tr.id, ce.cid, ROW_NUMBER() OVER (
+              PARTITION BY tr.m, tr.id
+              ORDER BY ((${dc16("ce.cv", "ce.cv")})
+                - 2.0*(${dc16("tr.v", "ce.cv")})) ASC, ce.cid) rn
+            FROM train tr JOIN $prev ce ON ce.m = tr.m) t WHERE rn = 1),
+          ru$r AS (SELECT m, cid, pos,
+              CAST((CAST(sum(qq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / $scale
+                AS FLOAT) AS x
+            FROM (SELECT a.m, a.cid, i AS pos,
+                    CAST(floor(CAST(tr.v[i + 1] AS DOUBLE) * $scale) AS BIGINT) AS qq
+                  FROM train tr JOIN ra$r a ON a.m = tr.m AND a.id = tr.id
+                  CROSS JOIN range(0, $sub) t(i))
+            GROUP BY m, cid, pos),
+          rcent$r AS MATERIALIZED (SELECT se.m, se.cid,
+              CASE WHEN count(u.x) = 0 THEN any_value(se.cv)
+                   ELSE list(u.x ORDER BY u.pos) END AS cv
+            FROM $prev se LEFT JOIN ru$r u ON u.m = se.m AND u.cid = se.cid
+            GROUP BY se.m, se.cid)"""
+    val rounds = (1 to iters)
+      .map(r => round(r, if (r == 1) "rseeds" else s"rcent${r - 1}"))
+      .mkString(",\n        ")
     s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
                       ORDER BY vec_id LIMIT $nCent),
         c AS (SELECT vec_id nid, embedding nv FROM embeddings),
@@ -1457,11 +1506,21 @@ object OpsQueries {
         res AS MATERIALIZED (SELECT c.nid, a.cid, c.nv, ct.cv
                 FROM c JOIN asn a ON a.nid = c.nid
                        JOIN cent ct ON ct.cid = a.cid),
-        rseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY nid) - 1 AS code,
-                          nv AS snv, cv AS scv0
-                   FROM (SELECT nid, nv, cv FROM res ORDER BY nid LIMIT $ksub)),
-        sub AS MATERIALIZED (SELECT CAST(t.mm AS INTEGER) AS m, code, snv, scv0
-                FROM rseeds CROSS JOIN range(0, $m) t(mm)),
+        train AS MATERIALIZED (
+          SELECT CAST(t.mm AS INTEGER) AS m, r.nid AS id,
+            list_transform(range(1, ${sub + 1}),
+              j -> CAST(r.nv[t.mm*$sub + j] - r.cv[t.mm*$sub + j] AS FLOAT)) AS v
+          FROM res r CROSS JOIN range(0, $m) t(mm)),
+        rseeds AS MATERIALIZED (SELECT m,
+            CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY id) AS BIGINT) - 1
+              AS cid, v AS cv
+          FROM (SELECT m, id, v, ROW_NUMBER() OVER (
+                  PARTITION BY m ORDER BY id) rn FROM train) t
+          WHERE rn <= $ksub),
+        $rounds,
+        sub AS MATERIALIZED (SELECT m, CAST(cid AS INTEGER) AS code,
+            cv AS scv, (${dc16("cv", "cv")}) AS cn2
+          FROM rcent$iters),
         codes AS MATERIALIZED (SELECT nid, m, code FROM (
           SELECT r.nid, s.m, s.code,
             ROW_NUMBER() OVER (PARTITION BY r.nid, s.m
@@ -1473,7 +1532,7 @@ object OpsQueries {
               ORDER BY (${fullDc("qv", "cv")}) /
                 (sqrt(${fullDc("qv", "qv")}) * sqrt(${fullDc("cv", "cv")})) DESC, cid) rn
           FROM q, cent) t WHERE rn <= $nProbe),
-        qd AS MATERIALIZED (SELECT q.qid, s.m, s.code, ($dv) AS dv, ($cn2) AS cn2,
+        qd AS MATERIALIZED (SELECT q.qid, s.m, s.code, ($dv) AS dv, s.cn2 AS cn2,
                       sqrt(${fullDc("qv", "qv")}) AS qnorm
                FROM q CROSS JOIN sub s),
         cw AS MATERIALIZED (SELECT ct.cid, s.m, s.code, ($cdv) AS cdv,
@@ -1482,9 +1541,9 @@ object OpsQueries {
         sc AS (SELECT qd.qid, codes.nid,
                MAX(qd.qnorm) AS qnorm, MAX(probes.pdot) AS pdot,
                MAX(cw.cn2cv) AS cn2cv,
-               ${pivots("qd.dv", "d")},
-               ${pivots("qd.cn2", "n")},
-               ${pivots("cw.cdv", "e")}
+               ${(0 until m).map(mi => s"MAX(CASE WHEN qd.m = $mi THEN qd.dv END) AS d$mi").mkString(",\n               ")},
+               ${(0 until m).map(mi => s"MAX(CASE WHEN qd.m = $mi THEN qd.cn2 END) AS n$mi").mkString(",\n               ")},
+               ${(0 until m).map(mi => s"MAX(CASE WHEN cw.m = $mi THEN cw.cdv END) AS e$mi").mkString(",\n               ")}
                FROM codes
                JOIN asn ON asn.nid = codes.nid
                JOIN probes ON probes.cid = asn.cid
@@ -1496,8 +1555,8 @@ object OpsQueries {
                GROUP BY qd.qid, codes.nid)
         SELECT qid, nid, rank FROM (
           SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY (pdot + ${sumTerms("d")}) /
-              (qnorm * sqrt((cn2cv + 2.0*${sumTerms("e")}) + ${sumTerms("n")}))
+            ORDER BY (pdot + ${(0 until m).map(mi => s"d$mi").reduce((a,b) => s"($a + $b)")}) /
+              (qnorm * sqrt((cn2cv + 2.0*${(0 until m).map(mi => s"e$mi").reduce((a,b) => s"($a + $b)")}) + ${(0 until m).map(mi => s"n$mi").reduce((a,b) => s"($a + $b)")}))
               DESC, nid ASC) AS BIGINT) AS rank
           FROM sc) t
         WHERE rank <= $k"""
@@ -1505,7 +1564,7 @@ object OpsQueries {
 
   /** Same bill for the composed IVF+PQ path. */
   private def ivfPqRecallSql: String =
-    s"""WITH b AS ($annSql), p AS ($ivfPqSql)
+    s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqSql)
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
                (SELECT CAST(count(*) AS BIGINT)
                 FROM b JOIN p USING (qid, nid)) AS n_hits"""
@@ -1517,15 +1576,16 @@ object OpsQueries {
   private def semanticDedupSql: String = {
     def dc(a: String, b: String) = (1 to 64)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
-    s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
-                      ORDER BY vec_id LIMIT 16),
-        c AS (SELECT vec_id nid, embedding nv FROM embeddings),
+    s"""WITH cent AS MATERIALIZED (
+          SELECT vec_id cid, embedding cv FROM embeddings
+          ORDER BY vec_id LIMIT 16),
+        c AS MATERIALIZED (SELECT vec_id nid, embedding nv FROM embeddings),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
             ORDER BY (${dc("nv", "cv")}) /
               (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
           FROM c, cent) t WHERE rn = 1),
-        m AS (SELECT nid, cid, nv FROM c JOIN asn USING (nid)),
+        m AS MATERIALIZED (SELECT nid, cid, nv FROM c JOIN asn USING (nid)),
         dropped AS (SELECT DISTINCT b.nid AS nid
           FROM m a JOIN m b ON a.cid = b.cid AND a.nid < b.nid
           WHERE (${dc("a.nv", "b.nv")}) /
@@ -1578,7 +1638,7 @@ object OpsQueries {
                     CAST(floor(CAST(v[i + 1] AS DOUBLE) * $scale) AS BIGINT) AS q
                   FROM c JOIN a$r USING (id) CROSS JOIN range(0, $dim) t(i))
             GROUP BY cid, pos),
-          cent$r AS (SELECT s.cid,
+          cent$r AS MATERIALIZED (SELECT s.cid,
               CASE WHEN count(u.x) = 0 THEN any_value(s.cv)
                    ELSE list(u.x ORDER BY u.pos) END AS cv,
               COALESCE(max(u.n), 0) AS n
@@ -1586,10 +1646,10 @@ object OpsQueries {
     val rounds = (1 to iters)
       .map(r => round(r, if (r == 1) "seeds" else s"cent${r - 1}"))
       .mkString(",\n          ")
-    s"""WITH seeds AS (
+    s"""WITH seeds AS MATERIALIZED (
           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
           FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
-        c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        c AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings),
         $rounds
         SELECT cid, CAST(i AS BIGINT) AS pos,
           CAST(cv[i + 1] AS DOUBLE) AS centroid, n
@@ -1786,8 +1846,8 @@ object OpsQueries {
     * declarative twin of the engine's min-label propagation fixpoint.
     */
   private def clustersSql: String =
-    s"""WITH RECURSIVE pairs AS (${minhashSql()}),
-        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${minhashSql()}),
+        edges AS MATERIALIZED (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
         reach(node, root) AS (
           SELECT a, a FROM edges
@@ -1803,8 +1863,8 @@ object OpsQueries {
     * component is argmax by (whitespace word count, then lowest id).
     */
   private def keepBestSql: String =
-    s"""WITH RECURSIVE pairs AS (${minhashSql()}),
-        edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${minhashSql()}),
+        edges AS MATERIALIZED (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
                   UNION ALL SELECT doc_id_b, doc_id_a FROM pairs),
         reach(node, root) AS (
           SELECT a, a FROM edges
@@ -2041,8 +2101,8 @@ object OpsQueries {
     "q_containment" -> containmentSql,
     "q_dedup_minhash" -> minhashSql(),
     "q_minhash_recall" ->
-      s"""WITH e AS (${jaccardSql}),
-          m AS (${minhashSql()})
+      s"""WITH e AS MATERIALIZED (${jaccardSql}),
+          m AS MATERIALIZED (${minhashSql()})
           SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
                  CAST((SELECT count(*) FROM m) AS BIGINT) AS n_minhash,
                  CAST((SELECT count(*) FROM e JOIN m USING (doc_id_a, doc_id_b))
@@ -2227,6 +2287,11 @@ object OpsQueries {
     "q_ann_pq_recall" -> pqRecallSql,
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,
     "q_ann_ivfpq_res" -> ivfPqResidualSql,
+    "q_ann_ivfpq_res_recall" ->
+      s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqResidualSql)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM b JOIN p USING (qid, nid)) AS n_hits""",
     "q_pq_codes" -> pqCodesSql,
     "q_pq_codes_lit" -> pqCodesSql,
     "q_embed_centroid" -> embedCentroidSql,

@@ -195,6 +195,155 @@ object TpchQueries {
         .limit(100)
     }),
 
+    // Q2 — minimum-cost supplier (correlated min subquery): with no
+    // partsupp table in the synthetic schema, the supply offer for
+    // (part, supplier) derives from lineitem as min(l_extendedprice);
+    // a supplier wins a part when its offer equals the min over ALL
+    // suppliers of the part's region pool (ASIA). The correlated
+    // `cost = (SELECT min ...)` becomes a per-part min aggregate
+    // joined back on (part, cost) — the decorrelated plan every
+    // engine compiles Q2 to. min() is picked, not summed, so doubles
+    // stay bit-exact cross-engine. Dims broadcast; the offers frame
+    // (one row per part×regional-supplier) is the only shuffled agg.
+    "q_tpch_q2" -> ((s, d) => {
+      val rn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val offers = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(sup.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val mins = offers.groupBy(col("l_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      offers
+        .join(mins, Seq("l_partkey"))
+        .filter(col("cost") === col("min_cost"))
+        .join(broadcast(sup.withColumnRenamed("s_suppkey", "sk")),
+          col("l_suppkey") === col("sk"))
+        .join(Tables.part(s, d)
+          .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+          .select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("cost"))
+    }),
+
+    // Q13 — customer order-count distribution: LEFT join so
+    // zero-order customers survive into the c_count=0 bucket, then a
+    // distribution over the per-customer counts. Two hash aggs; the
+    // left join shuffles on custkey (both sides scale with SF — no
+    // broadcast).
+    "q_tpch_q13" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15 — top supplier (max over a view): quarterly revenue per
+    // supplier, keep the supplier(s) whose revenue equals the global
+    // max. The view is one row per supplier, persisted (two
+    // consumers: itself and its 1-row max — without the persist the
+    // lineitem scan would run twice), and the max joins back as a
+    // 1-row broadcast equi-join on the EXACT decimal, so ties are
+    // exact, not double-rounded.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(revd(col("l_extendedprice"), col("l_discount")).as("revd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rev
+        .join(broadcast(rev.agg(max(col("revd")).as("mx"))),
+          col("revd") === col("mx"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("revd").cast("double").as("total_revenue"))
+    }),
+
+    // Q21 — suppliers who kept waiting orders (multi-EXISTS + anti):
+    // with no commit/receipt dates in the synthetic schema, "late" =
+    // shipped more than 90 days after the order date. For finished
+    // ('F') orders: count per supplier the late lineitems where
+    // ANOTHER supplier contributed to the order (EXISTS → left-semi
+    // on orderkey with a suppkey inequality) but NO OTHER supplier
+    // was late (NOT EXISTS → left-anti on the same shape over the
+    // late frame). The late frame is persisted: it feeds both the
+    // probe side and the anti build side.
+    "q_tpch_q21" -> ((s, d) => {
+      val late = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate")
+          + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l2 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+      val l3 = late.select(col("l_orderkey").as("k3"),
+        col("l_suppkey").as("sk3"))
+      late
+        .join(l2, col("l_orderkey") === col("k2")
+          && col("l_suppkey") =!= col("sk2"), "leftsemi")
+        .join(l3, col("l_orderkey") === col("k3")
+          && col("l_suppkey") =!= col("sk3"), "leftanti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+        .select(col("s_name"), col("numwait"))
+    }),
+
+    // Q22 — global-sales opportunity (anti-join + scalar avg):
+    // customers from a nation pool with no order since 2000 whose
+    // balance beats the pool's positive-balance average. The average
+    // never materializes as a double: balances fold to exact cents
+    // (floor(bal·100) — IEEE-identical in both engines) and the
+    // comparison cross-multiplies (bal_cents·n > sum_cents), so the
+    // scalar subquery is a 1-row broadcast of two integers.
+    "q_tpch_q22" -> ((s, d) => {
+      val pool = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val avgc = pool.filter(col("bal_cents") > 0L)
+        .agg(sum(col("bal_cents")).as("sum_cents"),
+          count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey"))
+      pool
+        .crossJoin(broadcast(avgc))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_cents")).cast("double") / 100).as("totacctbal"))
+    }),
+
     // Q10 — returned-item reporting: per-customer lost revenue from
     // 'R' lineitems in a quarter, top 20 by exact revenue.
     "q_tpch_q10" -> ((s, d) => {
@@ -325,6 +474,85 @@ object TpchQueries {
           JOIN big ON big.l_orderkey = o.o_orderkey
           JOIN customer c ON o.o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q_tpch_q2" ->
+      """WITH sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r_name = 'ASIA'),
+          offers AS (SELECT l_partkey, l_suppkey,
+              min(l_extendedprice) AS cost
+            FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey
+            GROUP BY 1, 2),
+          mins AS (SELECT l_partkey, min(cost) AS min_cost
+            FROM offers GROUP BY 1)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+          FROM offers o
+          JOIN mins m ON o.l_partkey = m.l_partkey
+            AND o.cost = m.min_cost
+          JOIN sup ON o.l_suppkey = sup.s_suppkey
+          JOIN part p ON o.l_partkey = p.p_partkey
+          WHERE p_type = 'SMALL' AND p_size <= 10
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          LIMIT 100""",
+
+    "q_tpch_q13" ->
+      """WITH percust AS (SELECT c_custkey,
+              CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+          SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          FROM percust GROUP BY 1""",
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey, $RevSql AS revd
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name, CAST(revd AS DOUBLE) AS total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE revd = (SELECT max(revd) FROM rev)""",
+
+    "q_tpch_q21" ->
+      """WITH late AS (SELECT l_orderkey, l_suppkey
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          FROM late l1
+          JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name
+          LIMIT 100""",
+
+    "q_tpch_q22" ->
+      """WITH pool AS (SELECT c_custkey, c_nationkey,
+              CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)),
+          avgc AS (SELECT sum(bal_cents) AS sum_cents,
+              CAST(count(*) AS BIGINT) AS n_pos
+            FROM pool WHERE bal_cents > 0)
+          SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+            CAST(count(*) AS BIGINT) AS numcust,
+            CAST(sum(bal_cents) AS DOUBLE) / 100 AS totacctbal
+          FROM pool, avgc
+          WHERE bal_cents * n_pos > sum_cents
+            AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = pool.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY 1""",
 
     "q_tpch_q10" ->
       s"""WITH agg AS (SELECT c_custkey, c_name, c_acctbal, n_name,

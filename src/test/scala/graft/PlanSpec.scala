@@ -58,14 +58,24 @@ class PlanSpec extends AnyFunSuite {
     // constant-size dims (nation/region) must broadcast; the exact
     // top-N orderings must plan as TakeOrderedAndProject (heap over
     // partitions), never a global Sort of the aggregate
-    for (q <- Seq("q_tpch_q5", "q_tpch_q7", "q_tpch_q10")) {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q5", "q_tpch_q7", "q_tpch_q10",
+        "q_tpch_q15")) {
       assert(plan(q).contains("BroadcastHashJoin"),
         s"$q lost its dimension broadcast")
     }
-    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18")) {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q3", "q_tpch_q10", "q_tpch_q18",
+        "q_tpch_q21")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
         s"$q top-N is not a TakeOrdered heap")
     }
+    // Q21's EXISTS / NOT-EXISTS chain must plan as hash semi/anti
+    // joins on the order key — never a nested loop
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q_tpch_q21 lost its semi/anti shape:\n$q21")
+    // Q22's zero-recent-orders check is a hash anti join
+    assert(plan("q_tpch_q22").contains("LeftAnti"),
+      "q_tpch_q22 lost its anti-join")
   }
 
   test("as-of join plans one key shuffle, never a cross product") {
@@ -392,7 +402,8 @@ class PlanSpec extends AnyFunSuite {
       "q_vocab_coverage", // 1-row corpus-total broadcast
       "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
-      "q_ann_ivfpq_res", "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
+      "q_ann_ivfpq_res", "q_ann_ivfpq_res_recall",
+      "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
       "q_histogram_eqdepth", "q_kendall", // contingency-CELL pairs:
@@ -407,6 +418,7 @@ class PlanSpec extends AnyFunSuite {
       "q_sample_weighted", "q_stats_collect", "q_tfidf",
       "q_token_budget", "q_web_domains",
       "q_modularity", // 1-row edge-total broadcast
+      "q_tpch_q22", // 1-row (sum_cents, n_pos) scalar-average broadcast
       "q_naive_bayes") // vocab × class-params and test-doc × class
       // skeleton crosses — the class frame is a tiny broadcast
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -440,7 +452,8 @@ class PlanSpec extends AnyFunSuite {
       "q_mutual_info", // grand-total window over the |X|·|Y|-cell frame
       "q_sliding_distinct", // runningTotal's offsets window
       // (~numShufflePartitions rows; the q_shard_assign machinery)
-      "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res", "q_ann_pq",
+      "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res",
+      "q_ann_ivfpq_res_recall", "q_ann_pq",
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
       "q_shard_assign", "q_shuffle_order", "q_skyline",

@@ -104,6 +104,61 @@ class KMeansSpec extends AnyFunSuite {
     assert(out((0L, 0L)) == (1.25, 4L))
   }
 
+  test("L2 trainer bit-matches its sequential model, zero vectors included") {
+    // a zero vector would 0/0 the cosine objective; the L2 trainer
+    // must place it with the nearest-by-L2 centroid natively
+    val scale = 1024.0
+    def modelL2(
+        vecs: Seq[(Long, Array[Float])],
+        k: Int, iters: Int): Map[(Long, Long), (Double, Long)] = {
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      var cent: Vector[(Long, Array[Float], Long)] = vecs.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v, 0L) }.toVector
+      for (_ <- 1 to iters) {
+        val assigned = vecs.map { case (id, v) =>
+          val best = cent
+            .map { case (cid, cv, _) => (dot(cv, cv) - 2.0 * dot(v, cv), cid) }
+            .minBy { case (cmp, cid) => (cmp, cid) }
+          (id, best._2, v)
+        }
+        cent = cent.map { case (cid, cv, _) =>
+          val members = assigned.filter(_._2 == cid).map(_._3)
+          if (members.isEmpty) (cid, cv, 0L)
+          else {
+            val next = Array.tabulate(cv.length) { d =>
+              val qsum = members
+                .map(m => math.floor(m(d).toDouble * scale).toLong).sum
+              ((qsum.toDouble / members.size.toDouble) / scale).toFloat
+            }
+            (cid, next, members.size.toLong)
+          }
+        }
+      }
+      cent.flatMap { case (cid, cv, n) =>
+        cv.zipWithIndex.map { case (x, pos) => (cid, pos.toLong) -> (x.toDouble, n) }
+      }.toMap
+    }
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map { id =>
+      (id, if (id == 5L) Array(0f, 0f, 0f, 0f)
+           else Array.fill(4)(rnd.nextFloat() * 0.4f - 0.2f))
+    }
+    val expected = modelL2(vecs, k = 4, iters = 2)
+    def runL2(parts: Int) = KMeans.kmeansCodebookL2(
+      vecs.toDF("vec_id", "embedding").repartition(parts),
+      "vec_id", "embedding", 4, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("pos")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n")))
+      .toMap
+    assert(runL2(1) == expected)
+    assert(runL2(5) == expected)
+  }
+
   test("one round of a single cluster is the quantized mean") {
     val vecs = Seq(
       0L -> Array(0.5f, 0.5f),

@@ -462,6 +462,40 @@ class Pack7Spec extends AnyFunSuite {
     assert(r2.getAs[Double]("hl_estimate") === 2.5)
   }
 
+  test("hodgesLehmann: NDV guard trips; binCount path = explicit pre-binning") {
+    // 5000 distinct values in one group blows a maxDistinctPerGroup=100
+    // contract — the guard must fail the job BEFORE the quadratic
+    // self-join forms, not silently go O(distinct²)
+    val wide = (1 to 5000).map(("a", _)).toDF("g", "v")
+    val e = intercept[Exception] {
+      StatTests.hodgesLehmann(wide, "g", col("v").cast("long"),
+        maxDistinctPerGroup = 100L).collect()
+    }
+    assert(e.getMessage != null)
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("hodgesLehmann"), rootMsg(e))
+    // binCount snaps values to equi-width bins; the result must equal
+    // running the unbinned estimator over explicitly pre-binned input
+    // (same integer formula: w = (max-min) div bins + 1,
+    //  v' = min + ((v-min) div w) * w)
+    val bins = 64
+    val got = StatTests.hodgesLehmann(wide, "g", col("v").cast("long"),
+      maxDistinctPerGroup = 100L, binCount = bins).collect().head
+    val vmin = 1L
+    val w = (5000L - 1L) / bins + 1L
+    val pre = (1 to 5000).map(v => ("a", vmin + ((v - vmin) / w) * w))
+      .toDF("g", "v")
+    val want = StatTests.hodgesLehmann(pre, "g", col("v").cast("long"))
+      .collect().head
+    assert(got.getAs[Long]("n_pairs") === want.getAs[Long]("n_pairs"))
+    assert(got.getAs[Double]("hl_estimate") === want.getAs[Double]("hl_estimate"))
+  }
+
   test("pairwiseWelch: textbook two-group t, all ordered pairs") {
     val df = (Seq(1, 2, 3, 4).map(("A", _)) ++ Seq(10, 12, 14).map(("B", _))
       ++ Seq(5, 6).map(("C", _))).toDF("g", "v")
