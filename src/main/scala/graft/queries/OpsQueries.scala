@@ -244,6 +244,34 @@ object OpsQueries {
         k = 5, dim = 64)
     }),
 
+    // The 8-bit PQ operating point: ksub=256 sub-codebooks at m=4
+    // (4 bytes/vector — the production ADC budget; the 2-bit default
+    // is the honest toy). Same seed-grid discipline and plan shape,
+    // 32× the codebook, measured at roughly twice the default's
+    // recall on the synthetics — the budget→recall curve as data.
+    "q_ann_pq8" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        k = 5, dim = 64, m = 4, ksub = 256)
+    }),
+
+    // ...and its recall bill against the same exact top-5.
+    "q_ann_pq8_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+      val pq = Similarity.pqTopK(q, c, k = 5, dim = 64, m = 4, ksub = 256)
+        .select(col("qid"), col("nid"), lit(1L).as("hit"))
+      brute.join(pq, Seq("qid", "nid"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    }),
+
     // Residual-IVFPQ recall: the trained-codebook default priced
     // against the same exact top-5. Read next to q_ann_ivfpq_recall
     // it shows what training the residual sub-quantizers buys over
@@ -1384,6 +1412,13 @@ object OpsQueries {
       candFrom = "codes JOIN qd ON codes.m = qd.m AND codes.code = qd.code",
       candWhere = "codes.nid <> qd.qid")
 
+  /** The 8-bit operating point: same generator at ksub = 256. */
+  private def pq8Sql: String =
+    pqScoreSql(4, 256, 64, 5,
+      extraCtes = "",
+      candFrom = "codes JOIN qd ON codes.m = qd.m AND codes.code = qd.code",
+      candWhere = "codes.nid <> qd.qid")
+
   /** IVF+PQ twin: the ivfSql coarse quantizer (lowest-16 codebook,
     * argmax-cosine lists, 4 probes) bounding which code rows each
     * query ADC-scores.
@@ -1541,9 +1576,9 @@ object OpsQueries {
         sc AS (SELECT qd.qid, codes.nid,
                MAX(qd.qnorm) AS qnorm, MAX(probes.pdot) AS pdot,
                MAX(cw.cn2cv) AS cn2cv,
-               ${(0 until m).map(mi => s"MAX(CASE WHEN qd.m = $mi THEN qd.dv END) AS d$mi").mkString(",\n               ")},
-               ${(0 until m).map(mi => s"MAX(CASE WHEN qd.m = $mi THEN qd.cn2 END) AS n$mi").mkString(",\n               ")},
-               ${(0 until m).map(mi => s"MAX(CASE WHEN cw.m = $mi THEN cw.cdv END) AS e$mi").mkString(",\n               ")}
+               ${resPivots("qd", "dv", "d")},
+               ${resPivots("qd", "cn2", "n")},
+               ${resPivots("cw", "cdv", "e")}
                FROM codes
                JOIN asn ON asn.nid = codes.nid
                JOIN probes ON probes.cid = asn.cid
@@ -1555,12 +1590,22 @@ object OpsQueries {
                GROUP BY qd.qid, codes.nid)
         SELECT qid, nid, rank FROM (
           SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY (pdot + ${(0 until m).map(mi => s"d$mi").reduce((a,b) => s"($a + $b)")}) /
-              (qnorm * sqrt((cn2cv + 2.0*${(0 until m).map(mi => s"e$mi").reduce((a,b) => s"($a + $b)")}) + ${(0 until m).map(mi => s"n$mi").reduce((a,b) => s"($a + $b)")}))
+            ORDER BY (pdot + ${resSum(m, "d")}) /
+              (qnorm * sqrt((cn2cv + 2.0*${resSum(m, "e")})
+                + ${resSum(m, "n")}))
               DESC, nid ASC) AS BIGINT) AS rank
           FROM sc) t
         WHERE rank <= $k"""
   }
+
+  /** Pivot/add-chain fragments for [[ivfPqResidualSql]]'s sc CTE. */
+  private def resPivots(src: String, fld: String, pre: String): String =
+    (0 until 4)
+      .map(mi => s"MAX(CASE WHEN $src.m = $mi THEN $src.$fld END) AS $pre$mi")
+      .mkString(",\n               ")
+
+  private def resSum(m: Int, pre: String): String =
+    (0 until m).map(mi => s"$pre$mi").reduce((a, b) => s"($a + $b)")
 
   /** Same bill for the composed IVF+PQ path. */
   private def ivfPqRecallSql: String =
@@ -2283,6 +2328,12 @@ object OpsQueries {
     "q_ann_recall" -> annRecallSql,
     "q_ann_ivf" -> ivfSql,
     "q_ann_pq" -> pqSql,
+    "q_ann_pq8" -> pq8Sql,
+    "q_ann_pq8_recall" ->
+      s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($pq8Sql)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+                 (SELECT CAST(count(*) AS BIGINT)
+                  FROM b JOIN p USING (qid, nid)) AS n_hits""",
     "q_ann_ivfpq" -> ivfPqSql,
     "q_ann_pq_recall" -> pqRecallSql,
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,

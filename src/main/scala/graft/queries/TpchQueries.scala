@@ -31,10 +31,12 @@ object TpchQueries {
       (lit(1).cast("decimal(18,2)") - disc.cast("decimal(18,2)")))
       .cast("decimal(28,6)"))
 
-  private val RevSql =
-    """SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+  private val RevTerm =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-       AS DECIMAL(28,6)))"""
+       AS DECIMAL(28,6))"""
+
+  private val RevSql = s"SUM($RevTerm)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -344,6 +346,245 @@ object TpchQueries {
           (sum(col("bal_cents")).cast("double") / 100).as("totacctbal"))
     }),
 
+    // Q4 — order-priority checking: orders in a quarter with at
+    // least one late lineitem (EXISTS → left-semi whose condition
+    // spans both sides: ship > orderdate + 60 days), counted by
+    // priority. The semi join hashes on the order key; the date
+    // residual rides the join condition.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("lk"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("lk")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q8 — national market share: NATION_5's slice of ASIA-customer
+    // STANDARD-part revenue per order year. Both the slice and the
+    // total fold as exact decimals (the conditional arm contributes
+    // an exact 0), so the closing share is ONE double division.
+    "q_tpch_q8" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,6)")
+      val cn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("ck"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("ck"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", rev)
+            .otherwise(lit(0).cast("decimal(28,6)"))).as("nr"),
+          sum(rev).as("tr"))
+        .select(col("o_year"),
+          expr("CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)").as("mkt_share"))
+    }),
+
+    // Q9 — product-type profit: revenue minus a retail-price-derived
+    // cost (the synthetic schema has no supplycost; cost =
+    // qty·retailprice·0.5), per supplier nation and year. Every
+    // stage is an explicitly-cast decimal so both engines type the
+    // fold identically — no division anywhere.
+    "q_tpch_q9" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,6)")
+      val cost = ((col("l_quantity").cast("decimal(12,2)") *
+        col("p_retailprice").cast("decimal(12,2)")).cast("decimal(20,4)") *
+        lit(0.5).cast("decimal(2,1)")).cast("decimal(28,6)")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(rev - cost).cast("double").as("sum_profit"))
+    }),
+
+    // Q11 — important stock: per-part supply value from one region's
+    // suppliers, kept when the part's value clears a fixed fraction
+    // of the regional total. Value folds as exact cent-products
+    // (BIGINT), the threshold is an integer cross-multiply against
+    // the broadcast 1-row total — no double ever compares.
+    "q_tpch_q11" -> ((s, d) => {
+      val rn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey").as("nk"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(rn), col("s_nationkey") === col("nk"))
+        .select("s_suppkey")
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.part(s, d).select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long") *
+          floor(col("p_retailprice") * 100).cast("long")).as("val"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = v.agg(sum(col("val")).as("tot"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("val") * 2000L > col("tot"))
+        .select(col("l_partkey").as("p_partkey"),
+          (col("val").cast("double") / 10000.0).as("value"))
+    }),
+
+    // Q12 — shipping-delay priority split (shipmode stands in as the
+    // return flag): per flag, late-shipped 1997 lineitems whose order
+    // was URGENT/HIGH vs the rest — the classic CASE-count pivot.
+    "q_tpch_q12" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate",
+          "o_orderpriority"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // Q14 — promo revenue share in one month: two exact decimal
+    // folds (the PROMO slice and the total), one double division
+    // scaled by 100 — the percentage the marketing report wants.
+    "q_tpch_q14" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,6)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp_ntz"))
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(28,6)"))).as("pr"),
+          sum(rev).as("tr"))
+        .select(expr("100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE)")
+          .as("promo_revenue"))
+    }),
+
+    // Q16 — supplier-part relationship counts: distinct suppliers
+    // per (brand, type, size) over the DISTINCT lineitem links,
+    // excluding a supplier blacklist (negative balance stands in for
+    // the complaints filter) via an anti join.
+    "q_tpch_q16" -> ((s, d) => {
+      val links = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bk"))
+      links
+        .join(broadcast(bad), col("l_suppkey") === col("bk"), "leftanti")
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1"
+            && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q17 — small-quantity-order revenue: lineitems of a brand/size
+    // slice whose quantity is under 20% of the part's average. The
+    // correlated avg decorrelates to a per-part (Σq, n) aggregate
+    // joined back, and the 0.2·avg comparison cross-multiplies in
+    // exact cents (10·q·n < 2·Σq) — no double threshold.
+    "q_tpch_q17" -> ((s, d) => {
+      val pq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") < 15)
+          .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+        .join(pq, col("l_partkey") === col("pk"))
+        .filter(floor(col("l_quantity") * 100).cast("long") * col("n") * 10L
+          < col("sq") * 2L)
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // Q19 — disjunctive predicate revenue: three (brand, size,
+    // quantity) baskets OR'd together — the filter-pushdown stress
+    // shape (the OR of range conjunctions reaches the scan).
+    "q_tpch_q19" -> ((s, d) => {
+      val q = col("l_quantity")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && q.between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && q.between(10, 20)) ||
+          (col("p_brand") === "Brand#5" && col("p_size").between(1, 15)
+            && q.between(20, 30)))
+        .agg(revd(col("l_extendedprice"), col("l_discount"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Q20 — majority suppliers: AFRICA suppliers who shipped more
+    // than half of some SMALL part's 1997 volume (the partsupp-less
+    // adaptation of "excess stock"). The correlated half-sum is a
+    // per-part total joined back; the comparison is an exact-cents
+    // integer cross-multiply; the supplier list dedups via the
+    // grouped flag frame.
+    "q_tpch_q20" -> ((s, d) => {
+      val sq = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = sq.groupBy(col("pk")).agg(sum(col("q")).as("tq"))
+      val rn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AFRICA")
+        .select(col("n_nationkey").as("nk"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(rn), col("s_nationkey") === col("nk"))
+        .select(col("s_suppkey"), col("s_name"))
+      sq.join(tot, Seq("pk"))
+        .filter(col("q") * 2L > col("tq"))
+        .join(Tables.part(s, d).filter(col("p_type") === "SMALL")
+          .select("p_partkey"), col("pk") === col("p_partkey"))
+        .join(broadcast(sup), col("sk") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name")).distinct()
+    }),
+
     // Q10 — returned-item reporting: per-customer lost revenue from
     // 'R' lineitems in a quarter, top 20 by exact revenue.
     "q_tpch_q10" -> ((s, d) => {
@@ -553,6 +794,136 @@ object TpchQueries {
               WHERE o.o_custkey = pool.c_custkey
                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
           GROUP BY 1""",
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          FROM orders o
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+            AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          GROUP BY 1""",
+
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $RevTerm
+                          ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+            CAST(sum($RevTerm) AS DOUBLE) AS mkt_share
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r ON cn.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          GROUP BY 1""",
+
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+            CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            CAST(sum($RevTerm -
+              CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                CAST(p_retailprice AS DECIMAL(12,2)) AS DECIMAL(20,4)) *
+                CAST(0.5 AS DECIMAL(2,1)) AS DECIMAL(28,6)))
+              AS DOUBLE) AS sum_profit
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE p_type = 'ECONOMY'
+          GROUP BY 1, 2""",
+
+    "q_tpch_q11" ->
+      """WITH rs AS (SELECT s_suppkey FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r_name = 'EUROPE'),
+          v AS MATERIALIZED (SELECT l_partkey,
+              sum(CAST(floor(l_quantity*100) AS BIGINT) *
+                  CAST(floor(p_retailprice*100) AS BIGINT)) AS val
+            FROM lineitem l
+            JOIN rs ON l.l_suppkey = rs.s_suppkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1)
+          SELECT l_partkey AS p_partkey,
+            CAST(val AS DOUBLE) / 10000.0 AS value
+          FROM v, (SELECT sum(val) AS tot FROM v) t
+          WHERE val * 2000 > tot""",
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          GROUP BY 1""",
+
+    "q_tpch_q14" ->
+      s"""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $RevTerm
+              ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) /
+            CAST(sum($RevTerm) AS DOUBLE) AS promo_revenue
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+            AND l_shipdate < TIMESTAMP '1997-07-01'""",
+
+    "q_tpch_q16" ->
+      """WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+          SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          FROM links JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#1'
+            AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+            AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY 1, 2, 3""",
+
+    "q_tpch_q17" ->
+      """WITH pq AS (SELECT l_partkey AS pk,
+              sum(CAST(floor(l_quantity*100) AS BIGINT)) AS sq,
+              CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1)
+          SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              AS DOUBLE) / 7.0 AS avg_yearly
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN pq ON pk = l.l_partkey
+          WHERE p_brand = 'Brand#3' AND p_size < 15
+            AND CAST(floor(l_quantity*100) AS BIGINT) * n * 10 < sq * 2""",
+
+    "q_tpch_q19" ->
+      s"""SELECT CAST($RevSql AS DOUBLE) AS revenue,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_tpch_q20" ->
+      """WITH sq AS MATERIALIZED (SELECT l_partkey AS pk, l_suppkey AS sk,
+              sum(CAST(floor(l_quantity*100) AS BIGINT)) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2),
+          tot AS (SELECT pk, sum(q) AS tq FROM sq GROUP BY 1)
+          SELECT DISTINCT s.s_suppkey, s.s_name
+          FROM sq JOIN tot USING (pk)
+          JOIN part p ON pk = p.p_partkey
+          JOIN supplier s ON sk = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE q * 2 > tq AND p_type = 'SMALL' AND r_name = 'AFRICA'""",
 
     "q_tpch_q10" ->
       s"""WITH agg AS (SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -687,6 +687,99 @@ object EventStreams {
         col("close"), col("sum_cents"))
   }
 
+  final case class GapOut(
+      user_id: Long, gap_start: String, gap_end: String, gap_days: Long)
+
+  /** Last active day per user in epoch days (public: the state
+    * encoder's generated code must be able to construct it).
+    */
+  final case class GapState(lastDay: Long)
+
+  /** Streaming activity gaps — the streaming twin of
+    * `q_activity_gaps`: per user, emit each completed idle stretch
+    * between consecutive active days the moment the user returns.
+    * Gap detection is a lag read over the distinct-day sequence, so
+    * the state is ONE epoch-day long per user (the
+    * [[streamingDeltas]] machinery with days for timestamps).
+    *
+    * No timeout: a gap only COMPLETES when the next active day
+    * arrives (the batch operator reports completed gaps only), and
+    * the 8-byte/user state is bounded by the user population, not by
+    * history. Days at or before the carried frontier are ignored —
+    * the single-frontier approximation [[sessionize]] documents;
+    * exact versus batch when active days arrive in order across
+    * micro-batches (within-batch disorder is sorted away; the spec
+    * asserts set equality against the batch query under that
+    * arrival pattern).
+    */
+  def activityGaps(
+      events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[GapState]) =>
+          val days = rows
+            .map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+            .toSeq.distinct.sorted
+          var last = state.getOption.map(_.lastDay)
+          val out = Vector.newBuilder[GapOut]
+          for (day <- days; if last.forall(day > _)) {
+            for (l <- last; if day > l + 1L)
+              out += GapOut(userId,
+                java.time.LocalDate.ofEpochDay(l + 1L).toString,
+                java.time.LocalDate.ofEpochDay(day - 1L).toString,
+                day - l - 1L)
+            last = Some(day)
+          }
+          last.foreach(d => state.update(GapState(d)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming smoothed success rates, the incremental twin of
+    * [[graft.ops.Cohorts.smoothedRates]]. Shrinkage needs GLOBAL
+    * totals, which no single `flatMapGroupsWithState` key layout can
+    * see — so the twin is the fold shape instead (the
+    * [[writeToSnapshot]] / [[graft.ops.Incremental]] pattern):
+    * `foreachBatch` folds each micro-batch's per-user (n, s) into a
+    * stored partials frame with [[smoothedRatesFold]], and
+    * [[smoothedRatesFromPartials]] closes the read. Counts are
+    * order-free exact integers, so after batch k the result equals
+    * the batch operator over the union of batches 1..k EXACTLY — no
+    * frontier approximation, any arrival order, any batch boundaries
+    * (the spec asserts bit equality).
+    */
+  def smoothedRatesFold(
+      stored: DataFrame, // (user_id, n, s) — empty on the first batch
+      batch: DataFrame,
+      userCol: String,
+      successExpr: org.apache.spark.sql.Column): DataFrame = {
+    val part = batch
+      .groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successExpr, 1L).otherwise(0L)).as("s"))
+    stored.unionAll(part)
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+  }
+
+  /** Close the smoothed-rate read over folded partials — the same
+    * token-shared shrinkage expression as the batch operator
+    * ([[graft.ops.Cohorts.SmoothExpr]]), global totals re-aggregated
+    * from the per-user frame (never a second input scan).
+    */
+  def smoothedRatesFromPartials(
+      partials: DataFrame, priorWeight: Int = 20): DataFrame = {
+    val tot = partials.agg(sum(col("n")).as("ng"), sum(col("s")).as("sg"))
+    partials.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n"), col("s"),
+        expr(graft.ops.Cohorts.SmoothExpr(priorWeight)).as("smoothed_rate"))
+  }
+
   final case class DeltaOut(
       user_id: Long, event_id: Long, v_cents: Long,
       delta_cents: Option[Long])

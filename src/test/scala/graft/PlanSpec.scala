@@ -58,11 +58,18 @@ class PlanSpec extends AnyFunSuite {
     // constant-size dims (nation/region) must broadcast; the exact
     // top-N orderings must plan as TakeOrderedAndProject (heap over
     // partitions), never a global Sort of the aggregate
-    for (q <- Seq("q_tpch_q2", "q_tpch_q5", "q_tpch_q7", "q_tpch_q10",
-        "q_tpch_q15")) {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q5", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q15",
+        "q_tpch_q20")) {
       assert(plan(q).contains("BroadcastHashJoin"),
         s"$q lost its dimension broadcast")
     }
+    // the EXISTS shapes plan as hash semi joins; the blacklist NOT IN
+    // as a hash anti join
+    assert(plan("q_tpch_q4").contains("LeftSemi"),
+      "q_tpch_q4 lost its semi-join")
+    assert(plan("q_tpch_q16").contains("LeftAnti"),
+      "q_tpch_q16 lost its anti-join")
     for (q <- Seq("q_tpch_q2", "q_tpch_q3", "q_tpch_q10", "q_tpch_q18",
         "q_tpch_q21")) {
       assert(plan(q).contains("TakeOrderedAndProject"),
@@ -403,7 +410,8 @@ class PlanSpec extends AnyFunSuite {
       "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_ivfpq_res_recall",
-      "q_ann_pq", "q_ann_pq_recall", "q_ann_recall",
+      "q_ann_pq", "q_ann_pq8", "q_ann_pq8_recall",
+      "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
       "q_dedup_semantic", "q_dq_checks", "q_histogram",
       "q_histogram_eqdepth", "q_kendall", // contingency-CELL pairs:
@@ -418,6 +426,7 @@ class PlanSpec extends AnyFunSuite {
       "q_sample_weighted", "q_stats_collect", "q_tfidf",
       "q_token_budget", "q_web_domains",
       "q_modularity", // 1-row edge-total broadcast
+      "q_tpch_q11", // 1-row regional-total broadcast for the value cut
       "q_tpch_q22", // 1-row (sum_cents, n_pos) scalar-average broadcast
       "q_naive_bayes") // vocab × class-params and test-doc × class
       // skeleton crosses — the class frame is a tiny broadcast
@@ -453,7 +462,8 @@ class PlanSpec extends AnyFunSuite {
       "q_sliding_distinct", // runningTotal's offsets window
       // (~numShufflePartitions rows; the q_shard_assign machinery)
       "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res",
-      "q_ann_ivfpq_res_recall", "q_ann_pq",
+      "q_ann_ivfpq_res_recall", "q_ann_pq", "q_ann_pq8",
+      "q_ann_pq8_recall",
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
       "q_shard_assign", "q_shuffle_order", "q_skyline",

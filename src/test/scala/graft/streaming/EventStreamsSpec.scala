@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, date_add, date_sub, datediff, lag, to_date}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -421,6 +422,91 @@ class EventStreamsSpec extends AnyFunSuite {
       val got = spark.table("funnel_clamp").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("step"))).toSet
       assert(got == Set((1L, 1L), (99L, 1L)), s"got=$got")
+    } finally q.stop()
+  }
+
+  test("streaming activity gaps equal the batch lag-read on day-ordered arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: days 1,2,5,6,9 → gaps (3..4, 2d) and (7..8, 2d);
+    // user 2: days 1,4 → gap (2..3, 2d); user 3: one day, no gap.
+    // Duplicate events within a day and within-batch disorder must
+    // collapse; the day-6 repeat in batch 2 must not re-open a gap.
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 0),
+      ev(2, "2024-01-02 09:00:00", 1, "click", 0),
+      ev(3, "2024-01-02 11:00:00", 1, "view", 0),
+      ev(4, "2024-01-01 10:00:00", 2, "click", 0),
+      ev(5, "2024-01-03 08:00:00", 3, "click", 0))
+    val b2 = Seq(
+      ev(6, "2024-01-06 10:00:00", 1, "click", 0),
+      ev(7, "2024-01-05 10:00:00", 1, "click", 0), // within-batch disorder
+      ev(8, "2024-01-04 10:00:00", 2, "click", 0))
+    val b3 = Seq(
+      ev(9, "2024-01-09 10:00:00", 1, "click", 0),
+      ev(10, "2024-01-06 23:00:00", 1, "click", 0)) // same-day repeat, late
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.activityGaps(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("activity_gaps").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("activity_gaps").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("gap_start"),
+          r.getAs[String]("gap_end"), r.getAs[Long]("gap_days"))).toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val batch = (b1 ++ b2 ++ b3).toDF()
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull && datediff(col("day"), col("prev")) > 1)
+        .select(col("user_id"),
+          date_add(col("prev"), 1).cast("string").as("gap_start"),
+          date_sub(col("day"), 1).cast("string").as("gap_end"),
+          (datediff(col("day"), col("prev")) - 1).cast("long").as("gap_days"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("incremental smoothed rates equal the batch operator after every fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 5),
+      ev(2, "2024-01-01 11:00:00", 1, "view", 0),
+      ev(3, "2024-01-01 12:00:00", 2, "view", 0))
+    val b2 = Seq(
+      ev(4, "2024-01-02 10:00:00", 2, "purchase", 9),
+      ev(5, "2024-01-02 11:00:00", 3, "view", 0),
+      ev(6, "2024-01-02 12:00:00", 1, "purchase", 2))
+    val succ = col("event_type") === "purchase"
+    var stored: DataFrame = Seq.empty[(Long, Long, Long)]
+      .toDF("user_id", "n", "s")
+    val input = MemoryStream[EventStreams.Event]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        stored = EventStreams
+          .smoothedRatesFold(stored, batch.toDF(), "user_id", succ)
+          .localCheckpoint()
+      }.start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def asMap(df: DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("s"),
+            r.getAs[Double]("smoothed_rate"))).toMap
+      val streamed = asMap(
+        EventStreams.smoothedRatesFromPartials(stored, priorWeight = 20))
+      val batch = asMap(graft.ops.Cohorts.smoothedRates(
+        (b1 ++ b2).toDF(), "user_id", succ, priorWeight = 20))
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+      assert(streamed(1L)._1 == 3L && streamed(1L)._2 == 2L)
     } finally q.stop()
   }
 
