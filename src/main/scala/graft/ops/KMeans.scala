@@ -129,6 +129,76 @@ object KMeans {
         col("x").cast("double").as("centroid"), col("n"))
   }
 
+  /** [[kmeansCodebookL2]] run over MANY independent training sets in
+    * one pipeline: `corpus` carries a `grp` column and every phase —
+    * seeding, assignment, quantized update, empty-cluster carry —
+    * keys on (grp, cid). Groups never interact, so each group's
+    * codebook is BIT-IDENTICAL to training it alone (the spec pins
+    * this); what batching buys is the Spark-job count: one
+    * assignment + one update action per ROUND for all groups,
+    * instead of per group per round. Built for
+    * [[Similarity.trainedSubCodebookL2]], whose m per-subspace
+    * trainers otherwise schedule m× the jobs on frames this small.
+    *
+    * @return (grp, cid, pos, centroid, n)
+    */
+  def kmeansCodebookL2Grouped(
+      corpus: DataFrame, // (grp, id, v)
+      k: Int,
+      iters: Int,
+      scaleBits: Int = 10): DataFrame = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    val scale = (1L << scaleBits).toDouble
+    val c = corpus.select(col("grp"), col("id"), col("v"))
+    // per-group seeds: the k lowest ids, cid 0..k-1 in id order
+    var cent = c
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("grp"), (col("rn") - 1L).cast("long").as("cid"),
+        col("v").as("cv"), lit(0L).as("n"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withN2 = cent.select(col("grp"), col("cid"), col("cv"),
+        floatDot(col("cv"), col("cv")).as("cn2"))
+      val assigned = c.join(broadcast(withN2), Seq("grp"))
+        .select(col("grp"), col("id"),
+          struct(
+            (col("cn2") - lit(2.0) * floatDot(col("v"), col("cv"))).as("cmp"),
+            col("cid").as("cid")).as("sc"))
+        .groupBy("grp", "id").agg(min(col("sc")).as("m"))
+        .select(col("grp"), col("id"), col("m.cid").as("cid"))
+      val upd = c.join(assigned, Seq("grp", "id"))
+        .select(col("grp"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("grp"), col("cid"), col("pos"),
+          floor(col("x").cast("double") * scale).cast("long").as("q"))
+        .groupBy("grp", "cid", "pos")
+        .agg(sum(col("q")).as("qsum"), count(lit(1)).as("cnt"))
+        .select(col("grp"), col("cid"), col("pos"),
+          ((col("qsum").cast("double") / col("cnt").cast("double")) / scale)
+            .cast("float").as("x"),
+          col("cnt"))
+        .groupBy("grp", "cid")
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+            s => s("x")).as("ucv"),
+          max(col("cnt")).as("un"))
+      val next = cent.select(col("grp"), col("cid"), col("cv"))
+        .join(upd, Seq("grp", "cid"), "left")
+        .select(col("grp"), col("cid"),
+          coalesce(col("ucv"), col("cv")).as("cv"),
+          coalesce(col("un"), lit(0L)).as("n"))
+        .localCheckpoint()
+      unpersistCheckpoint(cent)
+      cent = next
+    }
+    cent
+      .select(col("grp"), col("cid"), col("n"),
+        posexplode(col("cv")).as(Seq("pos", "x")))
+      .select(col("grp"), col("cid"), col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("centroid"), col("n"))
+  }
+
   /** One Lloyd assignment pass: (id, cid) nearest-centroid over a
     * broadcast codebook — corpus × k-row broadcast, then a slim
     * (id, struct)-argmax hash agg with map-side combine. Public so

@@ -448,16 +448,23 @@ object Similarity {
       iters: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
-    (0 until m).map { mi =>
-      val sliced = corpus.select(col("nid").as("id"),
-        slice(col("nv"), mi * subLen + 1, subLen).as("v"))
-      KMeans.kmeansCodebookL2(sliced, "id", "v", ksub, iters)
-        .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("centroid")))),
-          s => s("centroid").cast("float")).as("scv"))
-        .select(lit(mi).as("sm"), col("cid").cast("int").as("code"), col("scv"))
-    }.reduce(_.unionAll(_))
+    // all m subspaces train as GROUPS of one batched Lloyd pipeline:
+    // bit-identical per subspace to training each alone (groups never
+    // interact — spec-pinned), at 1/m the Spark-job count. The slice
+    // explode is one narrow corpus pass.
+    val sliced = corpus.select(col("nid").as("id"),
+      explode(array((0 until m).map { mi =>
+        struct(lit(mi).as("grp"),
+          slice(col("nv"), mi * subLen + 1, subLen).as("v"))
+      }: _*)).as("gs"))
+      .select(col("gs.grp").as("grp"), col("id"), col("gs.v").as("v"))
+    KMeans.kmeansCodebookL2Grouped(sliced, ksub, iters)
+      .groupBy(col("grp"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s("centroid").cast("float")).as("scv"))
+      .select(col("grp").cast("int").as("sm"),
+        col("cid").cast("int").as("code"), col("scv"))
   }
 
   /** PQ approximate top-k by asymmetric distance computation (ADC,

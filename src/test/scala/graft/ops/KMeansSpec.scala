@@ -159,6 +159,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(runL2(5) == expected)
   }
 
+  test("grouped L2 trainer is bit-identical to training each group alone") {
+    val rnd = new scala.util.Random(13)
+    val rows = for (g <- 0 until 3; id <- 0L until 25L)
+      yield (g, id, Array.fill(4)(rnd.nextFloat() * 0.5f - 0.25f))
+    val grouped = KMeans.kmeansCodebookL2Grouped(
+      rows.toDF("grp", "id", "v").repartition(5), k = 4, iters = 2)
+      .collect()
+      .map(r => (r.getAs[Int]("grp"), r.getAs[Long]("cid"), r.getAs[Long]("pos")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n")))
+      .toMap
+    val solo = (0 until 3).flatMap { g =>
+      KMeans.kmeansCodebookL2(
+        rows.filter(_._1 == g).map(t => (t._2, t._3)).toDF("id", "v"),
+        "id", "v", 4, 2)
+        .collect()
+        .map(r => (g, r.getAs[Long]("cid"), r.getAs[Long]("pos")) ->
+          (r.getAs[Double]("centroid"), r.getAs[Long]("n")))
+    }.toMap
+    assert(grouped == solo)
+  }
+
   test("one round of a single cluster is the quantized mean") {
     val vecs = Seq(
       0L -> Array(0.5f, 0.5f),
