@@ -205,4 +205,63 @@ object Moments {
                      (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
                 END""").as("rho"))
   }
+
+  /** Deterministic ±1 hash family for [[amsF2]]: σ_j(x) =
+    * 1 − 2·((a_j·(x mod P) + b_j) mod P mod 2), P = 2^31 − 1 (the
+    * MinHash modulus — same overflow headroom argument). The (a, b)
+    * constants derive from fixed primes so the ORACLE generates the
+    * identical family from this very Seq.
+    */
+  val AmsAB: Seq[(Long, Long)] = (0 until 32).map { j =>
+    ((2L * j + 3L) * 15485863L % Dedup.MinHashP,
+      (j + 1L) * 32452843L % Dedup.MinHashP)
+  }
+
+  /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    * priced against the exact F2 = Σ_k f_k² — the self-join-size /
+    * skew estimator every shuffle planner wants without scanning
+    * twice: 32 counters c_j = Σ_k f_k·σ_j(k) with 4-universal-style
+    * ±1 signs, estimate = median of c_j² (average of the two middle
+    * order statistics). Exactness discipline: counters are exact
+    * integer folds over the per-key count frame (ONE input scan; the
+    * sketch and the exact anchor both read that frame), the squares
+    * and the median read in double with both engines sorting the
+    * same exact integers. c_j² in double is exact while |c_j| < 2²⁶
+    * (n < 67M); beyond that the estimate itself is approximate by
+    * construction and the rounding is immaterial.
+    *
+    * @return one row: (n, n_keys, f2_exact, f2_est, est_ratio)
+    */
+  def amsF2(
+      df: DataFrame,
+      keyExpr: org.apache.spark.sql.Column,
+      counters: Int = 32): DataFrame = {
+    require(counters >= 2 && counters % 2 == 0 && counters <= AmsAB.size,
+      s"counters must be even and <= ${AmsAB.size}")
+    val p = Dedup.MinHashP
+    val perKey = df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("f"))
+    val kp = pmod(col("k").cast("long"), lit(p))
+    val sigSums = (0 until counters).map { j =>
+      val (a, b) = AmsAB(j)
+      sum((lit(1L) - lit(2L) * ((lit(a) * kp + lit(b)) % lit(p) % lit(2L)))
+        * col("f")).as(s"c$j")
+    }
+    val aggs = Seq(
+      sum(col("f")).as("n"),
+      count(lit(1)).as("n_keys"),
+      sum(col("f").cast("decimal(18,0)") * col("f").cast("decimal(18,0)"))
+        .as("f2x")) ++ sigSums
+    val ests = array_sort(array((0 until counters).map { j =>
+      col(s"c$j").cast("double") * col(s"c$j").cast("double")
+    }: _*))
+    perKey
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("arr", ests)
+      .select(col("n"), col("n_keys"),
+        col("f2x").cast("double").as("f2_exact"),
+        ((element_at(col("arr"), counters / 2)
+          + element_at(col("arr"), counters / 2 + 1)) / 2.0).as("f2_est"))
+      .withColumn("est_ratio", col("f2_est") / col("f2_exact"))
+  }
+
 }

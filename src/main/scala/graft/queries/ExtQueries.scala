@@ -701,6 +701,14 @@ object ExtQueries {
     // the boolean and fails the hash), not a vacuous constant: the
     // estimate still participates, only through the bound.
     // HLL++ default rsd = 0.05; certify |approx − exact| ≤ 3·rsd·exact.
+    // AMS F2 sketch priced against the exact second frequency moment
+    // (self-join-size / skew estimation without a second scan): 32
+    // exact ±1-signed integer counters over the per-key count frame,
+    // estimate = median of their squares, exact anchor from the SAME
+    // frame — both hash-verified.
+    "q_f2_sketch" -> ((s, d) =>
+      Moments.amsF2(Tables.events(s, d), col("user_id"))),
+
     "q_approx_distinct" -> ((s, d) =>
       Tables.events(s, d).groupBy(col("event_type")).agg(
         approx_count_distinct(col("user_id")).as("approx"),
@@ -2189,6 +2197,31 @@ object ExtQueries {
     "q_count_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          FROM events GROUP BY event_type""",
+    // AMS F2: the ±1-hash family regenerates from the SAME
+    // Moments.AmsAB constants the engine uses, so the 32 counters,
+    // the double squares, the sorted median read, and the ratio are
+    // token-identical.
+    "q_f2_sketch" -> {
+      val p = graft.ops.Dedup.MinHashP
+      val cSums = Moments.AmsAB.zipWithIndex.map { case ((a, b), j) =>
+        s"sum((1 - 2*((($a*(k % $p) + $b) % $p) % 2)) * f) AS c$j"
+      }.mkString(",\n              ")
+      val arr = Moments.AmsAB.indices
+        .map(j => s"CAST(c$j AS DOUBLE)*CAST(c$j AS DOUBLE)")
+        .mkString("[", ",\n              ", "]")
+      s"""WITH perkey AS (SELECT user_id AS k, count(*) AS f
+              FROM events GROUP BY 1),
+          c AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              sum(CAST(f AS DECIMAL(18,0)) * CAST(f AS DECIMAL(18,0))) AS f2x,
+              $cSums
+            FROM perkey),
+          s AS (SELECT *, list_sort($arr) AS arr FROM c)
+          SELECT n, n_keys, CAST(f2x AS DOUBLE) AS f2_exact,
+            (arr[16] + arr[17]) / 2.0 AS f2_est,
+            ((arr[16] + arr[17]) / 2.0) / CAST(f2x AS DOUBLE) AS est_ratio
+          FROM s"""
+    },
     // Bounded-error sketch oracles: exact values + literal TRUE; the
     // Spark side computes the booleans from the estimates, so the hash
     // match certifies the ε-bound (see the queries' scaladoc).

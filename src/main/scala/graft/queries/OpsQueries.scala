@@ -45,6 +45,12 @@ object OpsQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text")),
 
+    // b-bit minwise (Li-König): the 2-byte-per-doc sketch verify —
+    // agreement counts + the R̂ = 2A − 1 estimate per LSH candidate
+    // pair, priced next to q_dedup_minhash's exact verification.
+    "q_minhash_bbit" -> ((s, d) =>
+      Dedup.bbitMinwisePairs(Tables.documents(s, d), "doc_id", "text")),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
 
@@ -1023,6 +1029,43 @@ object OpsQueries {
                 FROM cand JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
         SELECT ida AS doc_id_a, idb AS doc_id_b FROM ver
         WHERE 2*shared >= (na + nb - shared)"""
+  }
+
+  /** b-bit minwise twin: the minhashSql signature pipeline, lowest
+    * bit of each of the 16 minhashes packed into one integer,
+    * agreement = 16 − popcount(xor), estimator token-shared via
+    * [[graft.ops.Dedup.BbitEstExpr]].
+    */
+  private def bbitSql: String = {
+    val sigTerms = Dedup.MinHashAB.map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, " +
+        s"h -> ($a*CAST(h AS BIGINT) + $b) % ${Dedup.MinHashP}), 'min')"
+    }.mkString("[", ",\n          ", "]")
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val key = (1 to Dedup.RowsPerBand)
+        .map(r => s"CAST(sig[${b * Dedup.RowsPerBand + r}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n          UNION ALL ")
+    val bitsSum = Dedup.MinHashAB.indices
+      .map(j => s"(sig[${j + 1}] % 2) * ${1L << j}")
+      .mkString(" + ")
+    s"""WITH $toksBase,
+        sh AS MATERIALIZED (SELECT doc_id, $shingleHashes AS hs FROM base),
+        sig AS MATERIALIZED (SELECT doc_id, $sigTerms AS sig FROM sh),
+        bits AS MATERIALIZED (SELECT doc_id, $bitsSum AS bits FROM sig),
+        bands AS MATERIALIZED ($bandRows),
+        cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id),
+        m AS (SELECT ida, idb,
+                CAST(16 - bit_count(xor(ba.bits, bb.bits)) AS BIGINT)
+                  AS n_match
+              FROM cand JOIN bits ba ON ba.doc_id = ida
+                        JOIN bits bb ON bb.doc_id = idb)
+        SELECT ida AS doc_id_a, idb AS doc_id_b, n_match,
+          ${Dedup.BbitEstExpr} AS resemblance_est
+        FROM m"""
   }
 
   private def simhashSql: String = {
@@ -2145,6 +2188,7 @@ object OpsQueries {
     "q_dedup_jaccard" -> jaccardSql,
     "q_containment" -> containmentSql,
     "q_dedup_minhash" -> minhashSql(),
+    "q_minhash_bbit" -> bbitSql,
     "q_minhash_recall" ->
       s"""WITH e AS MATERIALIZED (${jaccardSql}),
           m AS MATERIALIZED (${minhashSql()})

@@ -124,6 +124,50 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("b-bit minwise: exact dup agrees on all 16 bits, estimator reads R=1") {
+    val rows = Dedup.bbitMinwisePairs(docsDf, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_match"), r.getAs[Double]("resemblance_est")))
+      .toMap
+    // candidate pairs = the LSH bucket pairs (same index as
+    // minHashLshPairs before its exact verify)
+    assert(rows.keySet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // exact duplicates share every minhash, hence every bit
+    assert(rows((0L, 3L)) == (16L, 1.0))
+    // the near-dup pair's estimate is bounded by the agreement count
+    val (nm, est) = rows((0L, 1L))
+    assert(nm >= 8L && nm <= 16L)
+    assert(est == 2.0 * (nm.toDouble / 16.0) - 1.0)
+  }
+
+  test("amsF2: counters bit-match a sequential model; exact anchor is exact") {
+    val df = (1 to 500).map(i => ("k" + (i % 37), i)).toDF("k", "v")
+    val out = graft.ops.Moments.amsF2(df,
+      org.apache.spark.sql.functions.xxhash64(col("k"))).collect().head
+    // per-key frequencies: 37 keys, ~13-14 each
+    val freqs = (1 to 500).groupBy(i => "k" + (i % 37)).view.mapValues(_.size)
+    val exact = freqs.values.map(f => f.toLong * f).sum.toDouble
+    assert(out.getAs[Long]("n") == 500L)
+    assert(out.getAs[Long]("n_keys") == 37L)
+    assert(out.getAs[Double]("f2_exact") == exact)
+    // sequential model of the 32 counters over xxhash64 keys
+    val p = graft.ops.Dedup.MinHashP
+    val keyHash = df.select(col("k"),
+      org.apache.spark.sql.functions.xxhash64(col("k")).as("h"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ests = graft.ops.Moments.AmsAB.map { case (a, b) =>
+      val c = freqs.map { case (k, f) =>
+        val x = ((keyHash(k) % p) + p) % p
+        (1L - 2L * ((a * x + b) % p % 2L)) * f
+      }.sum
+      c.toDouble * c.toDouble
+    }.sorted
+    val want = (ests(15) + ests(16)) / 2.0
+    assert(out.getAs[Double]("f2_est") == want)
+    assert(out.getAs[Double]("est_ratio") == want / exact)
+  }
+
   test("simhash: exact dup identical, near-dup close, unrelated far") {
     val sh = Dedup.simHashes(docsDf, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
