@@ -28,6 +28,16 @@ object Layout {
   def zKey(x: Column, y: Column): Column =
     ZOrderExpression.zOrderKey(x.cast("long"), y.cast("long"))
 
+  /** The 32-bit Hilbert key of two pre-scaled [0, 2^16) dimensions —
+    * strictly better locality than [[zKey]] (consecutive keys are
+    * always ADJACENT cells; the z-curve jumps at every power-of-two
+    * boundary), so the same file count yields tighter per-file
+    * (x, y) boxes. See [[graft.functions.HilbertExpression]].
+    */
+  def hilbertKey(x: Column, y: Column): Column =
+    graft.functions.HilbertExpression.hilbertKey(
+      x.cast("long"), y.cast("long"))
+
   /** Repartition into `numFiles` z-contiguous ranges and sort within
     * each — the physical layout step before a parquet write. The key
     * column is dropped from the result: it is a layout device, not

@@ -146,6 +146,19 @@ object ExtQueries {
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long")).as("zkey"))),
 
+    // Hilbert layout key over the same (customer, order-day) pair —
+    // the better-locality sibling of q_zorder (consecutive keys are
+    // always adjacent cells); 16 quadrant-rotation rounds inlined by
+    // doGenCode, replicated round-for-round in the oracle's chained
+    // CTEs (integer arithmetic only — bit-identical by construction).
+    "q_hilbert" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        graft.ops.Layout.hilbertKey(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long")).as("hkey"))),
+
     // Deterministic 3-step walks from every supplier node over the
     // symmetrized supplier↔part graph — pseudo-random neighbor choice
     // by portable hash, no RNG (see Graphs.deterministicWalks).
@@ -1777,6 +1790,39 @@ object ExtQueries {
             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 2147483647 AS y
           FROM orders)
           SELECT order_id, CAST($terms AS BIGINT) AS zkey FROM b"""
+    },
+
+    // Hilbert twin: the 16 quadrant-rotation rounds unrolled as
+    // chained MATERIALIZED CTEs — materialization is what keeps the
+    // alias chain LINEAR (inlined, each round's two references to the
+    // previous round's (x, y) double the expression tree: 2^16 terms
+    // hang the planner — measured before this form was chosen).
+    "q_hilbert" -> {
+      val n = 1L << 16
+      val rounds = new StringBuilder
+      var i = 0
+      var s = n >> 1
+      while (s > 0) {
+        val (px, py, pd) = (s"x$i", s"y$i", s"d$i")
+        val rx = s"(CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END)"
+        val ry = s"(CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)"
+        rounds ++= s""",
+          h${i + 1} AS MATERIALIZED (SELECT order_id,
+            $pd + $s*$s*xor(3*$rx, $ry) AS d${i + 1},
+            CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+              THEN ${n - 1} - $py ELSE $py END) ELSE $px END AS x${i + 1},
+            CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1
+              THEN ${n - 1} - $px ELSE $px END) ELSE $py END AS y${i + 1}
+            FROM h$i)"""
+        i += 1
+        s >>= 1
+      }
+      s"""WITH h0 AS MATERIALIZED (SELECT o_orderkey AS order_id,
+            o_custkey & ${n - 1} AS x0,
+            (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & ${n - 1} AS y0,
+            CAST(0 AS BIGINT) AS d0
+          FROM orders)$rounds
+          SELECT order_id, CAST(d$i AS BIGINT) AS hkey FROM h$i"""
     },
 
     // canonical a<b edges make each triangle (u<v<w) appear exactly

@@ -93,4 +93,49 @@ class LayoutSpec extends AnyFunSuite {
     val zBox = touched(zStats, klo, khi, dlo, dhi)
     assert(zBox * 2 <= n, s"z-order box touched $zBox/$n files")
   }
+
+  test("hilbertKey matches the reference transform; consecutive keys are adjacent") {
+    import graft.functions.HilbertExpression
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (-1L, 123456789L), (Long.MaxValue, 7L)) ++
+      (1 to 300).map(_ => (rnd.nextLong(), rnd.nextLong()))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        HilbertExpression.hilbertKey(col("x"), col("y")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val want = HilbertExpression.xy2d(r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == want && want >= 0L && want < (1L << 32))
+    }
+    // the locality property that separates Hilbert from Morton:
+    // walking the curve in key order moves EXACTLY one cell per step
+    // (|dx| + |dy| = 1, always) — the z-curve violates this at every
+    // power-of-two boundary. Check with the textbook INVERSE
+    // transform: d2xy round-trips through xy2d (bijectivity on the
+    // walked range) and consecutive keys land on adjacent cells.
+    def d2xy(dIn: Long): (Long, Long) = {
+      var x = 0L; var y = 0L; var t = dIn; var s = 1L
+      while (s < HilbertExpression.N) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    var prev = d2xy(0L)
+    assert(HilbertExpression.xy2d(prev._1, prev._2) == 0L)
+    for (d <- 1L to 30000L) {
+      val cur = d2xy(d)
+      assert(HilbertExpression.xy2d(cur._1, cur._2) == d, s"round-trip at $d")
+      assert(math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2) == 1,
+        s"keys ${d - 1} -> $d jump from $prev to $cur")
+      prev = cur
+    }
+  }
 }
