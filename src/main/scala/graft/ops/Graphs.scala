@@ -429,6 +429,86 @@ object Graphs {
       .groupBy(col("v").as("node")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Fixed-round k-truss peeling: each round computes every edge's
+    * SUPPORT (the number of triangles it closes) and drops edges
+    * below k − 2, converging to the k-truss — the edge-wise
+    * strengthening of [[kCorePeel]] (a k-core keeps weakly-attached
+    * hubs; a truss keeps only cohesive, triangle-dense structure —
+    * the community-core extractor). Fixed `rounds` keeps it
+    * SQL-unrollable for the oracle, exactly the kCorePeel contract:
+    * callers wanting the certified fixpoint iterate until the edge
+    * count stops falling.
+    *
+    * Scale shape per round: the [[triangleCounts]] degree-oriented
+    * closure (O(√m) per edge, never per-wedge rows) re-keyed to
+    * EDGES — each triangle (src, dst, w) credits its three canonical
+    * edges — then one hash agg and an equi semi filter. The edge
+    * frame is checkpointed per round and the superseded round freed.
+    *
+    * @return (node_a, node_b, support) for surviving edges, a < b,
+    *         support recomputed in the FINAL surviving graph.
+    */
+  def kTrussPeel(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    require(rounds >= 1, "rounds must be positive")
+    var e = edgesIn
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    // per-edge support via the degree-oriented closure: orient edges
+    // low-degree → high-degree, sorted-merge the two adjacency lists,
+    // and credit all three edges of each found triangle
+    def support(edges: DataFrame): DataFrame = {
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val withDeg = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      val oriented = withDeg.select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      val adj = oriented.groupBy(col("src"))
+        .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+        .localCheckpoint()
+      val t3 = adj.select(col("src"), explode(col("nbrs")).as("dst"))
+        .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
+          Seq("dst"), "left")
+        .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
+          col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
+        .select(col("src"), col("dst"), explode(col("ws")).as("w"))
+      t3.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .unionAll(t3.select(least(col("src"), col("w")).as("a"),
+          greatest(col("src"), col("w")).as("b")))
+        .unionAll(t3.select(least(col("dst"), col("w")).as("a"),
+          greatest(col("dst"), col("w")).as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      val keep = support(e).filter(col("support") >= (k - 2).toLong)
+        .select("a", "b")
+      val ne = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+      unpersistCheckpoint(e)
+      e = ne
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Resource-Allocation node similarity over a bipartite edge list
     * (Zhou/Lü/Zhang's RA index — the exactly-computable cousin of
     * Adamic–Adar): for every pair of right-side nodes (a, b),

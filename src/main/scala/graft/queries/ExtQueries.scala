@@ -193,6 +193,25 @@ object ExtQueries {
           col("n_triangles"), col("clustering"))
     }),
 
+    // k-truss of the ≥2-co-occurrence part graph: edges surviving
+    // two support-peel rounds (every edge in ≥ k−2 = 1 triangle,
+    // recursively) — the edge-wise strengthening of q_kcore that
+    // strips weakly-attached hubs a core keeps (see
+    // graft.ops.Graphs.kTrussPeel; co-occurrence ≥ 2 prunes the
+    // one-off pairings so the truss is of REPEATED relationships).
+    "q_ktruss" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2L)
+      Graphs.kTrussPeel(edges, "pa", "pb", k = 3, rounds = 2)
+    }),
+
     // Fuzzy self-join: per-supplier count of names within Levenshtein
     // distance 1, via FastSS deletion-neighborhood blocking — an
     // equi-join on deletion variants + exact verify on candidates,
@@ -2595,6 +2614,42 @@ object ExtQueries {
           SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
             SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
           GROUP BY v"""
+    },
+
+    // k-truss twin: two unrolled support-peel rounds over the
+    // canonical a<b edge list — tri enumerates each triangle once,
+    // support credits its three edges, the filter keeps s >= k-2 (an
+    // inner join drops zero-support edges, which the k >= 3 filter
+    // would drop anyway); final support recomputed on the survivors.
+    "q_ktruss" -> {
+      def peel(t: Int, prev: String): String =
+        s"""tri$t AS MATERIALIZED (SELECT e1.a u, e1.b v, e2.b w
+              FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+            s$t AS MATERIALIZED (SELECT a, b, count(*) AS s FROM (
+              SELECT u AS a, v AS b FROM tri$t
+              UNION ALL SELECT u, w FROM tri$t
+              UNION ALL SELECT v, w FROM tri$t) x GROUP BY 1, 2),
+            e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+              JOIN s$t USING (a, b) WHERE s >= 1)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+            FROM lineitem),
+          e0 AS MATERIALIZED (SELECT a, b FROM (
+            SELECT x.p a, y.p b, count(*) w FROM li x
+            JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) t
+            WHERE w >= 2),
+          ${peel(1, "e0")},
+          ${peel(2, "e1")},
+          trif AS MATERIALIZED (SELECT t1.a u, t1.b v, t2.b w
+            FROM e2 t1 JOIN e2 t2 ON t1.a = t2.a AND t1.b < t2.b
+            JOIN e2 t3 ON t3.a = t1.b AND t3.b = t2.b),
+          sf AS (SELECT a, b, count(*) AS s FROM (
+            SELECT u AS a, v AS b FROM trif
+            UNION ALL SELECT u, w FROM trif
+            UNION ALL SELECT v, w FROM trif) x GROUP BY 1, 2)
+          SELECT e.a AS node_a, e.b AS node_b,
+            CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
+          FROM e2 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b"""
     },
 
     "q_shard_assign" ->

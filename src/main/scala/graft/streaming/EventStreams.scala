@@ -656,6 +656,94 @@ object EventStreams {
       }
   }
 
+  final case class PeakOut(
+      user_id: Long, burst_start_s: Long, burst_end_s: Long, peak: Long)
+
+  /** Sweep-line accumulator per user (public: the state encoder's
+    * generated code must construct it). `pending` holds UNPROCESSED
+    * sweep points packed as `t·2 + (delta == +1 ? 1 : 0)` — the
+    * packing IS the tie rule: sorting packed longs puts a span's
+    * close (flag 0) before an equal-time open, the half-open
+    * [s, e) semantics of the batch sweep.
+    */
+  final case class SweepState(
+      pending: Seq[Long], cur: Long, peak: Long,
+      start: Long, maxEnd: Long)
+
+  /** Streaming peak concurrency — the streaming twin of
+    * `q_peak_concurrency`'s sweep-line: each event opens a span
+    * [s, s + durSeconds(e)) and the per-user maximum of overlapping
+    * spans emits when the user's activity burst closes (event-time
+    * timeout past max(end) + gap — the [[mergeIntervalsStream]]
+    * horizon plus a gap, so touching bursts merge like the batch
+    * sweep sees them).
+    *
+    * EXACT within a burst, not an approximation: the watermark
+    * guarantees every future span STARTS at or after it, so sweep
+    * points at or before the watermark are complete and can fold
+    * into the running (cur, peak) in packed sort order; later points
+    * wait in state. Points after a burst's emission start a new
+    * burst (the sessionize split semantics — the documented
+    * difference from one global batch sweep over all history).
+    *
+    * @return one row per closed burst:
+    *         (user_id, burst_start_s, burst_end_s, peak)
+    */
+  def peakConcurrency(
+      events: Dataset[Event],
+      durSeconds: Event => Long,
+      gapSeconds: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): Dataset[PeakOut] = {
+    import events.sparkSession.implicits._
+    def fold(st: SweepState, uptoExclusive: Long): SweepState = {
+      val (ready, rest) = st.pending.sorted.partition(_ < uptoExclusive * 2)
+      var cur = st.cur
+      var peak = st.peak
+      for (p <- ready) {
+        cur += (if ((p & 1L) == 1L) 1L else -1L)
+        if (cur > peak) peak = cur
+      }
+      SweepState(rest, cur, peak, st.start, st.maxEnd)
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SweepState, PeakOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SweepState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { st0 =>
+              val st = fold(st0, Long.MaxValue / 2)
+              PeakOut(uid, st.start, st.maxEnd, st.peak)
+            }.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val pts = rows.toSeq.flatMap { e =>
+              val s0 = math.floorDiv(e.ts.getTime, 1000L)
+              val e0 = s0 + durSeconds(e)
+              Seq(s0 * 2 + 1, e0 * 2) // open flagged 1, close 0
+            }
+            val st0 = state.getOption match {
+              case Some(st) => SweepState(st.pending ++ pts, st.cur, st.peak,
+                math.min(st.start, pts.min / 2),
+                math.max(st.maxEnd, pts.max / 2))
+              case None =>
+                SweepState(pts, 0L, 0L, pts.min / 2, pts.max / 2)
+            }
+            // fold everything the watermark has sealed; later points
+            // wait (a future arrival can still interleave among them)
+            val wmS = state.getCurrentWatermarkMs() / 1000L
+            val st = fold(st0, wmS)
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (st.maxEnd + gapSeconds) * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming OHLC bars — the streaming twin of
     * [[graft.ops.Timeseries.resampleOhlc]]: per (event_type, hour)
     * deterministic open/high/low/close via the SAME struct-min trick,

@@ -368,6 +368,54 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == model(rand, 3, 3))
   }
 
+  test("kTrussPeel keeps triangle-dense edges and matches a sequential model") {
+    def model(edges: Seq[(Long, Long)], k: Int,
+        rounds: Int): Map[(Long, Long), Long] = {
+      var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+        .filter(t => t._1 != t._2).distinct
+      def support(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+        val adj = (es ++ es.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        es.map { case (a, b) =>
+          (a, b) -> (adj(a) & adj(b)).size.toLong
+        }.toMap
+      }
+      for (_ <- 1 to rounds) {
+        val s = support(e)
+        e = e.filter(t => s(t) >= k - 2)
+      }
+      support(e)
+    }
+    // two triangles sharing an edge (all edges support >= 1) plus a
+    // pendant triangle attached by one BRIDGE edge: the bridge has
+    // support 0 and must peel, then the far triangle still stands
+    // on its own
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L), // two triangles
+      (4L, 5L), // bridge, in no triangle
+      (5L, 6L), (6L, 7L), (7L, 5L)) // pendant triangle
+    for (parts <- Seq(1, 4)) {
+      val got = Graphs.kTrussPeel(
+        edges.toDF("a", "b").repartition(parts), "a", "b", k = 3, rounds = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+        .toMap
+      assert(got == model(edges, 3, 2))
+      assert(!got.contains((4L, 5L)), "bridge edge must peel")
+      assert(got.contains((5L, 6L)), "detached triangle must survive")
+    }
+    // random graph, model equality at k=3 and k=4
+    val rnd = new scala.util.Random(43)
+    val rand = (1 to 250).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (k <- Seq(3, 4)) {
+      val got = Graphs.kTrussPeel(rand.toDF("a", "b"), "a", "b", k, rounds = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+        .toMap
+      assert(got == model(rand, k, 2), s"k=$k mismatch")
+    }
+  }
+
   test("incremental partials merge to exactly the full recompute") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(i =>

@@ -510,6 +510,56 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming peak concurrency equals the batch sweep-line per burst") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: three overlapping spans (peak 3) then a disjoint one —
+    // value encodes the duration; the late-but-in-watermark arrival
+    // in batch 2 must interleave among the held sweep points; user 2:
+    // two spans touching end-to-start must NOT stack (half-open
+    // semantics: close before equal-time open)
+    def dur(e: EventStreams.Event): Long = math.floor(e.value).toLong
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "s", 600), // 10:00-10:10
+      ev(2, "2024-01-01 10:02:00", 1, "s", 600), // 10:02-10:12
+      ev(4, "2024-01-01 10:20:00", 1, "s", 60), // 10:20-10:21
+      ev(5, "2024-01-01 10:00:00", 2, "s", 300), // 10:00-10:05
+      ev(6, "2024-01-01 10:05:00", 2, "s", 300)) // 10:05-10:10, no stack
+    val b2 = Seq(
+      ev(3, "2024-01-01 10:04:00", 1, "s", 120)) // 10:04-10:06, third overlap
+    val sentinel = Seq(ev(9, "2024-01-01 14:00:00", 99, "s", 60))
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.peakConcurrency(input.toDS(), dur,
+      gapSeconds = 3600L, watermarkDelay = "30 minutes")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("peak_conc").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // two ticks: the first advances the watermark past the bursts
+      // (timeouts fire against the PREVIOUS batch's watermark), the
+      // second fires them
+      input.addData(sentinel: _*); q.processAllAvailable()
+      input.addData(ev(10, "2024-01-01 18:00:00", 99, "s", 60))
+      q.processAllAvailable()
+      val got = spark.table("peak_conc").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("peak")).toMap
+      // batch sweep-line over the same spans
+      def batchPeak(evs: Seq[EventStreams.Event]): Long = {
+        val pts = evs.flatMap { e =>
+          val s0 = e.ts.getTime / 1000L
+          Seq((s0, 1L), (s0 + dur(e), -1L))
+        }.sortBy { case (t, d) => (t, d) } // -1 before +1 on ties
+        var cur = 0L; var mx = 0L
+        for ((_, d) <- pts) { cur += d; mx = math.max(mx, cur) }
+        mx
+      }
+      val all = b1 ++ b2
+      assert(got(1L) == batchPeak(all.filter(_.user_id == 1)))
+      assert(got(2L) == batchPeak(all.filter(_.user_id == 2)))
+      assert(got(1L) == 3L && got(2L) == 1L, s"got=$got")
+    } finally q.stop()
+  }
+
   test("streaming near-dup suppression equals the batch greedy rule on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val texts = Seq(
