@@ -55,6 +55,23 @@ object Layout {
       .drop("__zkey")
   }
 
+  /** [[clusterByZOrder]] along the Hilbert curve — tighter per-file
+    * (x, y) boxes at the same file count (LayoutSpec measures the
+    * skipping win over both the 1-d sort and the z-order layout).
+    * Dimensions must be pre-scaled into [0, 2^16).
+    */
+  def clusterByHilbert(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      numFiles: Int): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__hkey", hilbertKey(xCol, yCol))
+      .repartitionByRange(numFiles, col("__hkey"))
+      .sortWithinPartitions(col("__hkey"))
+      .drop("__hkey")
+  }
+
   /** Persist `df` as a BUCKETED, bucket-sorted catalog table: rows are
     * hash-distributed on `bucketCol` into `numBuckets` files per write
     * task, and each bucket file is sorted on the key.

@@ -94,6 +94,56 @@ class LayoutSpec extends AnyFunSuite {
     assert(zBox * 2 <= n, s"z-order box touched $zBox/$n files")
   }
 
+  test("hilbert-clustered files prune at least as well as z-order on 2-d boxes") {
+    val n = 32
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("od"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hilbert")
+    val hDir = tmp.resolve("h").toString
+    val zDir = tmp.resolve("z").toString
+    Layout.clusterByHilbert(orders, col("o_custkey"), col("od"), n)
+      .write.mode("overwrite").parquet(hDir)
+    Layout.clusterByZOrder(orders, col("o_custkey"), col("od"), n)
+      .write.mode("overwrite").parquet(zDir)
+    def stats(dir: String) =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+          min("od").as("ylo"), max("od").as("yhi"))
+        .collect()
+        .map(r => (r.getAs[Long]("xlo"), r.getAs[Long]("xhi"),
+          r.getAs[Long]("ylo"), r.getAs[Long]("yhi"))).toSeq
+    val hs = stats(hDir)
+    val zs = stats(zDir)
+    assert(hs.size == n && zs.size == n)
+    val b = orders.agg(min("o_custkey"), max("o_custkey"),
+      min("od"), max("od")).head()
+    val (xmin, xmax, ymin, ymax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def touched(s: Seq[(Long, Long, Long, Long)],
+        xlo: Long, xhi: Long, ylo: Long, yhi: Long): Int =
+      s.count { case (fxlo, fxhi, fylo, fyhi) =>
+        fxlo <= xhi && fxhi >= xlo && fylo <= yhi && fyhi >= ylo }
+    def mid(lo: Long, hi: Long, num: Int, den: Int): Long =
+      lo + (hi - lo) * num / den
+    // sum of files touched over a 4×4 grid of box probes — an
+    // aggregate locality comparison, robust to any single lucky box
+    var hTot = 0
+    var zTot = 0
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val (xl, xh) = (mid(xmin, xmax, 4 * i + 1, 16), mid(xmin, xmax, 4 * i + 3, 16))
+      val (yl, yh) = (mid(ymin, ymax, 4 * j + 1, 16), mid(ymin, ymax, 4 * j + 3, 16))
+      hTot += touched(hs, xl, xh, yl, yh)
+      zTot += touched(zs, xl, xh, yl, yh)
+    }
+    assert(hTot <= zTot,
+      s"hilbert touched $hTot files over the probe grid vs z-order's $zTot")
+    // and both prune: far fewer than all files on every probe
+    assert(hTot < 16 * n / 2, s"hilbert grid total $hTot of ${16 * n}")
+  }
+
   test("hilbertKey matches the reference transform; consecutive keys are adjacent") {
     import graft.functions.HilbertExpression
     val rnd = new scala.util.Random(11)
