@@ -235,11 +235,34 @@ object Moments {
   def amsF2(
       df: DataFrame,
       keyExpr: org.apache.spark.sql.Column,
+      counters: Int = 32): DataFrame =
+    amsF2FromPartials(
+      df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("f")), counters)
+
+  /** Fold a micro-batch's per-key counts into stored (k, f) partials
+    * — the [[graft.streaming.EventStreams.smoothedRatesFold]] shape
+    * for the F2 sketch: counts are order-free integers, so
+    * [[amsF2FromPartials]] over the fold after batch n is BIT-EQUAL
+    * to [[amsF2]] over the union of batches 1..n, any arrival order,
+    * any batch boundaries (the counters are linear in f). The
+    * streaming twin of the sketch, without approximation on top of
+    * the sketch's own.
+    */
+  def amsF2Fold(
+      stored: DataFrame, // (k, f) — empty on the first batch
+      batch: DataFrame,
+      keyExpr: org.apache.spark.sql.Column): DataFrame =
+    stored
+      .unionAll(batch.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("f")))
+      .groupBy("k").agg(sum(col("f")).as("f"))
+
+  /** Close the sketch + exact anchor over a per-key count frame. */
+  def amsF2FromPartials(
+      perKey: DataFrame, // (k, f)
       counters: Int = 32): DataFrame = {
     require(counters >= 2 && counters % 2 == 0 && counters <= AmsAB.size,
       s"counters must be even and <= ${AmsAB.size}")
     val p = Dedup.MinHashP
-    val perKey = df.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("f"))
     val kp = pmod(col("k").cast("long"), lit(p))
     val sigSums = (0 until counters).map { j =>
       val (a, b) = AmsAB(j)

@@ -168,6 +168,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("est_ratio") == want / exact)
   }
 
+  test("amsF2 fold: incremental partials give the bit-identical sketch") {
+    import org.apache.spark.sql.functions.xxhash64
+    val rows = (1 to 400).map(i => ("k" + (i % 23), i))
+    val (b1, b2) = rows.splitAt(170)
+    var stored = Seq.empty[(Long, Long)].toDF("k", "f")
+    for (batch <- Seq(b1, b2)) {
+      stored = graft.ops.Moments
+        .amsF2Fold(stored, batch.toDF("k", "v"), xxhash64(col("k")))
+        .localCheckpoint()
+    }
+    val streamed = graft.ops.Moments.amsF2FromPartials(stored).collect().head
+    val full = graft.ops.Moments
+      .amsF2(rows.toDF("k", "v"), xxhash64(col("k"))).collect().head
+    assert(streamed == full)
+  }
+
   test("simhash: exact dup identical, near-dup close, unrelated far") {
     val sh = Dedup.simHashes(docsDf, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
