@@ -23,10 +23,20 @@ import graft.transform.GithubTransform
   *
   * Write semantics mirror [[ChunkedEtl]] (and the reference): one
   * up-front partition DELETE for this run's (snapshot_date, repo)
-  * pairs, then WRITE_APPEND per micro-batch. The delete runs ONLY on
-  * a fresh run — a resumed run must keep the batches it already
-  * appended. Appends within a batch are at-least-once under
-  * crash-retry, exactly like the reference's per-chunk WRITE_APPEND.
+  * pairs, then per-micro-batch appends. The delete runs ONLY on a
+  * fresh run — a resumed run must keep the batches it already
+  * appended — which is exactly why the appends themselves must be
+  * exactly-once: the reference re-runs a crashed load whole and
+  * re-enters the delete-first gate (main.py:833-839), so it can never
+  * duplicate; a streaming resume deliberately SKIPS the delete, and
+  * Spark writes `offsets/N` before executing batch N, so a crash
+  * after the append but before `commits/N` replays the batch. Each
+  * batch therefore goes through [[graft.sink.SnapshotSink.appendBatch]]
+  * (the staged batchId-keyed publish of [[graft.sink.BatchCommit]])
+  * and is skipped outright when its
+  * `<checkpoint>/_graft_appends/<batchId>` marker says it already
+  * landed — crash-replay converges to the same file set
+  * (spec: "crash-replayed micro-batch appends no duplicate rows").
   *
   * Two resume-path invariants (both were silent-data-loss bugs when
   * this was gated on `java.nio.file.Files.exists(checkpointDir)`):
@@ -108,27 +118,36 @@ object StreamingEtl extends org.apache.spark.internal.Logging {
     maxPagesPerTrigger.foreach(pp =>
       reader = reader.option("maxPagesPerTrigger", pp.toString))
 
+    val runId = graft.sink.BatchCommit.pinnedRunId(fs, cpPath)
     var batches = 0L
     var rows = 0L
-    val writeBatch: (DataFrame, Long) => Unit = { (batch, _) =>
-      val typed = batch
-        .select(col("repo"),
-          from_json(col("value"), GithubSchemas.rawPullRequest).as("pr"))
-        .select((col("repo") +: GithubSchemas.rawPullRequest
-          .fieldNames.map(f => col(s"pr.$f"))): _*)
-        // each of the four table writes below consumes this frame; a
-        // micro-batch is one page per repo, so the cache is small and
-        // saves re-parsing the JSON four times
-        .persist()
-      try {
-        val t = GithubTransform.applyMulti(typed, effectiveDate)
-        for ((name, df) <- SnapshotWriter.TableNames.zip(Seq(
-            t.pullRequests, t.commits, t.reviewers, t.comments))) {
-          sink.append(name, df)
-        }
-        batches += 1
-        rows += typed.count()
-      } finally typed.unpersist()
+    val writeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      if (graft.sink.BatchCommit.isCommitted(fs, cpPath, batchId)) {
+        // crash-replay of a fully-appended batch: offsets/N existed
+        // but commits/N didn't, so Spark re-runs it — the marker says
+        // its rows already landed, so appending again would duplicate
+        logInfo(s"batch $batchId already appended; skipping replay")
+      } else {
+        val typed = batch
+          .select(col("repo"),
+            from_json(col("value"), GithubSchemas.rawPullRequest).as("pr"))
+          .select((col("repo") +: GithubSchemas.rawPullRequest
+            .fieldNames.map(f => col(s"pr.$f"))): _*)
+          // each of the four table writes below consumes this frame; a
+          // micro-batch is one page per repo, so the cache is small and
+          // saves re-parsing the JSON four times
+          .persist()
+        try {
+          val t = GithubTransform.applyMulti(typed, effectiveDate)
+          for ((name, df) <- SnapshotWriter.TableNames.zip(Seq(
+              t.pullRequests, t.commits, t.reviewers, t.comments))) {
+            sink.appendBatch(name, df, runId, batchId)
+          }
+          graft.sink.BatchCommit.markCommitted(fs, cpPath, batchId)
+          batches += 1
+          rows += typed.count()
+        } finally typed.unpersist()
+      }
     }
 
     val q = reader.load().writeStream

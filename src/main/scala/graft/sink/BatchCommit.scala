@@ -1,0 +1,147 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once micro-batch appends over file sinks.
+  *
+  * Structured Streaming writes `offsets/N` to the checkpoint BEFORE
+  * executing batch N and `commits/N` after, so a crash in between
+  * replays batch N on resume. A plain `mode("append")` inside
+  * `foreachBatch` therefore duplicates the batch's rows — the
+  * at-least-once window the reference never has, because its crashed
+  * runs are re-run whole and re-enter the delete-first gate
+  * (main.py:833-839) which wipes the partial snapshot before the
+  * re-append.
+  *
+  * This helper closes the window with a staged, batchId-keyed publish:
+  *
+  *  1. '''stage''': write the batch under a hidden
+  *     `.stage_b<runId>_<batchId>` directory with `mode("overwrite")`
+  *     — a replay of the same batch re-stages the identical rows
+  *     (offsets pin the batch contents) and overwrite makes
+  *     re-staging idempotent;
+  *  2. '''clean''': in every live partition directory the stage
+  *     touches, delete files carrying this batch's
+  *     `b<runId>-<batchId>-` prefix — debris of a previous publish
+  *     attempt that crashed partway;
+  *  3. '''publish''': rename the staged files into the live partition
+  *     directories under the batch prefix (renames, not copies — an
+  *     object-store deployment would use its atomic-commit API here);
+  *  4. '''mark''': record `<checkpoint>/_graft_appends/<batchId>`.
+  *     `foreachBatch` bodies skip a batch whose marker exists, so a
+  *     replay after a fully-published batch is a no-op.
+  *
+  * Every crash point is covered: before publish — the stage is
+  * overwritten on replay; during publish — step 2 removes the partial
+  * attempt; after publish but before the marker — steps 1-3 rebuild
+  * the same files under the same prefix (the cleanup makes the rename
+  * set exact, not additive); after the marker — the skip fires.
+  *
+  * The `runId` scopes file prefixes to one streaming run: two runs
+  * appending to the same table (fresh checkpoints, overlapping
+  * batchIds) must not clean each other's files. It is pinned in the
+  * checkpoint (like the snapshot date) so a resumed run keeps cleaning
+  * its own debris.
+  *
+  * The staged directory and the batch-prefixed files are ordinary
+  * Hive-layout citizens: the stage is dot-prefixed (invisible to
+  * Spark's file listing at every level), published files are plain
+  * data files, so readers, `deleteSnapshot`, and `compactPartition`
+  * need no special cases.
+  */
+object BatchCommit {
+
+  private val AppendsDirName = "_graft_appends"
+  private val RunIdFileName = "_graft_run_id"
+
+  /** Stable per-run token pinned at `<checkpoint>/_graft_run_id`:
+    * created on first call, re-read on resume. 8 hex chars — enough
+    * to keep concurrent runs' file prefixes disjoint, short enough to
+    * keep file names readable.
+    */
+  def pinnedRunId(fs: FileSystem, checkpointDir: Path): String = {
+    val p = new Path(checkpointDir, RunIdFileName)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID.toString.take(8)
+      val out = fs.create(p, true)
+      try out.write(id.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      id
+    }
+  }
+
+  def isCommitted(fs: FileSystem, checkpointDir: Path, batchId: Long): Boolean =
+    fs.exists(new Path(new Path(checkpointDir, AppendsDirName), batchId.toString))
+
+  def markCommitted(fs: FileSystem, checkpointDir: Path, batchId: Long): Unit = {
+    val dir = new Path(checkpointDir, AppendsDirName)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, batchId.toString), true).close()
+  }
+
+  private[sink] def filePrefix(runId: String, batchId: Long): String =
+    s"b$runId-$batchId-"
+
+  /** Steps 1-3 above: stage `df` under `path` (Hive-partitioned by
+    * (snapshot_date, target_repository) like every snapshot table),
+    * then clean-and-rename into the live partition directories under
+    * the batch prefix. Re-invoking with the same (runId, batchId) and
+    * the same rows converges to the same file set — the append is
+    * idempotent whatever the previous attempt's crash point.
+    */
+  def stageAndPublish(
+      df: DataFrame,
+      path: String,
+      runId: String,
+      batchId: Long,
+      fmt: String = "parquet"): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // qualify BOTH roots: listStatus returns fully-qualified paths, and
+    // relativize against a scheme-less stage URI would return the leaf
+    // unchanged — publishing files onto themselves inside the stage
+    val root = fs.makeQualified(new Path(path))
+    val stage = fs.makeQualified(new Path(root, s".stage_b${runId}_$batchId"))
+    df.write.mode("overwrite")
+      .partitionBy("snapshot_date", "target_repository")
+      .format(fmt).save(stage.toString)
+    val prefix = filePrefix(runId, batchId)
+    for (leaf <- leafDataDirs(fs, stage)) {
+      val rel = stage.toUri.relativize(leaf.toUri).getPath
+      require(!new Path(rel).isAbsolute, s"unrelativizable stage leaf: $leaf")
+      val live = if (rel.isEmpty) root else new Path(root, rel)
+      fs.mkdirs(live)
+      fs.listStatus(live)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+        .foreach(s => fs.delete(s.getPath, false))
+      for (f <- dataFiles(fs, leaf))
+        if (!fs.rename(f, new Path(live, prefix + f.getName)))
+          throw new java.io.IOException(s"batch publish rename failed: $f")
+    }
+    fs.delete(stage, true)
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
+  /** Directories under `dir` (inclusive) that directly hold data
+    * files — the partition leaves of the staged write.
+    */
+  private def leafDataDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    val children = fs.listStatus(dir).toSeq
+    val here = if (children.exists(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")))
+      Seq(dir) else Seq.empty
+    here ++ children.filter(_.isDirectory)
+      .flatMap(s => leafDataDirs(fs, s.getPath))
+  }
+}

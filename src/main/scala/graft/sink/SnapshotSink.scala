@@ -38,6 +38,16 @@ trait SnapshotSink {
   /** WRITE_APPEND one chunk of `table` (ChunkedEtl's per-page load). */
   def append(table: String, df: DataFrame): Unit
 
+  /** Append one streaming micro-batch such that a crash-replay of the
+    * same (runId, batchId) does NOT duplicate rows. File-lake sinks
+    * override with the staged batchId-keyed publish
+    * ([[SnapshotWriter.appendTableBatch]]); the default falls back to
+    * the at-least-once plain append for sinks with no stronger
+    * primitive.
+    */
+  def appendBatch(table: String, df: DataFrame, runId: String,
+      batchId: Long): Unit = append(table, df)
+
   /** Post-load maintenance for the (snapshot_date, repo) pair this
     * run touched. Default no-op — warehouse sinks (BigQuery et al.)
     * manage their own storage; file-lake sinks override to merge the
@@ -64,6 +74,9 @@ class ParquetSnapshotSink(
     SnapshotWriter.write(tables, rootDir, skipIfEmpty, fmt)
   override def append(table: String, df: DataFrame): Unit =
     SnapshotWriter.appendTable(df, s"$rootDir/$table", fmt = fmt)
+  override def appendBatch(table: String, df: DataFrame, runId: String,
+      batchId: Long): Unit =
+    SnapshotWriter.appendTableBatch(df, s"$rootDir/$table", runId, batchId, fmt)
   override def finalizeSnapshot(repo: String, snapshotDate: Date): Unit =
     for (table <- SnapshotWriter.TableNames)
       SnapshotWriter.compactPartition(spark, rootDir, table, repo, snapshotDate,
@@ -156,4 +169,16 @@ class NdjsonSnapshotSink(
         .text(s"$rootDir/$table")
     }
   }
+
+  /** Load-job mode gets the exactly-once staged publish (BigQuery load
+    * jobs are retry-idempotent when keyed by a caller-chosen job id —
+    * this is the file-layout analogue). Streaming-insert mode keeps
+    * the plain append: insert RPCs are best-effort-deduped at most,
+    * so modeling them as at-least-once is the honest parity.
+    */
+  override def appendBatch(table: String, df: DataFrame, runId: String,
+      batchId: Long): Unit =
+    if (streamingInserts) append(table, df)
+    else SnapshotWriter.appendTableBatch(
+      NdjsonSnapshotSink.jsonLines(df), s"$rootDir/$table", runId, batchId, "text")
 }

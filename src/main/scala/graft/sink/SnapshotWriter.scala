@@ -144,6 +144,17 @@ object SnapshotWriter {
         .format(fmt).save(path)
     }
 
+  /** Exactly-once per-micro-batch append: [[BatchCommit.stageAndPublish]]
+    * keyed by (runId, batchId), so a crash-replayed foreachBatch body
+    * converges to the same file set instead of appending the batch's
+    * rows a second time. The streaming bridges use this; plain
+    * [[appendTable]] stays for the non-replayable ChunkedEtl path,
+    * whose idempotency comes from the up-front partition delete.
+    */
+  def appendTableBatch(df: DataFrame, path: String, runId: String,
+      batchId: Long, fmt: String = "parquet"): Unit =
+    BatchCommit.stageAndPublish(df, path, runId, batchId, fmt)
+
   /** NDJSON serialization — the exact payload format of the
     * reference's BigQuery load jobs (main.py:673-677 serializes each
     * chunk as newline-delimited JSON). Null fields are kept explicit

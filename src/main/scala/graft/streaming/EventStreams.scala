@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -139,9 +139,15 @@ object EventStreams {
 
   /** Streaming → snapshot-sink bridge (reference K3, the
     * streaming-insert path): each micro-batch appends into the
-    * partitioned snapshot layout via foreachBatch. Append semantics
-    * match the reference's per-chunk WRITE_APPEND; idempotent
-    * re-deliveries should be handled upstream via checkpointing.
+    * partitioned snapshot layout via foreachBatch — exactly once.
+    * Spark replays a micro-batch whose `commits/N` checkpoint entry
+    * was never written, so a plain append would duplicate that
+    * batch's rows; the per-batch body is [[snapshotBatchWriter]],
+    * which skips batches whose append marker exists and publishes
+    * through the staged batchId-keyed rename of
+    * [[graft.sink.BatchCommit]] (replay-idempotent at every crash
+    * point). Exposed separately so the crash-replay spec can invoke
+    * the same body twice with one batchId and assert convergence.
     */
   def writeToSnapshot(
       df: DataFrame,
@@ -149,11 +155,26 @@ object EventStreams {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // skipIfEmpty=false: no extra isEmpty job per micro-batch
-        graft.sink.SnapshotWriter.appendTable(batch.toDF(), path, skipIfEmpty = false)
-      }
+      .foreachBatch(snapshotBatchWriter(path, checkpoint))
       .start()
+
+  /** The foreachBatch body behind [[writeToSnapshot]]: marker-gated,
+    * staged, batchId-keyed append. Safe to call repeatedly with the
+    * same batchId (crash-replay) — the second call is a no-op.
+    */
+  def snapshotBatchWriter(
+      path: String,
+      checkpoint: String): (Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+    (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val cp = new org.apache.hadoop.fs.Path(checkpoint)
+      val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!graft.sink.BatchCommit.isCommitted(fs, cp, batchId)) {
+        val runId = graft.sink.BatchCommit.pinnedRunId(fs, cp)
+        graft.sink.SnapshotWriter.appendTableBatch(batch.toDF(), path, runId, batchId)
+        graft.sink.BatchCommit.markCommitted(fs, cp, batchId)
+      }
+  }
 
   /** Stream-stream interval join: pair each left event with the right
     * events of the SAME user arriving within [l.ts, l.ts + maxDelay]
@@ -840,6 +861,12 @@ object EventStreams {
     * the batch operator over the union of batches 1..k EXACTLY — no
     * frontier approximation, any arrival order, any batch boundaries
     * (the spec asserts bit equality).
+    *
+    * This is the PURE fold step; accumulating it into one mutable
+    * table would double-count a crash-replayed batch. Production
+    * callers go through [[smoothedRatesFoldCommitted]], which
+    * versions the partials by batchId in a [[FoldStore]] (replace,
+    * never accumulate) so replay converges instead of re-adding.
     */
   def smoothedRatesFold(
       stored: DataFrame, // (user_id, n, s) — empty on the first batch
@@ -866,6 +893,43 @@ object EventStreams {
     partials.crossJoin(broadcast(tot))
       .select(col("user_id"), col("n"), col("s"),
         expr(graft.ops.Cohorts.SmoothExpr(priorWeight)).as("smoothed_rate"))
+  }
+
+  /** Exactly-once persisted fold: batch `batchId`'s per-user (n, s)
+    * counts folded into the newest committed partials version and
+    * written as a NEW version `v<batchId>` (never accumulated in
+    * place), so a crash-replayed foreachBatch recomputes the same
+    * version instead of double-counting — see [[FoldStore]]. The
+    * foreachBatch body is exactly
+    * `smoothedRatesFoldCommitted(root, batch, "user_id", succ, id)`.
+    */
+  def smoothedRatesFoldCommitted(
+      root: String,
+      batch: DataFrame,
+      userCol: String,
+      successExpr: org.apache.spark.sql.Column,
+      batchId: Long): Unit = {
+    // limit(0) on the batch's own aggregate shape: the empty first
+    // frame carries the same (user_id, n, s) schema without a scan
+    val empty = batch.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successExpr, 1L).otherwise(0L)).as("s"))
+      .limit(0)
+    FoldStore.foldCommit(batch.sparkSession, root, batchId, empty)(stored =>
+      smoothedRatesFold(stored, batch, userCol, successExpr))
+  }
+
+  /** Read the newest committed partials of a
+    * [[smoothedRatesFoldCommitted]] store (empty frame before the
+    * first commit) — feed to [[smoothedRatesFromPartials]].
+    */
+  def smoothedRatesPartials(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("n", LongType),
+      StructField("s", LongType)))
+    FoldStore.read(spark, root,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
   final case class DeltaOut(

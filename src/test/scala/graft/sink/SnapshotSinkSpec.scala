@@ -201,4 +201,67 @@ class SnapshotSinkSpec extends AnyFunSuite {
     SnapshotWriter.compactPartition(spark, root, "commits", "o/r", d1)
     assert(!fs.exists(dir), "deleted snapshot resurrected from crash debris")
   }
+
+  test("crash-replayed micro-batch appends no duplicate rows (every crash point)") {
+    val root = java.nio.file.Files.createTempDirectory("batchappend").toString
+    val path = s"$root/pull_requests"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val b0 = rows("o/r", d1, "batch0")
+
+    // clean append, then a full replay of the same batchId (the
+    // crash-after-append-before-commits/N window)
+    SnapshotWriter.appendTableBatch(b0, path, "run1", 0L)
+    SnapshotWriter.appendTableBatch(b0, path, "run1", 0L)
+    assert(readBack("parquet", root, "pull_requests") ==
+      Set((1L, "batch0", "o/r"), (2L, "batch0", "o/r")))
+
+    // crash DURING a previous publish: debris file under this batch's
+    // prefix must be cleaned, not added to
+    val leaf = new org.apache.hadoop.fs.Path(
+      SnapshotWriter.partitionPath(root, "pull_requests", "o/r", d1))
+    val debrisName = BatchCommit.filePrefix("run1", 1L) + "part-stale.parquet"
+    val live = fs.listStatus(leaf).filter(_.isFile).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+      new org.apache.hadoop.fs.Path(leaf, debrisName), false,
+      spark.sparkContext.hadoopConfiguration)
+    val b1 = rows("o/r", d1, "batch1")
+    SnapshotWriter.appendTableBatch(b1, path, "run1", 1L)
+    assert(readBack("parquet", root, "pull_requests") ==
+      Set((1L, "batch0", "o/r"), (2L, "batch0", "o/r"),
+        (1L, "batch1", "o/r"), (2L, "batch1", "o/r")),
+      "partial-publish debris must be replaced by the replay, not kept")
+
+    // distinct batchIds stay independent; a foreign run's files are
+    // never touched by this run's cleanup
+    SnapshotWriter.appendTableBatch(rows("o/r", d1, "otherrun"), path, "run2", 1L)
+    assert(readBack("parquet", root, "pull_requests").size == 6)
+    SnapshotWriter.appendTableBatch(b1, path, "run1", 1L) // replay again
+    assert(readBack("parquet", root, "pull_requests").size == 6)
+
+    // no hidden stage directories left behind
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .exists(_.getPath.getName.startsWith(".stage_")), "stage dir leaked")
+  }
+
+  test("NDJSON load-job sink appendBatch is replay-idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("batchndjson").toString
+    val sink = new NdjsonSnapshotSink(spark, root)
+    val b0 = rows("o/r", d1, "nb0")
+    sink.appendBatch("pull_requests", b0, "runx", 0L)
+    sink.appendBatch("pull_requests", b0, "runx", 0L)
+    assert(readBack("ndjson", root, "pull_requests") ==
+      Set((1L, "nb0", "o/r"), (2L, "nb0", "o/r")))
+  }
+
+  test("batch-commit markers gate replays and pin one runId per checkpoint") {
+    val cp = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("batchcp").toString)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!BatchCommit.isCommitted(fs, cp, 0L))
+    BatchCommit.markCommitted(fs, cp, 0L)
+    assert(BatchCommit.isCommitted(fs, cp, 0L))
+    assert(!BatchCommit.isCommitted(fs, cp, 1L))
+    val id = BatchCommit.pinnedRunId(fs, cp)
+    assert(BatchCommit.pinnedRunId(fs, cp) == id, "resume must reuse the pinned runId")
+  }
 }

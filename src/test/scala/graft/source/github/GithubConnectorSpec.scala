@@ -635,8 +635,42 @@ class GithubConnectorSpec extends AnyFunSuite {
       inner.writeSnapshot(t, skipIfEmpty)
     def append(table: String, df: org.apache.spark.sql.DataFrame): Unit =
       inner.append(table, df)
+    override def appendBatch(table: String, df: org.apache.spark.sql.DataFrame,
+        runId: String, batchId: Long): Unit =
+      inner.appendBatch(table, df, runId, batchId)
     override def finalizeSnapshot(repo: String, d: Date): Unit =
       inner.finalizeSnapshot(repo, d)
+  }
+
+  test("crash-replay of the last micro-batch appends no duplicate rows") {
+    withServer { server =>
+      val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
+      val checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-replay-cp").toString + "/cp"
+      val sink = new graft.sink.ParquetSnapshotSink(spark, out)
+      val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
+      val d = Date.valueOf("2026-02-01")
+      graft.jobs.StreamingEtl.run(spark, Seq("o/r"), opts, sink, d, checkpoint)
+      val clean = graft.sink.SnapshotWriter.TableNames.map(t =>
+        t -> spark.read.parquet(s"$out/$t").count()).toMap
+
+      // simulate the crash window: Spark wrote offsets/N and the batch
+      // appended, but commits/N was lost — on restart Spark replays
+      // batch N through foreachBatch with the same batchId
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      val commits = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+      val last = fs.listStatus(commits).filter(_.isFile)
+        .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption).max
+      fs.delete(new org.apache.hadoop.fs.Path(commits, last.toString), false)
+
+      graft.jobs.StreamingEtl.run(spark, Seq("o/r"), opts, sink, d, checkpoint)
+      for (t <- graft.sink.SnapshotWriter.TableNames) {
+        val n = spark.read.parquet(s"$out/$t").count()
+        assert(n == clean(t),
+          s"$t: replay duplicated rows (${clean(t)} -> $n)")
+      }
+    }
   }
 
   test("streaming resume keeps the checkpoint-pinned snapshot date across a date change") {

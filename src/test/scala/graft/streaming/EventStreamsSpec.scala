@@ -213,6 +213,70 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshot sink crash-replay: same batchId twice appends no duplicates") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-sink")
+    val out = dir.resolve("events").toString
+    val cp = dir.resolve("cp").toString
+    def frame(ids: Long*) = ids.map(i =>
+      ev(i, "2024-01-01 10:00:00", i, "click", 1.0)).toDF()
+      .withColumn("snapshot_date", to_date(col("ts")))
+      .withColumn("target_repository", lit("stream/src"))
+    val writer = EventStreams.snapshotBatchWriter(out, cp)
+    // batch 0 runs, then is replayed whole (offsets/0 written,
+    // commits/0 lost in the crash): the marker gate must skip it
+    writer(frame(1L), 0L)
+    writer(frame(1L), 0L)
+    assert(spark.read.parquet(out).count() == 1)
+    // batch 1 appends normally after the replay
+    writer(frame(2L, 3L), 1L)
+    assert(spark.read.parquet(out).count() == 3)
+    writer(frame(2L, 3L), 1L)
+    assert(spark.read.parquet(out).count() == 3,
+      "replayed batch 1 duplicated rows")
+  }
+
+  test("committed smoothed-rate fold: crash-replay converges, result bit-equal to batch") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft-foldstore").toString
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "purchase", 5),
+      ev(2, "2024-01-01 11:00:00", 1, "view", 0),
+      ev(3, "2024-01-01 12:00:00", 2, "view", 0))
+    val b2 = Seq(
+      ev(4, "2024-01-02 10:00:00", 2, "purchase", 9),
+      ev(5, "2024-01-02 11:00:00", 3, "view", 0),
+      ev(6, "2024-01-02 12:00:00", 1, "purchase", 2))
+    val succ = col("event_type") === "purchase"
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Double]("smoothed_rate"))).toMap
+
+    EventStreams.smoothedRatesFoldCommitted(root, b1.toDF(), "user_id", succ, 0L)
+
+    // crash DURING batch 1's fold: the version parquet was (partially)
+    // written but the _committed marker was not — readers must ignore
+    // it and the replay must overwrite it from v0, not fold on top
+    Seq((99L, 99L, 99L)).toDF("user_id", "n", "s")
+      .write.parquet(s"$root/v1")
+    val preCrash = asMap(EventStreams.smoothedRatesFromPartials(
+      EventStreams.smoothedRatesPartials(spark, root), priorWeight = 20))
+    assert(!preCrash.contains(99L), "uncommitted version visible to readers")
+
+    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ, 1L)
+    // full replay of the now-committed batch: marker-gated no-op
+    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ, 1L)
+    val streamed = asMap(EventStreams.smoothedRatesFromPartials(
+      EventStreams.smoothedRatesPartials(spark, root), priorWeight = 20))
+    val batch = asMap(graft.ops.Cohorts.smoothedRates(
+      (b1 ++ b2).toDF(), "user_id", succ, priorWeight = 20))
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed(1L)._1 == 3L && streamed(1L)._2 == 2L,
+      "replayed fold double-counted batch 2")
+    assert(!streamed.contains(99L), "crashed partial version leaked into the fold")
+  }
+
   test("sessionization: delayed event must not move the session end backward") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]
