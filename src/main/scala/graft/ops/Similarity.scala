@@ -580,20 +580,57 @@ object Similarity {
       ksub: Int = 8,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      subCodebook: Option[DataFrame] = None): DataFrame = {
+      subCodebook: Option[DataFrame] = None): DataFrame =
+    ivfPqResidualProbe(queries,
+      buildIvfPqResidualIndex(corpus, dim, m, ksub, nCentroids, subCodebook),
+      k, dim, m, ksub, nProbe)
+
+  /** The three persistable artifacts of a residual-IVFPQ index — what
+    * a 100 TB deployment builds ONCE and probes thousands of times
+    * (the reference's whole design is amortized idempotent snapshots,
+    * main.py:604-683; an index is the ANN-shaped snapshot):
+    *
+    *  - `centroids` (cid, cv, cnorm): the coarse quantizer —
+    *    nCentroids rows, broadcast at probe time;
+    *  - `subCodebook` (sm, code, scv, cn2): the trained residual PQ
+    *    codebook — m·ksub rows, broadcast;
+    *  - `codes` (nid, cid, codes): the corpus compressed to its list
+    *    id + m sub-codes — the ONLY corpus-sized frame, the thing
+    *    probes scan.
+    *
+    * All float arrays and fold-order doubles round-trip parquet
+    * bit-exactly, so a probe over a loaded index ranks identically to
+    * the fused build+probe path (spec + oracle-pinned).
+    */
+  final case class IvfPqResidualIndex(
+      centroids: DataFrame,
+      subCodebook: DataFrame,
+      codes: DataFrame)
+
+  /** Index-build half of [[ivfPqResidualTopK]] (identical math —
+    * the fused entry point delegates here): coarse-assign, residual
+    * encode against L2-Lloyd-trained sub-codebooks.
+    *
+    * Default build path rationale: the reason FAISS always trains its
+    * IVFADC sub-quantizers is that residuals concentrate near zero
+    * and a seed grid of raw residual slices wastes most codewords
+    * (measured on the synthetics: 8/50 recall untrained → 13/50
+    * trained, parity with the non-residual path at the same 12-bit
+    * budget). Slots the trainer cannot fill (a subspace with fewer
+    * than ksub training rows — degenerate inputs) fall back per
+    * (sm, code) to the seed grid so the m·ksub ADC layout stays total.
+    */
+  def buildIvfPqResidualIndex(
+      corpus: DataFrame, // (nid, nv)
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16,
+      subCodebook: Option[DataFrame] = None): IvfPqResidualIndex = {
     val subLen = dim / m
     val (cent, assigned) = coarseAssign(corpus, nCentroids)
     val res = residuals(corpus, cent, assigned)
     val resCorpus = res.select(col("nid"), col("rv").as("nv"))
-    // default build path: L2-Lloyd-trained residual sub-codebooks —
-    // the reason FAISS always trains its IVFADC sub-quantizers is
-    // that residuals concentrate near zero and a seed grid of raw
-    // residual slices wastes most codewords (measured on the
-    // synthetics: 8/50 recall untrained → 13/50 trained, parity with
-    // the non-residual path at the same 12-bit budget). Slots the
-    // trainer cannot fill (a subspace with fewer than ksub training
-    // rows — degenerate inputs) fall back per (sm, code) to the seed
-    // grid so the m·ksub ADC layout stays total.
     val sub0 = subCodebook.getOrElse {
       val seeds = resCorpus.orderBy(col("nid").asc).limit(ksub)
         .withColumn("code",
@@ -609,7 +646,27 @@ object Similarity {
           coalesce(col("tr_scv"), col("seed_scv")).as("scv"))
     }
     val (sub, codes) = pqCodes(resCorpus, dim, m, ksub, Some(sub0))
-    val codesC = codes.join(assigned, "nid")
+    IvfPqResidualIndex(cent, sub, codes.join(assigned, "nid"))
+  }
+
+  /** Probe half of [[ivfPqResidualTopK]]: score `queries` against a
+    * built (or loaded) index. Per-query cost is nProbe list scans of
+    * the codes frame with every small side broadcast — the amortized
+    * operating point: ~4 s of index build at sf0.1 is paid once by
+    * [[buildIvfPqResidualIndex]], and each probe costs only this.
+    */
+  def ivfPqResidualProbe(
+      queries: DataFrame, // (qid, qv)
+      index: IvfPqResidualIndex,
+      k: Int,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nProbe: Int = 4): DataFrame = {
+    val subLen = dim / m
+    val cent = index.centroids
+    val sub = index.subCodebook
+    val codesC = index.codes
     val q = queries.withColumn("qnorm", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)

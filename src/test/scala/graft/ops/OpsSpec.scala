@@ -470,6 +470,52 @@ class OpsSpec extends AnyFunSuite {
     assert(tr >= un && tr > 0, s"trained=$tr untrained=$un of ${brute.size}")
   }
 
+  test("persisted residual-IVFPQ index probes rank identically to the fused path") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val corpus = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val c = corpus.toDF("nid", "nv")
+    val q = corpus.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fused = rows(Similarity.ivfPqResidualTopK(q, c, k = 3, dim = 8, m = 2,
+      ksub = 4, nCentroids = 4, nProbe = 4))
+
+    // build → save → load → probe: the parquet round-trip must be
+    // rank-exact (floats and fold-order doubles are bit-preserved)
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString + "/ix"
+    val built = Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
+      nCentroids = 4)
+    AnnIndexStore.save(built, path)
+    assert(AnnIndexStore.isBuilt(spark, path))
+    val loaded = AnnIndexStore.load(spark, path)
+    assert(rows(Similarity.ivfPqResidualProbe(q, loaded, k = 3, dim = 8, m = 2,
+      ksub = 4, nProbe = 4)) == fused)
+
+    // ensure: second call must serve the persisted artifact (the
+    // corpus thunk is by-name — a rebuilt index would re-evaluate it)
+    var builds = 0
+    def corpusOnce = { builds += 1; c }
+    val p2 = java.nio.file.Files.createTempDirectory("annidx2").toString + "/ix"
+    AnnIndexStore.ensureIvfPqResidual(spark, p2, corpusOnce, dim = 8, m = 2,
+      ksub = 4, nCentroids = 4)
+    val again = AnnIndexStore.ensureIvfPqResidual(spark, p2, corpusOnce,
+      dim = 8, m = 2, ksub = 4, nCentroids = 4)
+    assert(builds == 1, "ensure rebuilt a committed index")
+    assert(rows(Similarity.ivfPqResidualProbe(q, again, k = 3, dim = 8, m = 2,
+      ksub = 4, nProbe = 4)) == fused)
+
+    // crashed build (tables present, marker missing): must rebuild,
+    // never serve the uncommitted artifact
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p2, "_built"), false)
+    AnnIndexStore.ensureIvfPqResidual(spark, p2, corpusOnce, dim = 8, m = 2,
+      ksub = 4, nCentroids = 4)
+    assert(builds == 2, "marker-less index served without rebuild")
+  }
+
   test("PQ top-k is invariant under repartitioning") {
     val df = vecs.toDF("id", "v")
     val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
