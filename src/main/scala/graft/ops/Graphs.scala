@@ -406,27 +406,80 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "rounds must be positive")
-    var e = edgesIn
+    var e = canonEdges(edgesIn, aCol, bCol)
+    for (_ <- 1 to rounds) {
+      val ne = corePeelRound(e, k).localCheckpoint()
+      unpersistCheckpoint(e)
+      e = ne
+    }
+    coreDegrees(e)
+  }
+
+  /** One degree-filter peel: edges whose BOTH endpoints have degree
+    * ≥ k in `e`.
+    */
+  private def corePeelRound(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") >= k.toLong).select("v")
+    e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      .select("a", "b")
+  }
+
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v").as("node")).agg(count(lit(1)).as("degree"))
+
+  private def canonEdges(
+      edgesIn: DataFrame, aCol: String, bCol: String): DataFrame =
+    edgesIn
       .select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k.toLong).select("v")
-      val ne = e
-        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint()
+
+  /** [[kCorePeel]] run to the FIXPOINT — the certified k-core: peel
+    * until the surviving edge count is stable (each round's frame is
+    * already materialized by its localCheckpoint, so the stability
+    * count reads cached blocks, not a recompute). A fixed-round peel
+    * that hasn't converged can return nodes NOT in the k-core — the
+    * cascade (removing a node re-exposes its neighbors) runs one
+    * layer per round, so e.g. a pendant chain needs length/2 rounds.
+    * `maxRounds` bounds the worst case (a path graph peels O(n)
+    * rounds); hitting it throws rather than silently returning a
+    * non-core, preserving the "certified" contract.
+    *
+    * The fixed-round variant stays for the SQL-unrollable oracle;
+    * once stable the two agree exactly (peeling a fixpoint is a
+    * no-op — spec-pinned).
+    */
+  def kCoreConverged(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var e = canonEdges(edgesIn, aCol, bCol)
+    var n = e.count()
+    var stable = false
+    var r = 0
+    while (!stable) {
+      if (r >= maxRounds)
+        throw new IllegalStateException(
+          s"k-core did not converge within $maxRounds rounds")
+      val ne = corePeelRound(e, k).localCheckpoint()
+      val nn = ne.count()
       unpersistCheckpoint(e)
       e = ne
+      stable = nn == n
+      n = nn
+      r += 1
     }
-    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-      .groupBy(col("v").as("node")).agg(count(lit(1)).as("degree"))
+    coreDegrees(e)
   }
 
   /** Fixed-round k-truss peeling: each round computes every edge's
@@ -456,57 +509,97 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     require(rounds >= 1, "rounds must be positive")
-    var e = edgesIn
-      .select(
-        least(col(aCol), col(bCol)).cast("long").as("a"),
-        greatest(col(aCol), col(bCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    // per-edge support via the degree-oriented closure: orient edges
-    // low-degree → high-degree, sorted-merge the two adjacency lists,
-    // and credit all three edges of each found triangle
-    def support(edges: DataFrame): DataFrame = {
-      val deg = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val withDeg = edges
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      val oriented = withDeg.select(
-        when(col("da") < col("db")
-            || (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("src"), col("b").as("dst")))
-          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
-        .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      val adj = oriented.groupBy(col("src"))
-        .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint()
-      val t3 = adj.select(col("src"), explode(col("nbrs")).as("dst"))
-        .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
-        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
-          Seq("dst"), "left")
-        .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
-          col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
-        .select(col("src"), col("dst"), explode(col("ws")).as("w"))
-      t3.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .unionAll(t3.select(least(col("src"), col("w")).as("a"),
-          greatest(col("src"), col("w")).as("b")))
-        .unionAll(t3.select(least(col("dst"), col("w")).as("a"),
-          greatest(col("dst"), col("w")).as("b")))
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))
-    }
+    var e = canonEdges(edgesIn, aCol, bCol)
     for (_ <- 1 to rounds) {
-      val keep = support(e).filter(col("support") >= (k - 2).toLong)
+      val keep = edgeSupport(e).filter(col("support") >= (k - 2).toLong)
         .select("a", "b")
       val ne = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
       unpersistCheckpoint(e)
       e = ne
     }
-    e.join(support(e), Seq("a", "b"), "left")
+    trussOut(e)
+  }
+
+  /** Per-edge triangle support via the degree-oriented closure:
+    * orient edges low-degree → high-degree, sorted-merge the two
+    * adjacency lists, and credit all three edges of each found
+    * triangle. O(√m) work per edge, never per-wedge rows.
+    */
+  private def edgeSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint()
+    val t3 = adj.select(col("src"), explode(col("nbrs")).as("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
+        Seq("dst"), "left")
+      .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
+        col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
+      .select(col("src"), col("dst"), explode(col("ws")).as("w"))
+    t3.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .unionAll(t3.select(least(col("src"), col("w")).as("a"),
+        greatest(col("src"), col("w")).as("b")))
+      .unionAll(t3.select(least(col("dst"), col("w")).as("a"),
+        greatest(col("dst"), col("w")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  private def trussOut(e: DataFrame): DataFrame =
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
       .select(col("a").as("node_a"), col("b").as("node_b"),
         coalesce(col("support"), lit(0L)).as("support"))
+
+  /** [[kTrussPeel]] run to the FIXPOINT — the certified k-truss:
+    * support-peel until the surviving edge count is stable. A
+    * fixed-round peel that hasn't converged returns edges NOT in the
+    * k-truss (dropping an edge lowers its neighbors' support one
+    * cascade layer per round — a strip of pendant triangles needs
+    * length/2 rounds to dissolve). `maxRounds` bounds the worst case;
+    * hitting it throws rather than returning an uncertified edge set.
+    * Once stable, extra fixed rounds are no-ops, so the converged
+    * result equals any sufficiently-unrolled [[kTrussPeel]]
+    * (spec-pinned) — which is what keeps the cross-engine oracle
+    * expressible.
+    */
+  def kTrussConverged(
+      edgesIn: DataFrame,
+      aCol: String,
+      bCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3")
+    var e = canonEdges(edgesIn, aCol, bCol)
+    var n = e.count()
+    var stable = false
+    var r = 0
+    while (!stable) {
+      if (r >= maxRounds)
+        throw new IllegalStateException(
+          s"k-truss did not converge within $maxRounds rounds")
+      val keep = edgeSupport(e).filter(col("support") >= (k - 2).toLong)
+        .select("a", "b")
+      val ne = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
+      val nn = ne.count()
+      unpersistCheckpoint(e)
+      e = ne
+      stable = nn == n
+      n = nn
+      r += 1
+    }
+    trussOut(e)
   }
 
   /** Resource-Allocation node similarity over a bipartite edge list

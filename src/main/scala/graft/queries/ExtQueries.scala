@@ -212,6 +212,25 @@ object ExtQueries {
       Graphs.kTrussPeel(edges, "pa", "pb", k = 3, rounds = 2)
     }),
 
+    // The CERTIFIED k-truss: support-peel to the fixpoint (edge count
+    // stable) instead of a pinned round budget — the variant whose
+    // output is guaranteed truss membership. Shares q_ktruss's
+    // unrolled oracle because once stable extra rounds are no-ops and
+    // this graph converges in one round at every shipped SF
+    // (measured; the general equivalence is spec-pinned).
+    "q_ktruss_conv" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2L)
+      Graphs.kTrussConverged(edges, "pa", "pb", k = 3)
+    }),
+
     // Fuzzy self-join: per-supplier count of names within Levenshtein
     // distance 1, via FastSS deletion-neighborhood blocking — an
     // equi-join on deletion variants + exact verify on candidates,
@@ -912,6 +931,16 @@ object ExtQueries {
         .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
         .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
       Graphs.kCorePeel(li, "sn", "pn", k = 2, rounds = 3)
+    }),
+
+    // The certified 2-core (fixpoint peel, q_ktruss_conv's contract):
+    // converges in one round on this graph at every shipped SF, so it
+    // shares q_kcore's 3-round unrolled oracle.
+    "q_kcore_conv" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"), (col("l_partkey") * 2L).as("pn"))
+      Graphs.kCoreConverged(li, "sn", "pn", k = 2)
     }),
 
     // Deterministic balanced sharding: running byte total over the
@@ -1618,6 +1647,72 @@ object ExtQueries {
         SELECT a.id AS vec_id_a, b.id AS vec_id_b
         FROM e a JOIN e b ON a.id < b.id AND bit_count(xor(a.bucket, b.bucket)) <= 1
         WHERE ($dot) / (sqrt($na) * sqrt($nb)) >= 0.45"""
+  }
+
+  /** Unrolled 3-round k-core peel; canonical (least, greatest)
+    * undirected edges. Every round CTE is MATERIALIZED: each e_t is
+    * referenced three times by round t+1, so inlined CTEs re-expand
+    * the whole chain 3^t-fold — enough to OOM DuckDB at round 3 on
+    * the full surface run. Joins, not IN-subqueries, for the same
+    * reason.
+    */
+  private def kcoreSql: String = {
+    def peel(t: Int, prev: String): String =
+      s"""d$t AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+            GROUP BY v),
+          k$t AS MATERIALIZED (SELECT v FROM d$t WHERE c >= 2),
+          e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+            JOIN k$t ka ON e.a = ka.v
+            JOIN k$t kb ON e.b = kb.v)"""
+    s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+        e0 AS MATERIALIZED (SELECT DISTINCT
+            least(2*l_suppkey + 1, 2*l_partkey) AS a,
+            greatest(2*l_suppkey + 1, 2*l_partkey) AS b FROM li),
+        ${peel(1, "e0")},
+        ${peel(2, "e1")},
+        ${peel(3, "e2")}
+        SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+        GROUP BY v"""
+  }
+
+  /** k-truss twin: two unrolled support-peel rounds over the
+    * canonical a<b edge list — tri enumerates each triangle once,
+    * support credits its three edges, the filter keeps s >= k-2 (an
+    * inner join drops zero-support edges, which the k >= 3 filter
+    * would drop anyway); final support recomputed on the survivors.
+    */
+  private def ktrussSql: String = {
+    def peel(t: Int, prev: String): String =
+      s"""tri$t AS MATERIALIZED (SELECT e1.a u, e1.b v, e2.b w
+            FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+          s$t AS MATERIALIZED (SELECT a, b, count(*) AS s FROM (
+            SELECT u AS a, v AS b FROM tri$t
+            UNION ALL SELECT u, w FROM tri$t
+            UNION ALL SELECT v, w FROM tri$t) x GROUP BY 1, 2),
+          e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+            JOIN s$t USING (a, b) WHERE s >= 1)"""
+    s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+          FROM lineitem),
+        e0 AS MATERIALIZED (SELECT a, b FROM (
+          SELECT x.p a, y.p b, count(*) w FROM li x
+          JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) t
+          WHERE w >= 2),
+        ${peel(1, "e0")},
+        ${peel(2, "e1")},
+        trif AS MATERIALIZED (SELECT t1.a u, t1.b v, t2.b w
+          FROM e2 t1 JOIN e2 t2 ON t1.a = t2.a AND t1.b < t2.b
+          JOIN e2 t3 ON t3.a = t1.b AND t3.b = t2.b),
+        sf AS (SELECT a, b, count(*) AS s FROM (
+          SELECT u AS a, v AS b FROM trif
+          UNION ALL SELECT u, w FROM trif
+          UNION ALL SELECT v, w FROM trif) x GROUP BY 1, 2)
+        SELECT e.a AS node_a, e.b AS node_b,
+          CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
+        FROM e2 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b"""
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -2594,64 +2689,17 @@ object ExtQueries {
     // times by round t+1, so inlined CTEs re-expand the whole chain
     // 3^t-fold — enough to OOM DuckDB at round 3 on the full surface
     // run. Joins, not IN-subqueries, for the same reason.
-    "q_kcore" -> {
-      def peel(t: Int, prev: String): String =
-        s"""d$t AS MATERIALIZED (SELECT v, count(*) AS c FROM (
-              SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
-              GROUP BY v),
-            k$t AS MATERIALIZED (SELECT v FROM d$t WHERE c >= 2),
-            e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
-              JOIN k$t ka ON e.a = ka.v
-              JOIN k$t kb ON e.b = kb.v)"""
-      s"""WITH li AS (SELECT l_suppkey, l_partkey FROM lineitem
-                      WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
-          e0 AS MATERIALIZED (SELECT DISTINCT
-              least(2*l_suppkey + 1, 2*l_partkey) AS a,
-              greatest(2*l_suppkey + 1, 2*l_partkey) AS b FROM li),
-          ${peel(1, "e0")},
-          ${peel(2, "e1")},
-          ${peel(3, "e2")}
-          SELECT v AS node, CAST(count(*) AS BIGINT) AS degree FROM (
-            SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
-          GROUP BY v"""
-    },
-
-    // k-truss twin: two unrolled support-peel rounds over the
-    // canonical a<b edge list — tri enumerates each triangle once,
-    // support credits its three edges, the filter keeps s >= k-2 (an
-    // inner join drops zero-support edges, which the k >= 3 filter
-    // would drop anyway); final support recomputed on the survivors.
-    "q_ktruss" -> {
-      def peel(t: Int, prev: String): String =
-        s"""tri$t AS MATERIALIZED (SELECT e1.a u, e1.b v, e2.b w
-              FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
-              JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
-            s$t AS MATERIALIZED (SELECT a, b, count(*) AS s FROM (
-              SELECT u AS a, v AS b FROM tri$t
-              UNION ALL SELECT u, w FROM tri$t
-              UNION ALL SELECT v, w FROM tri$t) x GROUP BY 1, 2),
-            e$t AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
-              JOIN s$t USING (a, b) WHERE s >= 1)"""
-      s"""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
-            FROM lineitem),
-          e0 AS MATERIALIZED (SELECT a, b FROM (
-            SELECT x.p a, y.p b, count(*) w FROM li x
-            JOIN li y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2) t
-            WHERE w >= 2),
-          ${peel(1, "e0")},
-          ${peel(2, "e1")},
-          trif AS MATERIALIZED (SELECT t1.a u, t1.b v, t2.b w
-            FROM e2 t1 JOIN e2 t2 ON t1.a = t2.a AND t1.b < t2.b
-            JOIN e2 t3 ON t3.a = t1.b AND t3.b = t2.b),
-          sf AS (SELECT a, b, count(*) AS s FROM (
-            SELECT u AS a, v AS b FROM trif
-            UNION ALL SELECT u, w FROM trif
-            UNION ALL SELECT v, w FROM trif) x GROUP BY 1, 2)
-          SELECT e.a AS node_a, e.b AS node_b,
-            CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
-          FROM e2 e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b"""
-    },
-
+    //
+    // q_kcore_conv shares this oracle: the supplier↔part graph
+    // converges in ONE peel round at every shipped SF (measured), so
+    // the 3-round unroll IS the fixpoint — peeling a stable edge set
+    // is a no-op (spec-pinned in ExtOpsSpec "converged peels").
+    "q_kcore_conv" -> kcoreSql,
+    "q_kcore" -> kcoreSql,
+    // q_ktruss_conv likewise shares the 2-round q_ktruss unroll (the
+    // ≥2-co-occurrence part graph also converges in one round).
+    "q_ktruss_conv" -> ktrussSql,
+    "q_ktruss" -> ktrussSql,
     "q_shard_assign" ->
       """SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
                 CAST((cum - 1) // 100000 AS BIGINT) AS shard

@@ -416,6 +416,67 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("converged peels reach the true core/truss where fixed rounds provably fall short") {
+    // k-core: a 4-cycle with a pendant chain of 6 — the cascade
+    // strips one chain layer per round, so 2 rounds leave chain
+    // nodes that are NOT in the 2-core; converged = the cycle alone
+    val lolli = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // cycle
+      (4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+    val twoRounds = Graphs.kCorePeel(lolli.toDF("a", "b"), "a", "b",
+      k = 2, rounds = 2).collect().map(_.getLong(0)).toSet
+    assert(twoRounds.exists(_ >= 10L),
+      "premise broken: 2 rounds already converged on the chain")
+    val core = Graphs.kCoreConverged(lolli.toDF("a", "b"), "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    // once stable, extra fixed rounds are no-ops: converged equals
+    // any sufficiently-unrolled fixed peel (the oracle contract)
+    val unrolled = Graphs.kCorePeel(lolli.toDF("a", "b"), "a", "b",
+      k = 2, rounds = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == unrolled)
+
+    // k-truss: an 8×8 triangular lattice — interior edges sit in 2
+    // triangles, boundary edges in 1, so the k=4 peel dissolves ONE
+    // boundary layer per round (8 rounds to empty, simulated); after
+    // 2 rounds 85 uncertified edges remain. The true 4-truss of any
+    // finite lattice is empty.
+    val W = 8L
+    val lattice = for {
+      r <- 0L until W; c <- 0L until W
+      e <- Seq(
+        if (c + 1 < W) Some((r * W + c, r * W + c + 1)) else None,
+        if (r + 1 < W) Some((r * W + c, (r + 1) * W + c)) else None,
+        if (r + 1 < W && c + 1 < W) Some((r * W + c, (r + 1) * W + c + 1))
+        else None).flatten
+    } yield e
+    val fixed = Graphs.kTrussPeel(lattice.toDF("a", "b"), "a", "b",
+      k = 4, rounds = 2).collect()
+    assert(fixed.length == 85,
+      s"premise drifted: expected 85 survivors after 2 rounds, got ${fixed.length}")
+    val truss = Graphs.kTrussConverged(lattice.toDF("a", "b"), "a", "b", k = 4)
+      .collect()
+    assert(truss.isEmpty, "4-truss of a finite lattice must be empty")
+    // and where a true truss EXISTS it is found exactly: lattice + a
+    // 5-clique (every clique edge in 3 triangles, survives k=4)
+    val clique = (1000L until 1005L).flatMap(a =>
+      ((a + 1) until 1005L).map(b => (a, b)))
+    val got = Graphs.kTrussConverged((lattice ++ clique).toDF("a", "b"),
+      "a", "b", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == clique.toSet && got.values.forall(_ == 3L))
+    val unrolledT = Graphs.kTrussPeel((lattice ++ clique).toDF("a", "b"),
+      "a", "b", k = 4, rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == unrolledT)
+
+    // the cap is a contract, not a silent truncation
+    val err = intercept[IllegalStateException] {
+      Graphs.kCoreConverged(lolli.toDF("a", "b"), "a", "b", k = 2,
+        maxRounds = 1).collect()
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+
   test("incremental partials merge to exactly the full recompute") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 500).map(i =>
