@@ -323,7 +323,12 @@ object Dedup {
     * Scale shape: identical to [[minHashLshPairs]] — signatures are
     * per-row expressions, candidates come from grouped (band, bkey)
     * posting lists, and the verify join ships only (id, 16-bit
-    * sketch) rows.
+    * sketch) rows. Cache lifetime is likewise minHashLshPairs':
+    * the persisted signature frame has no explicit unpersist — the
+    * CALLER owns it through the returned frame's lineage, and the
+    * ContextCleaner frees the MEMORY_AND_DISK blocks once that frame
+    * is unreferenced; long-lived sessions issuing many one-shot calls
+    * should pass `persistSignatures = false`.
     *
     * @return (doc_id_a, doc_id_b, n_match, resemblance_est), a < b,
     *         one row per banded-LSH candidate pair.

@@ -216,13 +216,21 @@ object Moments {
     ((2L * j + 3L) * 15485863L % Dedup.MinHashP,
       (j + 1L) * 32452843L % Dedup.MinHashP)
   }
+  // The family above is DETERMINISTIC (fixed affine-mod-2 constants)
+  // so the DuckDB oracle can regenerate it token-identically — which
+  // means the formal AMS variance bound (it needs 4-wise-independent
+  // RANDOM signs) is NOT claimed here: the estimate quality is
+  // empirical, and the exact F2 anchor emitted next to the estimate
+  // is what makes the actual error observable per run.
 
   /** AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
     * priced against the exact F2 = Σ_k f_k² — the self-join-size /
     * skew estimator every shuffle planner wants without scanning
-    * twice: 32 counters c_j = Σ_k f_k·σ_j(k) with 4-universal-style
-    * ±1 signs, estimate = median of c_j² (average of the two middle
-    * order statistics). Exactness discipline: counters are exact
+    * twice: 32 counters c_j = Σ_k f_k·σ_j(k) with deterministic
+    * affine-mod-2 ±1 signs (see [[AmsAB]] — reproducible for the
+    * oracle, so the AMS 4-wise-independence variance bound is NOT
+    * claimed; the exact anchor prices the actual error), estimate =
+    * median of c_j² (average of the two middle order statistics). Exactness discipline: counters are exact
     * integer folds over the per-key count frame (ONE input scan; the
     * sketch and the exact anchor both read that frame), the squares
     * and the median read in double with both engines sorting the
@@ -256,14 +264,33 @@ object Moments {
       .unionAll(batch.groupBy(keyExpr.as("k")).agg(count(lit(1)).as("f")))
       .groupBy("k").agg(sum(col("f")).as("f"))
 
-  /** Close the sketch + exact anchor over a per-key count frame. */
+  /** Close the sketch + exact anchor over a per-key count frame.
+    *
+    * Key contract: `k` must cast to a non-null long for EVERY row —
+    * a non-numeric key would otherwise silently drop out of the sign
+    * counters while still counting in n/n_keys/f2_exact, skewing
+    * f2_est/est_ratio with no error — so the cast is guarded by
+    * `raise_error`. Keys should also be NON-NEGATIVE for the
+    * cross-engine contract: Spark's pmod is mirrored by DuckDB's
+    * signed `%` only on non-negative operands (hash a signed key
+    * first, as the unit test does).
+    */
   def amsF2FromPartials(
       perKey: DataFrame, // (k, f)
       counters: Int = 32): DataFrame = {
     require(counters >= 2 && counters % 2 == 0 && counters <= AmsAB.size,
       s"counters must be even and <= ${AmsAB.size}")
     val p = Dedup.MinHashP
-    val kp = pmod(col("k").cast("long"), lit(p))
+    // try_cast, not cast: under ANSI a malformed key would throw a
+    // generic CAST error, under non-ANSI it would NULL out silently —
+    // this guard makes the key contract explicit in both modes (and
+    // catches genuinely NULL keys, which cast alone never errors on)
+    val kTry = expr("try_cast(k AS BIGINT)")
+    val kl = when(kTry.isNotNull, kTry)
+      .otherwise(raise_error(concat(
+        lit("amsF2 requires a non-null numeric key; got: "),
+        coalesce(col("k").cast("string"), lit("NULL")))))
+    val kp = pmod(kl, lit(p))
     val sigSums = (0 until counters).map { j =>
       val (a, b) = AmsAB(j)
       sum((lit(1L) - lit(2L) * ((lit(a) * kp + lit(b)) % lit(p) % lit(2L)))

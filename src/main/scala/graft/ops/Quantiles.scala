@@ -57,15 +57,19 @@ object Quantiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranges = dist.groupBy("g")
       .agg(min("v").as("vmin"), max("v").as("vmax"))
-    // bucket arithmetic in double: (v - vmin) * nB in LONG wraps for
-    // value ranges past ~2^63/nB. Buckets only need to be a weakly
+    // bucket arithmetic FULLY in double: a LONG (v - vmin) — or a
+    // LONG (vmax - vmin + 1) denominator — wraps for value spans
+    // ≥ 2^63 (data mixing near-Long.MinValue and near-Long.MaxValue),
+    // breaking bucket monotonicity. Casting the operands BEFORE
+    // subtracting never wraps; buckets only need to be a weakly
     // monotone function of v (offsets order by bkt, in-bucket windows
-    // order by v), which floor of a double product of positive
-    // constants preserves — so the wide-range-safe form is exact here.
+    // order by v), and round-to-double of a long, IEEE subtraction,
+    // and a positive scale all preserve weak monotonicity.
     val bucketed = dist.join(broadcast(ranges), Seq("g"))
       .withColumn("bkt",
-        ((col("v") - col("vmin")).cast("double") * nB /
-          (col("vmax") - col("vmin") + 1)).cast("long"))
+        ((col("v").cast("double") - col("vmin").cast("double")) * nB /
+          (col("vmax").cast("double") - col("vmin").cast("double") + 1.0d))
+          .cast("long"))
     // tiny frame: one row per (group, bucket) — prefix offsets and
     // group totals computed here, broadcast back
     val offsets = bucketed.groupBy("g", "bkt").agg(sum("cnt").as("pcnt"))

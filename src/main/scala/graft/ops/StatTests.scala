@@ -119,13 +119,15 @@ object StatTests {
         sum(when(!col("a"), 1L).otherwise(0L)).as("cb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranges = dist.agg(min("v").as("vmin"), max("v").as("vmax"))
-    // double-domain bucket: LONG (v - vmin) * nB wraps past
-    // ~2^63/nB; buckets only need weak monotonicity in v (see
-    // Quantiles.cumDist), which the double form preserves
+    // bucket fully in double — operands cast BEFORE subtracting, so
+    // neither (v - vmin) nor the (vmax - vmin + 1) denominator can
+    // wrap on value spans ≥ 2^63; buckets only need weak monotonicity
+    // in v (see Quantiles.cumDist), which the double form preserves
     val bucketed = dist.crossJoin(broadcast(ranges))
       .withColumn("bkt",
-        ((col("v") - col("vmin")).cast("double") * nB /
-          (col("vmax") - col("vmin") + 1)).cast("long"))
+        ((col("v").cast("double") - col("vmin").cast("double")) * nB /
+          (col("vmax").cast("double") - col("vmin").cast("double") + 1.0d))
+          .cast("long"))
     val offsets = bucketed.groupBy("bkt")
       .agg(sum("ca").as("pa"), sum("cb").as("pb"))
       .withColumn("offa", coalesce(

@@ -168,6 +168,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("est_ratio") == want / exact)
   }
 
+  test("amsF2 rejects keys that do not cast to a numeric instead of skewing silently") {
+    // a non-numeric key would drop out of the sign counters while
+    // still counting in n/f2_exact — the guard must fire, not skew
+    val bad = Seq(("oops", 1), ("7", 2)).toDF("k", "v")
+    val err = intercept[Exception] {
+      graft.ops.Moments.amsF2(bad, col("k")).collect()
+    }
+    assert(err.getMessage.contains("numeric key"), err.getMessage)
+    // numeric-castable strings still work
+    val ok = graft.ops.Moments
+      .amsF2(Seq(("7", 1), ("9", 2)).toDF("k", "v"), col("k"))
+      .collect().head
+    assert(ok.getAs[Long]("n") == 2L && ok.getAs[Long]("n_keys") == 2L)
+  }
+
   test("amsF2 fold: incremental partials give the bit-identical sketch") {
     import org.apache.spark.sql.functions.xxhash64
     val rows = (1 to 400).map(i => ("k" + (i % 23), i))
