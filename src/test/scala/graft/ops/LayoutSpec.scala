@@ -188,4 +188,138 @@ class LayoutSpec extends AnyFunSuite {
       prev = cur
     }
   }
+
+  test("hilbertKeyN is a unit-step bijection on full 3-d and 4-d cubes") {
+    import graft.functions.HilbertExpression
+    // EXHAUSTIVE validity proof on the whole cube: the key visits
+    // every cell exactly once (bijection) and consecutive keys are
+    // adjacent cells (Manhattan distance exactly 1) — together these
+    // ARE the definition of a Hilbert tour; no property is left to
+    // spot checks. d=3 at 5 bits = 32768 cells; d=4 at 3 bits = 4096.
+    for ((dims, bits) <- Seq((3, 5), (4, 3))) {
+      val side = 1L << bits
+      val total = 1L << (bits * dims)
+      def coords(c: Long): Array[Long] =
+        Array.tabulate(dims)(i => (c >> (i * bits)) & (side - 1))
+      val byKey = new Array[Long](total.toInt)
+      java.util.Arrays.fill(byKey, -1L)
+      var c = 0L
+      while (c < total) {
+        val k = HilbertExpression.axesToHilbert(coords(c), bits)
+        assert(k >= 0 && k < total && byKey(k.toInt) == -1L,
+          s"d=$dims: key $k out of range or duplicated")
+        byKey(k.toInt) = c
+        c += 1
+      }
+      var i = 1
+      while (i < total) {
+        val a = coords(byKey(i - 1))
+        val b = coords(byKey(i))
+        val dist = a.zip(b).map(t => math.abs(t._1 - t._2)).sum
+        assert(dist == 1, s"d=$dims: keys ${i - 1} -> $i jump $dist cells")
+        i += 1
+      }
+    }
+    // the codegen'd expression computes the same static transform
+    // (masking included) — random + boundary cases at d=3, 16 bits
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L, 0L), (65535L, 65535L, 65535L),
+      (-1L, 5L, Long.MaxValue)) ++
+      (1 to 200).map(_ => (rnd.nextLong(), rnd.nextLong(), rnd.nextLong()))
+    val got = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.hilbertKeyN(16)(col("x"), col("y"), col("z")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val want = HilbertExpression.axesToHilbert(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2)), 16)
+      assert(r.getLong(3) == want && want >= 0L && want < (1L << 48))
+    }
+  }
+
+  test("3-d hilbert-clustered files prune 3-d boxes better than 1-d or 2-d layouts") {
+    val n = 32
+    val li = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("od"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("tp"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-h3")
+    val h3Dir = tmp.resolve("h3").toString
+    val h2Dir = tmp.resolve("h2").toString
+    val sDir = tmp.resolve("s").toString
+    // pre-scale EVERY dim onto the full [0, 2^16) key domain: a curve
+    // far finer than the occupied data region visits the populated
+    // corner in scattered stretches and file boxes degrade to near
+    // the full domain — resolution must match data spread (the same
+    // rule a production OPTIMIZE applies when it quantile-buckets
+    // cluster columns before keying)
+    val b0 = li.agg(
+      min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+      min("od").as("ylo"), max("od").as("yhi"),
+      min("tp").as("zlo"), max("tp").as("zhi"))
+    val scaled = li.crossJoin(broadcast(b0))
+      .withColumn("cks",
+        ((col("o_custkey") - col("xlo")) * 65535L /
+          (col("xhi") - col("xlo"))).cast("long"))
+      .withColumn("ods",
+        ((col("od") - col("ylo")) * 65535L / (col("yhi") - col("ylo")))
+          .cast("long"))
+      .withColumn("tps",
+        ((col("tp") - col("zlo")) * 65535L / (col("zhi") - col("zlo")))
+          .cast("long"))
+    Layout.clusterByHilbertN(scaled, n, 16,
+      col("cks"), col("ods"), col("tps"))
+      .write.mode("overwrite").parquet(h3Dir)
+    Layout.clusterByHilbert(scaled, col("cks"), col("ods"), n)
+      .write.mode("overwrite").parquet(h2Dir)
+    scaled.repartitionByRange(n, col("cks"))
+      .sortWithinPartitions(col("cks"))
+      .write.mode("overwrite").parquet(sDir)
+    def stats(dir: String) =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("cks").as("xlo"), max("cks").as("xhi"),
+          min("ods").as("ylo"), max("ods").as("yhi"),
+          min("tps").as("zlo"), max("tps").as("zhi"))
+        .collect()
+        .map(r => (r.getAs[Long]("xlo"), r.getAs[Long]("xhi"),
+          r.getAs[Long]("ylo"), r.getAs[Long]("yhi"),
+          r.getAs[Long]("zlo"), r.getAs[Long]("zhi"))).toSeq
+    val (h3, h2, s1) = (stats(h3Dir), stats(h2Dir), stats(sDir))
+    assert(h3.size == n && h2.size == n && s1.size == n)
+    val b = scaled.agg(min("cks"), max("cks"),
+      min("ods"), max("ods"), min("tps"), max("tps")).head()
+    def mid(lo: Long, hi: Long, num: Int, den: Int): Long =
+      lo + (hi - lo) * num / den
+    def touched(st: Seq[(Long, Long, Long, Long, Long, Long)],
+        p: (Long, Long, Long, Long, Long, Long)): Int =
+      st.count(f => f._1 <= p._2 && f._2 >= p._1 && f._3 <= p._4 &&
+        f._4 >= p._3 && f._5 <= p._6 && f._6 >= p._5)
+    // Probe ensemble: for EACH axis, 9 slices narrow (1/9 width) in
+    // that axis and unbounded in the others — the "a predicate on any
+    // one of the clustered columns prunes" contract a multi-dim
+    // layout is bought for. The 1-d sort bounds only x, the 2-d key
+    // bounds x and y (every z-slice touches all its files); only the
+    // 3-d key gives every axis per-file bounds. (A grid of tiny 3-d
+    // boxes would NOT show this at 32 files: per-axis resolution goes
+    // as files^(1/d), so 2-d boxes are individually tighter — the
+    // 3-d win is coverage of all axes, and that is what we assert.)
+    val axes = Seq(
+      (b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3)),
+      (b.getLong(4), b.getLong(5)))
+    var t3 = 0; var t2 = 0; var ts = 0
+    for (axis <- 0 until 3; i <- 0 until 9) {
+      val full = axes.map { case (lo, hi) => (lo, hi) }
+      val (lo, hi) = axes(axis)
+      val slice = full.updated(axis,
+        (mid(lo, hi, 9 * i + 4, 81), mid(lo, hi, 9 * i + 5, 81)))
+      val probe = (slice(0)._1, slice(0)._2, slice(1)._1, slice(1)._2,
+        slice(2)._1, slice(2)._2)
+      t3 += touched(h3, probe); t2 += touched(h2, probe)
+      ts += touched(s1, probe)
+    }
+    assert(t3 < t2 && t3 < ts,
+      s"3-d hilbert touched $t3 files vs 2-d $t2 / 1-d sort $ts")
+  }
 }
