@@ -8,6 +8,21 @@ import java.time.Duration
   * 200/expected → return; 403 with `X-RateLimit-Remaining: 0` → sleep
   * until `X-RateLimit-Reset` then retry forever; anything else is a
   * fatal job error. Clock and sleeper are injectable for tests.
+  *
+  * Two documented GitHub behaviors the reference never modeled are
+  * handled on top:
+  *
+  *  - '''secondary rate limits''': 403/429 WITHOUT
+  *    `X-RateLimit-Remaining: 0`, carrying `Retry-After` seconds —
+  *    the abuse limiter. Previously these hit the fail-fast branch
+  *    and aborted the job; now the advertised delay is honored,
+  *    within the same bounded retry budget.
+  *  - '''conditional requests''' ([[getConditional]]): responses
+  *    carry an `ETag`; replaying the URL with `If-None-Match` answers
+  *    `304 Not Modified` with an empty body, and 304s do not count
+  *    against the primary rate limit — the documented way to stretch
+  *    the budget across the per-PR child fetches, which are exactly
+  *    the URLs a daily snapshot re-visits mostly unchanged.
   */
 final case class GithubResponse(
     status: Int,
@@ -51,6 +66,15 @@ class GithubHttp(
   private def isRateLimited(r: GithubResponse): Boolean =
     r.status == 403 && r.header("X-RateLimit-Remaining").map(_.trim).contains("0")
 
+  /** Secondary (abuse) rate limit: 403 or 429 that is NOT the primary
+    * remaining-0 shape, with a `Retry-After` hint. A 403 carrying
+    * neither remaining-0 nor Retry-After stays a fatal error — real
+    * permission failures must not be retried into.
+    */
+  private def isSecondaryLimited(r: GithubResponse): Boolean =
+    (r.status == 403 || r.status == 429) && !isRateLimited(r) &&
+      r.header("Retry-After").isDefined
+
   /** Floor applied when the reset header is absent/invalid, or when a
     * passed reset keeps answering 403 — without it a server that never
     * advertises a usable reset would be hammered in a zero-sleep loop.
@@ -80,22 +104,66 @@ class GithubHttp(
     }
 
   /** GET with the retry-on-rate-limit loop; non-200 aborts the job. */
-  def get(url: String, headers: Map[String, String] = Map.empty): GithubResponse = {
+  def get(url: String, headers: Map[String, String] = Map.empty): GithubResponse =
+    getRaw(url, headers, allow304 = false)
+
+  private def getRaw(
+      url: String,
+      headers: Map[String, String],
+      allow304: Boolean): GithubResponse = {
     var rateLimited = 0
     while (true) {
       val resp = send(url, "GET", headers)
-      if (resp.status == 200) return resp
-      if (isRateLimited(resp)) {
+      if (resp.status == 200 || (allow304 && resp.status == 304)) return resp
+      val limited = isRateLimited(resp) || isSecondaryLimited(resp)
+      if (limited) {
         rateLimited += 1
         if (rateLimited > MaxRateLimitRetries)
           throw new GithubApiError(
             s"GitHub API rate limit did not clear after $MaxRateLimitRetries retries for $url")
-        sleepForRateLimit(resp, rateLimited)
+        if (isRateLimited(resp)) sleepForRateLimit(resp, rateLimited)
+        else sleeper(
+          // the secondary limiter's own advertised delay; an
+          // unparseable header falls back to the floor
+          resp.header("Retry-After").flatMap(_.trim.toLongOption)
+            .map(s => math.max(0L, s) * 1000L).getOrElse(MinBackoffMs))
       } else throw new GithubApiError(
         s"GitHub API error ${resp.status} for $url: " +
           (if (resp.body.isEmpty) "No response text" else resp.body))
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Most entries an ETag cache holds before evicting its
+    * least-recently-used URL — bounds driver memory on scans visiting
+    * millions of child URLs while keeping the hot per-PR re-fetch set
+    * resident.
+    */
+  val EtagCacheMaxEntries: Int = 10000
+
+  private val etagCache =
+    new java.util.LinkedHashMap[String, (String, GithubResponse)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, GithubResponse)]): Boolean =
+        size() > EtagCacheMaxEntries
+    }
+
+  /** [[get]] with conditional-request caching: replays of a URL send
+    * `If-None-Match`; a 304 serves the cached body without spending
+    * primary-rate-limit budget. Rate-limit retries apply unchanged.
+    */
+  def getConditional(
+      url: String,
+      headers: Map[String, String] = Map.empty): GithubResponse = {
+    val cached = etagCache.synchronized(Option(etagCache.get(url)))
+    val h = cached.map(c => headers + ("If-None-Match" -> c._1)).getOrElse(headers)
+    val resp = getRaw(url, h, allow304 = cached.isDefined)
+    if (resp.status == 304) cached.get._2
+    else {
+      resp.header("ETag").foreach(t =>
+        etagCache.synchronized(etagCache.put(url, (t, resp))))
+      resp
+    }
   }
 
   /** POST for the token exchange; single rate-limit retry like the

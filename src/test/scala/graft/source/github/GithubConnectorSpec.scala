@@ -116,6 +116,66 @@ class GithubConnectorSpec extends AnyFunSuite {
     assert(sleeps.head == 0L && sleeps.drop(1).forall(_ == http.MinBackoffMs))
   }
 
+  test("secondary rate limit (Retry-After, healthy remaining) sleeps then retries") {
+    val sleeps = collection.mutable.Buffer[Long]()
+    val http = new CannedHttp(Iterator(
+      GithubResponse(403, """{"message": "secondary rate limit"}""",
+        Map("X-RateLimit-Remaining" -> "4999", "Retry-After" -> "7")),
+      GithubResponse(429, "slow down", Map("Retry-After" -> "3")),
+      GithubResponse(200, "ok", Map.empty)), sleeps)
+    assert(http.get("http://x").body == "ok")
+    assert(sleeps.toSeq == Seq(7000L, 3000L))
+    // unparseable Retry-After → the backoff floor, not a crash
+    val sleeps2 = collection.mutable.Buffer[Long]()
+    val http2 = new CannedHttp(Iterator(
+      GithubResponse(429, "slow down", Map("Retry-After" -> "later")),
+      GithubResponse(200, "ok", Map.empty)), sleeps2)
+    assert(http2.get("http://x").body == "ok")
+    assert(sleeps2.toSeq == Seq(http2.MinBackoffMs))
+    // a secondary limiter that never clears hits the same retry cap
+    val http3 = new CannedHttp(Iterator.continually(
+      GithubResponse(429, "slow down", Map("Retry-After" -> "1"))),
+      collection.mutable.Buffer[Long]())
+    assert(intercept[GithubApiError](http3.get("http://x"))
+      .getMessage.contains("retries"))
+    // and 403/429 WITHOUT Retry-After stays fatal (a real permission
+    // failure must not be retried into)
+    val http4 = new CannedHttp(Iterator(GithubResponse(429, "nope", Map.empty)),
+      collection.mutable.Buffer[Long]())
+    intercept[GithubApiError](http4.get("http://x"))
+  }
+
+  test("ETag conditional requests serve 304s from cache on re-visited child URLs") {
+    withServer { server =>
+      server.etagsEnabled = true
+      val extractor = new GithubExtractor(new GithubHttp(), server.url)
+      val first = extractor.extractCommits("o/r", 1)
+      val afterFirst = server.requestCount.get
+      assert(server.notModifiedCount.get == 0)
+      // daily re-visit of the same PR: every child URL replays with
+      // If-None-Match, the server answers 304, and the parsed result
+      // is identical to the fresh fetch
+      val second = extractor.extractCommits("o/r", 1)
+      val childRequests = server.requestCount.get - afterFirst
+      assert(second.toString == first.toString)
+      assert(server.notModifiedCount.get == childRequests,
+        s"${server.notModifiedCount.get} of $childRequests re-requests were 304s")
+      assert(childRequests > 0)
+    }
+  }
+
+  test("secondary rate limit end-to-end: extraction completes after the advertised delay") {
+    withServer { server =>
+      server.secondaryLimitOnce = true
+      val sleeps = collection.mutable.Buffer[Long]()
+      val extractor = new GithubExtractor(
+        new GithubHttp(sleeper = sleeps += _), server.url)
+      val prs = extractor.pages("o/r", chunkSize = 3).toSeq
+      assert(prs.map(_.size).sum == 5)
+      assert(sleeps.toSeq == Seq(2000L), s"slept $sleeps")
+    }
+  }
+
   // --- extractor against the in-process mock server -------------------
 
   def withServer[T](f: MockGithubServer => T): T = {
