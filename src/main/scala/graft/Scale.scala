@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope harness: a deterministic ~10× blow-up of the heavy
+  * tables OUTSIDE the read-only testdata tree, plus a bench main that
+  * times the heavy operator family at 1× and 10× and reports the
+  * wall-time ratios — converting "the plans look 100×-safe" from
+  * plan-reading into measured slopes (anything superlinear is a plan
+  * bug or gets a documented cause in BENCH_NOTES.md).
+  *
+  * Blow-up construction (factor k replicas, keyed offsets, fully
+  * deterministic — no RNG):
+  *
+  *  - `documents`: replica k rewrites every word NOT at a position
+  *    where `(i·7 + k) % 3 == 0` to `word_k`. The perturbation
+  *    depends only on (position, k), so a near-duplicate pair in the
+  *    original stays a near-duplicate in every replica (pair count
+  *    scales linearly — the per-capita duplicate rate is preserved),
+  *    while replicas of the SAME document across k differ in ~2/3 of
+  *    words and do not become spurious near-dups.
+  *  - `embeddings`: replica k adds a deterministic ±0.025 per-slot
+  *    offset — same cluster geometry, 10× corpus.
+  *  - `events`: ids and users offset per replica — 10× users at the
+  *    same per-user density (the natural growth direction).
+  *  - `lineitem` (graph family): orders offset; part/supplier keys
+  *    scattered over a 10× key universe with an affine map — 10×
+  *    nodes and edges at the SAME average degree, so per-edge closure
+  *    cost should hold and total cost should scale ~linearly.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/scaledata/x10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, src)
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
+      else docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        expr(s"""array_join(transform(split(text, ' '),
+                 (w, i) -> CASE WHEN (i * 7 + $k) % 3 = 0 THEN w
+                           ELSE concat(w, '_$k') END), ' ')""").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) emb.select("vec_id", "embedding", "label")
+      else emb.select(
+        (col("vec_id") + lit(k * nVec)).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) -> CAST(x +
+                 (CAST((vec_id * 31 + i * 17 + $k * 97) % 1000 AS DOUBLE)
+                  - 500.0) / 20000.0 AS FLOAT))""").as("embedding"),
+        col("label"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val ev = Tables.events(spark, src)
+    val nEv = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nUsr = ev.agg(max("user_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * nUsr)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val li = Tables.lineitem(spark, src)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate")
+    val b = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
+    val (nOrd, nPart, nSupp) =
+      (b.getLong(0) + 1, b.getLong(1) + 1, b.getLong(2) + 1)
+    (0 until factor).map { k =>
+      if (k == 0) li
+      else li.select(
+        (col("l_orderkey") + lit(k * nOrd)).as("l_orderkey"),
+        pmod(col("l_partkey") * 7919L + lit(k * 104729L),
+          lit(nPart * factor)).as("l_partkey"),
+        pmod(col("l_suppkey") * 6271L + lit(k * 15485863L),
+          lit(nSupp * factor)).as("l_suppkey"),
+        col("l_shipdate"))
+    }.reduce(_.unionAll(_))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"""{"scalegen": "$out", "factor": $factor}""")
+    spark.stop()
+  }
+}
+
+/** Times the heavy operator family on two directories (1× and the
+  * [[ScaleGen]] blow-up) and prints per-op medians and the wall-time
+  * ratio. Timed action = hash-agg over every output column (the
+  * Bench.timeOnce discipline: nothing prunable, errors surface).
+  */
+object ScaleBench {
+  import graft.ops.{Dedup, Graphs, Similarity, SubstrDedup, Winnow}
+
+  private def liGraphEdges(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(col("ps")).as("pa"), col("ps"))
+      .select(col("pa"), explode(col("ps")).as("pb"))
+      .filter(col("pa") < col("pb"))
+
+  /** The graded heavy family, parameterized exactly like its graded
+    * queries (same thresholds, k's, rounds).
+    */
+  def ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "minhash_pairs" -> ((s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text")),
+    "minhash_bbit" -> ((s, d) =>
+      Dedup.bbitMinwisePairs(Tables.documents(s, d), "doc_id", "text")),
+    "simhash" -> ((s, d) =>
+      Dedup.simHashes(Tables.documents(s, d), "doc_id", "text")),
+    "substr_dedup" -> ((s, d) =>
+      SubstrDedup.dupStats(Tables.documents(s, d), "doc_id", "text", k = 30)),
+    "winnow_pairs" -> ((s, d) =>
+      Winnow.overlapPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2)),
+    "triangles" -> ((s, d) =>
+      Graphs.triangleCounts(liGraphEdges(Tables.lineitem(s, d)), "pa", "pb",
+        broadcastAdjacency = true)),
+    "ktruss" -> ((s, d) =>
+      Graphs.kTrussPeel(liGraphEdges(Tables.lineitem(s, d)), "pa", "pb",
+        k = 3, rounds = 2)),
+    "pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+        .select((col("l_suppkey") * 2L + 1L).as("sn"),
+          (col("l_partkey") * 2L).as("pn"))
+      val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+        .unionAll(li.select(col("pn").as("src"), col("sn").as("dst")))
+      Graphs.integerPageRank(edges, "src", "dst", iters = 3)
+    }),
+    "ann_build" -> ((s, d) =>
+      Similarity.buildIvfPqResidualIndex(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        dim = 64).codes))
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/root/scaledata/x10")
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def timeOnce(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      val out = fn(spark, d)
+      out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
+        .agg(max("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val rows = ops.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val t1 = median((1 to runs).map(_ => timeOnce(fn, base)))
+        val t10 = median((1 to runs).map(_ => timeOnce(fn, big)))
+        val r = t10 / t1
+        println(f"""{"op":"$name","t1":$t1%.2f,"t10":$t10%.2f,"ratio":$r%.2f}""")
+        (name, t1, t10, r)
+      }
+    val table = rows.map { case (n, t1, t10, r) =>
+      f"| $n | $t1%.2f | $t10%.2f | $r%.1f× |"
+    }.mkString("\n")
+    println(table)
+  }
+}

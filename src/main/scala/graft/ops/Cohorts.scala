@@ -72,14 +72,52 @@ object Cohorts {
       userCol: String,
       tsCol: String,
       centsExpr: org.apache.spark.sql.Column,
-      anchorDate: String): DataFrame = {
-    val per = events
+      anchorDate: String): DataFrame =
+    rfmFromPartials(rfmPartials(events, userCol, tsCol, centsExpr), anchorDate)
+
+  /** Per-user RFM sufficient statistics — all three are order-free
+    * folds (max date, count, integer sum), which is what makes the
+    * incremental snapshot twin exact: folding per-batch partials with
+    * [[rfmFold]] then closing with [[rfmFromPartials]] is BIT-EQUAL
+    * to the batch operator over the union of batches.
+    */
+  def rfmPartials(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsExpr: org.apache.spark.sql.Column): DataFrame =
+    events
       .groupBy(col(userCol).as("user_id"))
       .agg(
-        datediff(lit(anchorDate).cast("date"), max(to_date(col(tsCol))))
-          .cast("long").as("rec_days"),
+        max(to_date(col(tsCol))).as("last_day"),
         count(lit(1)).as("freq"),
         sum(centsExpr.cast("long")).as("mon_cents"))
+
+  /** Fold one micro-batch into stored (user_id, last_day, freq,
+    * mon_cents) partials — the
+    * [[graft.streaming.EventStreams.smoothedRatesFold]] shape.
+    */
+  def rfmFold(
+      stored: DataFrame,
+      batch: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsExpr: org.apache.spark.sql.Column): DataFrame =
+    stored.unionAll(rfmPartials(batch, userCol, tsCol, centsExpr))
+      .groupBy("user_id")
+      .agg(max("last_day").as("last_day"), sum("freq").as("freq"),
+        sum("mon_cents").as("mon_cents"))
+
+  /** Close the RFM read over per-user partials (the anchor converts
+    * last_day → recency at READ time, so one partials store serves
+    * any reporting date).
+    */
+  def rfmFromPartials(partials: DataFrame, anchorDate: String): DataFrame = {
+    val per = partials
+      .select(col("user_id"),
+        datediff(lit(anchorDate).cast("date"), col("last_day"))
+          .cast("long").as("rec_days"),
+        col("freq"), col("mon_cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // quintile read off the distinct-value CDF: ⌈5·cum/n⌉ ∈ 1..5

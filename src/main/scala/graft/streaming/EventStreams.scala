@@ -932,6 +932,44 @@ object EventStreams {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
 
+  /** Streaming RFM snapshot — the fold twin of
+    * [[graft.ops.Cohorts.rfm]] (the remaining member of the
+    * merge-intervals batch-sibling gap set): per-user (last_day,
+    * freq, mon_cents) are all order-free folds (max date, count,
+    * integer sum), so after batch k the closed read equals the batch
+    * operator over batches 1..k EXACTLY — any arrival order, any
+    * batch boundaries (spec asserts bit equality). The anchor date is
+    * applied at READ time, so one partials store serves any reporting
+    * date. foreachBatch body: fold; snapshot read:
+    * `Cohorts.rfmFromPartials(stored, anchor)`.
+    */
+  def rfmFold(
+      stored: DataFrame, // (user_id, last_day, freq, mon_cents)
+      batch: DataFrame,
+      userCol: String,
+      tsCol: String,
+      centsExpr: org.apache.spark.sql.Column): DataFrame =
+    graft.ops.Cohorts.rfmFold(stored, batch, userCol, tsCol, centsExpr)
+
+  /** Streaming rolling-median input fold — the twin of
+    * [[graft.ops.Timeseries.rollingMedian]] over daily volumes: the
+    * calendar-bounded (g, day, count) frame is an exact integer fold,
+    * and the median window re-reads the WHOLE folded frame at close
+    * (late rows may change history, and unlike a watermarked
+    * aggregation this snapshot read is allowed to repair it — the
+    * batch-equivalence contract). Close with
+    * `Timeseries.rollingMedian(stored, col("g"), col("t"), col("y"))`.
+    */
+  def dailyVolumesFold(
+      stored: DataFrame, // (g, t, y)
+      batch: DataFrame,
+      gExpr: org.apache.spark.sql.Column,
+      tsCol: String): DataFrame =
+    stored.unionAll(
+      batch.groupBy(gExpr.as("g"), to_date(col(tsCol)).as("t"))
+        .agg(count(lit(1)).as("y")))
+      .groupBy("g", "t").agg(sum(col("y")).as("y"))
+
   final case class DeltaOut(
       user_id: Long, event_id: Long, v_cents: Long,
       delta_cents: Option[Long])

@@ -34,7 +34,7 @@ class StyleSpec extends AnyFunSuite {
     * or collect (Bench/Verify force execution by design).
     */
   private val cliFiles = Set(
-    "Bench.scala", "Verify.scala", "Explain.scala",
+    "Bench.scala", "Verify.scala", "Explain.scala", "Scale.scala",
     "EtlJob.scala", "RunStream.scala", "RunTransform.scala", "ChunkedEtl.scala")
 
   private def isCli(p: Path): Boolean = cliFiles.contains(p.getFileName.toString)

@@ -574,6 +574,92 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental RFM snapshot equals the batch operator after every fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.floor
+    val b1 = Seq(
+      ev(1, "2024-01-03 10:00:00", 1, "purchase", 5.5),
+      ev(2, "2024-01-05 11:00:00", 1, "purchase", 2.25),
+      ev(3, "2024-01-04 12:00:00", 2, "purchase", 9.0),
+      ev(4, "2024-01-02 09:00:00", 3, "purchase", 1.0))
+    val b2 = Seq(
+      ev(5, "2024-01-10 10:00:00", 2, "purchase", 3.0),
+      ev(6, "2024-01-01 08:00:00", 1, "purchase", 7.75), // late arrival
+      ev(7, "2024-01-11 12:00:00", 4, "purchase", 4.0))
+    val cents = floor(col("value") * 100)
+    var stored: DataFrame = Seq.empty[(Long, java.sql.Date, Long, Long)]
+      .toDF("user_id", "last_day", "freq", "mon_cents")
+    val input = MemoryStream[EventStreams.Event]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        stored = EventStreams
+          .rfmFold(stored, batch.toDF(), "user_id", "ts", cents)
+          .localCheckpoint()
+      }.start()
+    try {
+      def asRows(df: DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("rec_days"), r.getAs[Long]("freq"),
+            r.getAs[Long]("mon_cents"), r.getAs[String]("segment"))).toMap
+      input.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = asRows(graft.ops.Cohorts.rfmFromPartials(stored, "2024-02-01"))
+      assert(afterB1 == asRows(graft.ops.Cohorts.rfm(
+        b1.toDF(), "user_id", "ts", cents, "2024-02-01")),
+        "fold diverged from batch after batch 1")
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = asRows(graft.ops.Cohorts.rfmFromPartials(stored, "2024-02-01"))
+      val batchAll = asRows(graft.ops.Cohorts.rfm(
+        (b1 ++ b2).toDF(), "user_id", "ts", cents, "2024-02-01"))
+      assert(streamed == batchAll, s"streamed=$streamed\nbatch=$batchAll")
+      // the late arrival must NOT move user 1's recency backward
+      assert(streamed(1L)._1 == 27L && streamed(1L)._2 == 3L)
+      // one partials store serves a different reporting date exactly
+      assert(
+        asRows(graft.ops.Cohorts.rfmFromPartials(stored, "2024-03-01")) ==
+          asRows(graft.ops.Cohorts.rfm(
+            (b1 ++ b2).toDF(), "user_id", "ts", cents, "2024-03-01")))
+    } finally q.stop()
+  }
+
+  test("incremental rolling median equals the batch operator after every fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{count, lit}
+    def day(d: Int, id: Long, t: String = "click") =
+      ev(id, f"2024-01-$d%02d 10:0${id % 6}:00", id % 3, t, 1.0)
+    val b1 = (1 to 12).map(i => day(i, i.toLong))
+    val b2 = (1 to 14).map(i => day((i % 7) + 1, 100L + i)) // dense + late rows
+    var stored: DataFrame = Seq.empty[(String, java.sql.Date, Long)]
+      .toDF("g", "t", "y")
+    val input = MemoryStream[EventStreams.Event]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        stored = EventStreams
+          .dailyVolumesFold(stored, batch.toDF(), col("event_type"), "ts")
+          .localCheckpoint()
+      }.start()
+    try {
+      def asRows(df: DataFrame) = df.collect()
+        .map(r => (r.getAs[String](0), r.get(1).toString) ->
+          (r.getAs[Long](2), r.getAs[Long](3))).toMap
+      def batchOver(evs: Seq[EventStreams.Event]) =
+        graft.ops.Timeseries.rollingMedian(
+          evs.toDF().groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          col("event_type"), col("day"), col("y"), width = 7)
+      input.addData(b1: _*); q.processAllAvailable()
+      val close1 = graft.ops.Timeseries.rollingMedian(
+        stored, col("g"), col("t"), col("y"), width = 7)
+      assert(asRows(close1) == asRows(batchOver(b1)))
+      input.addData(b2: _*); q.processAllAvailable()
+      val close2 = graft.ops.Timeseries.rollingMedian(
+        stored, col("g"), col("t"), col("y"), width = 7)
+      assert(asRows(close2) == asRows(batchOver(b1 ++ b2)),
+        "late rows must repair the median history at the snapshot read")
+    } finally q.stop()
+  }
+
   test("streaming peak concurrency equals the batch sweep-line per burst") {
     implicit val sqlCtx = spark.sqlContext
     // user 1: three overlapping spans (peak 3) then a disjoint one —
