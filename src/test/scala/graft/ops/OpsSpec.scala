@@ -531,6 +531,93 @@ class OpsSpec extends AnyFunSuite {
     assert(builds == 2, "marker-less index served without rebuild")
   }
 
+  test("pickAnnPath: Pareto-consistent on the full measured curve, all paths priced") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val corpus = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val c = corpus.toDF("nid", "nv")
+    val q = corpus.filter(_._1 >= 34).toDF("qid", "qv")
+    val brute = Similarity.bruteForceTopK(q, c, k = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = 4L
+    val allPairs = nQ * (corpus.size - 1)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute).size
+
+    // probed-list candidate count for the IVF family: Σ_q Σ_probed |list|
+    val (cent, assigned) = Similarity.coarseAssign(c, nCentroids = 4)
+    val probes = q
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", Similarity.cosine($"qv", $"cv"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"cos".desc, $"cid".asc)))
+      .filter($"rk" <= 2).select("qid", "cid")
+    val ivfCand = probes.join(assigned, "cid")
+      .filter($"nid" =!= $"qid").count()
+
+    // the MEASURED curve: every priced path, one row each
+    val curve = Seq(
+      ("lsh_4_1", brute.size.toLong,
+        recallOf(Similarity.lshTopK(q, c, k = 3, nPlanes = 4, probeBits = 1)),
+        Similarity.lshCandidates(q, c, nPlanes = 4, probeBits = 1).count(),
+        256L),
+      ("lsh_6_0", brute.size.toLong,
+        recallOf(Similarity.lshTopK(q, c, k = 3, nPlanes = 6, probeBits = 0)),
+        Similarity.lshCandidates(q, c, nPlanes = 6, probeBits = 0).count(),
+        256L),
+      ("pq", brute.size.toLong,
+        recallOf(Similarity.pqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4)),
+        allPairs, 4L),
+      ("ivfpq", brute.size.toLong,
+        recallOf(Similarity.ivfPqTopK(q, c, k = 3, dim = 8, m = 2, ksub = 4,
+          nCentroids = 4, nProbe = 2)),
+        ivfCand, 4L),
+      ("ivfpq_res", brute.size.toLong,
+        recallOf(Similarity.ivfPqResidualTopK(q, c, k = 3, dim = 8, m = 2,
+          ksub = 4, nCentroids = 4, nProbe = 2)),
+        ivfCand, 4L),
+      ("brute", brute.size.toLong, brute.size.toLong, allPairs, 256L))
+
+    // Pareto consistency: for EVERY target, the chosen row qualifies
+    // and no qualifying row is strictly cheaper (candidates, then
+    // bits, then name — the declared total order)
+    for (ti <- 1 to 20; t = ti * 0.05) {
+      Similarity.pickAnnPath(curve, t) match {
+        case None =>
+          assert(curve.forall { case (_, nt, nh, _, _) =>
+            nh.toDouble / nt < t
+          }, s"target $t: None returned but a qualifying row exists")
+        case Some(chosen) =>
+          val cr = curve.find(_._1 == chosen).get
+          assert(cr._3.toDouble / cr._2 >= t, s"target $t: $chosen misses it")
+          val cheaper = curve.filter { case (p, nt, nh, cand, bits) =>
+            nh.toDouble / nt >= t &&
+              (cand < cr._4 || (cand == cr._4 && bits < cr._5) ||
+                (cand == cr._4 && bits == cr._5 && p < chosen))
+          }
+          assert(cheaper.isEmpty,
+            s"target $t: $chosen dominated by ${cheaper.map(_._1)}")
+      }
+    }
+    // target 1.0 is always satisfiable (the exact path is on the curve)
+    assert(Similarity.pickAnnPath(curve, 1.0).isDefined)
+
+    // the declarative row form agrees with the seq pick per target
+    val rowPick = Similarity.pickAnnPathRows(
+      curve.toDF("path", "n_true", "n_hits", "n_candidates", "bits_per_vec"),
+      Seq(20, 40, 60, 80, 100))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (t <- Seq(20, 40, 60, 80, 100)) {
+      assert(rowPick.get(t.toLong) ==
+        Similarity.pickAnnPath(curve, t / 100.0),
+        s"declarative vs seq pick diverge at $t%")
+    }
+  }
+
   test("PQ top-k is invariant under repartitioning") {
     val df = vecs.toDF("id", "v")
     val q = df.filter($"id" < 2).select($"id".as("qid"), $"v".as("qv"))
