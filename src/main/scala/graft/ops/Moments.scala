@@ -230,7 +230,8 @@ object Moments {
     * affine-mod-2 ±1 signs (see [[AmsAB]] — reproducible for the
     * oracle, so the AMS 4-wise-independence variance bound is NOT
     * claimed; the exact anchor prices the actual error), estimate =
-    * median of c_j² (average of the two middle order statistics). Exactness discipline: counters are exact
+    * median of c_j² (average of the two middle order statistics).
+    * Exactness discipline: counters are exact
     * integer folds over the per-key count frame (ONE input scan; the
     * sketch and the exact anchor both read that frame), the squares
     * and the median read in double with both engines sorting the

@@ -690,6 +690,30 @@ object Similarity {
     IvfPqResidualIndex(cent, sub, codes.join(assigned, "nid"))
   }
 
+  /** FAISS-style `add`: encode NEW vectors against a FROZEN index —
+    * coarse-assign to the existing centroids, residual-encode with
+    * the existing sub-codebook, append the (nid, cid, codes) rows.
+    * Nothing retrains, so the incremental path is exactly what a
+    * continuously-ingested 100 TB corpus runs between periodic
+    * rebuilds: the per-batch cost is one narrow encode pass over the
+    * ARRIVALS, never the corpus. Appended rows are bit-identical to
+    * what a from-scratch encode of the union under the same codebooks
+    * would produce (spec + oracle-pinned), so probe semantics don't
+    * drift as the index grows.
+    */
+  def appendToIndex(
+      index: IvfPqResidualIndex,
+      newCorpus: DataFrame, // (nid, nv) — ids disjoint from the index
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8): IvfPqResidualIndex = {
+    val assigned = assignToCentroids(newCorpus, index.centroids)
+    val res = residuals(newCorpus, index.centroids, assigned)
+    val (_, codes) = pqCodes(res.select(col("nid"), col("rv").as("nv")),
+      dim, m, ksub, Some(index.subCodebook.select("sm", "code", "scv")))
+    index.copy(codes = index.codes.unionAll(codes.join(assigned, "nid")))
+  }
+
   /** Probe half of [[ivfPqResidualTopK]]: score `queries` against a
     * built (or loaded) index. Per-query cost is nProbe list scans of
     * the codes frame with every small side broadcast — the amortized
@@ -815,15 +839,23 @@ object Similarity {
     val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
       .select(col("nid").as("cid"), col("nv").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
+    (cent, assignToCentroids(corpus, cent))
+  }
+
+  /** Assignment half of [[coarseAssign]] against an EXISTING (e.g.
+    * loaded) coarse codebook — argmax cosine, ties to the lowest cid.
+    * The incremental-ingest primitive: new vectors join the lists of
+    * a frozen quantizer.
+    */
+  def assignToCentroids(corpus: DataFrame, cent: DataFrame): DataFrame = {
     val c = corpus.withColumn("nnorm", norm(col("nv")))
-    val assigned = c.crossJoin(broadcast(cent))
+    c.crossJoin(broadcast(cent))
       .select(col("nid"),
         struct(
           (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
           (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
       .groupBy("nid").agg(max(col("sc")).as("mx"))
       .select(col("nid"), col("mx.cid").as("cid"))
-    (cent, assigned)
   }
 
   /** Residual corpus (nid, cid, rv = v − assigned centroid), float-

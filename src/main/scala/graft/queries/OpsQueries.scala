@@ -324,6 +324,30 @@ object OpsQueries {
         idx, k = 5, dim = 64)
     }),
 
+    // FAISS-style incremental add: the index is built (and its
+    // codebooks trained) on the 80% base split only; the 20%
+    // "arrivals" are encoded against the FROZEN centroids and
+    // sub-codebooks and appended — the continuous-ingest path, where
+    // per-batch cost is one narrow encode over the arrivals, never
+    // the corpus. The probe then runs over the grown index. The
+    // oracle trains on the same base split while encoding/probing
+    // the whole corpus (ivfPqResidualSqlGen filters), so the
+    // frozen-codebook append is hash-pinned end to end.
+    "q_ann_index_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val arrivals = e.filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val grown = Similarity.appendToIndex(
+        Similarity.buildIvfPqResidualIndex(base, dim = 64),
+        arrivals, dim = 64)
+      Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        grown, k = 5, dim = 64)
+    }),
+
     // The 8-bit PQ operating point: ksub=256 sub-codebooks at m=4
     // (4 bytes/vector — the production ADC budget; the 2-bit default
     // is the honest toy). Same seed-grid discipline and plan shape,
@@ -1650,9 +1674,24 @@ object OpsQueries {
     * trains a full 8-codeword book — so the oracle encodes only the
     * trained path.)
     */
-  private def ivfPqResidualSql: String = {
+  private def ivfPqResidualSql: String = ivfPqResidualSqlGen("", "")
+
+  /** The residual-IVFPQ generator, parameterized for the
+    * incremental-append twin: `centWhere` filters which rows may
+    * become coarse centroids (SQL over `vec_id`, empty = all) and
+    * `trainWhere` filters the residual rows the sub-codebooks train
+    * on (SQL over `r.nid`, empty = all). The shipped q_ann_ivfpq_res
+    * passes ("", "") — the full-corpus build; q_ann_index_append
+    * trains on the base split only while encoding/probing the whole
+    * corpus, exactly the frozen-codebook `Similarity.appendToIndex`
+    * semantics.
+    */
+  private def ivfPqResidualSqlGen(
+      centWhere: String, trainWhere: String): String = {
     val (k, dim, m, ksub, nCent, nProbe, iters, scale) =
       (5, 64, 4, 8, 16, 4, 2, 1024L)
+    val centFilter = if (centWhere.isEmpty) "" else s"WHERE $centWhere "
+    val trainFilter = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val sub = dim / m
     def fullDc(a: String, b: String) = (1 to dim)
       .map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
@@ -1701,7 +1740,7 @@ object OpsQueries {
       .map(r => round(r, if (r == 1) "rseeds" else s"rcent${r - 1}"))
       .mkString(",\n        ")
     s"""WITH cent AS (SELECT vec_id cid, embedding cv FROM embeddings
-                      ORDER BY vec_id LIMIT $nCent),
+                      ${centFilter}ORDER BY vec_id LIMIT $nCent),
         c AS (SELECT vec_id nid, embedding nv FROM embeddings),
         q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS MATERIALIZED (SELECT nid, cid FROM (
@@ -1716,7 +1755,7 @@ object OpsQueries {
           SELECT CAST(t.mm AS INTEGER) AS m, r.nid AS id,
             list_transform(range(1, ${sub + 1}),
               j -> CAST(r.nv[t.mm*$sub + j] - r.cv[t.mm*$sub + j] AS FLOAT)) AS v
-          FROM res r CROSS JOIN range(0, $m) t(mm)),
+          FROM res r CROSS JOIN range(0, $m) t(mm)$trainFilter),
         rseeds AS MATERIALIZED (SELECT m,
             CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY id) AS BIGINT) - 1
               AS cid, v AS cv
@@ -2512,6 +2551,8 @@ object OpsQueries {
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,
     "q_ann_ivfpq_res" -> ivfPqResidualSql,
     "q_ann_ivfpq_probe" -> ivfPqResidualSql,
+    "q_ann_index_append" ->
+      ivfPqResidualSqlGen("vec_id % 10 < 8", "r.nid % 10 < 8"),
     "q_ann_ivfpq_res_recall" ->
       s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqResidualSql)
           SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,

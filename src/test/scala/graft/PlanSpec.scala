@@ -410,6 +410,11 @@ class PlanSpec extends AnyFunSuite {
       "q_cramers_v", // the q_chisq grid (tiny marginal crosses) + fold
       "q_ann_cosine", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_recall",
       "q_ann_ivfpq_res", "q_ann_ivfpq_res_recall",
+      "q_ann_ivfpq_probe", // the loaded-artifact probe: same tiny
+      // codebook/query-table broadcasts as the fused path
+      "q_ann_index_append", // frozen-codebook encode + the same probe
+      "q_ann_path_pick", // 6-row curve × 5-target cross + the per-path
+      // recall machinery above
       "q_ann_pq", "q_ann_pq8", "q_ann_pq8_recall",
       "q_ann_pq_recall", "q_ann_recall",
       "q_bm25", "q_chisq", "q_drift_chisq", "q_cms_topk", "q_collocations",
@@ -464,6 +469,9 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_ivfpq", "q_ann_ivfpq_recall", "q_ann_ivfpq_res",
       "q_ann_ivfpq_res_recall", "q_ann_pq", "q_ann_pq8",
       "q_ann_pq8_recall",
+      "q_ann_ivfpq_probe", "q_ann_index_append", // the probe's
+      // per-query top-k windows, same shape as the fused row
+      "q_ann_path_pick", // per-target rank over the ≤6-row curve
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
       "q_shard_assign", "q_shuffle_order", "q_skyline",

@@ -531,6 +531,47 @@ class OpsSpec extends AnyFunSuite {
     assert(builds == 2, "marker-less index served without rebuild")
   }
 
+  test("appendToIndex equals a frozen-codebook encode of the union (no drift)") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, newRows) = all.partition(_._1 % 5 != 4)
+    val base = baseRows.toDF("nid", "nv")
+    val arrivals = newRows.toDF("nid", "nv")
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val baseIdx = Similarity.buildIvfPqResidualIndex(base, dim = 8, m = 2,
+      ksub = 4, nCentroids = 4)
+    val grown = Similarity.appendToIndex(baseIdx, arrivals, dim = 8, m = 2,
+      ksub = 4)
+
+    // reference: encode the WHOLE union from scratch under the SAME
+    // frozen centroids and sub-codebooks — the append must be
+    // bit-identical to it, row for row
+    val union = base.unionAll(arrivals)
+    val asg = Similarity.assignToCentroids(union, baseIdx.centroids)
+    val res = Similarity.residuals(union, baseIdx.centroids, asg)
+    val (_, refCodes) = Similarity.pqCodes(
+      res.select($"nid", $"rv".as("nv")), dim = 8, m = 2, ksub = 4,
+      Some(baseIdx.subCodebook.select("sm", "code", "scv")))
+    val want = refCodes.join(asg, "nid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    val got = grown.codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    assert(got == want, "appended codes drifted from the frozen-codebook encode")
+
+    // probes over the grown index see the arrivals
+    val ranked = rows(Similarity.ivfPqResidualProbe(q, grown, k = 3, dim = 8,
+      m = 2, ksub = 4, nProbe = 4))
+    assert(ranked.nonEmpty)
+    val rankedNids = ranked.map(_._2)
+    assert(newRows.map(_._1).exists(rankedNids.contains),
+      "no appended vector ever surfaces in the probe results")
+  }
+
   test("pickAnnPath: Pareto-consistent on the full measured curve, all paths priced") {
     val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
       (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
