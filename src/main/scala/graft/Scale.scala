@@ -159,7 +159,22 @@ object ScaleBench {
       Similarity.buildIvfPqResidualIndex(
         Tables.embeddings(s, d)
           .select(col("vec_id").as("nid"), col("embedding").as("nv")),
-        dim = 64).codes))
+        dim = 64).codes),
+    // the amortized path: probe the persisted artifact (built once by
+    // the first timed run, cached for the rest — the median prices
+    // the probe)
+    "ann_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.ops.AnnIndexStore.ensureIvfPqResidual(s,
+        graft.ops.AnnIndexStore.cachePathFor(s"$d/embeddings.parquet",
+          64, 4, 8, 16),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        dim = 64)
+      Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        idx, k = 5, dim = 64)
+    }))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

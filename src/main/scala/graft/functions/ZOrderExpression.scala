@@ -69,4 +69,81 @@ object ZOrderExpression {
   def zOrderKey(x: Column, y: Column): Column =
     GraftColumnBridge.column(
       ZOrderKey(GraftColumnBridge.expression(x), GraftColumnBridge.expression(y)))
+
+  /** d-dimensional Morton interleave, MSB-first across dimensions —
+    * the SAME bit-packing order as
+    * [[HilbertExpression.axesToHilbert]], so the two d-dimensional
+    * layout keys differ only by the Hilbert rotation (the property
+    * LayoutSpec's skipping comparisons isolate). For d = 2 at 31 bits
+    * this is [[interleave]] with the dimension roles swapped
+    * (spec-pinned). Static so the expression, the spec model, and
+    * interpreted eval share one implementation.
+    */
+  def interleaveN(xIn: Array[Long], bits: Int): Long = {
+    val n = xIn.length
+    val mask = (1L << bits) - 1
+    var d = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var i = 0
+      while (i < n) {
+        d = (d << 1) | (((xIn(i) & mask) >> b) & 1L)
+        i += 1
+      }
+      b -= 1
+    }
+    d
+  }
+
+  /** Variadic d-dimensional Morton key (2 ≤ d ≤ 4) — the z-order
+    * sibling of [[HilbertExpression.HilbertKeyN]], kept because at
+    * high dimension-count-to-file-count ratios the simpler curve's
+    * write cost is lower and the skipping gap narrows (measured in
+    * LayoutSpec).
+    */
+  case class ZOrderKeyN(coords: Seq[Expression], bits: Int)
+      extends Expression with ImplicitCastInputTypes {
+    require(coords.size >= 2 && coords.size <= 4,
+      s"zOrderKeyN supports 2..4 dimensions, got ${coords.size}")
+    require(bits >= 1 && bits * coords.size <= 63,
+      s"bits*dims must fit a positive long: $bits*${coords.size}")
+    override def children: Seq[Expression] = coords
+    override def inputTypes: Seq[DataType] = Seq.fill(coords.size)(LongType)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = coords.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = new Array[Long](coords.size)
+      var i = 0
+      while (i < coords.size) {
+        val v = coords(i).eval(input)
+        if (v == null) return null
+        arr(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      interleaveN(arr, bits)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val evals = coords.map(_.genCode(ctx))
+      val arr = ctx.freshName("zxs")
+      val childCode = evals.map(_.code.toString).mkString("\n")
+      val anyNull = evals.map(e => s"(${e.isNull})").mkString(" || ")
+      ev.copy(code = code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        long ${ev.value} = -1L;
+        if (!${ev.isNull}) {
+          long[] $arr = new long[]{${evals.map(_.value).mkString(", ")}};
+          ${ev.value} =
+            graft.functions.ZOrderExpression.interleaveN($arr, $bits);
+        }""")
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(coords = newChildren)
+  }
+
+  def zOrderKeyN(bits: Int)(coords: Column*): Column =
+    GraftColumnBridge.column(
+      ZOrderKeyN(coords.map(GraftColumnBridge.expression), bits))
 }

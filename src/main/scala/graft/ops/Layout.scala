@@ -101,6 +101,27 @@ object Layout {
       .drop("__hkey")
   }
 
+  /** d-dimensional Morton key (2 ≤ d ≤ 4), `bits` bits per dimension
+    * — [[zKey]]'s variadic sibling and [[hilbertKeyN]]'s z-order
+    * counterpart (same MSB-first bit packing, no rotation).
+    */
+  def zKeyN(bits: Int)(coords: Column*): Column =
+    graft.functions.ZOrderExpression.zOrderKeyN(bits)(
+      coords.map(_.cast("long")): _*)
+
+  /** [[clusterByZOrder]] over d dimensions. */
+  def clusterByZOrderN(
+      df: DataFrame,
+      numFiles: Int,
+      bits: Int,
+      coords: Column*): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__zkey", zKeyN(bits)(coords: _*))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
   /** Persist `df` as a BUCKETED, bucket-sorted catalog table: rows are
     * hash-distributed on `bucketCol` into `numBuckets` files per write
     * task, and each bucket file is sorted on the key.

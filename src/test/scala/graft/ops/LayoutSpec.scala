@@ -246,6 +246,7 @@ class LayoutSpec extends AnyFunSuite {
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("tp"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-h3")
     val h3Dir = tmp.resolve("h3").toString
+    val z3Dir = tmp.resolve("z3").toString
     val h2Dir = tmp.resolve("h2").toString
     val sDir = tmp.resolve("s").toString
     // pre-scale EVERY dim onto the full [0, 2^16) key domain: a curve
@@ -271,6 +272,9 @@ class LayoutSpec extends AnyFunSuite {
     Layout.clusterByHilbertN(scaled, n, 16,
       col("cks"), col("ods"), col("tps"))
       .write.mode("overwrite").parquet(h3Dir)
+    Layout.clusterByZOrderN(scaled, n, 16,
+      col("cks"), col("ods"), col("tps"))
+      .write.mode("overwrite").parquet(z3Dir)
     Layout.clusterByHilbert(scaled, col("cks"), col("ods"), n)
       .write.mode("overwrite").parquet(h2Dir)
     scaled.repartitionByRange(n, col("cks"))
@@ -286,8 +290,8 @@ class LayoutSpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("xlo"), r.getAs[Long]("xhi"),
           r.getAs[Long]("ylo"), r.getAs[Long]("yhi"),
           r.getAs[Long]("zlo"), r.getAs[Long]("zhi"))).toSeq
-    val (h3, h2, s1) = (stats(h3Dir), stats(h2Dir), stats(sDir))
-    assert(h3.size == n && h2.size == n && s1.size == n)
+    val (h3, z3, h2, s1) = (stats(h3Dir), stats(z3Dir), stats(h2Dir), stats(sDir))
+    assert(h3.size == n && z3.size == n && h2.size == n && s1.size == n)
     val b = scaled.agg(min("cks"), max("cks"),
       min("ods"), max("ods"), min("tps"), max("tps")).head()
     def mid(lo: Long, hi: Long, num: Int, den: Int): Long =
@@ -308,7 +312,7 @@ class LayoutSpec extends AnyFunSuite {
     val axes = Seq(
       (b.getLong(0), b.getLong(1)), (b.getLong(2), b.getLong(3)),
       (b.getLong(4), b.getLong(5)))
-    var t3 = 0; var t2 = 0; var ts = 0
+    var t3 = 0; var t3z = 0; var t2 = 0; var ts = 0
     for (axis <- 0 until 3; i <- 0 until 9) {
       val full = axes.map { case (lo, hi) => (lo, hi) }
       val (lo, hi) = axes(axis)
@@ -316,10 +320,61 @@ class LayoutSpec extends AnyFunSuite {
         (mid(lo, hi, 9 * i + 4, 81), mid(lo, hi, 9 * i + 5, 81)))
       val probe = (slice(0)._1, slice(0)._2, slice(1)._1, slice(1)._2,
         slice(2)._1, slice(2)._2)
-      t3 += touched(h3, probe); t2 += touched(h2, probe)
-      ts += touched(s1, probe)
+      t3 += touched(h3, probe); t3z += touched(z3, probe)
+      t2 += touched(h2, probe); ts += touched(s1, probe)
     }
     assert(t3 < t2 && t3 < ts,
       s"3-d hilbert touched $t3 files vs 2-d $t2 / 1-d sort $ts")
+    // same dimensionality, rotation-free curve: measured, the 3-d
+    // Morton key's looser per-file boxes roughly CANCEL its extra
+    // bounded axis against the tighter 2-d hilbert at this
+    // file count (436 vs 423 on first capture) — at 32 files the
+    // Hilbert rotation is what makes the third dimension pay, which
+    // is exactly why both keys ship. Assert what the data supports:
+    // 3-d z beats the 1-d sort, and the rotation never loses to the
+    // rotation-free curve (the 2-d invariant, one d up).
+    assert(t3z < ts,
+      s"3-d z-order touched $t3z files vs 1-d sort $ts")
+    assert(t3 <= t3z,
+      s"3-d hilbert touched $t3 files vs 3-d z-order's $t3z")
+  }
+
+  test("zOrderKeyN matches the per-bit model; d=2/31-bit is the classic interleave") {
+    import graft.functions.ZOrderExpression
+    def naive(xs: Seq[Long], bits: Int): Long = {
+      val mask = (1L << bits) - 1
+      var d = 0L
+      for (b <- bits - 1 to 0 by -1; x <- xs)
+        d = (d << 1) | (((x & mask) >> b) & 1L)
+      d
+    }
+    val rnd = new scala.util.Random(23)
+    for (dims <- 2 to 4; bits <- Seq(1, 4, 63 / dims)) {
+      for (_ <- 1 to 100) {
+        val xs = Seq.fill(dims)(rnd.nextLong())
+        val got = ZOrderExpression.interleaveN(xs.toArray, bits)
+        assert(got == naive(xs, bits) && got >= 0L,
+          s"d=$dims bits=$bits xs=$xs")
+      }
+    }
+    // d=2 at 31 bits is the classic spread-interleave with the
+    // dimension roles swapped (MSB-first packing puts the LAST dim
+    // at the even positions)
+    for (_ <- 1 to 200) {
+      val (x, y) = (rnd.nextLong(), rnd.nextLong())
+      assert(ZOrderExpression.interleaveN(Array(x, y), 31) ==
+        ZOrderExpression.interleave(y, x))
+    }
+    // the codegen'd expression computes the static transform
+    val cases = (1 to 100).map(_ =>
+      (rnd.nextLong(), rnd.nextLong(), rnd.nextLong()))
+    val got = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.zKeyN(16)(col("x"), col("y"), col("z")).as("zk"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == ZOrderExpression.interleaveN(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2)), 16))
+    }
   }
 }
