@@ -159,6 +159,34 @@ object ExtQueries {
           datediff(col("o_orderdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long")).as("hkey"))),
 
+    // 3-d Morton key over (customer, order-day, price-cents) — the
+    // variadic interleave for tables clustered on more than two
+    // columns; closed-form 48-term bit oracle.
+    "q_zorder3" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        graft.ops.Layout.zKeyN(16)(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("zkey3"))),
+
+    // 3-d Hilbert key over the same triple — Skilling's transpose
+    // transform (inverse-undo rounds, Gray encode, twist fold,
+    // MSB-first interleave) replicated round-for-round in the
+    // oracle's chained MATERIALIZED CTEs; integer-only, so the 48-bit
+    // key is bit-identical by construction.
+    "q_hilbert3" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("order_id"),
+        graft.ops.Layout.hilbertKeyN(16)(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("hkey3"))),
+
     // Deterministic 3-step walks from every supplier node over the
     // symmetrized supplier↔part graph — pseudo-random neighbor choice
     // by portable hash, no RNG (see Graphs.deterministicWalks).
@@ -1649,6 +1677,85 @@ object ExtQueries {
         WHERE ($dot) / (sqrt($na) * sqrt($nb)) >= 0.45"""
   }
 
+  /** 3-d Morton twin: closed-form 48-term bit OR, MSB-first packing
+    * (dim i's bit b lands at position 3b + (2 − i)) — the exact
+    * layout `ZOrderExpression.interleaveN` produces.
+    */
+  private def zorder3Sql: String = {
+    val terms = (0 until 16).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${3 * b + 2})",
+      s"(((y >> $b) & 1) << ${3 * b + 1})",
+      s"(((z >> $b) & 1) << ${3 * b})")).mkString(" | ")
+    s"""WITH b AS (SELECT o_orderkey AS order_id,
+          o_custkey & 65535 AS x,
+          (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535 AS y,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) & 65535 AS z
+        FROM orders)
+        SELECT order_id, CAST($terms AS BIGINT) AS zkey3 FROM b"""
+  }
+
+  /** 3-d Hilbert twin: Skilling's transpose algorithm unrolled — one
+    * MATERIALIZED CTE layer per inverse-undo round (the three
+    * per-dimension exchange/invert steps of a round fold into nested
+    * CASE trees inside the layer; x0 threads through them), then Gray
+    * encode, the twist fold as a linear xor chain, the twist applied,
+    * and the MSB-first interleave. Materialization keeps the alias
+    * chain LINEAR — inlined, each round's multiple references to the
+    * previous round's coordinates grow the expression tree
+    * exponentially (the q_hilbert lesson, one dimension up).
+    */
+  private def hilbert3Sql: String = {
+    val bits = 16
+    val layers = new StringBuilder
+    var li = 0
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      val np = 65535L ^ p // x & np == x & ~p for 16-bit x
+      val (x0, x1, x2) = (s"x$li", s"y$li", s"z$li")
+      // step i=0: exchange with itself is a no-op; only the invert arm acts
+      val a0 = s"(CASE WHEN ($x0 & $q) != 0 THEN xor($x0, $p) ELSE $x0 END)"
+      // step i=1: invert x0, or exchange the low-p bits of (x0, x1)
+      val b0 = s"(CASE WHEN ($x1 & $q) != 0 THEN xor($a0, $p)" +
+        s" ELSE (($a0 & $np) | ($x1 & $p)) END)"
+      val b1 = s"(CASE WHEN ($x1 & $q) != 0 THEN $x1" +
+        s" ELSE (($x1 & $np) | ($a0 & $p)) END)"
+      // step i=2: same against the post-step-1 x0
+      val c0 = s"(CASE WHEN ($x2 & $q) != 0 THEN xor($b0, $p)" +
+        s" ELSE (($b0 & $np) | ($x2 & $p)) END)"
+      val c2 = s"(CASE WHEN ($x2 & $q) != 0 THEN $x2" +
+        s" ELSE (($x2 & $np) | ($b0 & $p)) END)"
+      layers ++= s""",
+        g${li + 1} AS MATERIALIZED (SELECT order_id, $c0 AS x${li + 1},
+          $b1 AS y${li + 1}, $c2 AS z${li + 1} FROM g$li)"""
+      li += 1
+      q >>= 1
+    }
+    // Gray encode: y ^= x, then z ^= (new y)
+    val gray = s""",
+      gray AS MATERIALIZED (SELECT order_id, x$li AS gx,
+        xor(y$li, x$li) AS gy, xor(z$li, xor(y$li, x$li)) AS gz FROM g$li)"""
+    // twist fold over the LAST dimension, high bit to 2
+    val t = (0 until bits - 1).map(i => 1L << (bits - 1 - i))
+      .foldLeft("CAST(0 AS BIGINT)") { (acc, qq) =>
+        s"xor($acc, CASE WHEN (gz & $qq) != 0 THEN ${qq - 1} ELSE 0 END)"
+      }
+    val fin = s""",
+      tl AS MATERIALIZED (SELECT order_id, gx, gy, gz, $t AS t FROM gray),
+      fin AS MATERIALIZED (SELECT order_id, xor(gx, t) AS fx,
+        xor(gy, t) AS fy, xor(gz, t) AS fz FROM tl)"""
+    val terms = (0 until bits).flatMap(b => Seq(
+      s"(((fx >> $b) & 1) << ${3 * b + 2})",
+      s"(((fy >> $b) & 1) << ${3 * b + 1})",
+      s"(((fz >> $b) & 1) << ${3 * b})")).mkString(" | ")
+    s"""WITH g0 AS MATERIALIZED (SELECT o_orderkey AS order_id,
+          o_custkey & 65535 AS x0,
+          (CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535 AS y0,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) & 65535 AS z0
+        FROM orders)$layers$gray$fin
+        SELECT order_id, CAST($terms AS BIGINT) AS hkey3 FROM fin"""
+  }
+
   /** Unrolled 3-round k-core peel; canonical (least, greatest)
     * undirected edges. Every round CTE is MATERIALIZED: each e_t is
     * referenced three times by round t+1, so inlined CTEs re-expand
@@ -2694,6 +2801,8 @@ object ExtQueries {
     // converges in ONE peel round at every shipped SF (measured), so
     // the 3-round unroll IS the fixpoint — peeling a stable edge set
     // is a no-op (spec-pinned in ExtOpsSpec "converged peels").
+    "q_zorder3" -> zorder3Sql,
+    "q_hilbert3" -> hilbert3Sql,
     "q_kcore_conv" -> kcoreSql,
     "q_kcore" -> kcoreSql,
     // q_ktruss_conv likewise shares the 2-round q_ktruss unroll (the
