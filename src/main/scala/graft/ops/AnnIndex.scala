@@ -68,17 +68,23 @@ object AnnIndexStore {
 
   /** Deterministic artifact directory for a (corpus file, build
     * params) pair: keyed on the canonical corpus path, its length and
-    * mtime (a regenerated corpus invalidates the cache), and every
-    * build parameter. Lives under java.io.tmpdir — the graded probe
-    * queries use this so the first invocation builds and every later
-    * one (bench medians, repeated probes) reads.
+    * mtime (a regenerated corpus invalidates the cache), every build
+    * parameter, and a caller-chosen `variant` tag. The tag is
+    * REQUIRED whenever the corpus is a SUBSET of the file (e.g. a
+    * train/ingest split): without it two different subsets of one
+    * file would silently share a cache entry and the second caller
+    * would probe the first caller's index. Lives under
+    * java.io.tmpdir — the graded probe queries use this so the first
+    * invocation builds and every later one (bench medians, repeated
+    * probes) reads.
     */
   def cachePathFor(
       corpusFile: String,
-      dim: Int, m: Int, ksub: Int, nCentroids: Int): String = {
+      dim: Int, m: Int, ksub: Int, nCentroids: Int,
+      variant: String = ""): String = {
     val f = new java.io.File(corpusFile)
     val key = s"${f.getCanonicalPath}|${f.length}|${f.lastModified}|" +
-      s"$dim|$m|$ksub|$nCentroids"
+      s"$dim|$m|$ksub|$nCentroids|$variant"
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ann_index/$h"
