@@ -519,7 +519,11 @@ class PlanSpec extends AnyFunSuite {
         // round 5: the quality metrics dropped their interpreted
         // aggregate()/filter() folds — the stopword scorer must sit
         // in a fused span, not a fallback Project
-        "q_text_quality" -> "stopwordprofilescores")) {
+        "q_text_quality" -> "stopwordprofilescores",
+        // round 8: the d-dimensional layout keys run once per row of
+        // a table rewrite — both must stay fused, not fall back
+        "q_hilbert3" -> "hilbertkeyn",
+        "q_zorder3" -> "zorderkeyn")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
