@@ -66,6 +66,39 @@ object AnnIndexStore {
     load(spark, path)
   }
 
+  /** Exactly-once streaming vector ingest — the foreachBatch body of
+    * the continuous-ingest ANN pipeline: encode the micro-batch's
+    * vectors against the FROZEN persisted codebooks
+    * ([[Similarity.encodeForIndex]] — one narrow pass over the
+    * arrivals, the corpus is never touched) and append the code rows
+    * to the persisted codes table through the staged batchId-keyed
+    * publish, gated by a per-batch checkpoint marker. A crash-replayed
+    * micro-batch converges to the same file set instead of inserting
+    * its vectors twice — the [[graft.sink.BatchCommit]] guarantee,
+    * applied to the index artifact. Probes pick up appended vectors on
+    * their next [[load]].
+    */
+  def ingestVectorsBatch(
+      spark: SparkSession,
+      indexPath: String,
+      checkpointDir: String,
+      batchId: Long,
+      vectors: DataFrame, // (nid, nv)
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8): Unit = {
+    val cp = new Path(checkpointDir)
+    val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!graft.sink.BatchCommit.isCommitted(fs, cp, batchId)) {
+      val runId = graft.sink.BatchCommit.pinnedRunId(fs, cp)
+      val idx = load(spark, indexPath)
+      graft.sink.BatchCommit.stageAndPublish(
+        Similarity.encodeForIndex(idx, vectors, dim, m, ksub),
+        s"$indexPath/codes", runId, batchId, partitionCols = Nil)
+      graft.sink.BatchCommit.markCommitted(fs, cp, batchId)
+    }
+  }
+
   /** Deterministic artifact directory for a (corpus file, build
     * params) pair: keyed on the canonical corpus path, its length and
     * mtime (a regenerated corpus invalidates the cache), every build

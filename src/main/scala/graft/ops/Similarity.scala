@@ -706,12 +706,25 @@ object Similarity {
       newCorpus: DataFrame, // (nid, nv) — ids disjoint from the index
       dim: Int,
       m: Int = 4,
-      ksub: Int = 8): IvfPqResidualIndex = {
+      ksub: Int = 8): IvfPqResidualIndex =
+    index.copy(codes = index.codes.unionAll(
+      encodeForIndex(index, newCorpus, dim, m, ksub)))
+
+  /** Just the NEW (nid, codes, cid) rows of [[appendToIndex]] — what
+    * a streaming ingest appends to the persisted codes table per
+    * micro-batch ([[AnnIndexStore.ingestVectorsBatch]]).
+    */
+  def encodeForIndex(
+      index: IvfPqResidualIndex,
+      newCorpus: DataFrame, // (nid, nv)
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8): DataFrame = {
     val assigned = assignToCentroids(newCorpus, index.centroids)
     val res = residuals(newCorpus, index.centroids, assigned)
     val (_, codes) = pqCodes(res.select(col("nid"), col("rv").as("nv")),
       dim, m, ksub, Some(index.subCodebook.select("sm", "code", "scv")))
-    index.copy(codes = index.codes.unionAll(codes.join(assigned, "nid")))
+    codes.join(assigned, "nid")
   }
 
   /** Probe half of [[ivfPqResidualTopK]]: score `queries` against a

@@ -89,18 +89,21 @@ object BatchCommit {
     s"b$runId-$batchId-"
 
   /** Steps 1-3 above: stage `df` under `path` (Hive-partitioned by
-    * (snapshot_date, target_repository) like every snapshot table),
-    * then clean-and-rename into the live partition directories under
-    * the batch prefix. Re-invoking with the same (runId, batchId) and
-    * the same rows converges to the same file set — the append is
-    * idempotent whatever the previous attempt's crash point.
+    * `partitionCols` — the snapshot pair for the ETL tables, empty
+    * for flat tables like ANN code stores), then clean-and-rename
+    * into the live partition directories under the batch prefix.
+    * Re-invoking with the same (runId, batchId) and the same rows
+    * converges to the same file set — the append is idempotent
+    * whatever the previous attempt's crash point.
     */
   def stageAndPublish(
       df: DataFrame,
       path: String,
       runId: String,
       batchId: Long,
-      fmt: String = "parquet"): Unit = {
+      fmt: String = "parquet",
+      partitionCols: Seq[String] = Seq("snapshot_date", "target_repository"))
+      : Unit = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // qualify BOTH roots: listStatus returns fully-qualified paths, and
@@ -109,12 +112,15 @@ object BatchCommit {
     val root = fs.makeQualified(new Path(path))
     val stage = fs.makeQualified(new Path(root, s".stage_b${runId}_$batchId"))
     df.write.mode("overwrite")
-      .partitionBy("snapshot_date", "target_repository")
+      .partitionBy(partitionCols: _*)
       .format(fmt).save(stage.toString)
     val prefix = filePrefix(runId, batchId)
     for (leaf <- leafDataDirs(fs, stage)) {
       val rel = stage.toUri.relativize(leaf.toUri).getPath
-      require(!new Path(rel).isAbsolute, s"unrelativizable stage leaf: $leaf")
+      // empty rel = an unpartitioned write's files sit at the stage
+      // root itself (Path can't represent "", so branch before it)
+      require(rel.isEmpty || !new Path(rel).isAbsolute,
+        s"unrelativizable stage leaf: $leaf")
       val live = if (rel.isEmpty) root else new Path(root, rel)
       fs.mkdirs(live)
       fs.listStatus(live)

@@ -572,6 +572,50 @@ class OpsSpec extends AnyFunSuite {
       "no appended vector ever surfaces in the probe results")
   }
 
+  test("streaming vector ingest grows the persisted index exactly once per batch") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
+    val (b1, b2) = arrivalRows.splitAt(4)
+    val dir = java.nio.file.Files.createTempDirectory("annstream")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4),
+      path)
+
+    // two micro-batches, then a crash-replay of EACH (offsets written,
+    // commits lost): the marker + staged publish must converge
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 0L,
+      b1.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 0L,
+      b1.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 1L,
+      b2.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 1L,
+      b2.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+
+    val grown = AnnIndexStore.load(spark, path)
+    assert(grown.codes.count() == all.size.toLong,
+      "replayed ingest batches duplicated code rows")
+    // the grown artifact equals a direct frozen-codebook append of
+    // all arrivals — row for row, and probes rank identically
+    val reference = Similarity.appendToIndex(
+      AnnIndexStore.load(spark, path).copy(codes =
+        spark.read.parquet(s"$path/codes")
+          .filter($"nid" < 30L)),
+      arrivalRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Similarity.ivfPqResidualProbe(q, grown, k = 3, dim = 8,
+      m = 2, ksub = 4, nProbe = 4)) ==
+      rows(Similarity.ivfPqResidualProbe(q, reference, k = 3, dim = 8,
+        m = 2, ksub = 4, nProbe = 4)))
+  }
+
   test("pickAnnPath: Pareto-consistent on the full measured curve, all paths priced") {
     val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
       (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
