@@ -574,6 +574,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FoldStore generalizes: the AMS F2 fold is exactly-once under crash-replay") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.xxhash64
+    val root = java.nio.file.Files.createTempDirectory("graft-f2store").toString
+    val rows = (1 to 400).map(i => ("k" + (i % 23), i))
+    val (b1, b2) = rows.splitAt(170)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "f")
+    def fold(batch: Seq[(String, Int)])(stored: DataFrame): DataFrame =
+      graft.ops.Moments.amsF2Fold(stored, batch.toDF("k", "v"),
+        xxhash64(col("k")))
+
+    FoldStore.foldCommit(spark, root, 0L, empty)(fold(b1))
+    // crash during batch 1 (version written, marker lost): readers
+    // must not see it, the replay must overwrite from v0
+    Seq((999L, 999L)).toDF("k", "f").write.parquet(s"$root/v1")
+    FoldStore.foldCommit(spark, root, 1L, empty)(fold(b2))
+    // full replay of the committed batch: no-op
+    FoldStore.foldCommit(spark, root, 1L, empty)(fold(b2))
+
+    val streamed = graft.ops.Moments
+      .amsF2FromPartials(FoldStore.read(spark, root, empty))
+      .collect().head
+    val full = graft.ops.Moments
+      .amsF2(rows.toDF("k", "v"), xxhash64(col("k"))).collect().head
+    assert(streamed == full,
+      "crash-replayed F2 fold diverged bitwise from the batch sketch")
+  }
+
   test("incremental RFM snapshot equals the batch operator after every fold") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
