@@ -1403,30 +1403,53 @@ object OpsQueries {
         FROM j GROUP BY 1, 2"""
   }
 
-  /** LSH candidate subquery for a (nPlanes, probeBits) setting:
-    * (qid, nid, cos) pairs whose buckets differ in ≤ probeBits sign
-    * bits — the exact candidate set of `Similarity.lshCandidates`.
+  /** LSH candidate CTEs for a set of (nPlanes, probeBits) settings:
+    * each candidate set is (qid, nid, cos) pairs whose buckets differ
+    * in ≤ probeBits sign bits — the exact candidate set of
+    * `Similarity.lshCandidates`. The ~25 KB unrolled hyperplane
+    * expression is emitted ONCE per distinct plane count (a shared
+    * bucketed-embeddings CTE feeds both join sides and every setting
+    * at that count), and each candidate set is MATERIALIZED — the
+    * recall/path-pick oracles read each set twice (top-k and count),
+    * and re-inlining the full join per read stacked the checker's
+    * allocator (the r8 driver OOM'd on exactly these rows). Same
+    * join predicate, same left-to-right cos fold → identical doubles.
+    * Returns (cteBlock, settingName) where the block has NO trailing
+    * comma and settingName(np, pb) is the candidate CTE's name.
     */
-  private def annLshCandSql(nPlanes: Int, probeBits: Int): String = {
+  private def annLshCandCtes(
+      settings: Seq[(Int, Int)]): (String, (Int, Int) => String) = {
     val dot = (1 to 64)
-      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
+      .map(i => s"CAST(q.v[$i] AS DOUBLE)*CAST(c.v[$i] AS DOUBLE)").mkString(" + ")
     val qn = (1 to 64)
-      .map(i => s"CAST(qv[$i] AS DOUBLE)*CAST(qv[$i] AS DOUBLE)").mkString(" + ")
+      .map(i => s"CAST(q.v[$i] AS DOUBLE)*CAST(q.v[$i] AS DOUBLE)").mkString(" + ")
     val nn = (1 to 64)
-      .map(i => s"CAST(nv[$i] AS DOUBLE)*CAST(nv[$i] AS DOUBLE)").mkString(" + ")
-    val bucket = graft.functions.VectorExpressions.bucketSql("embedding", nPlanes, 64)
-    s"""SELECT qid, nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
-        FROM (SELECT vec_id nid, embedding nv, $bucket AS nb FROM embeddings) c
-        JOIN (SELECT vec_id qid, embedding qv, $bucket AS qb
-              FROM embeddings WHERE vec_id < 10) q
-          ON bit_count(xor(qb, nb)) <= $probeBits AND nid <> qid"""
+      .map(i => s"CAST(c.v[$i] AS DOUBLE)*CAST(c.v[$i] AS DOUBLE)").mkString(" + ")
+    val embCtes = settings.map(_._1).distinct.sorted.map { np =>
+      val bucket = graft.functions.VectorExpressions.bucketSql("embedding", np, 64)
+      s"""emb$np AS MATERIALIZED (
+            SELECT vec_id id, embedding v, $bucket AS bk FROM embeddings)"""
+    }
+    def cand(np: Int, pb: Int) = s"cand_${np}_$pb"
+    val candCtes = settings.map { case (np, pb) =>
+      s"""${cand(np, pb)} AS MATERIALIZED (
+            SELECT q.id qid, c.id nid, ($dot) / (sqrt($qn) * sqrt($nn)) AS cos
+            FROM emb$np c JOIN emb$np q
+              ON q.id < 10 AND bit_count(xor(q.bk, c.bk)) <= $pb
+                 AND c.id <> q.id)"""
+    }
+    ((embCtes ++ candCtes).mkString(",\n        "), cand)
   }
 
-  private def annLshSql: String =
-    s"""WITH s AS (${annLshCandSql(graft.ops.Similarity.DefaultPlanes, 1)})
+  private def annLshSql: String = {
+    val (ctes, cand) =
+      annLshCandCtes(Seq((graft.ops.Similarity.DefaultPlanes, 1)))
+    s"""WITH $ctes
         SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
-          (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM s) t
+          (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn
+           FROM ${cand(graft.ops.Similarity.DefaultPlanes, 1)}) t
         WHERE rn <= 5"""
+  }
 
   /** Recall-curve twin: per (nPlanes, probeBits) setting, total brute
     * top-5 pairs, how many the LSH path recovered, and the candidate
@@ -1439,6 +1462,7 @@ object OpsQueries {
     * target (fewest candidates, then bits, then path).
     */
   private def annPathPickSql: String = {
+    val (lshCtes, cand) = annLshCandCtes(AnnRecallSettings)
     val lshRows = AnnRecallSettings.map { case (np, pb) =>
       s"""SELECT 'lsh_${np}_$pb' AS path,
             (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
@@ -1446,13 +1470,14 @@ object OpsQueries {
               (SELECT qid, nid FROM
                 (SELECT qid, nid, ROW_NUMBER() OVER
                    (PARTITION BY qid ORDER BY cos DESC, nid) rn
-                 FROM (${annLshCandSql(np, pb)}) s$np$pb) t$np$pb
+                 FROM ${cand(np, pb)}) t$np$pb
                WHERE rn <= 5) l$np$pb USING (qid, nid)) AS n_hits,
             (SELECT CAST(count(*) AS BIGINT)
-             FROM (${annLshCandSql(np, pb)}) k$np$pb) AS n_candidates,
+             FROM ${cand(np, pb)}) AS n_candidates,
             CAST(2048 AS BIGINT) AS bits_per_vec"""
     }
     s"""WITH b AS MATERIALIZED ($annSql),
+        $lshCtes,
         p1 AS MATERIALIZED ($pqSql),
         p2 AS MATERIALIZED ($pq64Sql),
         ncx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
@@ -1481,6 +1506,7 @@ object OpsQueries {
   }
 
   private def annRecallSql: String = {
+    val (lshCtes, cand) = annLshCandCtes(AnnRecallSettings)
     val settings = AnnRecallSettings.map { case (np, pb) =>
       s"""SELECT CAST($np AS BIGINT) AS n_planes, CAST($pb AS BIGINT) AS probe_bits,
             (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,
@@ -1488,12 +1514,13 @@ object OpsQueries {
               (SELECT qid, nid, CAST(rn AS BIGINT) AS rank FROM
                 (SELECT qid, nid, ROW_NUMBER() OVER
                    (PARTITION BY qid ORDER BY cos DESC, nid) rn
-                 FROM (${annLshCandSql(np, pb)}) s$np$pb) t$np$pb
+                 FROM ${cand(np, pb)}) t$np$pb
                WHERE rn <= 5) l$np$pb USING (qid, nid)) AS n_hits,
             (SELECT CAST(count(*) AS BIGINT)
-             FROM (${annLshCandSql(np, pb)}) k$np$pb) AS n_candidates"""
+             FROM ${cand(np, pb)}) AS n_candidates"""
     }
-    s"""WITH b AS MATERIALIZED ($annSql) ${settings.mkString(" UNION ALL ")}"""
+    s"""WITH b AS MATERIALIZED ($annSql),
+        $lshCtes ${settings.mkString(" UNION ALL ")}"""
   }
 
   /** IVF twin: same deterministic codebook (lowest 16 ids), same
@@ -1511,14 +1538,16 @@ object OpsQueries {
           SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-            ORDER BY (${dc("nv", "cv")}) /
-              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
-          FROM c, cent) t WHERE rn = 1),
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT nid, cid, (${dc("nv", "cv")}) /
+                  (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) AS cosv
+                FROM c, cent) u) t WHERE rn = 1),
         probes AS (SELECT qid, cid FROM (
           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY (${dc("qv", "cv")}) /
-              (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
-          FROM q, cent) t WHERE rn <= 4),
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT qid, cid, (${dc("qv", "cv")}) /
+                  (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) AS cosv
+                FROM q, cent) u) t WHERE rn <= 4),
         s AS (SELECT qid, nid, (${dc("qv", "nv")}) /
                 (sqrt(${dc("qv", "qv")}) * sqrt(${dc("nv", "nv")})) AS cos
               FROM c JOIN asn USING (nid) JOIN probes USING (cid) JOIN q USING (qid)
@@ -1544,6 +1573,11 @@ object OpsQueries {
       "CASE s.m " + (0 until m).map(mi => s"WHEN $mi THEN (${f(mi)})").mkString(" ") + " END"
     val cmp = caseM(mi =>
       s"(${dcm("s.cv", "s.cv", mi)}) - 2.0*(${dcm("c.nv", "s.cv", mi)})")
+    // the argmin window reads a pre-computed scalar key over a narrow
+    // (nid, m, code, cmpv) projection: DuckDB's window operator
+    // materializes its whole input, and carrying the two 64-float
+    // lists through the ksub=256 sort measured 1.1 GB RSS vs 196 MB
+    // narrow — same doubles, same fold order, identical ranks
     s"""seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code,
                          embedding AS cv
                   FROM (SELECT vec_id, embedding FROM embeddings
@@ -1552,10 +1586,11 @@ object OpsQueries {
                 FROM seeds CROSS JOIN range(0, $m) t(mm)),
         c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
         codes AS (SELECT nid, m, code FROM (
-          SELECT c.nid, s.m, s.code,
-            ROW_NUMBER() OVER (PARTITION BY c.nid, s.m
-              ORDER BY ($cmp) ASC, s.code ASC) AS rn
-          FROM c CROSS JOIN sub s) t WHERE rn = 1)"""
+          SELECT nid, m, code,
+            ROW_NUMBER() OVER (PARTITION BY nid, m
+              ORDER BY cmpv ASC, code ASC) AS rn
+          FROM (SELECT c.nid, s.m, s.code, ($cmp) AS cmpv
+                FROM c CROSS JOIN sub s) u) t WHERE rn = 1)"""
   }
 
   private def pqCodesSql: String =
@@ -1640,14 +1675,16 @@ object OpsQueries {
                  ORDER BY vec_id LIMIT 16),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-            ORDER BY (${dc("nv", "cv")}) /
-              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
-          FROM c, cent) t WHERE rn = 1),
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT nid, cid, (${dc("nv", "cv")}) /
+                  (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) AS cosv
+                FROM c, cent) u) t WHERE rn = 1),
         probes AS (SELECT qid, cid FROM (
           SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-            ORDER BY (${dc("qv", "cv")}) /
-              (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
-          FROM q, cent) t WHERE rn <= 4),"""
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT qid, cid, (${dc("qv", "cv")}) /
+                  (sqrt(${dc("qv", "qv")}) * sqrt(${dc("cv", "cv")})) AS cosv
+                FROM q, cent) u) t WHERE rn <= 4),"""
     pqScoreSql(4, 8, 64, 5,
       extraCtes = ivfCtes,
       candFrom = """codes
@@ -1732,11 +1769,12 @@ object OpsQueries {
     // kmeansSql shape with (m) added to every key
     def round(r: Int, prev: String): String =
       s"""ra$r AS (SELECT m, id, cid FROM (
-            SELECT tr.m, tr.id, ce.cid, ROW_NUMBER() OVER (
-              PARTITION BY tr.m, tr.id
-              ORDER BY ((${dc16("ce.cv", "ce.cv")})
-                - 2.0*(${dc16("tr.v", "ce.cv")})) ASC, ce.cid) rn
-            FROM train tr JOIN $prev ce ON ce.m = tr.m) t WHERE rn = 1),
+            SELECT m, id, cid, ROW_NUMBER() OVER (
+              PARTITION BY m, id ORDER BY cmpv ASC, cid) rn
+            FROM (SELECT tr.m, tr.id, ce.cid, ((${dc16("ce.cv", "ce.cv")})
+                    - 2.0*(${dc16("tr.v", "ce.cv")})) AS cmpv
+                  FROM train tr JOIN $prev ce ON ce.m = tr.m) u) t
+          WHERE rn = 1),
           ru$r AS (SELECT m, cid, pos,
               CAST((CAST(sum(qq) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / $scale
                 AS FLOAT) AS x
@@ -1759,9 +1797,10 @@ object OpsQueries {
         q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         asn AS MATERIALIZED (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-            ORDER BY (${fullDc("nv", "cv")}) /
-              (sqrt(${fullDc("nv", "nv")}) * sqrt(${fullDc("cv", "cv")})) DESC, cid) rn
-          FROM c, cent) t WHERE rn = 1),
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT nid, cid, (${fullDc("nv", "cv")}) /
+                  (sqrt(${fullDc("nv", "nv")}) * sqrt(${fullDc("cv", "cv")})) AS cosv
+                FROM c, cent) u) t WHERE rn = 1),
         res AS MATERIALIZED (SELECT c.nid, a.cid, c.nv, ct.cv
                 FROM c JOIN asn a ON a.nid = c.nid
                        JOIN cent ct ON ct.cid = a.cid),
@@ -1781,16 +1820,19 @@ object OpsQueries {
             cv AS scv, (${dc16("cv", "cv")}) AS cn2
           FROM rcent$iters),
         codes AS MATERIALIZED (SELECT nid, m, code FROM (
-          SELECT r.nid, s.m, s.code,
-            ROW_NUMBER() OVER (PARTITION BY r.nid, s.m
-              ORDER BY ($cmp) ASC, s.code ASC) AS rn
-          FROM res r CROSS JOIN sub s) t WHERE rn = 1),
+          SELECT nid, m, code,
+            ROW_NUMBER() OVER (PARTITION BY nid, m
+              ORDER BY cmpv ASC, code ASC) AS rn
+          FROM (SELECT r.nid, s.m, s.code, ($cmp) AS cmpv
+                FROM res r CROSS JOIN sub s) u) t WHERE rn = 1),
         probes AS MATERIALIZED (SELECT qid, cid, pdot FROM (
-          SELECT q.qid, cent.cid, (${fullDc("qv", "cv")}) AS pdot,
-            ROW_NUMBER() OVER (PARTITION BY q.qid
-              ORDER BY (${fullDc("qv", "cv")}) /
-                (sqrt(${fullDc("qv", "qv")}) * sqrt(${fullDc("cv", "cv")})) DESC, cid) rn
-          FROM q, cent) t WHERE rn <= $nProbe),
+          SELECT qid, cid, pdot,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosv DESC, cid) rn
+          FROM (SELECT q.qid, cent.cid, (${fullDc("qv", "cv")}) AS pdot,
+                  (${fullDc("qv", "cv")}) /
+                    (sqrt(${fullDc("qv", "qv")}) * sqrt(${fullDc("cv", "cv")})) AS cosv
+                FROM q, cent) u) t WHERE rn <= $nProbe),
         qd AS MATERIALIZED (SELECT q.qid, s.m, s.code, ($dv) AS dv, s.cn2 AS cn2,
                       sqrt(${fullDc("qv", "qv")}) AS qnorm
                FROM q CROSS JOIN sub s),
@@ -1851,9 +1893,10 @@ object OpsQueries {
         c AS MATERIALIZED (SELECT vec_id nid, embedding nv FROM embeddings),
         asn AS (SELECT nid, cid FROM (
           SELECT nid, cid, ROW_NUMBER() OVER (PARTITION BY nid
-            ORDER BY (${dc("nv", "cv")}) /
-              (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) DESC, cid) rn
-          FROM c, cent) t WHERE rn = 1),
+            ORDER BY cosv DESC, cid) rn
+          FROM (SELECT nid, cid, (${dc("nv", "cv")}) /
+                  (sqrt(${dc("nv", "nv")}) * sqrt(${dc("cv", "cv")})) AS cosv
+                FROM c, cent) u) t WHERE rn = 1),
         m AS MATERIALIZED (SELECT nid, cid, nv FROM c JOIN asn USING (nid)),
         dropped AS (SELECT DISTINCT b.nid AS nid
           FROM m a JOIN m b ON a.cid = b.cid AND a.nid < b.nid

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Peak-RSS meter for individual oracle SQLs (dev tool only).
+
+Usage: oracle_rss.py <sfDir> <verifyOutDir> [names...]
+
+Forks one child process per oracle SQL (fresh allocator, the
+best-case envelope the driver can see), runs it under DuckDB with the
+same 500 MB memory_limit the driver uses, and reports the child's
+peak RSS from getrusage. Names default to every q_ann_* in
+oracle_sql.json.
+"""
+import json
+import os
+import resource
+import sys
+
+
+def run_one(sfdir, sql):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET memory_limit='500MB'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    rows = con.execute(sql).fetchall()
+    return len(rows)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    names = sys.argv[3:] or sorted(n for n in oracle if n.startswith("q_ann"))
+    for name in names:
+        if name not in oracle:
+            print(f"{name}: not in oracle_sql.json")
+            continue
+        r, w = os.pipe()
+        pid = os.fork()
+        if pid == 0:
+            os.close(r)
+            try:
+                n = run_one(sfdir, oracle[name])
+                msg = f"ok {n}"
+            except Exception as e:
+                msg = f"err {type(e).__name__}: {e}"[:200]
+            peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            os.write(w, f"{msg} peakRSS={peak / 1024:.0f}MB".encode())
+            os._exit(0)
+        os.close(w)
+        out = b""
+        while True:
+            chunk = os.read(r, 4096)
+            if not chunk:
+                break
+            out += chunk
+        os.close(r)
+        os.waitpid(pid, 0)
+        print(f"{name}: {out.decode()}")
+
+
+if __name__ == "__main__":
+    main()
