@@ -97,14 +97,29 @@ object Bench {
       base.map { case (_, qs) => BenchGuard.regressions(qs, results) }
         .getOrElse(Map.empty)
     }
-    regressions.toSeq.sortBy(-_._2._2).foreach { case (name, (b, t)) =>
-      System.err.println(f"[bench] REGRESSION $name: $b%.2f -> $t%.2f s (${t / b}%.1fx)")
+    // self-adjudication: re-measure every flagged query in isolation
+    // (fresh loop, 5-run median, same process) so the artifact itself
+    // separates sweep-order noise from real regressions — both
+    // numbers ship as [prev, sweep, isolated]
+    val isolatedRuns =
+      math.max(5, sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "5").toInt)
+    val adjudicated = BenchGuard.adjudicate(regressions, name => {
+      val fn = SparkEntry.queries(name)
+      median((1 to isolatedRuns).map(_ => timeOnce(fn)))
+    })
+    val confirmed = BenchGuard.confirmedRegressions(adjudicated)
+    adjudicated.toSeq.sortBy(-_._2._2).foreach { case (name, (b, t, iso)) =>
+      val verdict = if (confirmed.contains(name)) "CONFIRMED" else "noise"
+      System.err.println(f"[bench] REGRESSION $name: $b%.2f -> $t%.2f s " +
+        f"(${t / b}%.1fx), isolated $iso%.2f s [$verdict]")
     }
-    val regJson = regressions.toSeq.sortBy(_._1)
-      .map { case (k, (b, t)) => s"\"$k\":[$b,$t]" }.mkString("{", ",", "}")
+    val regJson = adjudicated.toSeq.sortBy(_._1)
+      .map { case (k, (b, t, iso)) => s"\"$k\":[$b,$t,$iso]" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
-        s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson}"""
+        s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson""" +
+        s""","confirmed_regressions":${confirmed.size}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     // The LAST stdout line must parse from a 2000-char tail snapshot:
@@ -115,7 +130,7 @@ object Bench {
     val compactBase =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
         s""","runs":$runs,"n_queries":${results.size}""" +
-        s""","n_regressions":${regressions.size},"full":"$outPath"""" +
+        s""","n_regressions":${confirmed.size},"full":"$outPath"""" +
         s""","queries":"""
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
     val picked = scala.collection.mutable.ListBuffer.empty[String]

@@ -66,4 +66,34 @@ object BenchGuard {
         case _ => None
       }
     }.toMap
+
+  /** Self-adjudication of the flagged set: every query tripping the
+    * sweep guard is re-measured in isolation (fresh timing loop, more
+    * runs, same process) BEFORE the artifact is written, so the
+    * artifact itself separates sweep-order noise from real
+    * regressions — four rounds running (r4/r6/r7/r8), every
+    * driver-flagged "regression" re-measured clean, and each one cost
+    * a manual re-litigation because the artifact only carried the
+    * noisy number. Returns (baseline, sweepTime, isolatedTime); a
+    * re-measure that throws records -1 (inspect stderr), never drops
+    * the flag.
+    */
+  def adjudicate(
+      flagged: Map[String, (Double, Double)],
+      remeasure: String => Double): Map[String, (Double, Double, Double)] =
+    flagged.map { case (name, (b, t)) =>
+      val iso = try remeasure(name) catch { case _: Throwable => -1.0 }
+      name -> (b, t, iso)
+    }
+
+  /** The flags whose ISOLATED number still trips the factor — the
+    * real regressions. A failed re-measure (-1) stays confirmed: an
+    * unverifiable flag must not silently pass.
+    */
+  def confirmedRegressions(
+      adjudicated: Map[String, (Double, Double, Double)],
+      factor: Double = 1.5): Map[String, (Double, Double, Double)] =
+    adjudicated.filter { case (_, (b, _, iso)) =>
+      iso < 0 || (b > 0 && iso > b * factor)
+    }
 }

@@ -50,7 +50,11 @@ object AnnIndexStore {
   /** Load the index at `path`, building and persisting it first when
     * the commit marker is absent. The marker is written only after
     * all three tables land, so a crashed build is transparently
-    * redone (overwrite) on the next call.
+    * redone on the next call. Builds are serialized by an atomic lock
+    * file and land via a hidden temp directory + one rename, so two
+    * concurrent sessions can never interleave `save` overwrites into
+    * a mixed artifact: the loser waits for the winner's marker (with
+    * stale-lock recovery for a holder that died mid-build).
     */
   def ensureIvfPqResidual(
       spark: SparkSession,
@@ -61,9 +65,56 @@ object AnnIndexStore {
       ksub: Int = 8,
       nCentroids: Int = 16): IvfPqResidualIndex = {
     if (!isBuilt(spark, path))
-      save(Similarity.buildIvfPqResidualIndex(corpus, dim, m, ksub, nCentroids),
-        path)
+      buildGuarded(spark, path,
+        () => Similarity.buildIvfPqResidualIndex(corpus, dim, m, ksub,
+          nCentroids))
     load(spark, path)
+  }
+
+  /** How long a lock file may sit without a marker before the waiter
+    * declares its holder dead and reclaims it — generous next to the
+    * measured build cost (seconds at bench scale).
+    */
+  private val LockStaleMillis = 10 * 60 * 1000L
+
+  private def buildGuarded(
+      spark: SparkSession,
+      path: String,
+      build: () => IvfPqResidualIndex): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val lock = new Path(p.getParent, p.getName + ".lock")
+    val deadline = System.currentTimeMillis + 2 * LockStaleMillis
+    while (!isBuilt(spark, path)) {
+      val acquired =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try {
+          if (!isBuilt(spark, path)) { // re-check under the lock
+            val tmp = new Path(p.getParent,
+              s".${p.getName}.build_${java.util.UUID.randomUUID.toString.take(8)}")
+            save(build(), tmp.toString) // marker lands inside tmp, last
+            fs.delete(p, true) // clear a half-written previous attempt
+            if (!fs.rename(tmp, p))
+              throw new java.io.IOException(s"index publish rename failed: $tmp")
+          }
+        } finally fs.delete(lock, false)
+      } else {
+        // another session is building: wait for its marker, reclaiming
+        // the lock when its holder died without finishing
+        val stale = try {
+          System.currentTimeMillis -
+            fs.getFileStatus(lock).getModificationTime > LockStaleMillis
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lock, false)
+        if (System.currentTimeMillis > deadline)
+          throw new IllegalStateException(
+            s"timed out waiting for a concurrent index build at $path")
+        Thread.sleep(100)
+      }
+    }
   }
 
   /** Exactly-once streaming vector ingest — the foreachBatch body of
@@ -116,10 +167,177 @@ object AnnIndexStore {
       dim: Int, m: Int, ksub: Int, nCentroids: Int,
       variant: String = ""): String = {
     val f = new java.io.File(corpusFile)
-    val key = s"${f.getCanonicalPath}|${f.length}|${f.lastModified}|" +
+    // a parquet dataset may be a single file or a directory of part
+    // files; a directory's own length/mtime is filesystem-dependent
+    // and does NOT change when a part file is rewritten in place, so
+    // key on the (name, length, mtime) of every data file instead —
+    // a regenerated corpus always invalidates the cache entry
+    val state =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(x => x.isFile && !x.getName.startsWith("_") &&
+            !x.getName.startsWith("."))
+          .sortBy(_.getName)
+          .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+          .mkString(",")
+      else s"${f.length}:${f.lastModified}"
+    val key = s"${f.getCanonicalPath}|$state|" +
       s"$dim|$m|$ksub|$nCentroids|$variant"
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ann_index/$h"
   }
+
+  /** Compact the `codes/` table of a persisted index.
+    *
+    * [[ingestVectorsBatch]] appends one small parquet file per
+    * micro-batch forever; at 100 TB scale an index that has absorbed
+    * a year of micro-batches would pay a file-listing and per-file
+    * open cost on EVERY probe. This merges the code files down to
+    * `ceil(bytes / targetBytes)` files through the same hidden-staging
+    * swap discipline as the snapshot tables' compactPartition
+    * (tmp → old → live, crash-recoverable at every step), so a reader
+    * never sees a partial state and row content is bit-identical —
+    * probe ranks are unchanged (spec-pinned).
+    *
+    * MAINTENANCE-WINDOW OP: run it from the index's single writer
+    * while no ingest micro-batch is in flight (the same single-writer
+    * contract as [[graft.streaming.FoldStore]]). When `checkpointDir`
+    * is given, debris of crashed or abandoned publishes is swept
+    * first: leftover `.stage_*` directories (a replay re-stages from
+    * scratch, so they are pure garbage) and published code files
+    * whose batch marker never landed (the replay that would have
+    * cleaned them re-publishes the batch in full).
+    */
+  def compactCodes(
+      spark: SparkSession,
+      indexPath: String,
+      checkpointDir: Option[String] = None,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new Path(s"$indexPath/codes")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir.getParent, ".codes_compact_tmp")
+    val old = new Path(dir.getParent, ".codes_compact_old")
+    // self-heal a crash between the two swap renames of a previous run
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(s"codes compaction recovery failed: $dir")
+    }
+    if (!fs.exists(dir)) return
+    fs.delete(tmp, true); fs.delete(old, true)
+    checkpointDir.foreach { cp =>
+      val cpPath = new Path(cp)
+      val runId = graft.sink.BatchCommit.pinnedRunId(fs, cpPath)
+      for (s <- fs.listStatus(dir)) {
+        val name = s.getPath.getName
+        if (s.isDirectory && name.startsWith(".stage_"))
+          fs.delete(s.getPath, true)
+        else if (s.isFile && name.startsWith(s"b$runId-")) {
+          val bid = name.stripPrefix(s"b$runId-").takeWhile(_ != '-')
+          val orphan = scala.util.Try(bid.toLong).toOption
+            .exists(b => !graft.sink.BatchCommit.isCommitted(fs, cpPath, b))
+          if (orphan) fs.delete(s.getPath, false)
+        }
+      }
+    }
+    val dataFiles = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (dataFiles.length <= 1) return
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dir.toString).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"codes compaction swap-out failed: $dir")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // restore; the compacted copy stays staged
+      throw new java.io.IOException(s"codes compaction swap-in failed: $dir")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Staleness trigger for a long-lived index: the appended arrivals
+    * have drifted from the distribution the codebooks were trained
+    * on, so ADC quantization error is creeping up — re-train and
+    * re-encode. Drift is the quantized-mean-vector cosine between the
+    * arrival cohort and the rest of the corpus
+    * ([[Embeddings.centroidDrift]] — exact integer sums, so the
+    * trigger itself is deterministic and testable); below `minCos`
+    * the index is rebuilt in place through the same lock-guarded
+    * atomic publish as [[ensureIvfPqResidual]]. Returns true when a
+    * rebuild happened. No arrivals (or no base rows) → no rebuild.
+    */
+  def rebuildIfDrifted(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame, // (nid, nv) — the full current corpus
+      arrivalsPredicate: org.apache.spark.sql.Column,
+      dim: Int,
+      minCos: Double = 0.98,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16): Boolean = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    // empty-cohort guard first: centroidDrift's mean division is
+    // undefined (ANSI divide-by-zero) when either side has no rows,
+    // and "no arrivals" must read as "nothing to do", not an error
+    val counts = corpus.agg(
+      sum(when(arrivalsPredicate, 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("n")).head()
+    val (na, n) = (counts.getLong(0), counts.getLong(1))
+    val drifted = na > 0 && n - na > 0 && {
+      val row = Embeddings
+        .centroidDrift(corpus, "nv", arrivalsPredicate)
+        .select("cos_sim").head()
+      !row.isNullAt(0) && row.getDouble(0) < minCos
+    }
+    if (drifted) {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(path, Marker), false) // force the rebuild
+      buildGuarded(spark, path,
+        () => Similarity.buildIvfPqResidualIndex(corpus, dim, m, ksub,
+          nCentroids))
+    }
+    drifted
+  }
+
+  /** Long-lived probe handle: [[current]] re-reads the codes table
+    * whenever the ingest path has appended to it, so a probe session
+    * sees streamed-in vectors without a manual re-[[load]]. The
+    * append signature is the (name, length) multiset of the codes
+    * directory's data files — one cheap listing per probe, no data
+    * read when nothing changed. Centroids and sub-codebooks are
+    * frozen at build time and never re-read (a [[rebuildIfDrifted]]
+    * rebuild changes the codes files too, so it also triggers here —
+    * then a fresh handle should be opened to pick up new codebooks).
+    */
+  final class IndexHandle(spark: SparkSession, path: String) {
+    private var sig: String = null
+    private var idx: IvfPqResidualIndex = null
+
+    private def codesSignature(): String = {
+      val dir = new Path(s"$path/codes")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => s"${s.getPath.getName}:${s.getLen}")
+        .sorted.mkString("\n")
+    }
+
+    def current(): IvfPqResidualIndex = synchronized {
+      val now = codesSignature()
+      if (idx == null) { idx = load(spark, path); sig = now }
+      else if (now != sig) {
+        idx = idx.copy(codes = spark.read.parquet(s"$path/codes"))
+        sig = now
+      }
+      idx
+    }
+  }
+
+  def openHandle(spark: SparkSession, path: String): IndexHandle =
+    new IndexHandle(spark, path)
 }

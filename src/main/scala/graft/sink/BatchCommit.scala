@@ -79,10 +79,26 @@ object BatchCommit {
   def isCommitted(fs: FileSystem, checkpointDir: Path, batchId: Long): Boolean =
     fs.exists(new Path(new Path(checkpointDir, AppendsDirName), batchId.toString))
 
+  /** Batch markers Spark could still ask about: the engine replays at
+    * most the newest uncommitted batch, but its own offsets/commits
+    * logs retain `minBatchesToRetain` (default 100) entries — keep
+    * the marker window aligned so a checkpoint restored from any
+    * retained log entry still sees its markers.
+    */
+  private val MarkersToRetain = 100L
+
   def markCommitted(fs: FileSystem, checkpointDir: Path, batchId: Long): Unit = {
     val dir = new Path(checkpointDir, AppendsDirName)
     fs.mkdirs(dir)
     fs.create(new Path(dir, batchId.toString), true).close()
+    // reap markers that have aged out of the retained-batch window: a
+    // long-running stream otherwise grows one small file per
+    // micro-batch forever and isCommitted listings slow over time
+    // (Spark prunes its own offsets/commits logs the same way)
+    fs.listStatus(dir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption
+        .filter(_ < batchId - MarkersToRetain).map(_ => s.getPath))
+      .foreach(p => fs.delete(p, false))
   }
 
   private[sink] def filePrefix(runId: String, batchId: Long): String =

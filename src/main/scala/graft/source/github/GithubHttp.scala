@@ -141,11 +141,52 @@ class GithubHttp(
     */
   val EtagCacheMaxEntries: Int = 10000
 
+  /** Byte bound on the cache's accumulated response bodies: the entry
+    * bound alone is not a memory bound — commit-detail responses carry
+    * complete `files` arrays and can run hundreds of KB each, so 10k
+    * entries could hold multi-GB on the driver. LRU entries are
+    * evicted until the body total fits.
+    */
+  val EtagCacheMaxBytes: Long = 64L * 1024 * 1024
+
+  private var etagCacheBytes: Long = 0L
+
+  private def entryBytes(e: (String, GithubResponse)): Long =
+    // String is UTF-16 on heap; 2 bytes/char approximates the real
+    // footprint of body + etag without walking header maps
+    2L * (e._2.body.length + e._1.length)
+
   private val etagCache =
     new java.util.LinkedHashMap[String, (String, GithubResponse)](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, GithubResponse)]): Boolean =
-        size() > EtagCacheMaxEntries
+          e: java.util.Map.Entry[String, (String, GithubResponse)]): Boolean = {
+        // evict-by-bytes is done in put(); only the entry bound here
+        // (removeEldestEntry can drop at most one entry per insert)
+        val evict = size() > EtagCacheMaxEntries
+        if (evict) etagCacheBytes -= entryBytes(e.getValue)
+        evict
+      }
+    }
+
+  private def etagCachePut(url: String, etag: String, resp: GithubResponse): Unit =
+    etagCache.synchronized {
+      Option(etagCache.remove(url)).foreach(old =>
+        etagCacheBytes -= entryBytes(old))
+      val e = (etag, resp)
+      val bytes = entryBytes(e)
+      if (bytes <= EtagCacheMaxBytes) { // oversized bodies never cached
+        etagCache.put(url, e)
+        etagCacheBytes += bytes
+        // shed least-recently-used entries until the byte budget holds
+        val it = etagCache.entrySet().iterator()
+        while (etagCacheBytes > EtagCacheMaxBytes && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != url) {
+            etagCacheBytes -= entryBytes(eldest.getValue)
+            it.remove()
+          }
+        }
+      }
     }
 
   /** [[get]] with conditional-request caching: replays of a URL send
@@ -160,8 +201,7 @@ class GithubHttp(
     val resp = getRaw(url, h, allow304 = cached.isDefined)
     if (resp.status == 304) cached.get._2
     else {
-      resp.header("ETag").foreach(t =>
-        etagCache.synchronized(etagCache.put(url, (t, resp))))
+      resp.header("ETag").foreach(t => etagCachePut(url, t, resp))
       resp
     }
   }

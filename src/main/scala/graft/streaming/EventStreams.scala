@@ -908,14 +908,16 @@ object EventStreams {
       batch: DataFrame,
       userCol: String,
       successExpr: org.apache.spark.sql.Column,
-      batchId: Long): Unit = {
+      batchId: Long,
+      writerTag: String = ""): Unit = {
     // limit(0) on the batch's own aggregate shape: the empty first
     // frame carries the same (user_id, n, s) schema without a scan
     val empty = batch.groupBy(col(userCol).as("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(when(successExpr, 1L).otherwise(0L)).as("s"))
       .limit(0)
-    FoldStore.foldCommit(batch.sparkSession, root, batchId, empty)(stored =>
+    FoldStore.foldCommit(batch.sparkSession, root, batchId, empty,
+      writerTag)(stored =>
       smoothedRatesFold(stored, batch, userCol, successExpr))
   }
 

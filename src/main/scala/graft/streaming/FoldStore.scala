@@ -27,12 +27,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every crash point replays to the same state, which is what lets
   * the fold twins claim bit-equality with their batch operators even
   * across failures.
+  *
+  * '''Single-writer contract.''' One store root belongs to ONE
+  * streaming query: the reap step deletes older versions, so two
+  * writers interleaving on the same root could each delete the
+  * version the other is about to read. The contract is enforced, not
+  * just documented — the first [[foldCommit]] pins the caller's
+  * `writerTag` (pass the query's checkpoint-pinned runId,
+  * [[graft.sink.BatchCommit.pinnedRunId]]) at `<root>/_writer`, and a
+  * later writer with a DIFFERENT tag fails loudly instead of racing
+  * the reap. A resumed run re-reads the same runId from its
+  * checkpoint, so resume keeps working; a second query must take its
+  * own root.
   */
 object FoldStore {
+
+  private val WriterFileName = "_writer"
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Pin `writerTag` as this root's sole writer, or throw when the
+    * root is already claimed by a different tag. Idempotent for the
+    * claiming writer (resume re-claims with the same tag).
+    */
+  private def claimWriter(f: FileSystem, root: Path, writerTag: String): Unit = {
+    val p = new Path(root, WriterFileName)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val owner =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (owner != writerTag)
+        throw new IllegalStateException(
+          s"FoldStore root $root is owned by writer '$owner'; " +
+            s"writer '$writerTag' must use its own root " +
+            "(single-writer contract: the reap step is not " +
+            "multi-writer safe)")
+    } else {
+      f.mkdirs(root)
+      try {
+        val out = f.create(p, false) // no-overwrite: atomic claim
+        try out.write(writerTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        // lost the creation race — re-resolve against the winner
+        // (anything else, e.g. permissions, propagates)
+        case e: java.io.IOException =>
+          if (f.exists(p)) claimWriter(f, root, writerTag) else throw e
+      }
+    }
   }
 
   private def versionDir(root: Path, batchId: Long) = new Path(root, s"v$batchId")
@@ -73,8 +119,12 @@ object FoldStore {
       spark: SparkSession,
       root: String,
       batchId: Long,
-      empty: DataFrame)(fold: DataFrame => DataFrame): Unit = {
+      empty: DataFrame,
+      writerTag: String = "")(fold: DataFrame => DataFrame): Unit = {
     val (f, p) = fs(spark, root)
+    // non-empty tag = enforce the single-writer contract (scaladoc
+    // above); empty keeps pre-claim roots readable for local tools
+    if (writerTag.nonEmpty) claimWriter(f, p, writerTag)
     if (f.exists(marker(p, batchId))) return
     val prior = committedVersions(f, p).filter(_ < batchId).sorted.lastOption
     val stored = prior match {

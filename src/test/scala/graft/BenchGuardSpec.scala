@@ -88,4 +88,27 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     val picked = BenchGuard.pickBaseline(files, bodies(_), Map.empty)
     picked.map(_._1) shouldBe Some("BENCH_r9.json")
   }
+
+  test("adjudicate re-measures every flag; only still-slow ones are confirmed") {
+    // a sweep flagged two queries at ~6x; isolated, one is pure
+    // sweep-order noise (1.1 vs base 1.0) and one is really slow
+    val flagged = Map(
+      "q_noise" -> (1.0, 6.2),
+      "q_real" -> (1.0, 6.0),
+      "q_broken" -> (1.0, 5.0))
+    val remeasured = collection.mutable.Buffer[String]()
+    val adj = BenchGuard.adjudicate(flagged, {
+      case n @ "q_noise" => remeasured += n; 1.1
+      case n @ "q_real" => remeasured += n; 5.9
+      case n => remeasured += n; throw new RuntimeException("boom")
+    })
+    remeasured.toSet shouldBe flagged.keySet // every flag re-measured
+    adj("q_noise") shouldBe ((1.0, 6.2, 1.1))
+    adj("q_real") shouldBe ((1.0, 6.0, 5.9))
+    adj("q_broken") shouldBe ((1.0, 5.0, -1.0)) // failure recorded, not dropped
+    val confirmed = BenchGuard.confirmedRegressions(adj)
+    // noise cleared by its isolated number; the real regression and
+    // the unverifiable one stay confirmed
+    confirmed.keySet shouldBe Set("q_real", "q_broken")
+  }
 }

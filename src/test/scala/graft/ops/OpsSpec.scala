@@ -616,6 +616,171 @@ class OpsSpec extends AnyFunSuite {
         m = 2, ksub = 4, nProbe = 4)))
   }
 
+  test("compactCodes merges ingest fragments; probe ranks and rows unchanged") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
+    val dir = java.nio.file.Files.createTempDirectory("anncompact")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4),
+      path)
+    arrivalRows.zipWithIndex.foreach { case (row, i) =>
+      AnnIndexStore.ingestVectorsBatch(spark, path, cp, i.toLong,
+        Seq(row).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    def nDataFiles = fs.listStatus(codesDir).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    assert(nDataFiles > arrivalRows.size,
+      "ingest should have fragmented the codes table")
+    // debris of a crashed publish: a leftover stage dir and a
+    // published-but-unmarked batch file for the pinned runId
+    val runId = graft.sink.BatchCommit.pinnedRunId(
+      fs, new org.apache.hadoop.fs.Path(cp))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(codesDir, ".stage_bdead_99"))
+    fs.create(new org.apache.hadoop.fs.Path(codesDir,
+      s"b$runId-99999-part-orphan.parquet"), true).close()
+
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def codeRows = AnnIndexStore.load(spark, path).codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    val beforeRanks = rows(Similarity.ivfPqResidualProbe(q,
+      AnnIndexStore.load(spark, path), k = 3, dim = 8, m = 2, ksub = 4,
+      nProbe = 4))
+    val beforeCodes = codeRows
+
+    AnnIndexStore.compactCodes(spark, path, Some(cp), targetBytes = 1L << 40)
+    assert(nDataFiles == 1, s"expected 1 compacted file, got $nDataFiles")
+    assert(!fs.listStatus(codesDir).exists(
+      _.getPath.getName.startsWith(".stage_")), "stage debris survived")
+    assert(!fs.listStatus(codesDir).exists(
+      _.getPath.getName.contains("99999")), "orphan batch file survived")
+    assert(codeRows == beforeCodes, "compaction changed code rows")
+    assert(rows(Similarity.ivfPqResidualProbe(q,
+      AnnIndexStore.load(spark, path), k = 3, dim = 8, m = 2, ksub = 4,
+      nProbe = 4)) == beforeRanks, "compaction changed probe ranks")
+    // idempotent: a second compaction is a no-op
+    AnnIndexStore.compactCodes(spark, path, Some(cp), targetBytes = 1L << 40)
+    assert(nDataFiles == 1 && codeRows == beforeCodes)
+  }
+
+  test("rebuildIfDrifted: stable arrivals keep the index; drifted ones rebuild it") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val base = (0L until 24L).map(i => (i, mk(i, (i % 4).toInt)))
+    val sameDist = (30L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    // drifted arrivals: concentrated on a direction the base never uses
+    val drifted = (40L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => if (d >= 6) 5.0f else 0.01f)))
+    val dir = java.nio.file.Files.createTempDirectory("anndrift")
+    val path = dir.resolve("ix").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      base.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4), path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def centroidFiles = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$path/centroids")).filter(_.isFile)
+      .map(s => s.getPath.getName -> s.getModificationTime).toSet
+
+    val before = centroidFiles
+    assert(!AnnIndexStore.rebuildIfDrifted(spark, path,
+      (base ++ sameDist).toDF("nid", "nv"), $"nid" >= 30L, dim = 8,
+      minCos = 0.9, m = 2, ksub = 4, nCentroids = 4))
+    assert(centroidFiles == before, "no-drift call touched the artifact")
+    // no arrivals at all → trivially no rebuild
+    assert(!AnnIndexStore.rebuildIfDrifted(spark, path,
+      base.toDF("nid", "nv"), $"nid" >= 1000L, dim = 8,
+      minCos = 0.9, m = 2, ksub = 4, nCentroids = 4))
+
+    assert(AnnIndexStore.rebuildIfDrifted(spark, path,
+      (base ++ drifted).toDF("nid", "nv"), $"nid" >= 40L, dim = 8,
+      minCos = 0.9, m = 2, ksub = 4, nCentroids = 4))
+    assert(AnnIndexStore.isBuilt(spark, path))
+    // the rebuilt artifact serves the full corpus, arrivals included
+    val rebuilt = AnnIndexStore.load(spark, path)
+    assert(rebuilt.codes.count() == (base.size + drifted.size).toLong)
+    val q = drifted.take(2).map { case (i, v) => (i, v) }.toDF("qid", "qv")
+    assert(Similarity.ivfPqResidualProbe(q, rebuilt, k = 3, dim = 8, m = 2,
+      ksub = 4, nProbe = 4).count() > 0)
+  }
+
+  test("IndexHandle reloads codes when the ingest path appends") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, arrivalRows) = all.partition(_._1 < 34L)
+    val dir = java.nio.file.Files.createTempDirectory("annhandle")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4),
+      path)
+    val handle = AnnIndexStore.openHandle(spark, path)
+    assert(handle.current().codes.count() == baseRows.size.toLong)
+    val idxBefore = handle.current()
+    assert(handle.current() eq idxBefore, "unchanged codes dir was re-read")
+
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 0L,
+      arrivalRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    // the next probe sees the streamed-in vectors with NO manual load
+    val after = handle.current()
+    assert(after.codes.count() == all.size.toLong,
+      "handle did not pick up the ingested batch")
+    // a query identical to an ingested vector (fresh qid, so no
+    // self-exclusion): the ingested twin must now be SCORED — k wide
+    // enough to return every scanned candidate (ksub=4 residual codes
+    // tie within a list, so a tight top-k is decided by nid, not by
+    // whether the vector was seen)
+    val probeQ = Seq((999L, mk(34, 2))).toDF("qid", "qv")
+    val nids = Similarity.ivfPqResidualProbe(probeQ, after, k = all.size,
+      dim = 8, m = 2, ksub = 4, nProbe = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(nids.contains(34L),
+      "ingested vectors never surface through the handle")
+  }
+
+  test("index build lock: stale locks are reclaimed, fresh artifacts win races") {
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
+    val dir = java.nio.file.Files.createTempDirectory("annlock")
+    val path = dir.resolve("ix").toString
+    // a dead builder's lock (old mtime, no marker) must not wedge the
+    // next caller
+    val lockFile = new java.io.File(dir.toFile, "ix.lock")
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis - 11 * 60 * 1000L))
+    val idx = AnnIndexStore.ensureIvfPqResidual(spark, path, c, dim = 8,
+      m = 2, ksub = 4, nCentroids = 4)
+    assert(idx.codes.count() == 24L)
+    assert(!lockFile.exists, "build did not release the lock")
+  }
+
+  test("cachePathFor keys on data-file content state, not directory metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("anncache").toFile
+    val part = new java.io.File(dir, "part-0.parquet")
+    java.nio.file.Files.writeString(part.toPath, "v1")
+    val p1 = AnnIndexStore.cachePathFor(dir.toString, 8, 2, 4, 4)
+    assert(p1 == AnnIndexStore.cachePathFor(dir.toString, 8, 2, 4, 4),
+      "same state must key the same cache path")
+    // rewrite a part file IN PLACE (same name+size, new mtime): the
+    // directory's own mtime does not change, but the key must
+    assert(part.setLastModified(part.lastModified + 5000))
+    val p2 = AnnIndexStore.cachePathFor(dir.toString, 8, 2, 4, 4)
+    assert(p2 != p1, "in-place part rewrite served a stale cache path")
+    // params and variant tags still split the space
+    assert(AnnIndexStore.cachePathFor(dir.toString, 8, 2, 4, 4, "train") != p2)
+  }
+
   test("pickAnnPath: Pareto-consistent on the full measured curve, all paths priced") {
     val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
       (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))

@@ -264,4 +264,26 @@ class SnapshotSinkSpec extends AnyFunSuite {
     val id = BatchCommit.pinnedRunId(fs, cp)
     assert(BatchCommit.pinnedRunId(fs, cp) == id, "resume must reuse the pinned runId")
   }
+
+  test("batch-commit markers are reaped past the retained-batch window") {
+    val cp = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("batchreap").toString)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 5L).foreach(BatchCommit.markCommitted(fs, cp, _))
+    // inside the window: everything retained
+    assert((0L to 5L).forall(BatchCommit.isCommitted(fs, cp, _)))
+    // a marker far past the window reaps the aged-out ones (Spark
+    // itself replays at most the newest uncommitted batch; the window
+    // matches minBatchesToRetain so any restorable checkpoint state
+    // still finds its markers)
+    BatchCommit.markCommitted(fs, cp, 200L)
+    assert((0L to 5L).forall(!BatchCommit.isCommitted(fs, cp, _)),
+      "aged-out markers were not reaped")
+    assert(BatchCommit.isCommitted(fs, cp, 200L))
+    // a recent marker within the window survives the next reap
+    BatchCommit.markCommitted(fs, cp, 150L)
+    BatchCommit.markCommitted(fs, cp, 201L)
+    assert(BatchCommit.isCommitted(fs, cp, 150L))
+    assert(BatchCommit.isCommitted(fs, cp, 200L))
+  }
 }

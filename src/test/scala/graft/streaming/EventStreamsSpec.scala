@@ -602,6 +602,27 @@ class EventStreamsSpec extends AnyFunSuite {
       "crash-replayed F2 fold diverged bitwise from the batch sketch")
   }
 
+  test("FoldStore enforces the single-writer contract per root") {
+    import org.apache.spark.sql.DataFrame
+    val root = java.nio.file.Files.createTempDirectory("graft-1w").toString
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
+    def fold(stored: DataFrame): DataFrame = stored
+
+    // first writer claims the root; its own resumes keep working
+    FoldStore.foldCommit(spark, root, 0L, empty, writerTag = "runA")(fold)
+    FoldStore.foldCommit(spark, root, 1L, empty, writerTag = "runA")(fold)
+    // a SECOND streaming query pointed at the same root must fail
+    // loudly instead of racing the reap step
+    val e = intercept[IllegalStateException] {
+      FoldStore.foldCommit(spark, root, 0L, empty, writerTag = "runB")(fold)
+    }
+    assert(e.getMessage.contains("runA") && e.getMessage.contains("runB"))
+    // ...and must not have disturbed the owner's committed state
+    assert(FoldStore.isCommitted(spark, root, 1L))
+    FoldStore.foldCommit(spark, root, 2L, empty, writerTag = "runA")(fold)
+    assert(FoldStore.isCommitted(spark, root, 2L))
+  }
+
   test("incremental RFM snapshot equals the batch operator after every fold") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.DataFrame
