@@ -212,5 +212,90 @@ object ScaleBench {
       f"| $n | $t1%.2f | $t10%.2f | $r%.1f× |"
     }.mkString("\n")
     println(table)
+
+    // the continuous-ingest steady state, end to end, at both scales:
+    // build once, then K (ingest micro-batch → probe) cycles through
+    // an IndexHandle (each probe must see the vectors the previous
+    // ingest appended), then compaction and the probe again — pricing
+    // ingest cost, fragmented-probe cost, compaction, and
+    // compacted-probe cost separately
+    if (only.forall(_.contains("ingest_probe")))
+      for (d <- Seq(base, big)) {
+        val r = steadyState(spark, d)
+        println(s"""{"op":"ingest_probe","dir":"$d",""" +
+          f""""ingest_med":${r.ingestMed}%.2f,"probe_frag_med":${r.probeMed}%.2f,""" +
+          f""""files_frag":${r.filesFrag},"compact_sec":${r.compactSec}%.2f,""" +
+          f""""files_compact":${r.filesCompact},"probe_compacted":${r.probeCompacted}%.2f}""")
+      }
+    spark.stop()
+  }
+
+  final case class SteadyState(
+      ingestMed: Double, probeMed: Double, filesFrag: Int,
+      compactSec: Double, filesCompact: Int, probeCompacted: Double)
+
+  /** K ingest→probe cycles against a fresh index built on the 80%
+    * split, through [[graft.ops.AnnIndexStore.IndexHandle]] (every
+    * probe asserts it sees the rows ingested so far), then
+    * [[graft.ops.AnnIndexStore.compactCodes]] and one more probe.
+    */
+  def steadyState(
+      spark: SparkSession, d: String, batches: Int = 8): SteadyState = {
+    import graft.ops.{AnnIndexStore, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft_steady")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    val e = Tables.embeddings(spark, d)
+    val base = e.filter(col("vec_id") % 10 < 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val nBase = base.count()
+    AnnIndexStore.save(
+      Similarity.buildIvfPqResidualIndex(base, dim = 64), path)
+    val handle = AnnIndexStore.openHandle(spark, path)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def probeOnce(): Double = {
+      val t0 = System.nanoTime()
+      val out = Similarity.ivfPqResidualProbe(q, handle.current(),
+        k = 5, dim = 64)
+      out.select(xxhash64(struct(out.columns.map(col): _*)).as("h"))
+        .agg(max("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    var ingests = List.empty[Double]
+    var probes = List.empty[Double]
+    var expected = nBase
+    for (b <- 0 until batches) {
+      val arr = e.filter(col("vec_id") % 10 >= 8 &&
+          col("vec_id") % batches === b)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val nArr = arr.count()
+      val t0 = System.nanoTime()
+      AnnIndexStore.ingestVectorsBatch(spark, path, cp, b.toLong, arr,
+        dim = 64)
+      ingests ::= (System.nanoTime() - t0) / 1e9
+      expected += nArr
+      probes ::= probeOnce()
+      val seen = handle.current().codes.count()
+      require(seen == expected,
+        s"probe $b saw $seen codes, expected $expected")
+    }
+    def nFiles: Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(p).count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    }
+    val filesFrag = nFiles
+    val t0 = System.nanoTime()
+    graft.ops.AnnIndexStore.compactCodes(spark, path, Some(cp))
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val probeCompacted = median((1 to 3).map(_ => probeOnce()))
+    require(handle.current().codes.count() == expected,
+      "compaction changed the code row count")
+    SteadyState(median(ingests), median(probes), filesFrag,
+      compactSec, nFiles, probeCompacted)
   }
 }

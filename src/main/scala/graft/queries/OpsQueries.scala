@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -351,6 +351,42 @@ object OpsQueries {
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         grown, k = 5, dim = 64)
+    }),
+
+    // The continuous-ingest machinery end to end, driver-graded: the
+    // index is built on the 80% base split, the arrivals land as TWO
+    // streaming micro-batches through the exactly-once staged publish
+    // (each one crash-REPLAYED — a duplicate insert would break the
+    // hash), the fragmented codes table is compacted in place, and
+    // the probe runs through an IndexHandle that must pick the
+    // appended-then-compacted codes up without a manual reload.
+    // Ranks are pinned to the same frozen-codebook oracle as
+    // q_ann_index_append: ingest ≡ appendToIndex ≡ the union encode,
+    // and compaction/reload must be invisible to the ranking.
+    "q_ann_ingest_compact_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      def arrivals(sel: Column) = e.filter(col("vec_id") % 10 >= 8 && sel)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q_icp")
+      val path = dir.resolve("ix").toString
+      val cp = dir.resolve("cp").toString
+      AnnIndexStore.save(
+        Similarity.buildIvfPqResidualIndex(base, dim = 64), path)
+      val handle = AnnIndexStore.openHandle(s, path)
+      handle.current() // pre-ingest load: the reload path must fire below
+      val b1 = arrivals(col("vec_id") % 20 < 10)
+      val b2 = arrivals(col("vec_id") % 20 >= 10)
+      AnnIndexStore.ingestVectorsBatch(s, path, cp, 0L, b1, dim = 64)
+      AnnIndexStore.ingestVectorsBatch(s, path, cp, 0L, b1, dim = 64) // replay
+      AnnIndexStore.ingestVectorsBatch(s, path, cp, 1L, b2, dim = 64)
+      AnnIndexStore.ingestVectorsBatch(s, path, cp, 1L, b2, dim = 64) // replay
+      AnnIndexStore.compactCodes(s, path, Some(cp))
+      Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        handle.current(), k = 5, dim = 64)
     }),
 
     // The 8-bit PQ operating point: ksub=256 sub-codebooks at m=4
@@ -2609,6 +2645,11 @@ object OpsQueries {
     "q_ann_ivfpq_res" -> ivfPqResidualSql,
     "q_ann_ivfpq_probe" -> ivfPqResidualSql,
     "q_ann_index_append" ->
+      ivfPqResidualSqlGen("vec_id % 10 < 8", "r.nid % 10 < 8"),
+    // ingest ≡ appendToIndex ≡ the frozen-codebook union encode, and
+    // compaction + handle reload must not move a single rank — so the
+    // row shares the append twin verbatim
+    "q_ann_ingest_compact_probe" ->
       ivfPqResidualSqlGen("vec_id % 10 < 8", "r.nid % 10 < 8"),
     "q_ann_ivfpq_res_recall" ->
       s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqResidualSql)
