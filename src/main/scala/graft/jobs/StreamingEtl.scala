@@ -119,6 +119,10 @@ object StreamingEtl extends org.apache.spark.internal.Logging {
       reader = reader.option("maxPagesPerTrigger", pp.toString))
 
     val runId = graft.sink.BatchCommit.pinnedRunId(fs, cpPath)
+    // before any batch runs: reap this run's crashed-publish debris
+    // (stage dirs + files past the newest marker — exactly the set
+    // the first replayed batch would rebuild anyway)
+    sink.sweepBatchDebris(checkpointDir)
     var batches = 0L
     var rows = 0L
     val writeBatch: (DataFrame, Long) => Unit = { (batch, batchId) =>

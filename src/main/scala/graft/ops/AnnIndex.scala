@@ -226,19 +226,18 @@ object AnnIndexStore {
     if (!fs.exists(dir)) return
     fs.delete(tmp, true); fs.delete(old, true)
     checkpointDir.foreach { cp =>
-      val cpPath = new Path(cp)
-      val runId = graft.sink.BatchCommit.pinnedRunId(fs, cpPath)
-      for (s <- fs.listStatus(dir)) {
-        val name = s.getPath.getName
-        if (s.isDirectory && name.startsWith(".stage_"))
+      // the marker-guarded sweep of this run's crashed-publish files
+      // (only batchIds past the newest marker can be orphans — older
+      // unmarkered files are committed batches whose markers were
+      // reaped by the retention window, so they are NEVER touched)
+      graft.sink.BatchCommit.sweepOrphans(spark, dir.toString, cp)
+      // under this op's quiesced single-writer contract, EVERY stage
+      // dir is garbage — foreign runIds' included (an abandoned
+      // checkpoint's stage can only be claimed from a maintenance op
+      // like this one, which is the documented owner of the window)
+      for (s <- fs.listStatus(dir))
+        if (s.isDirectory && s.getPath.getName.startsWith(".stage_"))
           fs.delete(s.getPath, true)
-        else if (s.isFile && name.startsWith(s"b$runId-")) {
-          val bid = name.stripPrefix(s"b$runId-").takeWhile(_ != '-')
-          val orphan = scala.util.Try(bid.toLong).toOption
-            .exists(b => !graft.sink.BatchCommit.isCommitted(fs, cpPath, b))
-          if (orphan) fs.delete(s.getPath, false)
-        }
-      }
     }
     val dataFiles = fs.listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&

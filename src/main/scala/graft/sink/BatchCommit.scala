@@ -104,6 +104,53 @@ object BatchCommit {
   private[sink] def filePrefix(runId: String, batchId: Long): String =
     s"b$runId-$batchId-"
 
+  /** Newest committed batch marker, or -1 when none exists. */
+  private def newestMarker(fs: FileSystem, checkpointDir: Path): Long = {
+    val dir = new Path(checkpointDir, AppendsDirName)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Startup/maintenance sweep of THIS run's publish debris on a file
+    * table: deletes the pinned runId's leftover `.stage_*` directories
+    * (a crashed publish re-stages from scratch on replay, so they are
+    * pure garbage) and its published batch files whose batchId is
+    * NEWER than the newest committed marker (publishes are sequential
+    * per run, so only those can be a crashed publish's partial
+    * output — the replay re-cleans and re-publishes them in full).
+    * Files at or below the newest marker are NEVER touched: their
+    * markers may simply have been reaped by the retention window.
+    *
+    * Call it before the stream starts (never while a publish is in
+    * flight). Other runIds' files are left alone — they may belong to
+    * a live writer on another checkpoint; an abandoned foreign
+    * checkpoint's debris needs that checkpoint (or a quiesced-table
+    * maintenance op like the ANN store's compactCodes) to claim it.
+    */
+  def sweepOrphans(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      checkpointDir: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val cp = new Path(checkpointDir)
+    val runId = pinnedRunId(fs, cp)
+    for (s <- fs.listStatus(root))
+      if (s.isDirectory && s.getPath.getName.startsWith(s".stage_b${runId}_"))
+        fs.delete(s.getPath, true)
+    val pre = s"b$runId-"
+    val newest = newestMarker(fs, cp)
+    for (leaf <- leafDataDirs(fs, root); s <- fs.listStatus(leaf))
+      if (s.isFile && s.getPath.getName.startsWith(pre)) {
+        val bid = s.getPath.getName.stripPrefix(pre).takeWhile(_ != '-')
+        if (scala.util.Try(bid.toLong).toOption.exists(_ > newest))
+          fs.delete(s.getPath, false)
+      }
+  }
+
   /** Steps 1-3 above: stage `df` under `path` (Hive-partitioned by
     * `partitionCols` — the snapshot pair for the ETL tables, empty
     * for flat tables like ANN code stores), then clean-and-rename

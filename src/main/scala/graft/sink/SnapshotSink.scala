@@ -54,6 +54,22 @@ trait SnapshotSink {
     * per-chunk small files chunked loading leaves behind.
     */
   def finalizeSnapshot(repo: String, snapshotDate: Date): Unit = ()
+
+  /** Startup sweep of this run's crashed-publish debris.
+    *
+    * The staged batch publish ([[graft.sink.BatchCommit]]) is a
+    * rename loop, not one atomic commit: a crash mid-publish leaves
+    * the batch's already-renamed files visible to readers until the
+    * SAME checkpoint resumes and replays the batch — '''resuming the
+    * checkpoint is part of the sink's exactly-once contract''', and
+    * an abandoned checkpoint leaves that partial batch (plus its
+    * hidden stage directory) in place indefinitely. Calling this at
+    * stream startup bounds the window to one run: it deletes the
+    * pinned runId's stage directories and its published files newer
+    * than the newest committed marker (exactly the set a replay
+    * rebuilds). Default no-op for sinks without a file layout.
+    */
+  def sweepBatchDebris(checkpointDir: String): Unit = ()
 }
 
 /** Parquet tables partitioned by (snapshot_date, target_repository);
@@ -81,6 +97,9 @@ class ParquetSnapshotSink(
     for (table <- SnapshotWriter.TableNames)
       SnapshotWriter.compactPartition(spark, rootDir, table, repo, snapshotDate,
         fmt = fmt)
+  override def sweepBatchDebris(checkpointDir: String): Unit =
+    for (table <- SnapshotWriter.TableNames)
+      BatchCommit.sweepOrphans(spark, s"$rootDir/$table", checkpointDir)
 }
 
 /** Same file-lake contract over ORC (built into Spark's jars — no
@@ -181,4 +200,9 @@ class NdjsonSnapshotSink(
     if (streamingInserts) append(table, df)
     else SnapshotWriter.appendTableBatch(
       NdjsonSnapshotSink.jsonLines(df), s"$rootDir/$table", runId, batchId, "text")
+
+  override def sweepBatchDebris(checkpointDir: String): Unit =
+    if (!streamingInserts) // insert mode never stages
+      for (table <- SnapshotWriter.TableNames)
+        BatchCommit.sweepOrphans(spark, s"$rootDir/$table", checkpointDir)
 }

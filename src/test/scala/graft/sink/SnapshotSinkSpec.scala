@@ -265,6 +265,39 @@ class SnapshotSinkSpec extends AnyFunSuite {
     assert(BatchCommit.pinnedRunId(fs, cp) == id, "resume must reuse the pinned runId")
   }
 
+  test("sweepOrphans reaps this run's crashed-publish debris, never committed files") {
+    val dir = java.nio.file.Files.createTempDirectory("sweeporphans")
+    val tableRoot = dir.resolve("t").toString
+    val cp = dir.resolve("cp").toString
+    val cpPath = new org.apache.hadoop.fs.Path(cp)
+    val root = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val runId = BatchCommit.pinnedRunId(fs, cpPath)
+    (0L to 5L).foreach(BatchCommit.markCommitted(fs, cpPath, _))
+    // marker 1 reaped by the retention window — its published file
+    // is COMMITTED data and must survive the sweep
+    fs.delete(new org.apache.hadoop.fs.Path(cpPath, "_graft_appends/1"), false)
+    def mk(name: String) =
+      fs.create(new org.apache.hadoop.fs.Path(root, name), true).close()
+    mk(s"b$runId-1-part-a.parquet") // committed, marker reaped → keep
+    mk(s"b$runId-5-part-b.parquet") // committed, marker present → keep
+    mk(s"b$runId-9-part-c.parquet") // PAST newest marker, no marker → reap
+    mk("bfeedf00d-9-part-d.parquet") // foreign runId → keep
+    mk("part-plain.parquet") // non-batch file → keep
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, s".stage_b${runId}_9")) // reap
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".stage_bfeedf00d_3")) // keep
+
+    BatchCommit.sweepOrphans(spark, tableRoot, cp)
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(names == Set(s"b$runId-1-part-a.parquet", s"b$runId-5-part-b.parquet",
+      "bfeedf00d-9-part-d.parquet", "part-plain.parquet", ".stage_bfeedf00d_3"),
+      s"swept set wrong: $names")
+    // idempotent and safe on a missing table
+    BatchCommit.sweepOrphans(spark, tableRoot, cp)
+    BatchCommit.sweepOrphans(spark, dir.resolve("absent").toString, cp)
+  }
+
   test("batch-commit markers are reaped past the retained-batch window") {
     val cp = new org.apache.hadoop.fs.Path(
       java.nio.file.Files.createTempDirectory("batchreap").toString)
