@@ -369,11 +369,23 @@ object OpsQueries {
         .select(col("vec_id").as("nid"), col("embedding").as("nv"))
       def arrivals(sel: Column) = e.filter(col("vec_id") % 10 >= 8 && sel)
         .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      // the base index is the amortized artifact (built once per
+      // corpus through the cache); each invocation CLONES it into a
+      // fresh mutable copy before ingesting — the staging-clone shape
+      // a real deployment uses, and it keeps this row priced on the
+      // ingest+compact+probe machinery instead of re-paying the
+      // (already-priced, q_ann_ivfpq_res) build every run
+      val basePath = AnnIndexStore.cachePathFor(
+        s"$d/embeddings.parquet", 64, 4, 8, 16, variant = "base80")
+      AnnIndexStore.ensureIvfPqResidual(s, basePath, base, dim = 64)
       val dir = java.nio.file.Files.createTempDirectory("graft_q_icp")
       val path = dir.resolve("ix").toString
       val cp = dir.resolve("cp").toString
-      AnnIndexStore.save(
-        Similarity.buildIvfPqResidualIndex(base, dim = 64), path)
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
       val handle = AnnIndexStore.openHandle(s, path)
       handle.current() // pre-ingest load: the reload path must fire below
       val b1 = arrivals(col("vec_id") % 20 < 10)
