@@ -866,7 +866,9 @@ object EventStreams {
     * table would double-count a crash-replayed batch. Production
     * callers go through [[smoothedRatesFoldCommitted]], which
     * versions the partials by batchId in a [[FoldStore]] (replace,
-    * never accumulate) so replay converges instead of re-adding.
+    * never accumulate) so replay converges instead of re-adding —
+    * passing the query's checkpoint-pinned runId as `writerTag`
+    * enforces the store's single-writer contract.
     */
   def smoothedRatesFold(
       stored: DataFrame, // (user_id, n, s) — empty on the first batch
