@@ -302,37 +302,39 @@ object AnnIndexStore {
     drifted
   }
 
-  /** Long-lived probe handle: [[current]] re-reads the codes table
-    * whenever the ingest path has appended to it, so a probe session
-    * sees streamed-in vectors without a manual re-[[load]]. The
-    * append signature is the (name, length) multiset of the codes
-    * directory's data files — one cheap listing per probe, no data
-    * read when nothing changed. Centroids and sub-codebooks are
-    * frozen at build time and never re-read (a [[rebuildIfDrifted]]
-    * rebuild changes the codes files too, so it also triggers here —
-    * then a fresh handle should be opened to pick up new codebooks).
+  /** Long-lived probe handle: [[current]] re-reads the index
+    * whenever its files changed on disk, so a probe session sees
+    * streamed-in vectors (ingest appends to `codes/`), compactions,
+    * AND [[rebuildIfDrifted]] rebuilds (which replace the codebook
+    * tables too) without a manual re-[[load]]. The signature is the
+    * (name, length) multiset of all three tables' data files — three
+    * cheap listings per probe, no data read when nothing changed; any
+    * change reloads the whole frame triple, never a mixed artifact
+    * (codes from a rebuild must not be paired with cached pre-rebuild
+    * codebooks). The frames are lazy, so a reload costs nothing until
+    * the next probe actually scans.
     */
   final class IndexHandle(spark: SparkSession, path: String) {
     private var sig: String = null
     private var idx: IvfPqResidualIndex = null
 
-    private def codesSignature(): String = {
-      val dir = new Path(s"$path/codes")
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(dir)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(s => s"${s.getPath.getName}:${s.getLen}")
-        .sorted.mkString("\n")
+    private def signature(): String = {
+      val conf = spark.sessionState.newHadoopConf()
+      Seq("centroids", "sub_codebook", "codes").map { t =>
+        val dir = new Path(s"$path/$t")
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) s"$t:-"
+        else fs.listStatus(dir)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(s => s"$t/${s.getPath.getName}:${s.getLen}")
+          .sorted.mkString("\n")
+      }.mkString("\n")
     }
 
     def current(): IvfPqResidualIndex = synchronized {
-      val now = codesSignature()
-      if (idx == null) { idx = load(spark, path); sig = now }
-      else if (now != sig) {
-        idx = idx.copy(codes = spark.read.parquet(s"$path/codes"))
-        sig = now
-      }
+      val now = signature()
+      if (idx == null || now != sig) { idx = load(spark, path); sig = now }
       idx
     }
   }

@@ -747,6 +747,18 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(nids.contains(34L),
       "ingested vectors never surface through the handle")
+
+    // a full REBUILD replaces codebooks and codes together: the handle
+    // must serve the complete new artifact, never cached pre-rebuild
+    // codebooks paired with post-rebuild codes
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      all.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4), path)
+    val rebuilt = handle.current()
+    assert(rebuilt.codes.count() == all.size.toLong)
+    val freshCodebook = spark.read.parquet(s"$path/sub_codebook")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rebuilt.subCodebook.collect().map(_.toString).sorted.toSeq ==
+      freshCodebook, "handle served stale codebooks after a rebuild")
   }
 
   test("index build lock: stale locks are reclaimed, fresh artifacts win races") {
