@@ -253,7 +253,10 @@ class EventStreamsSpec extends AnyFunSuite {
         (r.getAs[Long]("n"), r.getAs[Long]("s"),
           r.getAs[Double]("smoothed_rate"))).toMap
 
-    EventStreams.smoothedRatesFoldCommitted(root, b1.toDF(), "user_id", succ, 0L)
+    // writerTag on every call: the fold twins run under the store's
+    // single-writer claim exactly as a production stream would
+    EventStreams.smoothedRatesFoldCommitted(root, b1.toDF(), "user_id", succ,
+      0L, writerTag = "etl-run")
 
     // crash DURING batch 1's fold: the version parquet was (partially)
     // written but the _committed marker was not — readers must ignore
@@ -264,9 +267,11 @@ class EventStreamsSpec extends AnyFunSuite {
       EventStreams.smoothedRatesPartials(spark, root), priorWeight = 20))
     assert(!preCrash.contains(99L), "uncommitted version visible to readers")
 
-    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ, 1L)
+    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ,
+      1L, writerTag = "etl-run")
     // full replay of the now-committed batch: marker-gated no-op
-    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ, 1L)
+    EventStreams.smoothedRatesFoldCommitted(root, b2.toDF(), "user_id", succ,
+      1L, writerTag = "etl-run")
     val streamed = asMap(EventStreams.smoothedRatesFromPartials(
       EventStreams.smoothedRatesPartials(spark, root), priorWeight = 20))
     val batch = asMap(graft.ops.Cohorts.smoothedRates(

@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
-"""Peak-RSS meter for individual oracle SQLs (dev tool only).
+"""Peak-RSS meter for oracle SQLs (dev tool only).
 
 Usage: oracle_rss.py <sfDir> <verifyOutDir> [names...]
+       oracle_rss.py --cumulative <sfDir> <verifyOutDir>
 
-Forks one child process per oracle SQL (fresh allocator, the
-best-case envelope the driver can see), runs it under DuckDB with the
-same 500 MB memory_limit the driver uses, and reports the child's
+Default mode forks one child process per oracle SQL (fresh allocator,
+the best-case envelope the driver can see), runs it under DuckDB with
+the same 500 MB memory_limit the driver uses, and reports the child's
 peak RSS from getrusage. Names default to every q_ann_* in
 oracle_sql.json.
+
+--cumulative is the driver-shaped WORST case: every oracle in sorted
+order through ONE process and ONE long-lived connection (allocator
+fragmentation accumulates across the loop — the r8 failure mode), and
+reports failures plus the process high-water.
 """
 import json
 import os
@@ -26,7 +32,32 @@ def run_one(sfdir, sql):
     return len(rows)
 
 
+def cumulative(sfdir, outdir):
+    import duckdb
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    con.execute("SET memory_limit='500MB'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    fails = []
+    for name in sorted(oracle):
+        try:
+            con.execute(oracle[name]).fetchall()
+        except Exception as e:
+            fails.append((name, f"{e}"[:80]))
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(f"{len(oracle)} oracles, {len(fails)} failures, "
+          f"high-water RSS {peak:.0f}MB")
+    for name, err in fails:
+        print(f"FAIL {name}: {err}")
+    sys.exit(1 if fails else 0)
+
+
 def main():
+    if sys.argv[1] == "--cumulative":
+        cumulative(sys.argv[2], sys.argv[3])
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sys.argv[3:] or sorted(n for n in oracle if n.startswith("q_ann"))
