@@ -45,6 +45,25 @@ object Bench {
       val s = xs.sorted
       s(s.size / 2)
     }
+    // Window-health sentinel: a fixed ~sub-second shuffle+agg job over
+    // generated data (no IO variance), timed at sweep start, sweep
+    // end, and immediately before every isolated re-measure. The r9
+    // driver artifact proved the failure mode this kills: a machine
+    // that degrades DURING the sweep makes end-of-sweep isolated
+    // re-measures slower than the sweep numbers they're meant to
+    // check, and the guard "confirms" pure machine weather (21 false
+    // confirms, judge re-measured all clean). Every isolated reading
+    // is now anchored to the sentinel taken next to it.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("pmod(xxhash64(id), 997) AS k", "xxhash64(id, 7) AS v")
+        .groupBy("k").agg(max("v").as("m"))
+        .agg(max("m")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // its own codegen warmup
+    val sentinelBase = median((1 to 3).map(_ => sentinelOnce()))
     // optional comma-separated subset for isolated measurements
     // (pollution bisection: a query that is fast alone but slow in the
     // full sweep is being slowed by an earlier query's session litter)
@@ -97,29 +116,54 @@ object Bench {
       base.map { case (_, qs) => BenchGuard.regressions(qs, results) }
         .getOrElse(Map.empty)
     }
+    // sweep-end sentinel: with the start reading it bounds how much
+    // the machine drifted across the sweep, independent of any flags
+    val sentinelEnd = median((1 to 3).map(_ => sentinelOnce()))
     // self-adjudication: re-measure every flagged query in isolation
-    // (fresh loop, 5-run median, same process) so the artifact itself
-    // separates sweep-order noise from real regressions — both
-    // numbers ship as [prev, sweep, isolated]
+    // (fresh loop, 5-run median, same process — NOTE the warm-session
+    // bias: the sweep already executed the query, so amortized caches
+    // like the ANN index tmpdir are hot; that biases flags toward
+    // "noise" for build-priced queries and is accepted as the lesser
+    // evil next to a cold-JVM re-measure's startup noise) so the
+    // artifact itself separates sweep-order noise from real
+    // regressions — numbers ship as [prev, sweep, isolated,
+    // sentinel_ratio] plus a verdict
     val isolatedRuns =
-      math.max(5, sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "5").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "5").toInt)
     val adjudicated = BenchGuard.adjudicate(regressions, name => {
       val fn = SparkEntry.queries(name)
       median((1 to isolatedRuns).map(_ => timeOnce(fn)))
-    })
+    }, sentinel = sentinelOnce _, sentinelBase = sentinelBase)
+    val flagVerdicts = BenchGuard.verdicts(adjudicated)
     val confirmed = BenchGuard.confirmedRegressions(adjudicated)
-    adjudicated.toSeq.sortBy(-_._2._2).foreach { case (name, (b, t, iso)) =>
-      val verdict = if (confirmed.contains(name)) "CONFIRMED" else "noise"
-      System.err.println(f"[bench] REGRESSION $name: $b%.2f -> $t%.2f s " +
-        f"(${t / b}%.1fx), isolated $iso%.2f s [$verdict]")
+    val rerunRequired = flagVerdicts.count(_._2 == "rerun_required")
+    adjudicated.toSeq.sortBy(-_._2.sweep).foreach { case (name, a) =>
+      System.err.println(f"[bench] REGRESSION $name: ${a.base}%.2f -> " +
+        f"${a.sweep}%.2f s (${a.sweep / a.base}%.1fx), isolated ${a.iso}%.2f s " +
+        f"(sentinel ${a.sentinelRatio}%.2fx) [${flagVerdicts(name)}]")
     }
+    val sentinelDrift = if (sentinelBase > 0) sentinelEnd / sentinelBase else 1.0
+    // degraded = the machine was measurably slower at sweep end or at
+    // any flag's re-measure than at sweep start; confirms taken in a
+    // degraded stretch are already downgraded to rerun_required above
+    val windowDegraded = sentinelDrift > BenchGuard.DegradedAt ||
+      adjudicated.values.exists(_.sentinelRatio > BenchGuard.DegradedAt)
+    val adjTotal = BenchGuard.adjudicatedTotal(results, adjudicated)
     val regJson = adjudicated.toSeq.sortBy(_._1)
-      .map { case (k, (b, t, iso)) => s"\"$k\":[$b,$t,$iso]" }
+      .map { case (k, a) =>
+        s"""\"$k\":[${a.base},${a.sweep},${a.iso},${a.sentinelRatio},""" +
+          s"""\"${flagVerdicts(k)}\"]"""
+      }
       .mkString("{", ",", "}")
+    val sentinelJson =
+      s""""sentinel_base":$sentinelBase,"sentinel_end":$sentinelEnd""" +
+        s""","sentinel_drift":$sentinelDrift,"window_degraded":$windowDegraded"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
         s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson""" +
-        s""","confirmed_regressions":${confirmed.size}}"""
+        s""","confirmed_regressions":${confirmed.size}""" +
+        s""","rerun_required":$rerunRequired,$sentinelJson""" +
+        s""","adjudicated_total":$adjTotal}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     // The LAST stdout line must parse from a 2000-char tail snapshot:
@@ -130,7 +174,9 @@ object Bench {
     val compactBase =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
         s""","runs":$runs,"n_queries":${results.size}""" +
-        s""","n_regressions":${confirmed.size},"full":"$outPath"""" +
+        s""","n_regressions":${confirmed.size},"rerun_required":$rerunRequired""" +
+        s""","adjudicated_total":$adjTotal,$sentinelJson""" +
+        s""","full":"$outPath"""" +
         s""","queries":"""
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
     val picked = scala.collection.mutable.ListBuffer.empty[String]

@@ -67,6 +67,31 @@ object BenchGuard {
       }
     }.toMap
 
+  /** One adjudicated flag: the previous-round baseline, the sweep
+    * median that tripped the guard, the isolated re-measure, and the
+    * window-health sentinel's slowdown ratio AT re-measure time
+    * (sentinel-now / sentinel-at-sweep-start).
+    */
+  final case class Adjudication(
+      base: Double, sweep: Double, iso: Double, sentinelRatio: Double) {
+    /** Isolated reading corrected for machine degradation: divided by
+      * the sentinel ratio when the machine ran SLOWER than at sweep
+      * start, never inflated when it ran faster — a regression must
+      * not be flattered by a lucky fast window.
+      */
+    def isoAdjusted: Double =
+      if (iso < 0) iso else iso / math.max(1.0, sentinelRatio)
+  }
+
+  /** A sentinel more than this much slower than its sweep-start
+    * baseline marks the measurement window degraded: isolated numbers
+    * taken in it cannot confirm a regression (r9's driver artifact
+    * "confirmed" 21 regressions whose isolated re-measures inherited a
+    * throttled machine — q_simjoin_exact "isolated" 30.8 s vs 1.8 s
+    * re-measured healthy).
+    */
+  val DegradedAt = 1.3
+
   /** Self-adjudication of the flagged set: every query tripping the
     * sweep guard is re-measured in isolation (fresh timing loop, more
     * runs, same process) BEFORE the artifact is written, so the
@@ -74,26 +99,78 @@ object BenchGuard {
     * regressions — four rounds running (r4/r6/r7/r8), every
     * driver-flagged "regression" re-measured clean, and each one cost
     * a manual re-litigation because the artifact only carried the
-    * noisy number. Returns (baseline, sweepTime, isolatedTime); a
-    * re-measure that throws records -1 (inspect stderr), never drops
-    * the flag.
+    * noisy number. `sentinel` is invoked immediately before each
+    * isolated re-measure and compared against `sentinelBase` (the
+    * sweep-start reading), anchoring every isolated number to the
+    * machine health at the moment it was taken — r9 proved an
+    * end-of-sweep re-measure on a degraded machine is itself garbage.
+    * A re-measure that throws records iso = -1 (inspect stderr),
+    * never drops the flag; a sentinel that throws records ratio = 1
+    * (no correction, no degraded suppression).
     */
   def adjudicate(
       flagged: Map[String, (Double, Double)],
-      remeasure: String => Double): Map[String, (Double, Double, Double)] =
+      remeasure: String => Double,
+      sentinel: () => Double = () => -1.0,
+      sentinelBase: Double = -1.0): Map[String, Adjudication] =
     flagged.map { case (name, (b, t)) =>
+      val ratio =
+        try {
+          val s = sentinel()
+          if (sentinelBase > 0 && s > 0) s / sentinelBase else 1.0
+        } catch { case _: Throwable => 1.0 }
       val iso = try remeasure(name) catch { case _: Throwable => -1.0 }
-      name -> (b, t, iso)
+      name -> Adjudication(b, t, iso, ratio)
     }
 
-  /** The flags whose ISOLATED number still trips the factor — the
-    * real regressions. A failed re-measure (-1) stays confirmed: an
-    * unverifiable flag must not silently pass.
+  /** Per-flag verdict, sentinel-anchored:
+    *
+    *  - `"CONFIRMED"` — the sentinel-adjusted isolated number still
+    *    trips the factor in a healthy window, or the re-measure failed
+    *    (an unverifiable flag must not silently pass);
+    *  - `"rerun_required"` — still trips the factor but the flag's own
+    *    window was degraded (sentinel ratio > [[DegradedAt]]): even
+    *    the adjusted number is untrustworthy, so the artifact records
+    *    "measure again on a healthy machine" instead of minting a
+    *    confirm from machine weather;
+    *  - `"noise"` — the adjusted isolated number clears the factor.
+    */
+  def verdicts(
+      adjudicated: Map[String, Adjudication],
+      factor: Double = 1.5,
+      degradedAt: Double = DegradedAt): Map[String, String] =
+    adjudicated.map { case (name, a) =>
+      val v =
+        if (a.iso < 0) "CONFIRMED"
+        else if (a.base > 0 && a.isoAdjusted > a.base * factor)
+          if (a.sentinelRatio > degradedAt) "rerun_required" else "CONFIRMED"
+        else "noise"
+      name -> v
+    }
+
+  /** The flags whose sentinel-adjusted isolated number still trips the
+    * factor in a healthy window — the real regressions.
     */
   def confirmedRegressions(
-      adjudicated: Map[String, (Double, Double, Double)],
-      factor: Double = 1.5): Map[String, (Double, Double, Double)] =
-    adjudicated.filter { case (_, (b, _, iso)) =>
-      iso < 0 || (b > 0 && iso > b * factor)
-    }
+      adjudicated: Map[String, Adjudication],
+      factor: Double = 1.5,
+      degradedAt: Double = DegradedAt): Map[String, Adjudication] = {
+    val v = verdicts(adjudicated, factor, degradedAt)
+    adjudicated.filter { case (name, _) => v(name) == "CONFIRMED" }
+  }
+
+  /** Sweep total with every flagged query's suspect sweep median
+    * replaced by its sentinel-adjusted isolated re-measure — the
+    * "adjudicated total" the artifact ships NEXT TO the raw total, so
+    * the headline number can't swing 2.2× with machine weather (r9's
+    * 481 s raw vs ~257 s healthy on identical code). Failed runs and
+    * failed re-measures keep their raw treatment (excluded / sweep
+    * number respectively).
+    */
+  def adjudicatedTotal(
+      results: Seq[(String, Double)],
+      adjudicated: Map[String, Adjudication]): Double =
+    results.filter(_._2 >= 0).map { case (name, t) =>
+      adjudicated.get(name).filter(_.iso >= 0).fold(t)(_.isoAdjusted)
+    }.sum
 }

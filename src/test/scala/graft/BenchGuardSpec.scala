@@ -103,12 +103,75 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
       case n => remeasured += n; throw new RuntimeException("boom")
     })
     remeasured.toSet shouldBe flagged.keySet // every flag re-measured
-    adj("q_noise") shouldBe ((1.0, 6.2, 1.1))
-    adj("q_real") shouldBe ((1.0, 6.0, 5.9))
-    adj("q_broken") shouldBe ((1.0, 5.0, -1.0)) // failure recorded, not dropped
+    adj("q_noise") shouldBe BenchGuard.Adjudication(1.0, 6.2, 1.1, 1.0)
+    adj("q_real") shouldBe BenchGuard.Adjudication(1.0, 6.0, 5.9, 1.0)
+    // failure recorded, not dropped
+    adj("q_broken") shouldBe BenchGuard.Adjudication(1.0, 5.0, -1.0, 1.0)
     val confirmed = BenchGuard.confirmedRegressions(adj)
     // noise cleared by its isolated number; the real regression and
     // the unverifiable one stay confirmed
     confirmed.keySet shouldBe Set("q_real", "q_broken")
+  }
+
+  test("a degraded window mints ZERO false confirms (the r9 failure mode)") {
+    // synthetic r9: the machine is running 2x slow by adjudication
+    // time. Sweep flagged a query at 3x; its isolated re-measure
+    // inherits the degradation (2.8 ≈ real 1.4 × slowdown 2.0). The
+    // old guard CONFIRMED this; the sentinel-anchored one must not.
+    val flagged = Map("q_weather" -> (1.0, 3.0))
+    val adj = BenchGuard.adjudicate(flagged,
+      _ => 2.8, sentinel = () => 2.0, sentinelBase = 1.0)
+    adj("q_weather").sentinelRatio shouldBe 2.0
+    adj("q_weather").isoAdjusted shouldBe 1.4 +- 1e-9
+    BenchGuard.verdicts(adj)("q_weather") shouldBe "noise"
+    BenchGuard.confirmedRegressions(adj) shouldBe empty
+  }
+
+  test("degraded window + still-over-threshold after adjustment => rerun_required, never CONFIRMED") {
+    // even the sentinel-adjusted number trips the factor, but the
+    // window itself was degraded: the artifact must demand a healthy
+    // re-run instead of confirming from a throttled machine
+    val adj = Map("q_maybe" -> BenchGuard.Adjudication(1.0, 6.0, 8.0, 2.0))
+    adj("q_maybe").isoAdjusted shouldBe 4.0 +- 1e-9 // still > 1.5x base
+    BenchGuard.verdicts(adj)("q_maybe") shouldBe "rerun_required"
+    BenchGuard.confirmedRegressions(adj) shouldBe empty
+  }
+
+  test("a real regression in a healthy window still confirms") {
+    val adj = BenchGuard.adjudicate(Map("q_real" -> (1.0, 6.0)),
+      _ => 5.9, sentinel = () => 1.02, sentinelBase = 1.0)
+    BenchGuard.verdicts(adj)("q_real") shouldBe "CONFIRMED"
+    BenchGuard.confirmedRegressions(adj).keySet shouldBe Set("q_real")
+  }
+
+  test("a fast window never flatters the isolated number") {
+    // machine got FASTER during adjudication (ratio 0.5): dividing by
+    // it would double the isolated reading and mint a confirm from
+    // good weather — isoAdjusted only corrects degradation
+    val a = BenchGuard.Adjudication(1.0, 2.0, 1.2, 0.5)
+    a.isoAdjusted shouldBe 1.2
+    BenchGuard.verdicts(Map("q" -> a))("q") shouldBe "noise"
+  }
+
+  test("sentinel failures degrade gracefully to an uncorrected verdict") {
+    val adj = BenchGuard.adjudicate(Map("q" -> (1.0, 6.0)),
+      _ => 5.9, sentinel = () => throw new RuntimeException("boom"),
+      sentinelBase = 1.0)
+    adj("q").sentinelRatio shouldBe 1.0
+    BenchGuard.verdicts(adj)("q") shouldBe "CONFIRMED"
+  }
+
+  test("adjudicatedTotal substitutes sentinel-adjusted isolated numbers for flags only") {
+    val results = Seq("q_a" -> 1.0, "q_flagged" -> 10.0,
+      "q_failed" -> -1.0, "q_unverifiable" -> 4.0)
+    val adj = Map(
+      // degraded-window flag: sweep 10.0, iso 4.0 at sentinel 2.0 -> 2.0
+      "q_flagged" -> BenchGuard.Adjudication(1.5, 10.0, 4.0, 2.0),
+      // failed re-measure: keeps its sweep number
+      "q_unverifiable" -> BenchGuard.Adjudication(1.0, 4.0, -1.0, 1.0))
+    // 1.0 (unflagged) + 2.0 (substituted) + 4.0 (kept); -1 excluded
+    BenchGuard.adjudicatedTotal(results, adj) shouldBe 7.0 +- 1e-9
+    // no flags: the adjudicated total IS the raw total
+    BenchGuard.adjudicatedTotal(results, Map.empty) shouldBe 15.0 +- 1e-9
   }
 }
