@@ -71,13 +71,21 @@ object AnnIndexStore {
     load(spark, path)
   }
 
-  /** How long a lock file may sit without a marker before the waiter
-    * declares its holder dead and reclaims it — generous next to the
-    * measured build cost (seconds at bench scale).
+  /** How long a lock file may sit without an mtime refresh before a
+    * waiter declares its holder dead and reclaims it. A LIVE holder
+    * refreshes the lock's mtime from a heartbeat thread every quarter
+    * of this window, so a build slower than the window is NOT
+    * reclaimed from under its live holder (the r9-advice hole: a
+    * >10-min build — plausible at the 100 TB scale this targets — got
+    * its lock stolen and two builders raced). Only a genuinely dead
+    * holder (crashed JVM, heartbeat gone) goes stale. Spec-tunable via
+    * `spark.graft.ann.lockStaleMs`.
     */
-  private val LockStaleMillis = 10 * 60 * 1000L
+  private def lockStaleMillis(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.lockStaleMs")
+      .map(_.toLong).getOrElse(10 * 60 * 1000L)
 
-  private def buildGuarded(
+  private[ops] def buildGuarded(
       spark: SparkSession,
       path: String,
       build: () => IvfPqResidualIndex): Unit = {
@@ -85,29 +93,87 @@ object AnnIndexStore {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
     val lock = new Path(p.getParent, p.getName + ".lock")
-    val deadline = System.currentTimeMillis + 2 * LockStaleMillis
+    val staleMs = lockStaleMillis(spark)
+    // ownership token written INTO the lock: every destructive step
+    // (clearing a previous half-written artifact, the finally-delete
+    // of the lock itself) first verifies the lock still carries OUR
+    // token. A reclaimed lock therefore aborts the late builder's
+    // publish instead of letting it delete the reclaimer's freshly
+    // published artifact, and the late builder's cleanup can never
+    // remove the reclaimer's lock (which would admit a third builder).
+    // (No CAS on generic filesystems: between the owns() read and the
+    // action there is a residual window, but the heartbeat makes a
+    // live holder's lock effectively unreclaimable, so entering it
+    // requires a waiter to misjudge a holder as dead INSIDE one
+    // heartbeat period.)
+    val token = java.util.UUID.randomUUID.toString
+    def lockToken(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    def owns(): Boolean = lockToken().contains(token)
+    var deadline = System.currentTimeMillis + 2 * staleMs
+    var lastMtime = -1L
     while (!isBuilt(spark, path)) {
       val acquired =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
       if (acquired) {
+        val stopHb = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val hb = new Thread(() => {
+          try while (!stopHb.get) {
+            Thread.sleep(math.max(50L, staleMs / 4))
+            if (!stopHb.get)
+              try fs.setTimes(lock, System.currentTimeMillis, -1)
+              catch { case _: java.io.IOException => () }
+          } catch { case _: InterruptedException => () }
+        }, s"graft-ann-lock-heartbeat-${p.getName}")
+        hb.setDaemon(true)
+        hb.start()
         try {
           if (!isBuilt(spark, path)) { // re-check under the lock
             val tmp = new Path(p.getParent,
               s".${p.getName}.build_${java.util.UUID.randomUUID.toString.take(8)}")
-            save(build(), tmp.toString) // marker lands inside tmp, last
-            fs.delete(p, true) // clear a half-written previous attempt
-            if (!fs.rename(tmp, p))
-              throw new java.io.IOException(s"index publish rename failed: $tmp")
+            try {
+              save(build(), tmp.toString) // marker lands inside tmp, last
+              if (!owns())
+                throw new IllegalStateException(
+                  s"index build lock $lock was reclaimed mid-build " +
+                    "(this holder was presumed dead); aborting the " +
+                    "publish to protect the reclaiming builder's artifact")
+              fs.delete(p, true) // clear a half-written previous attempt
+              if (!fs.rename(tmp, p))
+                throw new java.io.IOException(
+                  s"index publish rename failed: $tmp")
+            } finally fs.delete(tmp, true) // no-op after the rename
           }
-        } finally fs.delete(lock, false)
+        } finally {
+          stopHb.set(true)
+          hb.interrupt()
+          if (owns()) fs.delete(lock, false)
+        }
       } else {
         // another session is building: wait for its marker, reclaiming
-        // the lock when its holder died without finishing
-        val stale = try {
-          System.currentTimeMillis -
-            fs.getFileStatus(lock).getModificationTime > LockStaleMillis
-        } catch { case _: java.io.FileNotFoundException => false }
+        // the lock only when its holder's heartbeat has been silent
+        // for the full stale window (= the holder died without
+        // finishing)
+        val mtime = try fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => -1L }
+        if (mtime != lastMtime) {
+          // observed holder progress (creation or a heartbeat tick):
+          // extend our own patience — a live slow build must never be
+          // timed out on, only a wedged lock
+          lastMtime = mtime
+          deadline = System.currentTimeMillis + 2 * staleMs
+        }
+        val stale = mtime >= 0 &&
+          System.currentTimeMillis - mtime > staleMs
         if (stale) fs.delete(lock, false)
         if (System.currentTimeMillis > deadline)
           throw new IllegalStateException(
@@ -128,6 +194,19 @@ object AnnIndexStore {
     * its vectors twice — the [[graft.sink.BatchCommit]] guarantee,
     * applied to the index artifact. Probes pick up appended vectors on
     * their next [[load]].
+    *
+    * `autoCompactMaxFiles` (> 0 to enable) is the compaction TRIGGER
+    * POLICY: after the batch commits, if the codes table holds more
+    * data files than the threshold, [[compactCodes]] runs inline.
+    * This call site is exactly where the op's quiesced single-writer
+    * contract holds for free — it IS the single writer (the
+    * foreachBatch body), and no publish is in flight once the marker
+    * landed — so a year of micro-batch appends can never quietly
+    * degrade every probe behind an operator who forgot a maintenance
+    * window. The threshold trades write amplification against probe
+    * listing/open cost: each trigger rewrites the whole codes table
+    * (tiny — 12 bits/vector, never the vectors), so N micro-batches
+    * compact O(N / maxFiles) times.
     */
   def ingestVectorsBatch(
       spark: SparkSession,
@@ -137,7 +216,9 @@ object AnnIndexStore {
       vectors: DataFrame, // (nid, nv)
       dim: Int,
       m: Int = 4,
-      ksub: Int = 8): Unit = {
+      ksub: Int = 8,
+      autoCompactMaxFiles: Int = 0,
+      autoCompactTargetBytes: Long = 128L * 1024 * 1024): Unit = {
     val cp = new Path(checkpointDir)
     val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!graft.sink.BatchCommit.isCommitted(fs, cp, batchId)) {
@@ -147,6 +228,15 @@ object AnnIndexStore {
         Similarity.encodeForIndex(idx, vectors, dim, m, ksub),
         s"$indexPath/codes", runId, batchId, partitionCols = Nil)
       graft.sink.BatchCommit.markCommitted(fs, cp, batchId)
+    }
+    if (autoCompactMaxFiles > 0) {
+      val dir = new Path(s"$indexPath/codes")
+      val nFiles = fs.listStatus(dir).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      if (nFiles > autoCompactMaxFiles)
+        compactCodes(spark, indexPath, Some(checkpointDir),
+          autoCompactTargetBytes)
     }
   }
 
@@ -208,6 +298,15 @@ object AnnIndexStore {
     * scratch, so they are pure garbage) and published code files
     * whose batch marker never landed (the replay that would have
     * cleaned them re-publishes the batch in full).
+    *
+    * When `checkpointDir` is None and the codes table contains ANY
+    * batch-published files or stage dirs, this op REFUSES to run:
+    * without the checkpoint's markers it cannot tell a committed
+    * batch from a crashed publish's partial output, and compacting
+    * the latter folds its rows into the merged files while the
+    * checkpoint's replay re-publishes the batch in full — duplicating
+    * the partial subset, the exactly-once violation the marker-guarded
+    * sweep exists to prevent. Pass the ingest checkpoint.
     */
   def compactCodes(
       spark: SparkSession,
@@ -224,6 +323,22 @@ object AnnIndexStore {
         throw new java.io.IOException(s"codes compaction recovery failed: $dir")
     }
     if (!fs.exists(dir)) return
+    if (checkpointDir.isEmpty) {
+      val debris = fs.listStatus(dir).filter { s =>
+        (s.isDirectory && s.getPath.getName.startsWith(".stage_")) ||
+          (s.isFile &&
+            graft.sink.BatchCommit.isBatchPrefixed(s.getPath.getName))
+      }
+      if (debris.nonEmpty)
+        throw new IllegalStateException(
+          s"compactCodes($indexPath) without a checkpointDir, but the " +
+            s"codes table holds ${debris.length} batch-published " +
+            "file(s)/stage dir(s) (e.g. " +
+            s"${debris.head.getPath.getName}): a crashed publish's " +
+            "partial files are indistinguishable from committed " +
+            "batches without the markers, and compacting them would " +
+            "duplicate rows on replay. Pass the ingest checkpointDir.")
+    }
     fs.delete(tmp, true); fs.delete(old, true)
     checkpointDir.foreach { cp =>
       // the marker-guarded sweep of this run's crashed-publish files
@@ -284,7 +399,10 @@ object AnnIndexStore {
     val counts = corpus.agg(
       sum(when(arrivalsPredicate, 1L).otherwise(0L)).as("na"),
       count(lit(1)).as("n")).head()
-    val (na, n) = (counts.getLong(0), counts.getLong(1))
+    // sum over zero rows is NULL, not 0 — an empty corpus must read
+    // as "nothing to do", not a NullPointerException on getLong
+    val na = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val n = counts.getLong(1)
     val drifted = na > 0 && n - na > 0 && {
       val row = Embeddings
         .centroidDrift(corpus, "nv", arrivalsPredicate)

@@ -104,6 +104,18 @@ object BatchCommit {
   private[sink] def filePrefix(runId: String, batchId: Long): String =
     s"b$runId-$batchId-"
 
+  private val batchFilePat = """^b([0-9a-f]{8})-(\d+)-.*""".r
+  private val stageDirPat = """^\.stage_b([0-9a-f]{8})_(\d+)$""".r
+
+  /** Whether `name` carries a [[filePrefix]]-shaped batch prefix —
+    * i.e. it was published by [[stageAndPublish]] (runIds are 8 hex
+    * chars of a UUID). Used by maintenance ops that must refuse to
+    * fold possibly-orphaned batch files without a checkpoint to
+    * adjudicate them against.
+    */
+  def isBatchPrefixed(name: String): Boolean =
+    batchFilePat.pattern.matcher(name).matches()
+
   /** Newest committed batch marker, or -1 when none exists. */
   private def newestMarker(fs: FileSystem, checkpointDir: Path): Long = {
     val dir = new Path(checkpointDir, AppendsDirName)
@@ -149,6 +161,102 @@ object BatchCommit {
         if (scala.util.Try(bid.toLong).toOption.exists(_ > newest))
           fs.delete(s.getPath, false)
       }
+  }
+
+  /** One row of [[listOrphans]]'s report. `batch_id` is -1 for an
+    * unparseable name (never expected — the patterns mirror
+    * [[filePrefix]]/stage naming exactly).
+    */
+  final case class OrphanReportRow(
+      kind: String, // "stage_dir" | "batch_file"
+      run_id: String,
+      batch_id: Long,
+      path: String,
+      bytes: Long,
+      modified_ms: Long,
+      status: String)
+
+  /** READ-ONLY debris inventory for a batch-published file table: one
+    * row per leftover `.stage_*` directory and per batch-prefixed data
+    * file, with its runId, batchId, size, and mtime — so an operator
+    * can SEE abandoned publish debris (a crashed foreign run's stage,
+    * a partial publish awaiting replay) without running a compaction
+    * that would claim it. Nothing is deleted or created: when
+    * `checkpointDir` is given its pinned runId is only read if
+    * present (never minted), and statuses are adjudicated against its
+    * markers —
+    *
+    *  - `committed`: this checkpoint's file at or below the newest
+    *    marker (its own marker may merely have been reaped);
+    *  - `orphan_suspect`: this checkpoint's file PAST the newest
+    *    marker — a crashed publish's partial output; the checkpoint's
+    *    replay will re-clean and re-publish it;
+    *  - `stage_leftover`: a stage directory (replays re-stage from
+    *    scratch, so any surviving stage is garbage once its writer is
+    *    quiesced — check the mtime before acting);
+    *  - `unknown_run` / `unknown`: a different runId's debris, or no
+    *    checkpoint to adjudicate against — needs that run's checkpoint
+    *    (or a quiesced-table maintenance op) to claim.
+    */
+  def listOrphans(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinned: Option[String] = checkpointDir.flatMap { c =>
+      val rid = new Path(new Path(c), RunIdFileName)
+      if (!fs.exists(rid)) None
+      else {
+        val in = fs.open(rid)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    }
+    val newest: Long = checkpointDir
+      .map(c => newestMarker(fs, new Path(c))).getOrElse(-1L)
+    def statusOf(runId: String, batchId: Long, isStage: Boolean): String =
+      if (isStage) "stage_leftover"
+      else if (pinned.isEmpty) "unknown"
+      else if (!pinned.contains(runId)) "unknown_run"
+      else if (batchId > newest) "orphan_suspect"
+      else "committed"
+    def dataFilesUnder(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory)
+          // skip hidden dirs: a stage's inner files are reported via
+          // the stage row, not as individual batch files
+          if (s.getPath.getName.startsWith(".")) Nil
+          else dataFilesUnder(s.getPath)
+        else Seq(s)
+      }
+    val rows: Seq[OrphanReportRow] =
+      if (!fs.exists(root)) Nil
+      else {
+        val stages = fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_"))
+          .map { s =>
+            val (rid, bid) = s.getPath.getName match {
+              case stageDirPat(r, b) => (r, b.toLong)
+              case _ => ("", -1L)
+            }
+            OrphanReportRow("stage_dir", rid, bid, s.getPath.toString,
+              0L, s.getModificationTime, statusOf(rid, bid, isStage = true))
+          }
+        val batchFiles = dataFilesUnder(root)
+          .filter(s => isBatchPrefixed(s.getPath.getName))
+          .map { s =>
+            val (rid, bid) = s.getPath.getName match {
+              case batchFilePat(r, b) => (r, b.toLong)
+              case _ => ("", -1L)
+            }
+            OrphanReportRow("batch_file", rid, bid, s.getPath.toString,
+              s.getLen, s.getModificationTime,
+              statusOf(rid, bid, isStage = false))
+          }
+        stages ++ batchFiles
+      }
+    spark.createDataFrame(rows)
   }
 
   /** Steps 1-3 above: stage `df` under `path` (Hive-partitioned by

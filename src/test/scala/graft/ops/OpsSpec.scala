@@ -1256,4 +1256,155 @@ class OpsSpec extends AnyFunSuite {
     val keepers = out.filter(_.getAs[Long]("is_keeper") == 1L).map(_.getAs[Long]("cluster_id"))
     assert(keepers.toSet.size == keepers.length)
   }
+
+  test("build lock heartbeat: a build slower than the stale window is NOT reclaimed") {
+    // r10 advice fix: a LIVE build longer than LockStaleMillis used to
+    // get its lock stolen (the waiter judged it dead), racing two
+    // builders. The heartbeat refreshes the lock mtime every quarter
+    // window, so only a truly dead holder goes stale.
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
+    val dir = java.nio.file.Files.createTempDirectory("annhb")
+    val path = dir.resolve("ix").toString
+    spark.conf.set("spark.graft.ann.lockStaleMs", "400")
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def slowBuild() = {
+        builds.incrementAndGet()
+        Thread.sleep(1500) // > 3 stale windows under the 400ms conf
+        Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
+          nCentroids = 4)
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map(i => new Thread(
+        () => try AnnIndexStore.buildGuarded(spark, path, () => slowBuild())
+        catch { case t: Throwable => errs.add(t) },
+        s"hb-racer-$i"))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"racing builder failed: ${errs.peek()}")
+      assert(builds.get == 1,
+        s"lock reclaimed from a live slow holder: ${builds.get} builders ran")
+      assert(AnnIndexStore.isBuilt(spark, path))
+      assert(!new java.io.File(dir.toFile, "ix.lock").exists,
+        "winner did not release its lock")
+    } finally spark.conf.unset("spark.graft.ann.lockStaleMs")
+  }
+
+  test("a builder whose lock was reclaimed aborts; artifact and foreign lock survive") {
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
+    val dir = java.nio.file.Files.createTempDirectory("annown")
+    val path = dir.resolve("ix").toString
+    val lock = new java.io.File(dir.toFile, "ix.lock")
+    def sabotagedBuild() = {
+      // simulate a mid-build reclaim: a waiter deleted our lock and
+      // wrote its own token into a fresh one
+      assert(lock.delete())
+      java.nio.file.Files.writeString(lock.toPath, "foreign-token")
+      Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
+        nCentroids = 4)
+    }
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.buildGuarded(spark, path, () => sabotagedBuild())
+    }
+    assert(e.getMessage.contains("reclaimed"))
+    // the late builder must not have deleted the reclaimer's lock
+    // (that would admit a third builder) nor published over it
+    assert(java.nio.file.Files.readString(lock.toPath) == "foreign-token",
+      "aborting builder deleted the reclaimer's lock")
+    assert(!AnnIndexStore.isBuilt(spark, path),
+      "aborting builder published its artifact anyway")
+    assert(!dir.toFile.listFiles.exists(_.getName.startsWith(".ix.build_")),
+      "aborting builder leaked its staging dir")
+  }
+
+  test("ingest auto-compaction: trigger fires past the file threshold; rows and ranks unchanged") {
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
+    val dir = java.nio.file.Files.createTempDirectory("annauto")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4),
+      path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    def nDataFiles = fs.listStatus(codesDir).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val initialFiles = nDataFiles // the base build may write several parts
+    var maxSeen = 0
+    var compactions = 0
+    var prevFiles = initialFiles
+    arrivalRows.zipWithIndex.foreach { case (row, i) =>
+      AnnIndexStore.ingestVectorsBatch(spark, path, cp, i.toLong,
+        Seq(row).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+        autoCompactMaxFiles = 3, autoCompactTargetBytes = 1L << 40)
+      val now = nDataFiles
+      maxSeen = math.max(maxSeen, now)
+      if (now < prevFiles) compactions += 1
+      prevFiles = now
+    }
+    assert(compactions >= 1, "auto-compaction never fired")
+    // the policy bounds fragmentation: momentarily the table holds at
+    // most max(initial, threshold)+1 files (the +1 is the batch that
+    // trips the trigger), then a compaction collapses it — unbounded
+    // growth is impossible
+    assert(maxSeen <= math.max(initialFiles, 3) + 1,
+      s"file count escaped the trigger policy: $maxSeen")
+    // exactly-once and ranking invariants survive the inline compactions
+    val grown = AnnIndexStore.load(spark, path)
+    assert(grown.codes.count() == all.size.toLong)
+    val reference = Similarity.appendToIndex(
+      grown.copy(codes = grown.codes.filter($"nid" < 30L)),
+      arrivalRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(Similarity.ivfPqResidualProbe(q, grown, k = 3, dim = 8,
+      m = 2, ksub = 4, nProbe = 4)) ==
+      rows(Similarity.ivfPqResidualProbe(q, reference, k = 3, dim = 8,
+        m = 2, ksub = 4, nProbe = 4)))
+  }
+
+  test("compactCodes without a checkpoint refuses batch-published debris") {
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val all = (0L until 24L).map(i => (i, mk(i)))
+    val dir = java.nio.file.Files.createTempDirectory("annrefuse")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      all.take(20).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4), path)
+    // a plain built index (no batch files) may compact checkpoint-less
+    AnnIndexStore.compactCodes(spark, path, None, targetBytes = 1L << 40)
+    // after an ingest, batch-prefixed files exist: without the
+    // checkpoint's markers a crashed publish's partial files are
+    // indistinguishable from committed batches — must refuse
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 0L,
+      all.drop(20).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.compactCodes(spark, path, None, targetBytes = 1L << 40)
+    }
+    assert(e.getMessage.contains("checkpointDir"))
+    // with the checkpoint it proceeds
+    AnnIndexStore.compactCodes(spark, path, Some(cp), targetBytes = 1L << 40)
+    assert(AnnIndexStore.load(spark, path).codes.count() == all.size.toLong)
+  }
+
+  test("rebuildIfDrifted on an empty corpus is a no-op, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("anndriftempty")
+    val path = dir.resolve("ix").toString
+    val empty = Seq.empty[(Long, Array[Float])].toDF("nid", "nv")
+    // sum(when(...)) over zero rows is NULL; the guard must read it
+    // as "no arrivals" per the scaladoc contract
+    assert(!AnnIndexStore.rebuildIfDrifted(spark, path, empty,
+      $"nid" >= 0L, dim = 8, minCos = 0.9, m = 2, ksub = 4, nCentroids = 4))
+    assert(!AnnIndexStore.isBuilt(spark, path))
+  }
 }
