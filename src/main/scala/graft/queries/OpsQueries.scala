@@ -28,6 +28,24 @@ object OpsQueries {
     */
   val AnnRecallSettings: Seq[(Int, Int)] = Seq((6, 1), (8, 0), (8, 1))
 
+  /** Materialize a (small — top-k × queries rows) result off its
+    * temp-directory inputs and delete the directory: bench medians
+    * (3+ runs) plus adjudication re-runs of the index-lifecycle
+    * queries would otherwise accumulate one full index copy per
+    * invocation across a sweep. `localCheckpoint` is the documented
+    * bounded hand-off here — it pins the k×10 result rows in the
+    * block manager so the returned frame no longer reads the files
+    * being deleted.
+    */
+  private def materializeAndDelete(
+      df: DataFrame, dir: java.nio.file.Path): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(dir.toString)
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(p, true)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactByContentHash(Tables.documents(s, d), "doc_id", "text")),
@@ -395,10 +413,57 @@ object OpsQueries {
       AnnIndexStore.ingestVectorsBatch(s, path, cp, 1L, b2, dim = 64)
       AnnIndexStore.ingestVectorsBatch(s, path, cp, 1L, b2, dim = 64) // replay
       AnnIndexStore.compactCodes(s, path, Some(cp))
-      Similarity.ivfPqResidualProbe(
+      materializeAndDelete(Similarity.ivfPqResidualProbe(
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        handle.current(), k = 5, dim = 64)
+        handle.current(), k = 5, dim = 64), dir)
+    }),
+
+    // The STALENESS arc of the index lifecycle, driver-graded: the
+    // base-split index absorbs the arrival cohort through one
+    // exactly-once micro-batch, the drift trigger fires (on this
+    // corpus the arrival cohort's quantized mean sits nowhere near
+    // the base mean — exact-integer cosine ≪ 0.98 — so the trigger
+    // path is deterministic), and the lock-guarded atomic rebuild
+    // re-trains codebooks and re-encodes the FULL corpus in place.
+    // The probe runs through the same IndexHandle that served the
+    // pre-rebuild artifact — it must pick up all three replaced
+    // tables together, never a mixed artifact. Post-rebuild ranks
+    // are hash-pinned to the full-corpus fused oracle
+    // (ivfPqResidualSql): a rebuild IS a fresh full build, so this
+    // row shares q_ann_ivfpq_res's oracle while pricing the
+    // ingest→detect→rebuild→probe arc end to end (deliberately
+    // rebuild-priced, like q_ann_index_append is build-priced; the
+    // amortized twin stays q_ann_ivfpq_probe).
+    "q_ann_drift_rebuild" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val arrivals = e.filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val corpus = e.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"))
+      val basePath = AnnIndexStore.cachePathFor(
+        s"$d/embeddings.parquet", 64, 4, 8, 16, variant = "base80")
+      AnnIndexStore.ensureIvfPqResidual(s, basePath, base, dim = 64)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q_drift")
+      val path = dir.resolve("ix").toString
+      val cp = dir.resolve("cp").toString
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
+      val handle = AnnIndexStore.openHandle(s, path)
+      handle.current() // pre-rebuild load: the reload must fire below
+      AnnIndexStore.ingestVectorsBatch(s, path, cp, 0L, arrivals, dim = 64)
+      val rebuilt = AnnIndexStore.rebuildIfDrifted(s, path, corpus,
+        col("nid") % 10 >= 8, dim = 64, minCos = 0.98)
+      require(rebuilt, "the arrival cohort must trigger the drift rebuild")
+      materializeAndDelete(Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        handle.current(), k = 5, dim = 64), dir)
     }),
 
     // The 8-bit PQ operating point: ksub=256 sub-codebooks at m=4
@@ -2663,6 +2728,9 @@ object OpsQueries {
     // row shares the append twin verbatim
     "q_ann_ingest_compact_probe" ->
       ivfPqResidualSqlGen("vec_id % 10 < 8", "r.nid % 10 < 8"),
+    // a drift rebuild re-trains on the FULL corpus: the post-rebuild
+    // probe is hash-identical to the fused full-corpus build+probe
+    "q_ann_drift_rebuild" -> ivfPqResidualSql,
     "q_ann_ivfpq_res_recall" ->
       s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqResidualSql)
           SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,

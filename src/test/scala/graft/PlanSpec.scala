@@ -415,6 +415,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_index_append", // frozen-codebook encode + the same probe
       "q_ann_ingest_compact_probe", // staged-ingest + compaction, then
       // the identical loaded-artifact probe broadcasts
+      "q_ann_drift_rebuild", // ingest + drift-triggered rebuild, then
+      // the identical loaded-artifact probe broadcasts
       "q_ann_path_pick", // 6-row curve × 5-target cross + the per-path
       // recall machinery above
       "q_ann_pq", "q_ann_pq8", "q_ann_pq8_recall",
@@ -475,6 +477,9 @@ class PlanSpec extends AnyFunSuite {
       // per-query top-k windows, same shape as the fused row
       "q_ann_ingest_compact_probe", // the same probe plan over the
       // ingested-then-compacted artifact
+      "q_ann_drift_rebuild", // the same probe plan over the rebuilt
+      // artifact (per-query top-k windows, frame bounded by nProbe
+      // buckets × codes-per-bucket candidates per query)
       "q_ann_path_pick", // per-target rank over the ≤6-row curve
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",
