@@ -176,9 +176,16 @@ object ScaleBench {
         idx, k = 5, dim = 64)
     }))
 
+  /** The cheapest heavy ops — the ones a second measured decade
+    * (x100) is affordable for; one more point on the slope turns
+    * "linear at 10×" into "linear across two decades".
+    */
+  val secondDecadeOps: Set[String] = Set("minhash_pairs", "pagerank", "ann_probe")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/root/scaledata/x10")
+    val huge = args.lift(2) // optional x100 dir → second slope decade
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -197,19 +204,45 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // the Bench window-health sentinel, applied to the slope table
+    // too: the r9 triangles reading (4.46x in-sweep vs 2.53x isolated)
+    // showed slopes inherit window degradation — each op row now
+    // carries the machine-health ratio at its measurement time so a
+    // ratio taken in a degraded stretch is legible as such
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("pmod(xxhash64(id), 997) AS k", "xxhash64(id, 7) AS v")
+        .groupBy("k").agg(max("v").as("m"))
+        .agg(max("m")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // codegen warmup
+    val sentinelBase = median((1 to 3).map(_ => sentinelOnce()))
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val rows = ops.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+        val sent = sentinelOnce() / sentinelBase
         val t1 = median((1 to runs).map(_ => timeOnce(fn, base)))
         val t10 = median((1 to runs).map(_ => timeOnce(fn, big)))
         val r = t10 / t1
-        println(f"""{"op":"$name","t1":$t1%.2f,"t10":$t10%.2f,"ratio":$r%.2f}""")
-        (name, t1, t10, r)
+        // the x100 decade: only the cheapest heavy ops, and the ratio
+        // that matters is t100/t10 (another 10× step) — ≤ ~linear in
+        // the second decade is the 100 TB evidence the x10 row alone
+        // can't give
+        val t100 = huge.filter(_ => secondDecadeOps.contains(name))
+          .map(h => median((1 to runs).map(_ => timeOnce(fn, h))))
+        val x100Json = t100.map(t =>
+          f""","t100":$t%.2f,"ratio100":${t / t10}%.2f""").getOrElse("")
+        println(f"""{"op":"$name","t1":$t1%.2f,"t10":$t10%.2f,""" +
+          f""""ratio":$r%.2f,"sentinel":$sent%.2f$x100Json}""")
+        (name, t1, t10, r, t100)
       }
-    val table = rows.map { case (n, t1, t10, r) =>
-      f"| $n | $t1%.2f | $t10%.2f | $r%.1f× |"
+    val table = rows.map { case (n, t1, t10, r, t100) =>
+      val tail = t100.map(t => f" $t%.2f | ${t / t10}%.1f× |").getOrElse("")
+      f"| $n | $t1%.2f | $t10%.2f | $r%.1f× |$tail"
     }.mkString("\n")
     println(table)
 
@@ -295,7 +328,13 @@ object ScaleBench {
     val probeCompacted = median((1 to 3).map(_ => probeOnce()))
     require(handle.current().codes.count() == expected,
       "compaction changed the code row count")
+    val filesAfter = nFiles
+    // every measurement is done — reclaim the per-run index copy so
+    // repeated steady-state runs don't accumulate tmp disk
+    val rootP = new org.apache.hadoop.fs.Path(dir.toString)
+    rootP.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(rootP, true)
     SteadyState(median(ingests), median(probes), filesFrag,
-      compactSec, nFiles, probeCompacted)
+      compactSec, filesAfter, probeCompacted)
   }
 }

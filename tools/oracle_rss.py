@@ -2,7 +2,13 @@
 """Peak-RSS meter for oracle SQLs (dev tool only).
 
 Usage: oracle_rss.py <sfDir> <verifyOutDir> [names...]
-       oracle_rss.py --cumulative <sfDir> <verifyOutDir>
+       oracle_rss.py --cumulative <sfDir> <verifyOutDir> [budgetMB]
+
+With budgetMB (default 900), cumulative mode also FAILS when the
+suite high-water exceeds the budget — the per-round regression gate
+that keeps the r8 OOM class from silently returning as the query
+surface grows (r9 measured 789 MB for 330 oracles under the 500 MB
+DuckDB internal cap; the budget leaves fragmentation margin).
 
 Default mode forks one child process per oracle SQL (fresh allocator,
 the best-case envelope the driver can see), runs it under DuckDB with
@@ -32,7 +38,7 @@ def run_one(sfdir, sql):
     return len(rows)
 
 
-def cumulative(sfdir, outdir):
+def cumulative(sfdir, outdir, budget_mb=900.0):
     import duckdb
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
@@ -47,16 +53,19 @@ def cumulative(sfdir, outdir):
         except Exception as e:
             fails.append((name, f"{e}"[:80]))
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    over = peak > budget_mb
     print(f"{len(oracle)} oracles, {len(fails)} failures, "
-          f"high-water RSS {peak:.0f}MB")
+          f"high-water RSS {peak:.0f}MB (budget {budget_mb:.0f}MB"
+          f"{' EXCEEDED' if over else ''})")
     for name, err in fails:
         print(f"FAIL {name}: {err}")
-    sys.exit(1 if fails else 0)
+    sys.exit(1 if fails or over else 0)
 
 
 def main():
     if sys.argv[1] == "--cumulative":
-        cumulative(sys.argv[2], sys.argv[3])
+        budget = float(sys.argv[4]) if len(sys.argv) > 4 else 900.0
+        cumulative(sys.argv[2], sys.argv[3], budget)
         return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
