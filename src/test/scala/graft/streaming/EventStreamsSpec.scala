@@ -1399,4 +1399,81 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("self-maintaining streaming ANN index: ingest + auto-compact + drift rebuild, batch-equal") {
+    // The full index lifecycle running UNATTENDED inside one
+    // foreachBatch body: exactly-once ingest with the r10 compaction
+    // trigger policy (no operator-run maintenance window), plus the
+    // drift check after every batch — stable cohorts never rebuild,
+    // the drifted cohort does, and the post-stream probe through an
+    // IndexHandle equals the fused full-corpus build+probe exactly.
+    import graft.ops.{AnnIndexStore, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val baseRows = (0L until 24L).map(i => (i, mk(i, (i % 4).toInt)))
+    // four same-distribution micro-batches, then the drifted cohort
+    // (concentrated on a direction the base never uses)
+    val stable = (30L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val drifted = (40L until 52L).map(i =>
+      (i, Array.tabulate(8)(d => if (d >= 6) 5.0f else 0.01f)))
+    val batches: Seq[Seq[(Long, Array[Float])]] =
+      stable.grouped(2).toSeq :+ drifted
+    val dir = java.nio.file.Files.createTempDirectory("annstreamlife")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4), path)
+    val handle = AnnIndexStore.openHandle(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def nCodeFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/codes")).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    var corpusRows = baseRows
+    var rebuilds = 0
+    val fileCounts = scala.collection.mutable.ListBuffer.empty[Int]
+    val input = MemoryStream[SpecVec]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SpecVec],
+          bid: Long) =>
+        val arr = batch.collect().map(v => (v.vec_id, v.v)).toSeq
+        AnnIndexStore.ingestVectorsBatch(spark, path, cp, bid,
+          arr.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+          autoCompactMaxFiles = 2, autoCompactTargetBytes = 1L << 40)
+        fileCounts += nCodeFiles
+        corpusRows = corpusRows ++ arr
+        if (AnnIndexStore.rebuildIfDrifted(spark, path,
+          corpusRows.toDF("nid", "nv"), $"nid" >= 40L, dim = 8,
+          minCos = 0.9, m = 2, ksub = 4, nCentroids = 4)) rebuilds += 1
+      }.start()
+    try {
+      for (b <- batches) {
+        input.addData(b.map { case (i, v) => SpecVec(i, v) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stable batches never rebuilt; the drifted one did, once
+    assert(rebuilds == 1, s"expected exactly one drift rebuild, got $rebuilds")
+    // the trigger policy kept fragmentation bounded the whole run
+    assert(fileCounts.max <= 3,
+      s"auto-compaction let the codes table fragment: $fileCounts")
+    // the handle serves the post-rebuild artifact: every corpus row
+    // encoded, and probe ranks EQUAL the fused full-corpus build+probe
+    val idx = handle.current()
+    assert(idx.codes.count() == corpusRows.size.toLong)
+    val probeQ = Seq((998L, drifted.head._2), (999L, mk(5, 1)))
+      .toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamedRanks = rows(Similarity.ivfPqResidualProbe(probeQ, idx,
+      k = 3, dim = 8, m = 2, ksub = 4, nProbe = 4))
+    val fusedRanks = rows(Similarity.ivfPqResidualTopK(probeQ,
+      corpusRows.toDF("nid", "nv"), k = 3, dim = 8, m = 2, ksub = 4,
+      nCentroids = 4, nProbe = 4))
+    assert(streamedRanks == fusedRanks,
+      "post-rebuild streamed index diverged from the fused full-corpus path")
+  }
 }
