@@ -105,8 +105,8 @@ object Bench {
           .orElse {
             val names = Option(new java.io.File(".").listFiles())
               .getOrElse(Array.empty).map(_.getName).toSeq
-            BenchGuard.pickBaseline(
-              names, p => Files.readString(Paths.get(p)), selfQueries)
+            BenchGuard.chooseBaseline(outPath, selfQueries,
+              names, p => Files.readString(Paths.get(p)))
           }
       base.foreach { case (p, qs) =>
         System.err.println(s"[bench] baseline: $p (${qs.size} queries)")

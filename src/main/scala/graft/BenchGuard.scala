@@ -52,6 +52,26 @@ object BenchGuard {
       .map { case (_, f) => f -> parseQueryTimes(read(f)) }
       .find { case (_, qs) => qs.nonEmpty && (selfQueries.isEmpty || qs != selfQueries) }
 
+  /** Baseline precedence. The bench's own previous output file — the
+    * committed full per-query map of the LAST sweep — beats the
+    * driver's `BENCH_r*.json` wrappers: those embed only the tail of
+    * the sbt stdout, which truncates the sweep map from the FRONT, so
+    * a 331-query surface leaves only ~50 queries guarded (the r10
+    * audit: 280 queries had no round-over-round guard at all). At
+    * read time `bench_out.json` always holds the PREVIOUS run's
+    * numbers (this run overwrites it only after the guard), so it is
+    * a real prior measurement, never a self-comparison. Driver
+    * wrappers remain the fallback for a fresh checkout with no
+    * committed sweep.
+    */
+  def chooseBaseline(
+      selfPath: String,
+      selfQueries: Map[String, Double],
+      fileNames: Seq[String],
+      read: String => String): Option[(String, Map[String, Double])] =
+    if (selfQueries.nonEmpty) Some(selfPath -> selfQueries)
+    else pickBaseline(fileNames, read, selfQueries)
+
   /** Queries that got more than `factor` slower vs the baseline.
     * Failed runs (-1 on either side) and queries new this round are
     * skipped.

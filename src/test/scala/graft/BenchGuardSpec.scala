@@ -80,6 +80,20 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     picked.map(_._1) shouldBe Some("BENCH_r9.json")
   }
 
+  test("the committed full sweep beats driver tails as baseline; tails remain the fallback") {
+    // driver BENCH_r*.json wrappers hold only the stdout TAIL — ~50 of
+    // 331 queries survive; the committed bench_out.json is the full
+    // map of the same sweep, so it guards the whole surface
+    val self = Map("q_a" -> 2.0, "q_b" -> 1.0)
+    val files = Seq("BENCH_r9.json")
+    val read = (_: String) => """{"q_a":2.5}"""
+    BenchGuard.chooseBaseline("bench_out.json", self, files, read) shouldBe
+      Some("bench_out.json" -> self)
+    // fresh checkout: no committed sweep -> driver artifact fallback
+    BenchGuard.chooseBaseline("bench_out.json", Map.empty, files, read)
+      .map(_._1) shouldBe Some("BENCH_r9.json")
+  }
+
   test("baseline pick skips artifacts that parse to zero queries") {
     val files = Seq("BENCH_r9.json", "BENCH_r10.json")
     val bodies = Map(
