@@ -224,7 +224,10 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSet)
     val rows = ops.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val sent = sentinelOnce() / sentinelBase
+        // median of 3: a single reading taken right after a heavy op
+        // inherits that op's async cleanup (the bisected sweep-noise
+        // mechanism) and would smear the very signal it anchors
+        val sent = median((1 to 3).map(_ => sentinelOnce())) / sentinelBase
         val t1 = median((1 to runs).map(_ => timeOnce(fn, base)))
         val t10 = median((1 to runs).map(_ => timeOnce(fn, big)))
         val r = t10 / t1
