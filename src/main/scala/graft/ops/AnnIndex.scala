@@ -381,6 +381,17 @@ object AnnIndexStore {
     * the index is rebuilt in place through the same lock-guarded
     * atomic publish as [[ensureIvfPqResidual]]. Returns true when a
     * rebuild happened. No arrivals (or no base rows) → no rebuild.
+    *
+    * MAINTENANCE CONTRACT: a rebuild replaces all three tables under
+    * any concurrent reader, and the publish is delete-then-rename, so
+    * run it from the single writer with probes quiesced (the
+    * [[compactCodes]] contract). [[IndexHandle.current]] retries
+    * across the sub-second publish gap, so a probe LOOP interleaved
+    * with maintenance recovers; only a probe whose lazy scan is
+    * already in flight mid-rebuild can fail and must retry itself.
+    * `corpus` must be the FULL current corpus (base plus every
+    * committed arrival): the rebuilt artifact replaces the ingested
+    * codes wholesale.
     */
   def rebuildIfDrifted(
       spark: SparkSession,
@@ -431,8 +442,21 @@ object AnnIndexStore {
     * (codes from a rebuild must not be paired with cached pre-rebuild
     * codebooks). The frames are lazy, so a reload costs nothing until
     * the next probe actually scans.
+    *
+    * Rebuild race: [[buildGuarded]]'s publish is delete-then-rename,
+    * so there is a sub-second window in which the artifact directory
+    * is absent. A [[current]] that lands inside it retries with
+    * backoff for up to `reloadWaitMs` before giving up — enough to
+    * ride out the rename. (A probe whose LAZY frames are still being
+    * scanned when a rebuild deletes the old files can still fail its
+    * in-flight job: a rebuild replaces data under any reader, which
+    * is why [[rebuildIfDrifted]] documents the quiesced-probe
+    * maintenance contract; the retry covers the handle's own
+    * reload, the common case for a probe loop interleaved with
+    * maintenance.)
     */
-  final class IndexHandle(spark: SparkSession, path: String) {
+  final class IndexHandle(
+      spark: SparkSession, path: String, reloadWaitMs: Long = 3000L) {
     private var sig: String = null
     private var idx: IvfPqResidualIndex = null
 
@@ -451,8 +475,24 @@ object AnnIndexStore {
     }
 
     def current(): IvfPqResidualIndex = synchronized {
-      val now = signature()
-      if (idx == null || now != sig) { idx = load(spark, path); sig = now }
+      val deadline = System.currentTimeMillis + reloadWaitMs
+      var now = signature()
+      if (idx == null || now != sig) {
+        var loaded: IvfPqResidualIndex = null
+        while (loaded == null) {
+          try {
+            loaded = load(spark, path)
+          } catch {
+            case _: Throwable if System.currentTimeMillis < deadline =>
+              // mid-publish gap (rebuild's delete->rename): back off,
+              // re-list, retry against the post-publish state
+              Thread.sleep(100)
+              now = signature()
+          }
+        }
+        idx = loaded
+        sig = now
+      }
       idx
     }
   }

@@ -1397,6 +1397,34 @@ class OpsSpec extends AnyFunSuite {
     assert(AnnIndexStore.load(spark, path).codes.count() == all.size.toLong)
   }
 
+  test("IndexHandle rides out a rebuild's publish gap, bounded") {
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
+    val dir = java.nio.file.Files.createTempDirectory("anngap")
+    val path = dir.resolve("ix").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      c, dim = 8, m = 2, ksub = 4, nCentroids = 4), path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val gone = new org.apache.hadoop.fs.Path(path + ".gone")
+    // simulate buildGuarded's delete->rename window: the artifact is
+    // absent when the handle first loads, restored ~0.5 s later
+    assert(fs.rename(p, gone))
+    val restorer = new Thread(() => { Thread.sleep(500); fs.rename(gone, p): Unit })
+    restorer.start()
+    val handle = AnnIndexStore.openHandle(spark, path)
+    assert(handle.current().codes.count() == 24L,
+      "handle did not recover across the publish gap")
+    restorer.join()
+    // bounded: a permanently missing artifact still fails, after the
+    // configured wait — a wedged rebuild must not hang probes forever
+    assert(fs.rename(p, gone))
+    val impatient = new AnnIndexStore.IndexHandle(spark, path, reloadWaitMs = 300L)
+    intercept[Throwable] { impatient.current() }
+    assert(fs.rename(gone, p)) // restore for any later test using tmp
+  }
+
   test("rebuildIfDrifted on an empty corpus is a no-op, not an NPE") {
     val dir = java.nio.file.Files.createTempDirectory("anndriftempty")
     val path = dir.resolve("ix").toString
