@@ -12,11 +12,38 @@ import org.apache.spark.sql.functions.{col, max, struct, xxhash64}
   * file is the machine-readable copy.
   */
 object Bench {
+
+  /** The window-health sentinel job — ONE definition shared by Bench
+    * and ScaleBench, because the job IS the cross-harness
+    * comparability contract: tune one copy's range or partitioning and
+    * the two mains' sentinel ratios silently stop meaning the same
+    * thing. A fixed ~sub-second generated-data shuffle+agg: no IO
+    * variance, exercises task scheduling + codegen + one exchange.
+    * (Lives in this CLI main, not BenchGuard: it collects, and library
+    * code never collects — StyleSpec-gated.)
+    */
+  def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 20000000L, 1, 32)
+      .selectExpr("pmod(xxhash64(id), 997) AS k", "xxhash64(id, 7) AS v")
+      .groupBy("k").agg(max("v").as("m"))
+      .agg(max("m")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // a BENCH_ONLY subset run must not overwrite the committed full
+    // sweep: bench_out.json doubles as the next run's regression
+    // baseline (chooseBaseline), and a 1-query bisection run would
+    // strip the guard from the other 330 queries. Subset runs default
+    // to a sibling file; an explicit SPARK_GRAFT_BENCH_OUT still wins.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_out.subset.json"
+      else "bench_out.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
@@ -41,27 +68,17 @@ object Bench {
         .agg(max("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      s(s.size / 2)
-    }
-    // Window-health sentinel: a fixed ~sub-second shuffle+agg job over
-    // generated data (no IO variance), timed at sweep start, sweep
-    // end, and immediately before every isolated re-measure. The r9
-    // driver artifact proved the failure mode this kills: a machine
-    // that degrades DURING the sweep makes end-of-sweep isolated
+    def median(xs: Seq[Double]): Double = BenchGuard.median(xs)
+    // Window-health sentinel (Bench.sentinelOnce — one definition
+    // shared with ScaleBench), timed at sweep start, sweep end, and
+    // immediately before every isolated re-measure. The r9 driver
+    // artifact proved the failure mode this kills: a machine that
+    // degrades DURING the sweep makes end-of-sweep isolated
     // re-measures slower than the sweep numbers they're meant to
     // check, and the guard "confirms" pure machine weather (21 false
     // confirms, judge re-measured all clean). Every isolated reading
     // is now anchored to the sentinel taken next to it.
-    def sentinelOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 32)
-        .selectExpr("pmod(xxhash64(id), 997) AS k", "xxhash64(id, 7) AS v")
-        .groupBy("k").agg(max("v").as("m"))
-        .agg(max("m")).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def sentinelOnce(): Double = Bench.sentinelOnce(spark)
     sentinelOnce() // its own codegen warmup
     val sentinelBase = median((1 to 3).map(_ => sentinelOnce()))
     // optional comma-separated subset for isolated measurements
@@ -106,7 +123,8 @@ object Bench {
             val names = Option(new java.io.File(".").listFiles())
               .getOrElse(Array.empty).map(_.getName).toSeq
             BenchGuard.chooseBaseline(outPath, selfQueries,
-              names, p => Files.readString(Paths.get(p)))
+              names, p => Files.readString(Paths.get(p)),
+              minCoverage = results.size / 2)
           }
       base.foreach { case (p, qs) =>
         System.err.println(s"[bench] baseline: $p (${qs.size} queries)")

@@ -15,6 +15,8 @@ object BenchGuard {
   private val entry = """"(q_\w+)"\s*:\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)""".r
   private val roundPat = """BENCH_r(\d+)\.json""".r
 
+  def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   /** Per-query seconds from any artifact shape: the raw one-line
     * `bench_out.json`, or a driver wrapper whose `"tail"` string holds
     * the same line JSON-escaped. Later duplicates win (the tail can
@@ -62,14 +64,19 @@ object BenchGuard {
     * numbers (this run overwrites it only after the guard), so it is
     * a real prior measurement, never a self-comparison. Driver
     * wrappers remain the fallback for a fresh checkout with no
-    * committed sweep.
+    * committed sweep — and for a self file that covers less than
+    * `minCoverage` queries (a stray subset artifact must not strip
+    * the guard from the rest of the surface; Bench passes half the
+    * current run's query count).
     */
   def chooseBaseline(
       selfPath: String,
       selfQueries: Map[String, Double],
       fileNames: Seq[String],
-      read: String => String): Option[(String, Map[String, Double])] =
-    if (selfQueries.nonEmpty) Some(selfPath -> selfQueries)
+      read: String => String,
+      minCoverage: Int = 1): Option[(String, Map[String, Double])] =
+    if (selfQueries.size >= math.max(1, minCoverage))
+      Some(selfPath -> selfQueries)
     else pickBaseline(fileNames, read, selfQueries)
 
   /** Queries that got more than `factor` slower vs the baseline.

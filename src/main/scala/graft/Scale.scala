@@ -203,20 +203,15 @@ object ScaleBench {
         .agg(max("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    // the Bench window-health sentinel, applied to the slope table
-    // too: the r9 triangles reading (4.46x in-sweep vs 2.53x isolated)
-    // showed slopes inherit window degradation — each op row now
-    // carries the machine-health ratio at its measurement time so a
-    // ratio taken in a degraded stretch is legible as such
-    def sentinelOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 32)
-        .selectExpr("pmod(xxhash64(id), 997) AS k", "xxhash64(id, 7) AS v")
-        .groupBy("k").agg(max("v").as("m"))
-        .agg(max("m")).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def median(xs: Seq[Double]): Double = BenchGuard.median(xs)
+    // the Bench window-health sentinel (Bench.sentinelOnce — one
+    // shared definition, or the two harnesses' ratios stop being
+    // comparable), applied to the slope table too: the r9 triangles
+    // reading (4.46x in-sweep vs 2.53x isolated) showed slopes inherit
+    // window degradation — each op row carries the machine-health
+    // ratio at its measurement time so a ratio taken in a degraded
+    // stretch is legible as such
+    def sentinelOnce(): Double = Bench.sentinelOnce(spark)
     sentinelOnce() // codegen warmup
     val sentinelBase = median((1 to 3).map(_ => sentinelOnce()))
 
@@ -243,8 +238,13 @@ object ScaleBench {
           f""""ratio":$r%.2f,"sentinel":$sent%.2f$x100Json}""")
         (name, t1, t10, r, t100)
       }
+    // constant arity: ops without an x100 measurement pad the two
+    // second-decade cells so the Markdown table stays well-formed
     val table = rows.map { case (n, t1, t10, r, t100) =>
-      val tail = t100.map(t => f" $t%.2f | ${t / t10}%.1f× |").getOrElse("")
+      val tail =
+        if (huge.isEmpty) ""
+        else t100.map(t => f" $t%.2f | ${t / t10}%.1f× |")
+          .getOrElse(" - | - |")
       f"| $n | $t1%.2f | $t10%.2f | $r%.1f× |$tail"
     }.mkString("\n")
     println(table)
@@ -298,7 +298,7 @@ object ScaleBench {
         .agg(max("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def median(xs: Seq[Double]): Double = graft.BenchGuard.median(xs)
     var ingests = List.empty[Double]
     var probes = List.empty[Double]
     var expected = nBase

@@ -21,7 +21,7 @@ import Similarity.IvfPqResidualIndex
   * to the fused build+probe path — which is exactly what lets the
   * graded probe query share the fused query's oracle.
   */
-object AnnIndexStore {
+object AnnIndexStore extends org.apache.spark.internal.Logging {
 
   private val Marker = "_built"
 
@@ -107,13 +107,31 @@ object AnnIndexStore {
     // requires a waiter to misjudge a holder as dead INSIDE one
     // heartbeat period.)
     val token = java.util.UUID.randomUUID.toString
-    def lockToken(): Option[String] =
-      try {
-        val in = fs.open(lock)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
-      } catch { case _: java.io.IOException => None }
-    def owns(): Boolean = lockToken().contains(token)
+    // Ownership reads distinguish the DEFINITIVE signals from flaky
+    // ones: a missing lock or a lock carrying another token means we
+    // were reclaimed (false); a transient read error after retries
+    // means the filesystem hiccuped while we are alive and
+    // heartbeating — a reclaim requires our heartbeat to have been
+    // silent for the whole stale window, so the conservative answer
+    // is that we STILL own (true). Mapping flaky reads to false would
+    // throw away a completed multi-minute build and strand the lock.
+    def owns(): Boolean = {
+      var attempt = 0
+      while (true) {
+        try {
+          val in = fs.open(lock)
+          val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          return t == token
+        } catch {
+          case _: java.io.FileNotFoundException => return false
+          case _: java.io.IOException if attempt < 3 =>
+            attempt += 1; Thread.sleep(50)
+          case _: java.io.IOException => return true
+        }
+      }
+      true // unreachable
+    }
     var deadline = System.currentTimeMillis + 2 * staleMs
     var lastMtime = -1L
     while (!isBuilt(spark, path)) {
@@ -142,15 +160,26 @@ object AnnIndexStore {
               s".${p.getName}.build_${java.util.UUID.randomUUID.toString.take(8)}")
             try {
               save(build(), tmp.toString) // marker lands inside tmp, last
-              if (!owns())
-                throw new IllegalStateException(
-                  s"index build lock $lock was reclaimed mid-build " +
-                    "(this holder was presumed dead); aborting the " +
-                    "publish to protect the reclaiming builder's artifact")
-              fs.delete(p, true) // clear a half-written previous attempt
-              if (!fs.rename(tmp, p))
-                throw new java.io.IOException(
-                  s"index publish rename failed: $tmp")
+              if (owns()) {
+                fs.delete(p, true) // clear a half-written previous attempt
+                if (!fs.rename(tmp, p))
+                  throw new java.io.IOException(
+                    s"index publish rename failed: $tmp")
+              } else {
+                // our lock was taken — by a waiter that (wrongly or
+                // rightly) presumed us dead, or by a racer that slipped
+                // through a non-atomic create(overwrite=false) (local
+                // and object-store filesystems check-then-act). Either
+                // way another LIVE builder owns the publish now:
+                // discard this build and rejoin the wait loop below —
+                // never delete the winner's artifact or lock, never
+                // throw a spurious failure at our caller (the loop
+                // converges on the winner's marker, or reclaims its
+                // lock by staleness if it dies)
+                logWarning(s"index build lock $lock was reclaimed " +
+                  "mid-build; discarding this attempt and waiting " +
+                  "for the new holder")
+              }
             } finally fs.delete(tmp, true) // no-op after the rename
           }
         } finally {
@@ -219,24 +248,54 @@ object AnnIndexStore {
       ksub: Int = 8,
       autoCompactMaxFiles: Int = 0,
       autoCompactTargetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val cp = new Path(checkpointDir)
-    val fs = cp.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = cp.getFileSystem(conf)
+    // index and checkpoint may live on DIFFERENT filesystems (s3a
+    // table, hdfs checkpoint): every index-side touch derives its own
+    // FileSystem from the index path, never the checkpoint's
+    val codesDir = new Path(s"$indexPath/codes")
+    val ifs = codesDir.getFileSystem(conf)
+    // self-heal a crash between a previous auto-compaction's two swap
+    // renames BEFORE the load: compactCodes carries the same recovery
+    // but only this writer path reaches it — without this, a stream
+    // restarting onto the half-swapped state dies in load() on the
+    // missing codes dir forever, and "unattended" compaction would
+    // need an operator after all
+    healCodesSwap(ifs, indexPath)
     if (!graft.sink.BatchCommit.isCommitted(fs, cp, batchId)) {
       val runId = graft.sink.BatchCommit.pinnedRunId(fs, cp)
       val idx = load(spark, indexPath)
       graft.sink.BatchCommit.stageAndPublish(
         Similarity.encodeForIndex(idx, vectors, dim, m, ksub),
-        s"$indexPath/codes", runId, batchId, partitionCols = Nil)
+        codesDir.toString, runId, batchId, partitionCols = Nil)
       graft.sink.BatchCommit.markCommitted(fs, cp, batchId)
     }
     if (autoCompactMaxFiles > 0) {
-      val dir = new Path(s"$indexPath/codes")
-      val nFiles = fs.listStatus(dir).count(s => s.isFile &&
+      val nFiles = ifs.listStatus(codesDir).count(s => s.isFile &&
         !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       if (nFiles > autoCompactMaxFiles)
         compactCodes(spark, indexPath, Some(checkpointDir),
           autoCompactTargetBytes)
+    }
+  }
+
+  /** Recovery for a crash between [[compactCodes]]' two swap renames
+    * (codes → old, tmp → codes): the codes dir is absent and the
+    * previous content sits at `.codes_compact_old` — rename it back.
+    * Called from the single-WRITER paths only (compactCodes itself and
+    * [[ingestVectorsBatch]]): a reader must not repair-by-rename under
+    * a live compactor.
+    */
+  private def healCodesSwap(
+      fs: org.apache.hadoop.fs.FileSystem, indexPath: String): Unit = {
+    val dir = new Path(s"$indexPath/codes")
+    val old = new Path(dir.getParent, ".codes_compact_old")
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(
+          s"codes compaction recovery failed: $dir")
     }
   }
 
@@ -318,10 +377,7 @@ object AnnIndexStore {
     val tmp = new Path(dir.getParent, ".codes_compact_tmp")
     val old = new Path(dir.getParent, ".codes_compact_old")
     // self-heal a crash between the two swap renames of a previous run
-    if (!fs.exists(dir) && fs.exists(old)) {
-      if (!fs.rename(old, dir))
-        throw new java.io.IOException(s"codes compaction recovery failed: $dir")
-    }
+    healCodesSwap(fs, indexPath)
     if (!fs.exists(dir)) return
     if (checkpointDir.isEmpty) {
       val debris = fs.listStatus(dir).filter { s =>

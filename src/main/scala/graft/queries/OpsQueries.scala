@@ -39,6 +39,15 @@ object OpsQueries {
     */
   private def materializeAndDelete(
       df: DataFrame, dir: java.nio.file.Path): DataFrame = {
+    // plan-audit escape hatch: a localCheckpoint collapses the plan to
+    // a bare RDD scan, which would make PlanSpec's global
+    // CartesianProduct/BNL/partitionless-window gates vacuous for the
+    // lifecycle queries. PlanSpec sets this conf to keep the lazy
+    // probe plan (and its temp inputs — the audit session accepts the
+    // leak) visible; every production path keeps the default.
+    if (df.sparkSession.conf
+      .getOption("spark.graft.materializeLifecycleResults")
+      .contains("false")) return df
     val out = df.localCheckpoint(true)
     val p = new org.apache.hadoop.fs.Path(dir.toString)
     p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())

@@ -202,19 +202,24 @@ object BatchCommit {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       checkpointDir: Option[String] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
+    // the checkpoint may live on a different filesystem than the
+    // table — derive its FileSystem from its own path
     val pinned: Option[String] = checkpointDir.flatMap { c =>
+      val cfs = new Path(c).getFileSystem(conf)
       val rid = new Path(new Path(c), RunIdFileName)
-      if (!fs.exists(rid)) None
+      if (!cfs.exists(rid)) None
       else {
-        val in = fs.open(rid)
+        val in = cfs.open(rid)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
     }
     val newest: Long = checkpointDir
-      .map(c => newestMarker(fs, new Path(c))).getOrElse(-1L)
+      .map(c => newestMarker(new Path(c).getFileSystem(conf), new Path(c)))
+      .getOrElse(-1L)
     def statusOf(runId: String, batchId: Long, isStage: Boolean): String =
       if (isStage) "stage_leftover"
       else if (pinned.isEmpty) "unknown"

@@ -92,6 +92,13 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     // fresh checkout: no committed sweep -> driver artifact fallback
     BenchGuard.chooseBaseline("bench_out.json", Map.empty, files, read)
       .map(_._1) shouldBe Some("BENCH_r9.json")
+    // a stray SUBSET artifact (one bisection query) must not strip the
+    // guard from the rest of the surface: below the coverage floor the
+    // committed-sweep preference yields to the driver-tail fallback
+    BenchGuard.chooseBaseline("bench_out.json", Map("q_a" -> 2.0),
+      files, read, minCoverage = 100).map(_._1) shouldBe Some("BENCH_r9.json")
+    BenchGuard.chooseBaseline("bench_out.json", self, files, read,
+      minCoverage = 2) shouldBe Some("bench_out.json" -> self)
   }
 
   test("baseline pick skips artifacts that parse to zero queries") {

@@ -18,6 +18,12 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keep the index-lifecycle queries' LAZY probe plans visible to
+    // the global gates below: the production localCheckpoint would
+    // collapse them to an RDD scan and the CartesianProduct / BNL /
+    // partitionless-window audits would silently stop seeing them
+    // (the session accepts the temp-dir leak that implies)
+    .config("spark.graft.materializeLifecycleResults", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -446,6 +452,23 @@ class PlanSpec extends AnyFunSuite {
       if (!bnlAllowed.contains(name))
         assert(!p.contains("BroadcastNestedLoop"),
           s"$name plans an unapproved BroadcastNestedLoopJoin:\n$p")
+    }
+  }
+
+  test("lifecycle queries expose their REAL probe plans to this suite") {
+    // the production path localCheckpoints these results (temp-dir
+    // hygiene), which collapses the plan to an RDD scan — if that ever
+    // leaks into this audit session, the two GLOBAL gates below stop
+    // seeing the lifecycle probes entirely and their allowlist entries
+    // go dead. Pin that the conf switch keeps the lazy plan visible.
+    for (q <- Seq("q_ann_ingest_compact_probe", "q_ann_drift_rebuild")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val windows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty,
+        s"$q returned a materialized frame — its probe plan is " +
+          "invisible to the global plan gates")
     }
   }
 

@@ -1280,7 +1280,12 @@ class OpsSpec extends AnyFunSuite {
         () => try AnnIndexStore.buildGuarded(spark, path, () => slowBuild())
         catch { case t: Throwable => errs.add(t) },
         s"hb-racer-$i"))
-      threads.foreach(_.start())
+      // stagger the second racer past the first's lock write: local
+      // create(overwrite=false) is check-then-act, and a simultaneous
+      // double-acquire exercises the ownership-token discard path
+      // (covered by the reclaim spec below), not the heartbeat this
+      // test pins
+      threads.foreach { t => t.start(); Thread.sleep(200) }
       threads.foreach(_.join(120000))
       assert(errs.isEmpty, s"racing builder failed: ${errs.peek()}")
       assert(builds.get == 1,
@@ -1291,32 +1296,45 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.lockStaleMs")
   }
 
-  test("a builder whose lock was reclaimed aborts; artifact and foreign lock survive") {
+  test("a builder whose lock was reclaimed discards its build and converges as a waiter") {
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
     val dir = java.nio.file.Files.createTempDirectory("annown")
     val path = dir.resolve("ix").toString
-    val lock = new java.io.File(dir.toFile, "ix.lock")
-    def sabotagedBuild() = {
-      // simulate a mid-build reclaim: a waiter deleted our lock and
-      // wrote its own token into a fresh one
-      assert(lock.delete())
-      java.nio.file.Files.writeString(lock.toPath, "foreign-token")
-      Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
-        nCentroids = 4)
-    }
-    val e = intercept[IllegalStateException] {
-      AnnIndexStore.buildGuarded(spark, path, () => sabotagedBuild())
-    }
-    assert(e.getMessage.contains("reclaimed"))
-    // the late builder must not have deleted the reclaimer's lock
-    // (that would admit a third builder) nor published over it
-    assert(java.nio.file.Files.readString(lock.toPath) == "foreign-token",
-      "aborting builder deleted the reclaimer's lock")
-    assert(!AnnIndexStore.isBuilt(spark, path),
-      "aborting builder published its artifact anyway")
-    assert(!dir.toFile.listFiles.exists(_.getName.startsWith(".ix.build_")),
-      "aborting builder leaked its staging dir")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(dir.resolve("ix.lock").toString)
+    spark.conf.set("spark.graft.ann.lockStaleMs", "400")
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def build() = {
+        // FIRST attempt only: simulate a mid-build reclaim the way a
+        // reclaimer does it — through the Hadoop fs (delete + create,
+        // checksum sidecar kept consistent; a raw nio write would
+        // surface as a ChecksumException, which owns() deliberately
+        // treats as flaky IO, not as a reclaim)
+        if (builds.incrementAndGet() == 1) {
+          assert(fs.delete(lock, false))
+          val out = fs.create(lock, true)
+          try out.write("foreign-token".getBytes("UTF-8")) finally out.close()
+        }
+        Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
+          nCentroids = 4)
+      }
+      // the reclaimed first attempt must be DISCARDED (never published
+      // over the foreign holder, never its lock deleted); the "foreign
+      // holder" then dies silently (its lock goes stale with no
+      // marker), so the loop reclaims it and converges on a clean
+      // second build — no exception reaches the caller
+      AnnIndexStore.buildGuarded(spark, path, () => build())
+      assert(builds.get == 2,
+        s"expected discard + clean rebuild, got ${builds.get} attempt(s)")
+      assert(AnnIndexStore.isBuilt(spark, path))
+      assert(AnnIndexStore.load(spark, path).codes.count() == 24L)
+      assert(!fs.exists(lock), "converged build did not release the lock")
+      assert(!dir.toFile.listFiles.exists(_.getName.startsWith(".ix.build_")),
+        "discarded attempt leaked its staging dir")
+    } finally spark.conf.unset("spark.graft.ann.lockStaleMs")
   }
 
   test("ingest auto-compaction: trigger fires past the file threshold; rows and ranks unchanged") {
@@ -1394,6 +1412,32 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpointDir"))
     // with the checkpoint it proceeds
     AnnIndexStore.compactCodes(spark, path, Some(cp), targetBytes = 1L << 40)
+    assert(AnnIndexStore.load(spark, path).codes.count() == all.size.toLong)
+  }
+
+  test("ingest self-heals a crash between a previous compaction's swap renames") {
+    // the unattended-stream scenario: auto-compaction died between
+    // rename(codes, old) and rename(tmp, codes); the restarted
+    // stream's next ingestVectorsBatch must recover and proceed, not
+    // die in load() on the missing codes dir forever
+    val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
+    val all = (0L until 24L).map(i => (i, mk(i)))
+    val dir = java.nio.file.Files.createTempDirectory("annheal")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      all.take(20).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4), path)
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val old = new org.apache.hadoop.fs.Path(s"$path/.codes_compact_old")
+    assert(fs.rename(codes, old)) // the half-swapped crash state
+    AnnIndexStore.ingestVectorsBatch(spark, path, cp, 0L,
+      all.drop(20).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      autoCompactMaxFiles = 2, autoCompactTargetBytes = 1L << 40)
+    assert(fs.exists(codes) && !fs.exists(old),
+      "half-swapped compaction state was not healed")
     assert(AnnIndexStore.load(spark, path).codes.count() == all.size.toLong)
   }
 
