@@ -97,8 +97,6 @@ object Bench {
             name -> -1.0
         }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Regression gate: diff against the previous round's bench
     // artifact (SPARK_GRAFT_BENCH_BASELINE, default: the
@@ -111,10 +109,12 @@ object Bench {
     // verbatim driver artifact — the escaped-"tail" wrapper defeated
     // the previous inline regex for two rounds).
     val regressions: Map[String, (Double, Double)] = {
-      val selfQueries =
+      val selfTxt =
         if (Files.exists(Paths.get(outPath)))
-          BenchGuard.parseQueryTimes(Files.readString(Paths.get(outPath)))
-        else Map.empty[String, Double]
+          Some(Files.readString(Paths.get(outPath)))
+        else None
+      val selfQueries =
+        selfTxt.map(BenchGuard.parseQueryTimes).getOrElse(Map.empty)
       val base: Option[(String, Map[String, Double])] =
         sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
           .filter(p => Files.exists(Paths.get(p)))
@@ -124,7 +124,9 @@ object Bench {
               .getOrElse(Array.empty).map(_.getName).toSeq
             BenchGuard.chooseBaseline(outPath, selfQueries,
               names, p => Files.readString(Paths.get(p)),
-              minCoverage = results.size / 2)
+              minCoverage = results.size / 2,
+              currentNames = results.map(_._1).toSet,
+              selfUnsafe = selfTxt.exists(BenchGuard.isBaselineUnsafe))
           }
       base.foreach { case (p, qs) =>
         System.err.println(s"[bench] baseline: $p (${qs.size} queries)")
@@ -137,6 +139,79 @@ object Bench {
     // sweep-end sentinel: with the start reading it bounds how much
     // the machine drifted across the sweep, independent of any flags
     val sentinelEnd = median((1 to 3).map(_ => sentinelOnce()))
+    val sentinelDriftRaw = if (sentinelBase > 0) sentinelEnd / sentinelBase else 1.0
+
+    /** Render + ship one artifact state: the full one-line JSON
+      * (written to `outPath` via tmp-file + atomic move, printed to
+      * stdout) and the compact tail-parseable summary (printed last —
+      * the full line at 331 queries ≈ 10 KB truncates mid-map when
+      * only a 2000-char tail of stdout is captured). One renderer for
+      * both the pre-adjudication and final states so the two can never
+      * drift in shape.
+      */
+    def shipArtifact(
+        queriesSeq: Seq[(String, Double)],
+        regJson: String,
+        confirmed: Int,
+        rerunRequired: Int,
+        windowDegraded: Boolean,
+        adjTotal: Double,
+        phase: String): Unit = {
+      val qs = queriesSeq.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val sentinelJson =
+        s""""sentinel_base":$sentinelBase,"sentinel_end":$sentinelEnd""" +
+          s""","sentinel_drift":$sentinelDriftRaw""" +
+          s""","window_degraded":$windowDegraded"""
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+          s""","sf":"$sfDir","runs":$runs,"phase":"$phase"""" +
+          s""","baseline_unsafe":$windowDegraded""" +
+          s""","regressions_vs_prev":$regJson""" +
+          s""","confirmed_regressions":$confirmed""" +
+          s""","rerun_required":$rerunRequired,$sentinelJson""" +
+          s""","adjudicated_total":$adjTotal}"""
+      println(line)
+      val tmp = Paths.get(outPath + ".tmp")
+      Files.writeString(tmp, line + "\n")
+      Files.move(tmp, Paths.get(outPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val compactBase =
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+          s""","runs":$runs,"phase":"$phase","n_queries":${results.size}""" +
+          s""","n_regressions":$confirmed,"rerun_required":$rerunRequired""" +
+          s""","adjudicated_total":$adjTotal,$sentinelJson""" +
+          s""","full":"$outPath"""" +
+          s""","queries":"""
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+      val picked = scala.collection.mutable.ListBuffer.empty[String]
+      var used = compactBase.length + 2
+      for ((k, v) <- slowest) {
+        val ent = s"\"$k\":$v"
+        if (used + ent.length + 1 <= 1600) { picked += ent; used += ent.length + 1 }
+      }
+      val compact = compactBase + picked.mkString("{", ",", "}") +
+        s""","queries_omitted":${results.size - picked.size}}"""
+      println(compact)
+    }
+
+    // Ship the RAW sweep BEFORE adjudication starts. The r10 driver
+    // run proved the failure mode: the sweep was complete, the
+    // unbounded adjudication phase overran the driver's timeout, and
+    // the round shipped no parseable bench numbers at all (BENCH_r10:
+    // rc 124, parsed null) even though every number already existed.
+    // A process killed anywhere past this point still leaves a valid
+    // artifact on disk AND parseable lines in the stdout tail; the
+    // final artifact atomically replaces this one on success.
+    val pendingRegJson = regressions.toSeq.sortBy(_._1)
+      .map { case (k, (b, t)) => s"""\"$k\":[$b,$t,-1.0,1.0,\"pending\"]""" }
+      .mkString("{", ",", "}")
+    shipArtifact(results, pendingRegJson,
+      confirmed = 0, rerunRequired = regressions.size,
+      windowDegraded = sentinelDriftRaw > BenchGuard.DegradedAt,
+      adjTotal = total, phase = "sweep")
+
     // self-adjudication: re-measure every flagged query in isolation
     // (fresh loop, 5-run median, same process — NOTE the warm-session
     // bias: the sweep already executed the query, so amortized caches
@@ -145,27 +220,38 @@ object Bench {
     // evil next to a cold-JVM re-measure's startup noise) so the
     // artifact itself separates sweep-order noise from real
     // regressions — numbers ship as [prev, sweep, isolated,
-    // sentinel_ratio] plus a verdict
+    // sentinel_ratio] plus a verdict. The phase is wall-clock budgeted
+    // (SPARK_GRAFT_BENCH_ADJ_BUDGET_SEC): flags unprocessed at the
+    // deadline ship as rerun_required instead of overrunning the
+    // driver's window.
     val isolatedRuns =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "5").toInt)
+    val adjBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_BUDGET_SEC", "420").toDouble
+    val adjDeadline = System.currentTimeMillis + (adjBudgetSec * 1000).toLong
     val adjudicated = BenchGuard.adjudicate(regressions, name => {
       val fn = SparkEntry.queries(name)
       median((1 to isolatedRuns).map(_ => timeOnce(fn)))
-    }, sentinel = sentinelOnce _, sentinelBase = sentinelBase)
-    val flagVerdicts = BenchGuard.verdicts(adjudicated)
-    val confirmed = BenchGuard.confirmedRegressions(adjudicated)
+    }, sentinel = sentinelOnce _, sentinelBase = sentinelBase,
+      deadline = adjDeadline)
+    // degraded = the machine was measurably slower at sweep end or at
+    // any flag's re-measure than at sweep start. In a degraded window
+    // NOTHING confirms — an instantaneous healthy sentinel inside an
+    // oscillating window does not certify a reading (r10: 8 "confirms"
+    // at sentinel-healthy moments inside an 11.76×-drift window, all
+    // re-measured clean on unchanged code).
+    val windowDegraded = sentinelDriftRaw > BenchGuard.DegradedAt ||
+      adjudicated.values.exists(_.sentinelRatio > BenchGuard.DegradedAt)
+    val flagVerdicts =
+      BenchGuard.verdicts(adjudicated, windowDegraded = windowDegraded)
+    val confirmed =
+      BenchGuard.confirmedRegressions(adjudicated, windowDegraded = windowDegraded)
     val rerunRequired = flagVerdicts.count(_._2 == "rerun_required")
     adjudicated.toSeq.sortBy(-_._2.sweep).foreach { case (name, a) =>
       System.err.println(f"[bench] REGRESSION $name: ${a.base}%.2f -> " +
         f"${a.sweep}%.2f s (${a.sweep / a.base}%.1fx), isolated ${a.iso}%.2f s " +
         f"(sentinel ${a.sentinelRatio}%.2fx) [${flagVerdicts(name)}]")
     }
-    val sentinelDrift = if (sentinelBase > 0) sentinelEnd / sentinelBase else 1.0
-    // degraded = the machine was measurably slower at sweep end or at
-    // any flag's re-measure than at sweep start; confirms taken in a
-    // degraded stretch are already downgraded to rerun_required above
-    val windowDegraded = sentinelDrift > BenchGuard.DegradedAt ||
-      adjudicated.values.exists(_.sentinelRatio > BenchGuard.DegradedAt)
     val adjTotal = BenchGuard.adjudicatedTotal(results, adjudicated)
     val regJson = adjudicated.toSeq.sortBy(_._1)
       .map { case (k, a) =>
@@ -173,39 +259,14 @@ object Bench {
           s"""\"${flagVerdicts(k)}\"]"""
       }
       .mkString("{", ",", "}")
-    val sentinelJson =
-      s""""sentinel_base":$sentinelBase,"sentinel_end":$sentinelEnd""" +
-        s""","sentinel_drift":$sentinelDrift,"window_degraded":$windowDegraded"""
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
-        s""","sf":"$sfDir","runs":$runs,"regressions_vs_prev":$regJson""" +
-        s""","confirmed_regressions":${confirmed.size}""" +
-        s""","rerun_required":$rerunRequired,$sentinelJson""" +
-        s""","adjudicated_total":$adjTotal}"""
-    println(line)
-    Files.writeString(Paths.get(outPath), line + "\n")
-    // The LAST stdout line must parse from a 2000-char tail snapshot:
-    // the full line above (300 queries ≈ 10 KB) truncates mid-map when
-    // only the tail of stdout is captured, so close with a compact
-    // summary — total + the slowest queries that fit a ~1600-char
-    // budget — and point at the full per-query map in `outPath`.
-    val compactBase =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
-        s""","runs":$runs,"n_queries":${results.size}""" +
-        s""","n_regressions":${confirmed.size},"rerun_required":$rerunRequired""" +
-        s""","adjudicated_total":$adjTotal,$sentinelJson""" +
-        s""","full":"$outPath"""" +
-        s""","queries":"""
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
-    val picked = scala.collection.mutable.ListBuffer.empty[String]
-    var used = compactBase.length + 2
-    for ((k, v) <- slowest) {
-      val ent = s"\"$k\":$v"
-      if (used + ent.length + 1 <= 1600) { picked += ent; used += ent.length + 1 }
-    }
-    val compact = compactBase + picked.mkString("{", ",", "}") +
-      s""","queries_omitted":${results.size - picked.size}}"""
-    println(compact)
+    // the committed per-query map self-heals: flags adjudicated NOISE
+    // store their clean isolated numbers, not the inflated sweep
+    // medians, so next round's thresholds aren't doubled by this
+    // round's sweep-order noise (r10 committed 35 ~2×-inflated
+    // baselines this way)
+    val healed = BenchGuard.healedQueryTimes(results, adjudicated, flagVerdicts)
+    shipArtifact(healed, regJson, confirmed.size, rerunRequired,
+      windowDegraded, adjTotal, phase = "adjudicated")
     spark.stop()
   }
 }

@@ -17,6 +17,17 @@ object BenchGuard {
 
   def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** True when the artifact itself declares its numbers were taken in
+    * a degraded measurement window (`"baseline_unsafe":true`). Such an
+    * artifact must never serve as a regression baseline: r10's driver
+    * sweep ran on a machine drifting 11.8× slow, and using it as the
+    * baseline would roughly double every threshold — blinding the
+    * guard across the whole surface. Handles both the raw line and the
+    * driver's escaped-"tail" wrapper.
+    */
+  def isBaselineUnsafe(txt: String): Boolean =
+    txt.replace("\\\"", "\"").contains("\"baseline_unsafe\":true")
+
   /** Per-query seconds from any artifact shape: the raw one-line
     * `bench_out.json`, or a driver wrapper whose `"tail"` string holds
     * the same line JSON-escaped. Later duplicates win (the tail can
@@ -51,8 +62,12 @@ object BenchGuard {
       selfQueries: Map[String, Double]): Option[(String, Map[String, Double])] =
     fileNames.flatMap(f => roundOf(f).map(r => (r, f))).sortBy(-_._1)
       .iterator
-      .map { case (_, f) => f -> parseQueryTimes(read(f)) }
-      .find { case (_, qs) => qs.nonEmpty && (selfQueries.isEmpty || qs != selfQueries) }
+      .map { case (_, f) => val txt = read(f); (f, txt, parseQueryTimes(txt)) }
+      .find { case (_, txt, qs) =>
+        qs.nonEmpty && !isBaselineUnsafe(txt) &&
+          (selfQueries.isEmpty || qs != selfQueries)
+      }
+      .map { case (f, _, qs) => f -> qs }
 
   /** Baseline precedence. The bench's own previous output file — the
     * committed full per-query map of the LAST sweep — beats the
@@ -64,20 +79,32 @@ object BenchGuard {
     * numbers (this run overwrites it only after the guard), so it is
     * a real prior measurement, never a self-comparison. Driver
     * wrappers remain the fallback for a fresh checkout with no
-    * committed sweep — and for a self file that covers less than
-    * `minCoverage` queries (a stray subset artifact must not strip
-    * the guard from the rest of the surface; Bench passes half the
-    * current run's query count).
+    * committed sweep — and for a self file whose OVERLAP with the
+    * current run's query names is below `minCoverage` (a stray subset
+    * artifact must not strip the guard from the rest of the surface;
+    * Bench passes half the current run's query count). Coverage is
+    * measured on the intersection, not raw size: a stale
+    * `bench_out.subset.json` from a previous, DIFFERENT bisection
+    * subset can be large yet share zero queries with this run, which
+    * would silently disable the guard even though the driver-tail
+    * fallback covers the current query. A self file marked
+    * `baseline_unsafe` (degraded window) is never preferred either.
     */
   def chooseBaseline(
       selfPath: String,
       selfQueries: Map[String, Double],
       fileNames: Seq[String],
       read: String => String,
-      minCoverage: Int = 1): Option[(String, Map[String, Double])] =
-    if (selfQueries.size >= math.max(1, minCoverage))
+      minCoverage: Int = 1,
+      currentNames: Set[String] = Set.empty,
+      selfUnsafe: Boolean = false): Option[(String, Map[String, Double])] = {
+    val overlap =
+      if (currentNames.isEmpty) selfQueries.size
+      else (selfQueries.keySet intersect currentNames).size
+    if (!selfUnsafe && overlap >= math.max(1, minCoverage))
       Some(selfPath -> selfQueries)
     else pickBaseline(fileNames, read, selfQueries)
+  }
 
   /** Queries that got more than `factor` slower vs the baseline.
     * Failed runs (-1 on either side) and queries new this round are
@@ -134,43 +161,68 @@ object BenchGuard {
     * A re-measure that throws records iso = -1 (inspect stderr),
     * never drops the flag; a sentinel that throws records ratio = 1
     * (no correction, no degraded suppression).
+    *
+    * The loop is WALL-CLOCK BUDGETED: the r10 driver run hit 108 flags
+    * on a machine running 10–25× slow, the unbounded adjudication
+    * phase (sentinel + 5-run re-measure per flag) overran the driver's
+    * timeout, and the round shipped no parsed bench artifact at all
+    * (BENCH_r10: rc 124). Flags still unprocessed when `now()` passes
+    * `deadline` are recorded as iso = -1 WITHOUT running anything —
+    * [[verdicts]] maps them to `rerun_required` — so a budget cut
+    * degrades to "measure these again", never to a killed process.
+    * Flags are processed cheapest-sweep-first, clearing the largest
+    * COUNT of flags (most are sweep-order noise) inside the budget.
     */
   def adjudicate(
       flagged: Map[String, (Double, Double)],
       remeasure: String => Double,
       sentinel: () => Double = () => -1.0,
-      sentinelBase: Double = -1.0): Map[String, Adjudication] =
-    flagged.map { case (name, (b, t)) =>
-      val ratio =
-        try {
-          val s = sentinel()
-          if (sentinelBase > 0 && s > 0) s / sentinelBase else 1.0
-        } catch { case _: Throwable => 1.0 }
-      val iso = try remeasure(name) catch { case _: Throwable => -1.0 }
-      name -> Adjudication(b, t, iso, ratio)
-    }
+      sentinelBase: Double = -1.0,
+      deadline: Long = Long.MaxValue,
+      now: () => Long = () => System.currentTimeMillis): Map[String, Adjudication] =
+    flagged.toSeq.sortBy(_._2._2).map { case (name, (b, t)) =>
+      if (now() > deadline) name -> Adjudication(b, t, -1.0, 1.0)
+      else {
+        val ratio =
+          try {
+            val s = sentinel()
+            if (sentinelBase > 0 && s > 0) s / sentinelBase else 1.0
+          } catch { case _: Throwable => 1.0 }
+        val iso = try remeasure(name) catch { case _: Throwable => -1.0 }
+        name -> Adjudication(b, t, iso, ratio)
+      }
+    }.toMap
 
   /** Per-flag verdict, sentinel-anchored:
     *
     *  - `"CONFIRMED"` — the sentinel-adjusted isolated number still
-    *    trips the factor in a healthy window, or the re-measure failed
-    *    (an unverifiable flag must not silently pass);
-    *  - `"rerun_required"` — still trips the factor but the flag's own
-    *    window was degraded (sentinel ratio > [[DegradedAt]]): even
-    *    the adjusted number is untrustworthy, so the artifact records
-    *    "measure again on a healthy machine" instead of minting a
-    *    confirm from machine weather;
+    *    trips the factor, in a per-flag healthy window, inside an
+    *    overall-healthy sweep;
+    *  - `"rerun_required"` — the flag cannot be trusted either way:
+    *    the re-measure failed or was budget-skipped (iso < 0 — an
+    *    unverifiable flag is an infrastructure failure, NEVER a
+    *    confirm: the r10 driver run died mid-adjudication and the old
+    *    iso<0→CONFIRMED rule laundered 66 thrown re-measures into the
+    *    artifact's strongest signal), or the flag's own window was
+    *    degraded (sentinel ratio > [[DegradedAt]]), or the WHOLE sweep
+    *    window was degraded (`windowDegraded`) — an instantaneous
+    *    healthy sentinel inside an oscillating window does not certify
+    *    the reading (the r10 window drifted 11.76× overall while 8
+    *    flags caught sentinel-healthy instants; re-measures of the
+    *    same unchanged queries swing 2–6× across windows);
     *  - `"noise"` — the adjusted isolated number clears the factor.
     */
   def verdicts(
       adjudicated: Map[String, Adjudication],
       factor: Double = 1.5,
-      degradedAt: Double = DegradedAt): Map[String, String] =
+      degradedAt: Double = DegradedAt,
+      windowDegraded: Boolean = false): Map[String, String] =
     adjudicated.map { case (name, a) =>
       val v =
-        if (a.iso < 0) "CONFIRMED"
+        if (a.iso < 0) "rerun_required"
         else if (a.base > 0 && a.isoAdjusted > a.base * factor)
-          if (a.sentinelRatio > degradedAt) "rerun_required" else "CONFIRMED"
+          if (windowDegraded || a.sentinelRatio > degradedAt) "rerun_required"
+          else "CONFIRMED"
         else "noise"
       name -> v
     }
@@ -181,10 +233,34 @@ object BenchGuard {
   def confirmedRegressions(
       adjudicated: Map[String, Adjudication],
       factor: Double = 1.5,
-      degradedAt: Double = DegradedAt): Map[String, Adjudication] = {
-    val v = verdicts(adjudicated, factor, degradedAt)
+      degradedAt: Double = DegradedAt,
+      windowDegraded: Boolean = false): Map[String, Adjudication] = {
+    val v = verdicts(adjudicated, factor, degradedAt, windowDegraded)
     adjudicated.filter { case (name, _) => v(name) == "CONFIRMED" }
   }
+
+  /** Per-query times with every flag adjudicated NOISE replaced by its
+    * sentinel-adjusted isolated re-measure — the values the artifact
+    * commits as the NEXT round's guard baseline. Storing the raw sweep
+    * median for a noise flag bakes the noise into the baseline: r10's
+    * committed sweep carried 35 ~2×-inflated baselines
+    * (q_ann_ivfpq_res stored 13.51 s vs 4.30 s measured-clean),
+    * doubling those queries' regression thresholds for the next round.
+    * Only `noise` verdicts substitute — a CONFIRMED flag's sweep
+    * number IS the regression, and a rerun_required flag has no
+    * trustworthy number to substitute.
+    */
+  def healedQueryTimes(
+      results: Seq[(String, Double)],
+      adjudicated: Map[String, Adjudication],
+      flagVerdicts: Map[String, String]): Seq[(String, Double)] =
+    results.map { case (name, t) =>
+      adjudicated.get(name) match {
+        case Some(a) if flagVerdicts.get(name).contains("noise") && a.iso >= 0 =>
+          name -> a.isoAdjusted
+        case _ => name -> t
+      }
+    }
 
   /** Sweep total with every flagged query's suspect sweep median
     * replaced by its sentinel-adjusted isolated re-measure — the

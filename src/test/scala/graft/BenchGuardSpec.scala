@@ -129,9 +129,127 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     // failure recorded, not dropped
     adj("q_broken") shouldBe BenchGuard.Adjudication(1.0, 5.0, -1.0, 1.0)
     val confirmed = BenchGuard.confirmedRegressions(adj)
-    // noise cleared by its isolated number; the real regression and
-    // the unverifiable one stay confirmed
-    confirmed.keySet shouldBe Set("q_real", "q_broken")
+    // noise cleared by its isolated number; only the real regression
+    // confirms — an UNVERIFIABLE flag (re-measure threw) is an
+    // infrastructure failure and demands a re-run, never a confirm
+    // (the r10 driver death laundered 66 thrown re-measures into
+    // CONFIRMED through the old iso<0 rule)
+    confirmed.keySet shouldBe Set("q_real")
+    BenchGuard.verdicts(adj)("q_broken") shouldBe "rerun_required"
+  }
+
+  test("a mid-adjudication death ships zero confirms (the r10 driver failure)") {
+    // the session dies partway: every re-measure from that point
+    // throws (SIGTERM'd executor). All those flags must come out
+    // rerun_required — the artifact stays parseable with zero false
+    // confirms instead of minting the strongest signal it has from
+    // pure infrastructure failure.
+    val flagged = (1 to 10).map(i => s"q_$i" -> (1.0, 2.0 + i)).toMap
+    var calls = 0
+    val adj = BenchGuard.adjudicate(flagged, { _ =>
+      calls += 1
+      if (calls > 3) throw new RuntimeException("session died")
+      1.0
+    })
+    val v = BenchGuard.verdicts(adj)
+    v.values.count(_ == "rerun_required") shouldBe 7
+    v.values.count(_ == "noise") shouldBe 3
+    BenchGuard.confirmedRegressions(adj) shouldBe empty
+  }
+
+  test("adjudication is wall-clock budgeted, cheapest flags first") {
+    // 108 flags at 5-run re-measures on a 10-25x-slow machine blew the
+    // r10 driver's whole time budget; flags past the deadline must be
+    // recorded (iso = -1 -> rerun_required) WITHOUT running anything
+    val flagged = Map(
+      "q_cheap" -> (1.0, 2.0), "q_mid" -> (1.0, 5.0), "q_big" -> (1.0, 50.0))
+    var clock = 0L
+    val remeasured = collection.mutable.Buffer[String]()
+    val adj = BenchGuard.adjudicate(flagged, { n =>
+      remeasured += n; clock += 100; 1.0
+    }, deadline = 150L, now = () => clock)
+    // cheapest-sweep-first ordering: q_cheap and q_mid run inside the
+    // budget, q_big is deadline-skipped untouched
+    remeasured.toSeq shouldBe Seq("q_cheap", "q_mid")
+    adj("q_big") shouldBe BenchGuard.Adjudication(1.0, 50.0, -1.0, 1.0)
+    val v = BenchGuard.verdicts(adj)
+    v("q_big") shouldBe "rerun_required"
+    v("q_cheap") shouldBe "noise"
+    BenchGuard.confirmedRegressions(adj) shouldBe empty
+  }
+
+  test("a degraded WINDOW suppresses every confirm, even at sentinel-healthy instants") {
+    // r10: the window drifted 11.76x overall while 8 flags caught
+    // instantaneously-healthy sentinel moments (ratio ~1.0) — their
+    // "confirms" were machine weather (judge re-measures: all clean on
+    // unchanged code). When the window as a whole is degraded, a
+    // per-flag healthy instant certifies nothing.
+    val adj = Map(
+      "q_instant_healthy" -> BenchGuard.Adjudication(1.0, 6.0, 5.9, 1.0),
+      "q_noise" -> BenchGuard.Adjudication(1.0, 6.0, 1.1, 1.0))
+    val v = BenchGuard.verdicts(adj, windowDegraded = true)
+    v("q_instant_healthy") shouldBe "rerun_required"
+    v("q_noise") shouldBe "noise" // noise verdicts are unaffected
+    BenchGuard.confirmedRegressions(adj, windowDegraded = true) shouldBe empty
+    // the same readings in a healthy window DO confirm
+    BenchGuard.verdicts(adj)("q_instant_healthy") shouldBe "CONFIRMED"
+  }
+
+  test("healedQueryTimes substitutes clean isolated numbers for noise flags only") {
+    // r10 committed 35 ~2x-inflated baselines (raw sweep medians for
+    // flags adjudicated noise), doubling those thresholds next round
+    val results = Seq("q_plain" -> 1.0, "q_noise" -> 13.51,
+      "q_real" -> 10.0, "q_unverifiable" -> 4.0)
+    val adj = Map(
+      "q_noise" -> BenchGuard.Adjudication(4.0, 13.51, 4.30, 1.0),
+      "q_real" -> BenchGuard.Adjudication(1.0, 10.0, 9.8, 1.0),
+      "q_unverifiable" -> BenchGuard.Adjudication(1.0, 4.0, -1.0, 1.0))
+    val v = BenchGuard.verdicts(adj)
+    val healed = BenchGuard.healedQueryTimes(results, adj, v).toMap
+    healed("q_noise") shouldBe 4.30 +- 1e-9 // noise -> clean baseline
+    healed("q_plain") shouldBe 1.0 // unflagged untouched
+    healed("q_real") shouldBe 10.0 // a CONFIRMED regression IS the number
+    healed("q_unverifiable") shouldBe 4.0 // nothing trustworthy to substitute
+  }
+
+  test("a degraded-window artifact is never chosen as a baseline") {
+    // the r10 driver's 563 s sweep (11.8x sentinel drift) sat in the
+    // working tree; committed as-is it would have doubled every
+    // threshold. Artifacts self-mark baseline_unsafe; both the raw
+    // line and the driver's escaped-tail wrapper are recognized.
+    val unsafeRaw = """{"value":563.0,"queries":{"q_a":2.0},"baseline_unsafe":true}"""
+    val unsafeTail = """{"rc":0,"tail":"...\"baseline_unsafe\":true,\"q_a\":2.0..."}"""
+    val safeRaw = """{"value":290.0,"queries":{"q_a":1.0},"baseline_unsafe":false}"""
+    BenchGuard.isBaselineUnsafe(unsafeRaw) shouldBe true
+    BenchGuard.isBaselineUnsafe(unsafeTail) shouldBe true
+    BenchGuard.isBaselineUnsafe(safeRaw) shouldBe false
+    // pickBaseline skips the unsafe newest round, lands on the safe one
+    val files = Seq("BENCH_r9.json", "BENCH_r10.json")
+    val bodies = Map("BENCH_r9.json" -> safeRaw, "BENCH_r10.json" -> unsafeRaw)
+    BenchGuard.pickBaseline(files, bodies(_), Map.empty)
+      .map(_._1) shouldBe Some("BENCH_r9.json")
+    // an unsafe SELF file yields to the fallback too
+    BenchGuard.chooseBaseline("bench_out.json", Map("q_a" -> 2.0),
+      Seq("BENCH_r9.json"), _ => safeRaw, selfUnsafe = true)
+      .map(_._1) shouldBe Some("BENCH_r9.json")
+  }
+
+  test("self-file preference is gated on OVERLAP with the current run, not raw size") {
+    // a stale bench_out.subset.json from a previous, DIFFERENT
+    // bisection subset can be large yet share zero queries with this
+    // run — preferring it silently disables the guard even though the
+    // driver tail covers the current query
+    val staleSubset = Map("q_other1" -> 1.0, "q_other2" -> 2.0)
+    val files = Seq("BENCH_r9.json")
+    val read = (_: String) => """{"q_mine":1.5}"""
+    BenchGuard.chooseBaseline("bench_out.subset.json", staleSubset, files,
+      read, minCoverage = 1, currentNames = Set("q_mine"))
+      .map(_._1) shouldBe Some("BENCH_r9.json")
+    // overlapping self file still wins
+    BenchGuard.chooseBaseline("bench_out.subset.json",
+      Map("q_mine" -> 9.9), files, read, minCoverage = 1,
+      currentNames = Set("q_mine"))
+      .map(_._1) shouldBe Some("bench_out.subset.json")
   }
 
   test("a degraded window mints ZERO false confirms (the r9 failure mode)") {
