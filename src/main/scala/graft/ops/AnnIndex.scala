@@ -85,10 +85,19 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     spark.conf.getOption("spark.graft.ann.lockStaleMs")
       .map(_.toLong).getOrElse(10 * 60 * 1000L)
 
+  /** `aroundPublish` wraps the publish step (ownership check +
+    * delete-then-rename) while the build lock is held: it receives the
+    * fully-built staging directory and the publish thunk, and MUST
+    * invoke the thunk exactly once. [[DriftMaintainer]] uses it to
+    * drain concurrently-ingested vectors into the staged artifact
+    * immediately before the swap, so an async rebuild can never wipe a
+    * batch that committed while it was training.
+    */
   private[ops] def buildGuarded(
       spark: SparkSession,
       path: String,
-      build: () => IvfPqResidualIndex): Unit = {
+      build: () => IvfPqResidualIndex,
+      aroundPublish: (String, () => Unit) => Unit = (_, pub) => pub()): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
@@ -115,15 +124,22 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     // silent for the whole stale window, so the conservative answer
     // is that we STILL own (true). Mapping flaky reads to false would
     // throw away a completed multi-minute build and strand the lock.
+    // the heartbeat refreshes the lock by truncate-and-rewrite, so our
+    // own ownership reads must not interleave with a half-written
+    // rewrite: both sides take this JVM-local monitor (the heartbeat
+    // and the build run in the same JVM; cross-JVM readers are waiters,
+    // which stat mtime and never read content)
+    val lockMonitor = new Object
+    def readLockToken(): String = lockMonitor.synchronized {
+      val in = fs.open(lock)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     def owns(): Boolean = {
       var attempt = 0
       while (true) {
-        try {
-          val in = fs.open(lock)
-          val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-          return t == token
-        } catch {
+        try return readLockToken() == token
+        catch {
           case _: java.io.FileNotFoundException => return false
           case _: java.io.IOException if attempt < 3 =>
             attempt += 1; Thread.sleep(50)
@@ -148,8 +164,29 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
           try while (!stopHb.get) {
             Thread.sleep(math.max(50L, staleMs / 4))
             if (!stopHb.get)
-              try fs.setTimes(lock, System.currentTimeMillis, -1)
-              catch { case _: java.io.IOException => () }
+              // refresh by REWRITING the token, never setTimes: the
+              // Hadoop base FileSystem.setTimes is a silent no-op
+              // (bare return) and object-store filesystems (s3a)
+              // don't override it — there the mtime would never
+              // refresh and a live multi-minute build would still be
+              // reclaimed at staleMs, the exact race this heartbeat
+              // exists to close. create(overwrite=true) bumps the
+              // mtime on every filesystem. Ownership is re-verified
+              // first under lockMonitor so a lock some waiter already
+              // reclaimed is never overwritten back (which would
+              // steal it from the reclaimer and race two builders),
+              // and our own owns() can never observe the
+              // truncate-then-write half-state. NonFatal (not just
+              // IOException) so an UnsupportedOperationException from
+              // an exotic filesystem can't silently kill the beat.
+              try lockMonitor.synchronized {
+                if (readLockToken() == token) {
+                  val out = fs.create(lock, true)
+                  try out.write(
+                    token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  finally out.close()
+                }
+              } catch { case scala.util.control.NonFatal(_) => () }
           } catch { case _: InterruptedException => () }
         }, s"graft-ann-lock-heartbeat-${p.getName}")
         hb.setDaemon(true)
@@ -160,6 +197,7 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
               s".${p.getName}.build_${java.util.UUID.randomUUID.toString.take(8)}")
             try {
               save(build(), tmp.toString) // marker lands inside tmp, last
+              aroundPublish(tmp.toString, () =>
               if (owns()) {
                 fs.delete(p, true) // clear a half-written previous attempt
                 if (!fs.rename(tmp, p))
@@ -179,7 +217,7 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
                 logWarning(s"index build lock $lock was reclaimed " +
                   "mid-build; discarding this attempt and waiting " +
                   "for the new holder")
-              }
+              })
             } finally fs.delete(tmp, true) // no-op after the rename
           }
         } finally {
@@ -203,7 +241,21 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
         }
         val stale = mtime >= 0 &&
           System.currentTimeMillis - mtime > staleMs
-        if (stale) fs.delete(lock, false)
+        if (stale) {
+          // re-stat immediately before the delete: two waiters polling
+          // at ~100 ms can both judge the lock stale in the same tick —
+          // the first deletes and re-creates it with its own token,
+          // and an unconditional second delete would remove that FRESH
+          // lock and admit a third builder. Deleting only when the
+          // mtime still matches our stale observation narrows the
+          // window to the stat-to-delete gap (the ownership token
+          // keeps even that residue correctness-safe: the loser
+          // discards its build).
+          val unchanged =
+            try fs.getFileStatus(lock).getModificationTime == mtime
+            catch { case _: java.io.FileNotFoundException => false }
+          if (unchanged) fs.delete(lock, false)
+        }
         if (System.currentTimeMillis > deadline)
           throw new IllegalStateException(
             s"timed out waiting for a concurrent index build at $path")
@@ -449,16 +501,17 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     * committed arrival): the rebuilt artifact replaces the ingested
     * codes wholesale.
     */
-  def rebuildIfDrifted(
-      spark: SparkSession,
-      path: String,
-      corpus: DataFrame, // (nid, nv) — the full current corpus
+  /** The cheap inline half of [[rebuildIfDrifted]]: has the arrival
+    * cohort drifted below `minCos` quantized-mean cosine from the rest
+    * of the corpus? One narrow pass over `corpus` (exact integer sums
+    * via [[Embeddings.centroidDrift]], so the answer is deterministic
+    * and testable); an empty cohort on EITHER side reads as "no" —
+    * nothing to compare is never an error.
+    */
+  def driftDetected(
+      corpus: DataFrame, // (nid, nv)
       arrivalsPredicate: org.apache.spark.sql.Column,
-      dim: Int,
-      minCos: Double = 0.98,
-      m: Int = 4,
-      ksub: Int = 8,
-      nCentroids: Int = 16): Boolean = {
+      minCos: Double = 0.98): Boolean = {
     import org.apache.spark.sql.functions.{count, lit, sum, when}
     // empty-cohort guard first: centroidDrift's mean division is
     // undefined (ANSI divide-by-zero) when either side has no rows,
@@ -470,12 +523,25 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     // as "nothing to do", not a NullPointerException on getLong
     val na = if (counts.isNullAt(0)) 0L else counts.getLong(0)
     val n = counts.getLong(1)
-    val drifted = na > 0 && n - na > 0 && {
+    na > 0 && n - na > 0 && {
       val row = Embeddings
         .centroidDrift(corpus, "nv", arrivalsPredicate)
         .select("cos_sim").head()
       !row.isNullAt(0) && row.getDouble(0) < minCos
     }
+  }
+
+  def rebuildIfDrifted(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame, // (nid, nv) — the full current corpus
+      arrivalsPredicate: org.apache.spark.sql.Column,
+      dim: Int,
+      minCos: Double = 0.98,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16): Boolean = {
+    val drifted = driftDetected(corpus, arrivalsPredicate, minCos)
     if (drifted) {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -486,6 +552,158 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     }
     drifted
   }
+
+  /** Non-blocking drift maintenance for a streaming ingest loop — the
+    * async successor to inline [[rebuildIfDrifted]]. At 100 TB a full
+    * retrain + re-encode is hours; run inline in a foreachBatch body
+    * it stalls ingest for the duration. This maintainer keeps the two
+    * halves at their right costs: DETECTION stays inline (one narrow
+    * pass per batch, [[driftDetected]]); the RETRAIN runs on a daemon
+    * maintenance thread through the same lock-guarded atomic publish
+    * as every other build, while batches keep committing and probes
+    * (e.g. an [[IndexHandle]]) keep serving the old artifact until the
+    * swap.
+    *
+    * The correctness problem async-ness creates — and this class
+    * closes — is the REBUILD WINDOW: the retrain trains on a corpus
+    * snapshot, so a batch ingested while it runs would be silently
+    * wiped by the publish (its checkpoint marker says committed, so
+    * replay would never restore it). Route ingest through
+    * [[ingestBatch]]: while a rebuild is in flight each batch's raw
+    * vectors are ALSO buffered to a pending directory (keyed by
+    * batchId, so crash-replay overwrites instead of duplicating), and
+    * immediately before the atomic swap the buffer is re-encoded
+    * against the NEW codebooks into the staged artifact (the
+    * `aroundPublish` hook, under the same monitor `ingestBatch`
+    * holds). Every committed batch is therefore in every published
+    * artifact — the brief drain is proportional to the rebuild
+    * window's arrivals, never to the corpus.
+    *
+    * Contracts: ONE maintainer per index, on the index's single ingest
+    * writer (the foreachBatch thread — same contract as
+    * [[ingestVectorsBatch]]). `corpusSnapshot` passed to
+    * [[maybeRebuildAsync]] must be snapshot-stable (its lazy scan is
+    * evaluated on the maintenance thread) and must include every batch
+    * committed SO FAR but nothing later — trivially true when built
+    * from the rows the foreachBatch loop has already processed.
+    */
+  final class DriftMaintainer(
+      spark: SparkSession,
+      path: String,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16,
+      // test seam: a deliberately-slow or instrumented build
+      buildFn: Option[DataFrame => IvfPqResidualIndex] = None)
+      extends org.apache.spark.internal.Logging {
+    private val p = new Path(path)
+    private val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    private val pendingDir = new Path(p.getParent, s".${p.getName}.pending")
+    private val monitor = new Object
+    private val running = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var lastFailure: Option[Throwable] = None
+
+    def rebuildInFlight: Boolean = running.get
+    def completedRebuilds: Int = done.get
+    def failure: Option[Throwable] = lastFailure
+
+    /** Exactly-once ingest ([[ingestVectorsBatch]] semantics), plus
+      * the rebuild-window buffering described above. Blocks only for
+      * the publish drain (small), never for the retrain itself.
+      */
+    def ingestBatch(
+        checkpointDir: String,
+        batchId: Long,
+        vectors: DataFrame, // (nid, nv)
+        autoCompactMaxFiles: Int = 0,
+        autoCompactTargetBytes: Long = 128L * 1024 * 1024): Unit =
+      monitor.synchronized {
+        if (running.get)
+          vectors.write.mode("overwrite")
+            .parquet(new Path(pendingDir, s"batch=$batchId").toString)
+        ingestVectorsBatch(spark, path, checkpointDir, batchId, vectors,
+          dim, m, ksub, autoCompactMaxFiles, autoCompactTargetBytes)
+      }
+
+    /** Inline drift check; when drifted and no rebuild is already in
+      * flight, launch the retrain on the maintenance thread and return
+      * immediately. Returns true when a rebuild was STARTED (not
+      * finished — poll [[rebuildInFlight]] / [[awaitIdle]]).
+      */
+    def maybeRebuildAsync(
+        corpusSnapshot: DataFrame, // (nid, nv)
+        arrivalsPredicate: org.apache.spark.sql.Column,
+        minCos: Double = 0.98): Boolean = {
+      if (running.get) return false
+      if (!driftDetected(corpusSnapshot, arrivalsPredicate, minCos))
+        return false
+      if (!running.compareAndSet(false, true)) return false
+      // stale buffers from a crashed prior attempt: their rows are in
+      // corpusSnapshot (their batches committed), so draining them
+      // again would duplicate codes
+      fs.delete(pendingDir, true)
+      lastFailure = None
+      val t = new Thread(() => {
+        try {
+          val build = buildFn.getOrElse((c: DataFrame) =>
+            Similarity.buildIvfPqResidualIndex(c, dim, m, ksub, nCentroids))
+          fs.delete(new Path(path, Marker), false) // force the rebuild
+          buildGuarded(spark, path, () => build(corpusSnapshot),
+            aroundPublish = (tmp, publish) => monitor.synchronized {
+              drainPendingInto(tmp)
+              publish()
+              fs.delete(pendingDir, true)
+              // flip INSIDE the monitor: the ingest call blocked on it
+              // must resume on the normal path against the published
+              // artifact, not buffer against a rebuild that is done
+              running.set(false)
+            })
+          done.incrementAndGet()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lastFailure = Some(e)
+            logWarning(s"async drift rebuild of $path failed", e)
+        } finally running.set(false)
+      }, s"graft-ann-drift-rebuild-${p.getName}")
+      t.setDaemon(true)
+      t.start()
+      true
+    }
+
+    /** Re-encode the rebuild window's buffered arrivals against the
+      * STAGED artifact's fresh codebooks and append them to its codes
+      * table — called under the build lock AND the ingest monitor,
+      * immediately before the atomic swap, so the published artifact
+      * is complete the instant it becomes visible.
+      */
+    private def drainPendingInto(stagedArtifact: String): Unit =
+      if (fs.exists(pendingDir) && fs.listStatus(pendingDir).nonEmpty) {
+        val pending = spark.read.parquet(pendingDir.toString)
+          .select("nid", "nv")
+        val idx = load(spark, stagedArtifact)
+        Similarity.encodeForIndex(idx, pending, dim, m, ksub)
+          .write.mode("append").parquet(s"$stagedArtifact/codes")
+      }
+
+    /** Wait for an in-flight rebuild to finish; true when idle. */
+    def awaitIdle(timeoutMs: Long): Boolean = {
+      val deadline = System.currentTimeMillis + timeoutMs
+      while (running.get && System.currentTimeMillis < deadline)
+        Thread.sleep(25)
+      !running.get
+    }
+  }
+
+  def driftMaintainer(
+      spark: SparkSession,
+      path: String,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16): DriftMaintainer =
+    new DriftMaintainer(spark, path, dim, m, ksub, nCentroids)
 
   /** Long-lived probe handle: [[current]] re-reads the index
     * whenever its files changed on disk, so a probe session sees
@@ -539,7 +757,11 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
           try {
             loaded = load(spark, path)
           } catch {
-            case _: Throwable if System.currentTimeMillis < deadline =>
+            // NonFatal only: an OutOfMemoryError or linkage error must
+            // propagate immediately, not be swallowed and retried
+            // every 100 ms until the deadline
+            case scala.util.control.NonFatal(_)
+                if System.currentTimeMillis < deadline =>
               // mid-publish gap (rebuild's delete->rename): back off,
               // re-list, retry against the post-publish state
               Thread.sleep(100)

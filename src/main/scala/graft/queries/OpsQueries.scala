@@ -475,6 +475,68 @@ object OpsQueries {
         handle.current(), k = 5, dim = 64), dir)
     }),
 
+    // The ASYNC staleness arc, driver-graded: same drift trigger, but
+    // the retrain runs on the DriftMaintainer's maintenance thread —
+    // the 100 TB shape, where an hours-long rebuild must not stall
+    // ingest. The build is gated on a latch so the arc is
+    // deterministic: batch 0 (the %10==8 drifted cohort) triggers the
+    // rebuild; batch 1 (%10==9) commits WHILE the retrain holds the
+    // gate, landing in the maintainer's pending buffer; the drain
+    // re-encodes it against the fresh codebooks inside the atomic
+    // publish. Final index ≡ codebooks trained on vec_id%10<9 with
+    // the whole corpus encoded — the same frozen-codebook algebra as
+    // q_ann_index_append, so the oracle is ivfPqResidualSqlGen over
+    // the 90% split. Deliberately rebuild-priced, like its sync twin;
+    // the trigger is deterministic on this corpus (exact-integer
+    // cohort cosine ≤ 0.18 at every SF, far under the 0.98 bar).
+    "q_ann_drift_rebuild_async" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val cohortA = e.filter(col("vec_id") % 10 === 8)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val cohortB = e.filter(col("vec_id") % 10 === 9)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val basePath = AnnIndexStore.cachePathFor(
+        s"$d/embeddings.parquet", 64, 4, 8, 16, variant = "base80")
+      AnnIndexStore.ensureIvfPqResidual(s, basePath, base, dim = 64)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q_adrift")
+      val path = dir.resolve("ix").toString
+      val cp = dir.resolve("cp").toString
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
+      val handle = AnnIndexStore.openHandle(s, path)
+      handle.current() // pre-rebuild load: the reload must fire below
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val maintainer = new AnnIndexStore.DriftMaintainer(s, path,
+        dim = 64, buildFn = Some { c =>
+          started.countDown()
+          require(gate.await(120, java.util.concurrent.TimeUnit.SECONDS),
+            "async drift arc: the ingest side never released the gate")
+          Similarity.buildIvfPqResidualIndex(c, 64, 4, 8, 16)
+        })
+      maintainer.ingestBatch(cp, 0L, cohortA)
+      require(maintainer.maybeRebuildAsync(
+        base.unionByName(cohortA), col("nid") % 10 === 8),
+        "the drifted cohort must trigger the async rebuild")
+      require(started.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "the maintenance thread never reached the retrain")
+      // commits while the retrain is in flight -> pending buffer
+      maintainer.ingestBatch(cp, 1L, cohortB)
+      gate.countDown()
+      require(maintainer.awaitIdle(600000), "async rebuild never finished")
+      require(maintainer.failure.isEmpty,
+        s"async rebuild failed: ${maintainer.failure}")
+      materializeAndDelete(Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        handle.current(), k = 5, dim = 64), dir)
+    }),
+
     // The 8-bit PQ operating point: ksub=256 sub-codebooks at m=4
     // (4 bytes/vector — the production ADC budget; the 2-bit default
     // is the honest toy). Same seed-grid discipline and plan shape,
@@ -2740,6 +2802,12 @@ object OpsQueries {
     // a drift rebuild re-trains on the FULL corpus: the post-rebuild
     // probe is hash-identical to the fused full-corpus build+probe
     "q_ann_drift_rebuild" -> ivfPqResidualSql,
+    // the async arc retrains on the 90% snapshot (base + the drifted
+    // %10==8 cohort) while the rebuild-window batch (%10==9) is
+    // drained through the frozen fresh codebooks — train-on-subset,
+    // encode-everything, the q_ann_index_append algebra at 90/10
+    "q_ann_drift_rebuild_async" ->
+      ivfPqResidualSqlGen("vec_id % 10 < 9", "r.nid % 10 < 9"),
     "q_ann_ivfpq_res_recall" ->
       s"""WITH b AS MATERIALIZED ($annSql), p AS MATERIALIZED ($ivfPqResidualSql)
           SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_true,

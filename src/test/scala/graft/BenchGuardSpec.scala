@@ -234,6 +234,31 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
       .map(_._1) shouldBe Some("BENCH_r9.json")
   }
 
+  test("a killed run's pre-adjudication artifact is itself a valid baseline") {
+    // verbatim shape of the phase:"sweep" line Bench ships BEFORE
+    // adjudication starts (from a live run): if the process dies
+    // mid-adjudication this is what survives on disk and in the
+    // stdout tail — it must parse, and a healthy-window one must be
+    // eligible as the next run's baseline
+    val pending =
+      """{"metric":"total","value":3.675,"unit":"sec","queries":""" +
+        """{"q_agg_lineitem":2.834,"q_topk":0.841},"sf":"/x","runs":1,""" +
+        """"phase":"sweep","baseline_unsafe":false,"regressions_vs_prev":""" +
+        """{"q_topk":[0.4,0.841,-1.0,1.0,"pending"]},""" +
+        """"confirmed_regressions":0,"rerun_required":1,""" +
+        """"sentinel_base":0.861,"sentinel_end":0.788,""" +
+        """"sentinel_drift":0.916,"window_degraded":false,""" +
+        """"adjudicated_total":3.675}"""
+    val qs = BenchGuard.parseQueryTimes(pending)
+    qs("q_agg_lineitem") shouldBe 2.834
+    qs("q_topk") shouldBe 0.841 // the final map entry wins over the flag tuple
+    BenchGuard.isBaselineUnsafe(pending) shouldBe false
+    // the same line from a degraded window is rejected as a baseline
+    BenchGuard.isBaselineUnsafe(
+      pending.replace("\"baseline_unsafe\":false", "\"baseline_unsafe\":true")
+    ) shouldBe true
+  }
+
   test("self-file preference is gated on OVERLAP with the current run, not raw size") {
     // a stale bench_out.subset.json from a previous, DIFFERENT
     // bisection subset can be large yet share zero queries with this

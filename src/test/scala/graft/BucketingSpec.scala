@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * sides bucketed by the join key into the same bucket count join
   * with NO exchange on either side.
   */
-class BucketingSpec extends AnyFunSuite {
+class BucketingSpec extends AnyFunSuite with TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -23,7 +23,7 @@ class BucketingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
       val sf = "/root/testdata/sf0.001"
-      val tmp = java.nio.file.Files.createTempDirectory("graft-buckets")
+      val tmp = tempDir("graft-buckets")
       graft.ops.Layout.writeBucketed(
         spark.read.parquet(s"$sf/orders.parquet"), "orders_b",
         "o_custkey", 8, Some(tmp.resolve("orders_b").toString))

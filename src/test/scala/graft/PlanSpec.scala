@@ -423,6 +423,8 @@ class PlanSpec extends AnyFunSuite {
       // the identical loaded-artifact probe broadcasts
       "q_ann_drift_rebuild", // ingest + drift-triggered rebuild, then
       // the identical loaded-artifact probe broadcasts
+      "q_ann_drift_rebuild_async", // the same arc through the
+      // maintenance-thread rebuild + pending drain: same probe plan
       "q_ann_path_pick", // 6-row curve × 5-target cross + the per-path
       // recall machinery above
       "q_ann_pq", "q_ann_pq8", "q_ann_pq8_recall",
@@ -461,7 +463,8 @@ class PlanSpec extends AnyFunSuite {
     // leaks into this audit session, the two GLOBAL gates below stop
     // seeing the lifecycle probes entirely and their allowlist entries
     // go dead. Pin that the conf switch keeps the lazy plan visible.
-    for (q <- Seq("q_ann_ingest_compact_probe", "q_ann_drift_rebuild")) {
+    for (q <- Seq("q_ann_ingest_compact_probe", "q_ann_drift_rebuild",
+        "q_ann_drift_rebuild_async")) {
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       val windows = qe.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
@@ -503,6 +506,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_drift_rebuild", // the same probe plan over the rebuilt
       // artifact (per-query top-k windows, frame bounded by nProbe
       // buckets × codes-per-bucket candidates per query)
+      "q_ann_drift_rebuild_async", // identical probe plan; the async
+      // machinery happens before the returned frame
       "q_ann_path_pick", // per-target rank over the ≤6-row curve
       "q_ann_pq_recall", "q_global_ids", "q_histogram_eqdepth",
       "q_length_band", "q_ntile_global", "q_pq_codes", "q_rownum_sql",

@@ -35,7 +35,8 @@ class StyleSpec extends AnyFunSuite {
     */
   private val cliFiles = Set(
     "Bench.scala", "Verify.scala", "Explain.scala", "Scale.scala",
-    "EtlJob.scala", "RunStream.scala", "RunTransform.scala", "ChunkedEtl.scala")
+    "EtlJob.scala", "RunStream.scala", "RunTransform.scala", "ChunkedEtl.scala",
+    "QueryProbe.scala")
 
   private def isCli(p: Path): Boolean = cliFiles.contains(p.getFileName.toString)
 

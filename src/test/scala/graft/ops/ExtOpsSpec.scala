@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.GraftFunctions
 import graft.source.github.{GithubSource, MockGithubServer}
 
-class ExtOpsSpec extends AnyFunSuite {
+class ExtOpsSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -110,7 +110,7 @@ class ExtOpsSpec extends AnyFunSuite {
   }
 
   test("NDJSON sink round-trips rows with explicit nulls; GraftSession registers SQL functions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ndjson").toString
+    val dir = tempDir("graft-ndjson").toString
     val df = Seq((1L, "a", Option("x")), (2L, "b", None))
       .toDF("id", "name", "opt")
     graft.sink.SnapshotWriter.writeNdjson(df, dir)
@@ -882,7 +882,7 @@ class ExtOpsSpec extends AnyFunSuite {
     val server = new MockGithubServer
     server.start()
     try {
-      val out = java.nio.file.Files.createTempDirectory("graft-chunked").toString
+      val out = tempDir("graft-chunked").toString
       val opts = GithubSource.Options(apiUrl = server.url, chunkSize = 3)
       val stats = graft.jobs.ChunkedEtl.run(
         spark, "o/r", opts, out, java.sql.Date.valueOf("2024-06-01"))

@@ -12,7 +12,7 @@ import graft.functions.ZOrderExpression
   * files than under a 1-d sort (measured on real per-file min/max
   * stats, the same statistics parquet footer pruning uses).
   */
-class LayoutSpec extends AnyFunSuite {
+class LayoutSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -50,7 +50,7 @@ class LayoutSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("od"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val tmp = tempDir("graft-zorder")
     val zDir = tmp.resolve("z").toString
     val cDir = tmp.resolve("c").toString
     Layout.clusterByZOrder(orders, col("o_custkey"), col("od"), n)
@@ -100,7 +100,7 @@ class LayoutSpec extends AnyFunSuite {
       .select(col("o_orderkey"), col("o_custkey"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("od"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-hilbert")
+    val tmp = tempDir("graft-hilbert")
     val hDir = tmp.resolve("h").toString
     val zDir = tmp.resolve("z").toString
     Layout.clusterByHilbert(orders, col("o_custkey"), col("od"), n)
@@ -244,7 +244,7 @@ class LayoutSpec extends AnyFunSuite {
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("od"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("tp"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-h3")
+    val tmp = tempDir("graft-h3")
     val h3Dir = tmp.resolve("h3").toString
     val z3Dir = tmp.resolve("z3").toString
     val h2Dir = tmp.resolve("h2").toString

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * library-only paths (decode stub, hyperplane LSH, recall behavior)
   * and planted-duplicate semantics.
   */
-class OpsSpec extends AnyFunSuite {
+class OpsSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -499,7 +499,7 @@ class OpsSpec extends AnyFunSuite {
 
     // build → save → load → probe: the parquet round-trip must be
     // rank-exact (floats and fold-order doubles are bit-preserved)
-    val path = java.nio.file.Files.createTempDirectory("annidx").toString + "/ix"
+    val path = tempDir("annidx").toString + "/ix"
     val built = Similarity.buildIvfPqResidualIndex(c, dim = 8, m = 2, ksub = 4,
       nCentroids = 4)
     AnnIndexStore.save(built, path)
@@ -512,7 +512,7 @@ class OpsSpec extends AnyFunSuite {
     // corpus thunk is by-name — a rebuilt index would re-evaluate it)
     var builds = 0
     def corpusOnce = { builds += 1; c }
-    val p2 = java.nio.file.Files.createTempDirectory("annidx2").toString + "/ix"
+    val p2 = tempDir("annidx2").toString + "/ix"
     AnnIndexStore.ensureIvfPqResidual(spark, p2, corpusOnce, dim = 8, m = 2,
       ksub = 4, nCentroids = 4)
     val again = AnnIndexStore.ensureIvfPqResidual(spark, p2, corpusOnce,
@@ -579,7 +579,7 @@ class OpsSpec extends AnyFunSuite {
       (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
     val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
     val (b1, b2) = arrivalRows.splitAt(4)
-    val dir = java.nio.file.Files.createTempDirectory("annstream")
+    val dir = tempDir("annstream")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -622,7 +622,7 @@ class OpsSpec extends AnyFunSuite {
     val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
       (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
     val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
-    val dir = java.nio.file.Files.createTempDirectory("anncompact")
+    val dir = tempDir("anncompact")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -681,7 +681,7 @@ class OpsSpec extends AnyFunSuite {
     // drifted arrivals: concentrated on a direction the base never uses
     val drifted = (40L until 64L).map(i =>
       (i, Array.tabulate(8)(d => if (d >= 6) 5.0f else 0.01f)))
-    val dir = java.nio.file.Files.createTempDirectory("anndrift")
+    val dir = tempDir("anndrift")
     val path = dir.resolve("ix").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
       base.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4, nCentroids = 4), path)
@@ -719,7 +719,7 @@ class OpsSpec extends AnyFunSuite {
     val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
       (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
     val (baseRows, arrivalRows) = all.partition(_._1 < 34L)
-    val dir = java.nio.file.Files.createTempDirectory("annhandle")
+    val dir = tempDir("annhandle")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -764,7 +764,7 @@ class OpsSpec extends AnyFunSuite {
   test("index build lock: stale locks are reclaimed, fresh artifacts win races") {
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
-    val dir = java.nio.file.Files.createTempDirectory("annlock")
+    val dir = tempDir("annlock")
     val path = dir.resolve("ix").toString
     // a dead builder's lock (old mtime, no marker) must not wedge the
     // next caller
@@ -778,7 +778,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("cachePathFor keys on data-file content state, not directory metadata") {
-    val dir = java.nio.file.Files.createTempDirectory("anncache").toFile
+    val dir = tempDir("anncache").toFile
     val part = new java.io.File(dir, "part-0.parquet")
     java.nio.file.Files.writeString(part.toPath, "v1")
     val p1 = AnnIndexStore.cachePathFor(dir.toString, 8, 2, 4, 4)
@@ -1264,7 +1264,7 @@ class OpsSpec extends AnyFunSuite {
     // window, so only a truly dead holder goes stale.
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
-    val dir = java.nio.file.Files.createTempDirectory("annhb")
+    val dir = tempDir("annhb")
     val path = dir.resolve("ix").toString
     spark.conf.set("spark.graft.ann.lockStaleMs", "400")
     try {
@@ -1299,7 +1299,7 @@ class OpsSpec extends AnyFunSuite {
   test("a builder whose lock was reclaimed discards its build and converges as a waiter") {
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
-    val dir = java.nio.file.Files.createTempDirectory("annown")
+    val dir = tempDir("annown")
     val path = dir.resolve("ix").toString
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
@@ -1343,7 +1343,7 @@ class OpsSpec extends AnyFunSuite {
     val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
       (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
     val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
-    val dir = java.nio.file.Files.createTempDirectory("annauto")
+    val dir = tempDir("annauto")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -1393,7 +1393,7 @@ class OpsSpec extends AnyFunSuite {
   test("compactCodes without a checkpoint refuses batch-published debris") {
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val all = (0L until 24L).map(i => (i, mk(i)))
-    val dir = java.nio.file.Files.createTempDirectory("annrefuse")
+    val dir = tempDir("annrefuse")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -1422,7 +1422,7 @@ class OpsSpec extends AnyFunSuite {
     // die in load() on the missing codes dir forever
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val all = (0L until 24L).map(i => (i, mk(i)))
-    val dir = java.nio.file.Files.createTempDirectory("annheal")
+    val dir = tempDir("annheal")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -1444,7 +1444,7 @@ class OpsSpec extends AnyFunSuite {
   test("IndexHandle rides out a rebuild's publish gap, bounded") {
     val mk = (i: Long) => Array.tabulate(8)(d => 0.1f * ((i * 7 + d) % 5) + 0.1f)
     val c = (0L until 24L).map(i => (i, mk(i))).toDF("nid", "nv")
-    val dir = java.nio.file.Files.createTempDirectory("anngap")
+    val dir = tempDir("anngap")
     val path = dir.resolve("ix").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
       c, dim = 8, m = 2, ksub = 4, nCentroids = 4), path)
@@ -1470,7 +1470,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("rebuildIfDrifted on an empty corpus is a no-op, not an NPE") {
-    val dir = java.nio.file.Files.createTempDirectory("anndriftempty")
+    val dir = tempDir("anndriftempty")
     val path = dir.resolve("ix").toString
     val empty = Seq.empty[(Long, Array[Float])].toDF("nid", "nv")
     // sum(when(...)) over zero rows is NULL; the guard must read it

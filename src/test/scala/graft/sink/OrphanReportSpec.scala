@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * plus a foreign run's file and stage that no checkpoint here can
   * adjudicate.
   */
-class OrphanReportSpec extends AnyFunSuite {
+class OrphanReportSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
@@ -28,7 +28,7 @@ class OrphanReportSpec extends AnyFunSuite {
   }
 
   test("listOrphans adjudicates a two-run debris layout without touching it") {
-    val dir = java.nio.file.Files.createTempDirectory("orphans").toFile
+    val dir = tempDir("orphans").toFile
     val table = new java.io.File(dir, "codes")
     // pinned run "deadbeef": markers 0..5 exist (newest = 5)
     touch(new java.io.File(table, "bdeadbeef-0-part-00000.parquet"), 10)

@@ -12,7 +12,7 @@ import graft.transform.GithubTransform.GithubTables
   * implementation — a new warehouse sink must pass this suite
   * unchanged.
   */
-class SnapshotSinkSpec extends AnyFunSuite {
+class SnapshotSinkSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -53,7 +53,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("schema-evolving read unions footers; old snapshots null-fill new columns") {
-    val root = java.nio.file.Files.createTempDirectory("evo").toString
+    val root = tempDir("evo").toString
     val path = s"$root/pull_requests"
     // snapshot 1: no bug_id column yet
     SnapshotWriter.writeTable(
@@ -84,7 +84,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
         ("orc", r => new OrcSnapshotSink(spark, r)),
         ("ndjson", r => new NdjsonSnapshotSink(spark, r)),
         ("ndjson-streaming", r => new NdjsonSnapshotSink(spark, r, streamingInserts = true)))) {
-      val root = java.nio.file.Files.createTempDirectory(s"graft-sink-$kind").toString
+      val root = tempDir(s"graft-sink-$kind").toString
       val sink = mk(root)
 
       assert(!sink.exists("o/r", d1), s"[$kind] exists before any write")
@@ -117,7 +117,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("compaction merges append-fragmented partitions without losing rows") {
-    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val root = tempDir("compact").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // 4 chunked appends -> >= 4 files in the (d1, o/r) partition
     for (chunk <- 1 to 4)
@@ -157,7 +157,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("compaction self-heals a crash between the swap renames") {
-    val root = java.nio.file.Files.createTempDirectory("compactheal").toString
+    val root = tempDir("compactheal").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     for (chunk <- 1 to 3)
       SnapshotWriter.appendTable(rows("o/r", d1, s"c$chunk"), s"$root/commits")
@@ -186,7 +186,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("deleteSnapshot clears crash debris so deleted rows cannot resurrect") {
-    val root = java.nio.file.Files.createTempDirectory("compactdel").toString
+    val root = tempDir("compactdel").toString
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     SnapshotWriter.appendTable(rows("o/r", d1, "stale"), s"$root/commits")
     val dir = new org.apache.hadoop.fs.Path(
@@ -203,7 +203,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("crash-replayed micro-batch appends no duplicate rows (every crash point)") {
-    val root = java.nio.file.Files.createTempDirectory("batchappend").toString
+    val root = tempDir("batchappend").toString
     val path = s"$root/pull_requests"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val b0 = rows("o/r", d1, "batch0")
@@ -244,7 +244,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("NDJSON load-job sink appendBatch is replay-idempotent") {
-    val root = java.nio.file.Files.createTempDirectory("batchndjson").toString
+    val root = tempDir("batchndjson").toString
     val sink = new NdjsonSnapshotSink(spark, root)
     val b0 = rows("o/r", d1, "nb0")
     sink.appendBatch("pull_requests", b0, "runx", 0L)
@@ -255,7 +255,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
 
   test("batch-commit markers gate replays and pin one runId per checkpoint") {
     val cp = new org.apache.hadoop.fs.Path(
-      java.nio.file.Files.createTempDirectory("batchcp").toString)
+      tempDir("batchcp").toString)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!BatchCommit.isCommitted(fs, cp, 0L))
     BatchCommit.markCommitted(fs, cp, 0L)
@@ -266,7 +266,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
   }
 
   test("sweepOrphans reaps this run's crashed-publish debris, never committed files") {
-    val dir = java.nio.file.Files.createTempDirectory("sweeporphans")
+    val dir = tempDir("sweeporphans")
     val tableRoot = dir.resolve("t").toString
     val cp = dir.resolve("cp").toString
     val cpPath = new org.apache.hadoop.fs.Path(cp)
@@ -300,7 +300,7 @@ class SnapshotSinkSpec extends AnyFunSuite {
 
   test("batch-commit markers are reaped past the retained-batch window") {
     val cp = new org.apache.hadoop.fs.Path(
-      java.nio.file.Files.createTempDirectory("batchreap").toString)
+      tempDir("batchreap").toString)
     val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0L to 5L).foreach(BatchCommit.markCommitted(fs, cp, _))
     // inside the window: everything retained

@@ -13,7 +13,7 @@ import graft.model.GithubSchemas
 import graft.sink.SnapshotWriter
 import graft.transform.GithubTransform
 
-class GithubConnectorSpec extends AnyFunSuite {
+class GithubConnectorSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -425,7 +425,7 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("streaming reads honor the option-level state prune") {
     withServer { server =>
-      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream-state").toString
+      val checkpoint = tempDir("gh-stream-state").toString
       val stream = spark.readStream.format("graft.source.github.GithubDataSource")
         .option("repos", "o/r")
         .option("apiUrl", server.url)
@@ -457,7 +457,7 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("EtlJob end-to-end is idempotent under rerun (dynamic partition overwrite)") {
     withServer { server =>
-      val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
+      val out = tempDir("graft-etl").toString
       val env = Map(
         "GITHUB_REPOS" -> "o/r",
         "GRAFT_OUTPUT_DIR" -> out,
@@ -474,8 +474,8 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("EtlJob DSv2 mode: multi-repo parallel pass equals per-repo loop") {
     withServer { server =>
-      val outLoop = java.nio.file.Files.createTempDirectory("graft-loop").toString
-      val outDsv2 = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+      val outLoop = tempDir("graft-loop").toString
+      val outDsv2 = tempDir("graft-dsv2").toString
       val base = Map(
         "GITHUB_REPOS" -> "o/r1, o/r2",
         "GITHUB_API_URL" -> server.url,
@@ -501,7 +501,7 @@ class GithubConnectorSpec extends AnyFunSuite {
     server.start()
     try {
       val outs = Seq("plain", "chunked", "dsv2")
-        .map(m => m -> java.nio.file.Files.createTempDirectory(s"graft-$m").toString)
+        .map(m => m -> tempDir(s"graft-$m").toString)
         .toMap
       val base = Map(
         "GITHUB_REPOS" -> "o/r",
@@ -558,8 +558,7 @@ class GithubConnectorSpec extends AnyFunSuite {
       }
       graft.jobs.EtlJob.run(Map(
         "GITHUB_REPOS" -> "o/r",
-        "GRAFT_OUTPUT_DIR" -> java.nio.file.Files
-          .createTempDirectory("graft-bq").toString, // unused by this sink
+        "GRAFT_OUTPUT_DIR" -> tempDir("graft-bq").toString, // unused by this sink
         "GITHUB_API_URL" -> server.url,
         "GITHUB_TOKEN" -> "t",
         "GRAFT_SINK" -> "bigquery",
@@ -583,7 +582,7 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("dynamic partition overwrite replaces only touched partitions") {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    val out = tempDir("graft-snap").toString + "/t"
     val day1 = Seq((1L, "a", Date.valueOf("2024-01-01"), "r1"),
       (2L, "b", Date.valueOf("2024-01-01"), "r2"))
       .toDF("id", "v", "snapshot_date", "target_repository")
@@ -599,7 +598,7 @@ class GithubConnectorSpec extends AnyFunSuite {
   }
 
   test("snapshotExists probe: false before write, true after") {
-    val out = java.nio.file.Files.createTempDirectory("graft-exist").toString
+    val out = tempDir("graft-exist").toString
     val d = Date.valueOf("2024-02-02")
     assert(!SnapshotWriter.snapshotExists(spark, out, "o/r", d))
     import spark.implicits._
@@ -614,7 +613,7 @@ class GithubConnectorSpec extends AnyFunSuite {
     // space, '*', '~' are exactly where URL-encoding and Hive path
     // escaping disagree; the delete must mirror the WRITER's escaping
     // or it silently misses the partition and stale rows survive
-    val out = java.nio.file.Files.createTempDirectory("graft-esc").toString
+    val out = tempDir("graft-esc").toString
     val d = Date.valueOf("2024-03-03")
     import spark.implicits._
     for (repo <- Seq("o/r", "weird name/x*y~z")) {
@@ -643,7 +642,7 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("readStream format(github) drains all pages and equals the batch read") {
     withServer { server =>
-      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream").toString
+      val checkpoint = tempDir("gh-stream").toString
       val stream = spark.readStream.format("graft.source.github.GithubDataSource")
         .option("repos", "o/r")
         .option("apiUrl", server.url)
@@ -665,8 +664,8 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("EtlJob streaming mode writes the same snapshot as the batch job, and resume appends nothing") {
     withServer { server =>
-      val outB = java.nio.file.Files.createTempDirectory("graft-etl-b").toString
-      val outS = java.nio.file.Files.createTempDirectory("graft-etl-s").toString
+      val outB = tempDir("graft-etl-b").toString
+      val outS = tempDir("graft-etl-s").toString
       val base = Map(
         "GITHUB_REPOS" -> "o/r",
         "GITHUB_API_URL" -> server.url,
@@ -698,7 +697,7 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("maxPagesPerTrigger drains the backlog in bounded micro-batches, losing nothing") {
     withServer { server =>
-      val checkpoint = java.nio.file.Files.createTempDirectory("gh-stream-pp").toString
+      val checkpoint = tempDir("gh-stream-pp").toString
       // chunkSize 3 → the 5-PR corpus spans 2 pages; cap 1 page/trigger
       val stream = spark.readStream.format("graft.source.github.GithubDataSource")
         .option("repos", "o/r")
@@ -741,9 +740,8 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("crash-replay of the last micro-batch appends no duplicate rows") {
     withServer { server =>
-      val out = java.nio.file.Files.createTempDirectory("graft-replay").toString
-      val checkpoint = java.nio.file.Files
-        .createTempDirectory("graft-replay-cp").toString + "/cp"
+      val out = tempDir("graft-replay").toString
+      val checkpoint = tempDir("graft-replay-cp").toString + "/cp"
       val sink = new graft.sink.ParquetSnapshotSink(spark, out)
       val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
       val d = Date.valueOf("2026-02-01")
@@ -772,9 +770,8 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("streaming resume keeps the checkpoint-pinned snapshot date across a date change") {
     withServer { server =>
-      val out = java.nio.file.Files.createTempDirectory("graft-pin").toString
-      val checkpoint = java.nio.file.Files
-        .createTempDirectory("graft-pin-cp").toString + "/cp"
+      val out = tempDir("graft-pin").toString
+      val checkpoint = tempDir("graft-pin-cp").toString + "/cp"
       val sink = new RecordingSink(new graft.sink.ParquetSnapshotSink(spark, out))
       val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
       val d1 = Date.valueOf("2026-01-01")
@@ -799,10 +796,9 @@ class GithubConnectorSpec extends AnyFunSuite {
 
   test("a pre-created empty checkpoint dir still counts as a fresh run (delete fires)") {
     withServer { server =>
-      val out = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+      val out = tempDir("graft-fresh").toString
       // operator-created checkpoint dir, no offsets log inside
-      val checkpoint = java.nio.file.Files
-        .createTempDirectory("graft-fresh-cp").toString
+      val checkpoint = tempDir("graft-fresh-cp").toString
       val sink = new RecordingSink(new graft.sink.ParquetSnapshotSink(spark, out))
       val opts = GithubSource.Options(apiUrl = server.url, token = Some("t"))
       val d = Date.valueOf("2026-01-03")

@@ -14,7 +14,7 @@ final case class SpecDoc(doc_id: Long, ts: Timestamp, text: String)
 /** Arriving embedding row for the streaming PQ-encode spec. */
 final case class SpecVec(vec_id: Long, v: Array[Float])
 
-class EventStreamsSpec extends AnyFunSuite {
+class EventStreamsSpec extends AnyFunSuite with graft.TempDirs {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -195,7 +195,7 @@ class EventStreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     val input = MemoryStream[EventStreams.Event]
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val dir = tempDir("graft-stream-sink")
     val out = dir.resolve("events").toString
     val cp = dir.resolve("cp").toString
     val withPartitions = input.toDF()
@@ -215,7 +215,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("snapshot sink crash-replay: same batchId twice appends no duplicates") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-replay-sink")
+    val dir = tempDir("graft-replay-sink")
     val out = dir.resolve("events").toString
     val cp = dir.resolve("cp").toString
     def frame(ids: Long*) = ids.map(i =>
@@ -238,7 +238,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("committed smoothed-rate fold: crash-replay converges, result bit-equal to batch") {
     import org.apache.spark.sql.DataFrame
-    val root = java.nio.file.Files.createTempDirectory("graft-foldstore").toString
+    val root = tempDir("graft-foldstore").toString
     val b1 = Seq(
       ev(1, "2024-01-01 10:00:00", 1, "purchase", 5),
       ev(2, "2024-01-01 11:00:00", 1, "view", 0),
@@ -582,7 +582,7 @@ class EventStreamsSpec extends AnyFunSuite {
   test("FoldStore generalizes: the AMS F2 fold is exactly-once under crash-replay") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.xxhash64
-    val root = java.nio.file.Files.createTempDirectory("graft-f2store").toString
+    val root = tempDir("graft-f2store").toString
     val rows = (1 to 400).map(i => ("k" + (i % 23), i))
     val (b1, b2) = rows.splitAt(170)
     val empty = Seq.empty[(Long, Long)].toDF("k", "f")
@@ -609,7 +609,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("FoldStore enforces the single-writer contract per root") {
     import org.apache.spark.sql.DataFrame
-    val root = java.nio.file.Files.createTempDirectory("graft-1w").toString
+    val root = tempDir("graft-1w").toString
     val empty = Seq.empty[(Long, Long)].toDF("user_id", "n")
     def fold(stored: DataFrame): DataFrame = stored
 
@@ -1419,7 +1419,7 @@ class EventStreamsSpec extends AnyFunSuite {
       (i, Array.tabulate(8)(d => if (d >= 6) 5.0f else 0.01f)))
     val batches: Seq[Seq[(Long, Array[Float])]] =
       stable.grouped(2).toSeq :+ drifted
-    val dir = java.nio.file.Files.createTempDirectory("annstreamlife")
+    val dir = tempDir("annstreamlife")
     val path = dir.resolve("ix").toString
     val cp = dir.resolve("cp").toString
     AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
@@ -1475,5 +1475,129 @@ class EventStreamsSpec extends AnyFunSuite {
       nCentroids = 4, nProbe = 4))
     assert(streamedRanks == fusedRanks,
       "post-rebuild streamed index diverged from the fused full-corpus path")
+  }
+
+  test("async drift rebuild: ingest keeps committing, probes serve the old artifact until the swap") {
+    // The 100 TB shape of drift maintenance: detection stays inline in
+    // the foreachBatch body, the RETRAIN runs on a maintenance thread.
+    // While a deliberately-held retrain is in flight the stream must
+    // keep committing batches and an IndexHandle must keep serving the
+    // OLD artifact; at the atomic swap the published artifact must
+    // contain every batch committed during the rebuild window (the
+    // maintainer's pending-buffer drain), bit-equal to the synchronous
+    // reference (build on the snapshot, frozen-codebook-encode the
+    // window's arrivals).
+    import graft.ops.{AnnIndexStore, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val baseRows = (0L until 24L).map(i => (i, mk(i, (i % 4).toInt)))
+    val drifted = (40L until 52L).map(i =>
+      (i, Array.tabulate(8)(d => if (d >= 6) 5.0f else 0.01f)))
+    val late1 = (60L until 64L).map(i => (i, mk(i, (i % 4).toInt)))
+    val late2 = (70L until 74L).map(i => (i, mk(i, (i % 4).toInt)))
+    val dir = tempDir("annstreamasync")
+    val path = dir.resolve("ix").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4), path)
+    val handle = AnnIndexStore.openHandle(spark, path)
+    // swap detector: the publish atomically replaces the codebook
+    // TABLES (fresh part-file names), while appends touch only codes/.
+    // Centroid VALUES can legitimately survive a retrain (coarseAssign
+    // seeds from the lowest nids), so file identity is the signal.
+    def codebookFiles(): Set[String] = {
+      val d = new java.io.File(s"$path/sub_codebook")
+      Option(d.listFiles).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val codebookBefore = codebookFiles()
+
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val buildGate = new java.util.concurrent.CountDownLatch(1)
+    val maintainer = new AnnIndexStore.DriftMaintainer(spark, path,
+      dim = 8, m = 2, ksub = 4, nCentroids = 4,
+      buildFn = Some { c =>
+        buildStarted.countDown()
+        // deliberately-slow retrain: held until the test has proven
+        // ingest continues and probes still serve the old artifact
+        assert(buildGate.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "test gate never released")
+        Similarity.buildIvfPqResidualIndex(c, 8, 2, 4, 4)
+      })
+
+    var corpusRows = baseRows
+    val committedInFlight = scala.collection.mutable.ListBuffer.empty[Long]
+    val input = MemoryStream[SpecVec]
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SpecVec],
+          bid: Long) =>
+        val arr = batch.collect().map(v => (v.vec_id, v.v)).toSeq
+        maintainer.ingestBatch(cp, bid, arr.toDF("nid", "nv"))
+        if (maintainer.rebuildInFlight) committedInFlight += bid
+        corpusRows = corpusRows ++ arr
+        if (!maintainer.rebuildInFlight)
+          maintainer.maybeRebuildAsync(corpusRows.toDF("nid", "nv"),
+            $"nid" >= 40L, minCos = 0.9)
+        ()
+      }.start()
+    try {
+      input.addData(drifted.map { case (i, v) => SpecVec(i, v) }: _*)
+      q.processAllAvailable()
+      assert(buildStarted.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "drift never triggered the async rebuild")
+      assert(maintainer.rebuildInFlight)
+      // the stream keeps committing while the retrain holds
+      input.addData(late1.map { case (i, v) => SpecVec(i, v) }: _*)
+      q.processAllAvailable()
+      input.addData(late2.map { case (i, v) => SpecVec(i, v) }: _*)
+      q.processAllAvailable()
+      assert(maintainer.rebuildInFlight,
+        "retrain finished early; the in-flight assertions prove nothing")
+      assert(committedInFlight.size == 2,
+        s"expected 2 batches committed during the rebuild: $committedInFlight")
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      for (bid <- committedInFlight)
+        assert(graft.sink.BatchCommit.isCommitted(fs,
+          new org.apache.hadoop.fs.Path(cp), bid),
+          s"batch $bid did not commit during the rebuild")
+      // probes during the rebuild serve the OLD artifact: pre-rebuild
+      // codebook files untouched, codes complete through the latest
+      // committed batch
+      assert(codebookFiles() == codebookBefore,
+        "codebook tables changed before the atomic swap")
+      val during = handle.current()
+      assert(during.codes.count() == corpusRows.size.toLong)
+    } finally {
+      buildGate.countDown()
+      assert(maintainer.awaitIdle(120000), "rebuild never finished")
+      q.stop()
+    }
+    assert(maintainer.failure.isEmpty, s"rebuild failed: ${maintainer.failure}")
+    assert(maintainer.completedRebuilds == 1)
+    // post-swap: replaced codebook tables, and EVERY committed batch
+    // present — including the two that landed while the retrain ran
+    val idx = handle.current()
+    assert(codebookFiles() != codebookBefore, "swap never published")
+    assert(idx.codes.count() == corpusRows.size.toLong,
+      "a batch committed during the rebuild was wiped by the publish")
+    // exact equality with the synchronous reference
+    val refIdx = Similarity.buildIvfPqResidualIndex(
+      (baseRows ++ drifted).toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4)
+    val refFull = refIdx.copy(codes = refIdx.codes.unionByName(
+      Similarity.encodeForIndex(refIdx, (late1 ++ late2).toDF("nid", "nv"),
+        dim = 8, m = 2, ksub = 4)))
+    val probeQ = Seq((998L, drifted.head._2), (999L, mk(5, 1)))
+      .toDF("qid", "qv")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rowsOf(Similarity.ivfPqResidualProbe(probeQ, idx, k = 3,
+      dim = 8, m = 2, ksub = 4, nProbe = 4)) ==
+      rowsOf(Similarity.ivfPqResidualProbe(probeQ, refFull, k = 3,
+        dim = 8, m = 2, ksub = 4, nProbe = 4)),
+      "async-rebuilt index diverged from the synchronous reference")
   }
 }
