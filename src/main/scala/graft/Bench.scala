@@ -184,7 +184,7 @@ object Bench {
           s""","adjudicated_total":$adjTotal,$sentinelJson""" +
           s""","full":"$outPath"""" +
           s""","queries":"""
-      val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+      val slowest = queriesSeq.filter(_._2 >= 0).sortBy(-_._2)
       val picked = scala.collection.mutable.ListBuffer.empty[String]
       var used = compactBase.length + 2
       for ((k, v) <- slowest) {

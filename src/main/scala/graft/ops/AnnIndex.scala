@@ -620,9 +620,20 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
         autoCompactMaxFiles: Int = 0,
         autoCompactTargetBytes: Long = 128L * 1024 * 1024): Unit =
       monitor.synchronized {
-        if (running.get)
-          vectors.write.mode("overwrite")
-            .parquet(new Path(pendingDir, s"batch=$batchId").toString)
+        if (running.get) {
+          // buffer only batches that are NOT yet committed: an
+          // already-committed batch is in the rebuild's corpus
+          // snapshot (the maybeRebuildAsync contract), so draining a
+          // replay of it would duplicate its codes in the published
+          // artifact. (Within one process a committed batch is never
+          // redelivered, but the marker check makes the invariant
+          // independent of the stream engine's delivery behavior.)
+          val cpP = new Path(checkpointDir)
+          val cfs = cpP.getFileSystem(spark.sessionState.newHadoopConf())
+          if (!graft.sink.BatchCommit.isCommitted(cfs, cpP, batchId))
+            vectors.write.mode("overwrite")
+              .parquet(new Path(pendingDir, s"batch=$batchId").toString)
+        }
         ingestVectorsBatch(spark, path, checkpointDir, batchId, vectors,
           dim, m, ksub, autoCompactMaxFiles, autoCompactTargetBytes)
       }
