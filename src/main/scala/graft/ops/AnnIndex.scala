@@ -36,6 +36,34 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     fs.create(new Path(path, Marker), true).close()
   }
 
+  /** Read-optimized SERVING layout: identical artifact except the
+    * codes table is partitioned by coarse centroid (`cid=N/`
+    * directories). A probe joins codes on cid against the per-query
+    * nProbe shortlist, and Spark's dynamic partition pruning turns
+    * that join into a partition filter on the scan
+    * (`PartitionFilters: [... cid IN dynamicpruningsubquery(...)]`,
+    * spec-pinned) — so a probe reads ~nProbe/nCentroids of the codes
+    * bytes instead of all of them. At 100 TB that is the difference
+    * between scanning the corpus per probe batch and scanning only
+    * the probed buckets. Serving artifacts are IMMUTABLE snapshots:
+    * the streaming ingest / compaction / drift machinery owns the
+    * flat write-optimized layout ([[save]]), and a serving snapshot
+    * is republished from it wholesale — [[IndexHandle]]'s
+    * change-detection and the batch-publish sweep both assume
+    * top-level code files and are not pointed at this layout.
+    */
+  def savePartitioned(index: IvfPqResidualIndex, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(path, Marker), false)
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.subCodebook.write.mode("overwrite").parquet(s"$path/sub_codebook")
+    index.codes.write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/codes")
+    fs.create(new Path(path, Marker), true).close()
+  }
+
   def load(spark: SparkSession, path: String): IvfPqResidualIndex =
     IvfPqResidualIndex(
       spark.read.parquet(s"$path/centroids"),
@@ -71,6 +99,26 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     load(spark, path)
   }
 
+  /** [[ensureIvfPqResidual]] with the [[savePartitioned]] serving
+    * layout — build-if-missing through the same lock-guarded atomic
+    * publish, then load for DPP-pruned probes.
+    */
+  def ensureIvfPqResidualPartitioned(
+      spark: SparkSession,
+      path: String,
+      corpus: => DataFrame, // (nid, nv) — only evaluated on a build
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      nCentroids: Int = 16): IvfPqResidualIndex = {
+    if (!isBuilt(spark, path))
+      buildGuarded(spark, path,
+        () => Similarity.buildIvfPqResidualIndex(corpus, dim, m, ksub,
+          nCentroids),
+        persist = savePartitioned)
+    load(spark, path)
+  }
+
   /** How long a lock file may sit without an mtime refresh before a
     * waiter declares its holder dead and reclaims it. A LIVE holder
     * refreshes the lock's mtime from a heartbeat thread every quarter
@@ -97,7 +145,8 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
       spark: SparkSession,
       path: String,
       build: () => IvfPqResidualIndex,
-      aroundPublish: (String, () => Unit) => Unit = (_, pub) => pub()): Unit = {
+      aroundPublish: (String, () => Unit) => Unit = (_, pub) => pub(),
+      persist: (IvfPqResidualIndex, String) => Unit = save): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
@@ -196,7 +245,7 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
             val tmp = new Path(p.getParent,
               s".${p.getName}.build_${java.util.UUID.randomUUID.toString.take(8)}")
             try {
-              save(build(), tmp.toString) // marker lands inside tmp, last
+              persist(build(), tmp.toString) // marker lands inside tmp, last
               aroundPublish(tmp.toString, () =>
               if (owns()) {
                 fs.delete(p, true) // clear a half-written previous attempt

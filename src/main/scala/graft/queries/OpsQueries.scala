@@ -475,6 +475,29 @@ object OpsQueries {
         handle.current(), k = 5, dim = 64), dir)
     }),
 
+    // The SERVING-layout probe, driver-graded: the same full-corpus
+    // index published through savePartitioned (codes partitioned by
+    // coarse centroid), so the probe's cid join becomes a dynamic
+    // partition-pruning filter on the scan — the probe reads
+    // ~nProbe/nCentroids of the codes bytes instead of all of them,
+    // the 100 TB difference between scanning the corpus per probe
+    // batch and scanning only the probed buckets (DPP presence is
+    // spec-pinned). Ranks are layout-invariant, so the row shares the
+    // fused full-corpus oracle; the artifact is tmpdir-cached like
+    // the flat probe twin, so steady-state cost is probe-only.
+    "q_ann_probe_pruned" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = AnnIndexStore.ensureIvfPqResidualPartitioned(s,
+        AnnIndexStore.cachePathFor(s"$d/embeddings.parquet",
+          64, 4, 8, 16, variant = "cidpart"),
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        dim = 64)
+      Similarity.ivfPqResidualProbe(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        idx, k = 5, dim = 64)
+    }),
+
     // The ASYNC staleness arc, driver-graded: same drift trigger, but
     // the retrain runs on the DriftMaintainer's maintenance thread —
     // the 100 TB shape, where an hours-long rebuild must not stall
@@ -2792,6 +2815,9 @@ object OpsQueries {
     "q_ann_ivfpq_recall" -> ivfPqRecallSql,
     "q_ann_ivfpq_res" -> ivfPqResidualSql,
     "q_ann_ivfpq_probe" -> ivfPqResidualSql,
+    // the partitioned serving layout changes bytes-read, never ranks:
+    // the DPP-pruned probe shares the fused full-corpus oracle
+    "q_ann_probe_pruned" -> ivfPqResidualSql,
     "q_ann_index_append" ->
       ivfPqResidualSqlGen("vec_id % 10 < 8", "r.nid % 10 < 8"),
     // ingest ≡ appendToIndex ≡ the frozen-codebook union encode, and

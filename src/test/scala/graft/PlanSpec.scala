@@ -418,6 +418,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_ivfpq_res", "q_ann_ivfpq_res_recall",
       "q_ann_ivfpq_probe", // the loaded-artifact probe: same tiny
       // codebook/query-table broadcasts as the fused path
+      "q_ann_probe_pruned", // identical probe over the partitioned
+      // serving layout: same broadcasts, plus the DPP subquery
       "q_ann_index_append", // frozen-codebook encode + the same probe
       "q_ann_ingest_compact_probe", // staged-ingest + compaction, then
       // the identical loaded-artifact probe broadcasts
@@ -501,6 +503,8 @@ class PlanSpec extends AnyFunSuite {
       "q_ann_pq8_recall",
       "q_ann_ivfpq_probe", "q_ann_index_append", // the probe's
       // per-query top-k windows, same shape as the fused row
+      "q_ann_probe_pruned", // the same probe windows over the
+      // DPP-pruned serving layout
       "q_ann_ingest_compact_probe", // the same probe plan over the
       // ingested-then-compacted artifact
       "q_ann_drift_rebuild", // the same probe plan over the rebuilt

@@ -616,6 +616,49 @@ class OpsSpec extends AnyFunSuite with graft.TempDirs {
         m = 2, ksub = 4, nProbe = 4)))
   }
 
+  test("partitioned serving layout: ranks unchanged, probe scan is DPP-pruned") {
+    // savePartitioned writes codes/ as cid=N directories; the probe's
+    // cid join must then carry a dynamic partition-pruning filter on
+    // the codes scan (read only the probed buckets — the 100 TB
+    // difference), and the layout must not move a single rank.
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val dir = tempDir("annpart")
+    val flat = dir.resolve("flat").toString
+    val part = dir.resolve("part").toString
+    val corpus = all.toDF("nid", "nv")
+    val idxFlat = AnnIndexStore.ensureIvfPqResidual(spark, flat, corpus,
+      dim = 8, m = 2, ksub = 4, nCentroids = 4)
+    val idxPart = AnnIndexStore.ensureIvfPqResidualPartitioned(spark,
+      part, corpus, dim = 8, m = 2, ksub = 4, nCentroids = 4)
+    // the layout really is partitioned: cid=N subdirectories
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$part/codes"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid="))
+    assert(buckets.length > 1, s"codes not cid-partitioned: ${buckets.toSeq}")
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probePart = Similarity.ivfPqResidualProbe(q, idxPart, k = 3,
+      dim = 8, m = 2, ksub = 4, nProbe = 2)
+    assert(rows(probePart) ==
+      rows(Similarity.ivfPqResidualProbe(q, idxFlat, k = 3, dim = 8,
+        m = 2, ksub = 4, nProbe = 2)),
+      "the serving layout moved probe ranks")
+    // the executed (post-AQE) plan prunes the codes scan dynamically:
+    // a real IN-subquery pruning expression, not the no-op
+    // dynamicpruningexpression(true)
+    val plan = probePart.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cast(cid") ||
+      plan.contains("dynamicpruningexpression(cid"),
+      s"no dynamic partition pruning on the codes scan:\n$plan")
+  }
+
   test("compactCodes merges ingest fragments; probe ranks and rows unchanged") {
     val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
       (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
