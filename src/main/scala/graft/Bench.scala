@@ -242,10 +242,13 @@ object Bench {
     // re-measured clean on unchanged code).
     val windowDegraded = sentinelDriftRaw > BenchGuard.DegradedAt ||
       adjudicated.values.exists(_.sentinelRatio > BenchGuard.DegradedAt)
-    val flagVerdicts =
-      BenchGuard.verdicts(adjudicated, windowDegraded = windowDegraded)
-    val confirmed =
-      BenchGuard.confirmedRegressions(adjudicated, windowDegraded = windowDegraded)
+    // absolute-significance floor for confirms (see BenchGuard.verdicts)
+    val minDelta =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_DELTA", "1.5").toDouble
+    val flagVerdicts = BenchGuard.verdicts(adjudicated,
+      windowDegraded = windowDegraded, minDeltaSec = minDelta)
+    val confirmed = BenchGuard.confirmedRegressions(adjudicated,
+      windowDegraded = windowDegraded, minDeltaSec = minDelta)
     val rerunRequired = flagVerdicts.count(_._2 == "rerun_required")
     adjudicated.toSeq.sortBy(-_._2.sweep).foreach { case (name, a) =>
       System.err.println(f"[bench] REGRESSION $name: ${a.base}%.2f -> " +

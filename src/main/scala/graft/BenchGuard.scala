@@ -210,18 +210,30 @@ object BenchGuard {
     *    the reading (the r10 window drifted 11.76× overall while 8
     *    flags caught sentinel-healthy instants; re-measures of the
     *    same unchanged queries swing 2–6× across windows);
+    *  - `"insignificant"` — trips the relative factor but the
+    *    absolute delta (isolated − baseline) is under `minDeltaSec`:
+    *    below this host's DEMONSTRATED identical-code variance floor
+    *    (QueryProbe: q_daily_quantiles swings 0.7–4.5 s across
+    *    healthy windows; the r11 sweep "confirmed" nine git-untouched
+    *    queries on deltas of 0.2–1.1 s). A ratio test alone has no
+    *    significance scale — 0.36 s → 0.57 s is 1.6× and also
+    *    nothing. Regressions that matter at 100 TB move seconds on
+    *    the heavy rows, which this floor never masks; the knob is
+    *    `SPARK_GRAFT_BENCH_MIN_DELTA` for hosts with a tighter floor;
     *  - `"noise"` — the adjusted isolated number clears the factor.
     */
   def verdicts(
       adjudicated: Map[String, Adjudication],
       factor: Double = 1.5,
       degradedAt: Double = DegradedAt,
-      windowDegraded: Boolean = false): Map[String, String] =
+      windowDegraded: Boolean = false,
+      minDeltaSec: Double = 1.5): Map[String, String] =
     adjudicated.map { case (name, a) =>
       val v =
         if (a.iso < 0) "rerun_required"
         else if (a.base > 0 && a.isoAdjusted > a.base * factor)
           if (windowDegraded || a.sentinelRatio > degradedAt) "rerun_required"
+          else if (a.isoAdjusted - a.base < minDeltaSec) "insignificant"
           else "CONFIRMED"
         else "noise"
       name -> v
@@ -234,8 +246,10 @@ object BenchGuard {
       adjudicated: Map[String, Adjudication],
       factor: Double = 1.5,
       degradedAt: Double = DegradedAt,
-      windowDegraded: Boolean = false): Map[String, Adjudication] = {
-    val v = verdicts(adjudicated, factor, degradedAt, windowDegraded)
+      windowDegraded: Boolean = false,
+      minDeltaSec: Double = 1.5): Map[String, Adjudication] = {
+    val v = verdicts(adjudicated, factor, degradedAt, windowDegraded,
+      minDeltaSec)
     adjudicated.filter { case (name, _) => v(name) == "CONFIRMED" }
   }
 
@@ -248,7 +262,9 @@ object BenchGuard {
     * doubling those queries' regression thresholds for the next round.
     * Only `noise` verdicts substitute — a CONFIRMED flag's sweep
     * number IS the regression, and a rerun_required flag has no
-    * trustworthy number to substitute.
+    * trustworthy number to substitute. `insignificant` flags also
+    * substitute: their isolated number was taken in a healthy window
+    * and is the better estimate of the query's true cost.
     */
   def healedQueryTimes(
       results: Seq[(String, Double)],
@@ -256,7 +272,9 @@ object BenchGuard {
       flagVerdicts: Map[String, String]): Seq[(String, Double)] =
     results.map { case (name, t) =>
       adjudicated.get(name) match {
-        case Some(a) if flagVerdicts.get(name).contains("noise") && a.iso >= 0 =>
+        case Some(a) if a.iso >= 0 &&
+            (flagVerdicts.get(name).contains("noise") ||
+              flagVerdicts.get(name).contains("insignificant")) =>
           name -> a.isoAdjusted
         case _ => name -> t
       }

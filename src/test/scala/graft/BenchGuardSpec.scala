@@ -308,6 +308,33 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.confirmedRegressions(adj).keySet shouldBe Set("q_real")
   }
 
+  test("sub-floor deltas never confirm: a ratio without a significance scale is noise") {
+    // the r11 sweep minted 9 confirms on git-untouched code, every one
+    // a sub-1.1 s delta on a small query (q_shard_assign 0.36 -> 0.57 s
+    // is "1.6x"); QueryProbe showed identical-code swings of ±3.7 s on
+    // this host. A confirm needs BOTH the relative factor and an
+    // absolute delta above the demonstrated variance floor.
+    val adj = Map(
+      // 2.1x but only +0.4 s — inside the floor
+      "q_tiny" -> BenchGuard.Adjudication(0.36, 0.83, 0.76, 1.0),
+      // 2.3x but +0.99 s — still inside the default 1.5 s floor
+      "q_small" -> BenchGuard.Adjudication(0.76, 1.9, 1.75, 1.0),
+      // 1.8x AND +8 s — a real regression, never masked
+      "q_heavy" -> BenchGuard.Adjudication(10.0, 18.5, 18.0, 1.0))
+    val v = BenchGuard.verdicts(adj)
+    v("q_tiny") shouldBe "insignificant"
+    v("q_small") shouldBe "insignificant"
+    v("q_heavy") shouldBe "CONFIRMED"
+    BenchGuard.confirmedRegressions(adj).keySet shouldBe Set("q_heavy")
+    // a tighter floor re-admits the small ones
+    BenchGuard.verdicts(adj, minDeltaSec = 0.1)("q_tiny") shouldBe "CONFIRMED"
+    // insignificant flags still heal the committed baseline with their
+    // healthy isolated reading
+    val healed = BenchGuard.healedQueryTimes(
+      Seq("q_tiny" -> 0.83), adj, v).toMap
+    healed("q_tiny") shouldBe 0.76 +- 1e-9
+  }
+
   test("a fast window never flatters the isolated number") {
     // machine got FASTER during adjudication (ratio 0.5): dividing by
     // it would double the isolated reading and mint a confirm from
