@@ -99,6 +99,32 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     load(spark, path)
   }
 
+  /** Republish a LIVE flat index (the streaming-ingest/compaction
+    * layout) as a partitioned serving snapshot — no retrain, no
+    * re-encode: the three frames are read from `flatPath` and written
+    * to `servingPath` with codes partitioned by cid, through the same
+    * lock-guarded atomic publish as every build (two racing
+    * publishers serialize on the lock; the swap is delete-then-
+    * rename, so a probe loading exactly inside the sub-second gap
+    * must retry — the [[IndexHandle]] pattern). This is the bridge
+    * between the two
+    * layouts at 100 TB: ingest absorbs micro-batches into the flat
+    * artifact all day, and a periodic snapshot gives the probe fleet
+    * a DPP-pruned view. Call it from the flat index's single writer
+    * with no ingest batch in flight (the [[compactCodes]] quiesce
+    * contract) so the snapshot is a consistent cut.
+    */
+  def publishServingSnapshot(
+      spark: SparkSession,
+      flatPath: String,
+      servingPath: String): Unit = {
+    val p = new Path(servingPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(servingPath, Marker), false) // force a refresh
+    buildGuarded(spark, servingPath, () => load(spark, flatPath),
+      persist = savePartitioned)
+  }
+
   /** [[ensureIvfPqResidual]] with the [[savePartitioned]] serving
     * layout — build-if-missing through the same lock-guarded atomic
     * publish, then load for DPP-pruned probes.

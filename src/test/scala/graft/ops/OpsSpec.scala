@@ -659,6 +659,54 @@ class OpsSpec extends AnyFunSuite with graft.TempDirs {
       s"no dynamic partition pruning on the codes scan:\n$plan")
   }
 
+  test("serving snapshot republishes a live flat index: ranks equal, refresh picks up ingest") {
+    // the layout bridge: ingest absorbs micro-batches into the flat
+    // artifact; publishServingSnapshot gives probes a DPP-pruned view
+    // without retrain or re-encode, and a later refresh (after more
+    // ingest) swaps in the grown corpus atomically.
+    val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
+      (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
+    val all = (0L until 4L).map(i => (i, mk(i, 0))) ++
+      (10L until 38L).map(i => (i, mk(i, (i % 4).toInt)))
+    val (baseRows, arrivalRows) = all.partition(_._1 < 30L)
+    val (b1, b2) = arrivalRows.splitAt(4)
+    val dir = tempDir("annserve")
+    val flat = dir.resolve("flat").toString
+    val serving = dir.resolve("serving").toString
+    val cp = dir.resolve("cp").toString
+    AnnIndexStore.save(Similarity.buildIvfPqResidualIndex(
+      baseRows.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4,
+      nCentroids = 4), flat)
+    AnnIndexStore.ingestVectorsBatch(spark, flat, cp, 0L,
+      b1.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    AnnIndexStore.publishServingSnapshot(spark, flat, serving)
+    val q = all.filter(_._1 >= 34).toDF("qid", "qv")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def probeAt(path: String) = Similarity.ivfPqResidualProbe(q,
+      AnnIndexStore.load(spark, path), k = 3, dim = 8, m = 2, ksub = 4,
+      nProbe = 2)
+    assert(AnnIndexStore.load(spark, serving).codes.count() ==
+      (baseRows.size + b1.size).toLong)
+    assert(rows(probeAt(serving)) == rows(probeAt(flat)),
+      "serving snapshot moved probe ranks")
+    // more ingest lands in the flat layout only; a refresh swaps the
+    // grown corpus into the serving view
+    AnnIndexStore.ingestVectorsBatch(spark, flat, cp, 1L,
+      b2.toDF("nid", "nv"), dim = 8, m = 2, ksub = 4)
+    assert(AnnIndexStore.load(spark, serving).codes.count() ==
+      (baseRows.size + b1.size).toLong, "snapshot mutated under ingest")
+    AnnIndexStore.publishServingSnapshot(spark, flat, serving)
+    assert(AnnIndexStore.load(spark, serving).codes.count() == all.size.toLong)
+    val refreshed = probeAt(serving)
+    assert(rows(refreshed) == rows(probeAt(flat)),
+      "refreshed snapshot diverged from the live index")
+    val plan = refreshed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cast(cid") ||
+      plan.contains("dynamicpruningexpression(cid"),
+      s"no dynamic partition pruning on the serving codes scan:\n$plan")
+  }
+
   test("compactCodes merges ingest fragments; probe ranks and rows unchanged") {
     val mk = (i: Long, c: Int) => Array.tabulate(8)(d =>
       (if (d % 4 == c) 1.0f else 0.0f) + 0.01f * ((i * 11 + d) % 7))
