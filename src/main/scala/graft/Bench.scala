@@ -159,12 +159,18 @@ object Bench {
         phase: String): Unit = {
       val qs = queriesSeq.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // "value" is the sum of the SHIPPED queries map (healed values
+      // in the adjudicated phase), so sum(queries) == value always
+      // holds inside one artifact; the raw sweep total stays visible
+      // as raw_total for round-over-round comparison
+      val shippedTotal = queriesSeq.map(_._2).filter(_ >= 0).sum
       val sentinelJson =
         s""""sentinel_base":$sentinelBase,"sentinel_end":$sentinelEnd""" +
           s""","sentinel_drift":$sentinelDriftRaw""" +
           s""","window_degraded":$windowDegraded"""
       val line =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs""" +
+        s"""{"metric":"total","value":$shippedTotal,"unit":"sec"""" +
+          s""","raw_total":$total,"queries":$qs""" +
           s""","sf":"$sfDir","runs":$runs,"phase":"$phase"""" +
           s""","baseline_unsafe":$windowDegraded""" +
           s""","regressions_vs_prev":$regJson""" +
@@ -177,9 +183,18 @@ object Bench {
       Files.move(tmp, Paths.get(outPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // the compact line is often the ONLY line surviving a driver
+      // tail snapshot — it must carry baseline_unsafe (the degraded-
+      // artifact poison marker): in a degraded window the full line's
+      // marker sits past the 10 KB queries map and truncates away,
+      // which would let the next round adopt the degraded numbers as
+      // its baseline (the r10 near-miss)
       val compactBase =
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
-          s""","runs":$runs,"phase":"$phase","n_queries":${results.size}""" +
+        s"""{"metric":"total","value":$shippedTotal,"unit":"sec"""" +
+          s""","raw_total":$total,"sf":"$sfDir"""" +
+          s""","runs":$runs,"phase":"$phase"""" +
+          s""","baseline_unsafe":$windowDegraded""" +
+          s""","n_queries":${queriesSeq.size}""" +
           s""","n_regressions":$confirmed,"rerun_required":$rerunRequired""" +
           s""","adjudicated_total":$adjTotal,$sentinelJson""" +
           s""","full":"$outPath"""" +
@@ -192,7 +207,7 @@ object Bench {
         if (used + ent.length + 1 <= 1600) { picked += ent; used += ent.length + 1 }
       }
       val compact = compactBase + picked.mkString("{", ",", "}") +
-        s""","queries_omitted":${results.size - picked.size}}"""
+        s""","queries_omitted":${queriesSeq.size - picked.size}}"""
       println(compact)
     }
 
@@ -233,7 +248,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       median((1 to isolatedRuns).map(_ => timeOnce(fn)))
     }, sentinel = sentinelOnce _, sentinelBase = sentinelBase,
-      deadline = adjDeadline)
+      deadline = adjDeadline, costFactor = isolatedRuns.toDouble)
     // degraded = the machine was measurably slower at sweep end or at
     // any flag's re-measure than at sweep start. In a degraded window
     // NOTHING confirms — an instantaneous healthy sentinel inside an

@@ -23,10 +23,17 @@ object BenchGuard {
     * sweep ran on a machine drifting 11.8× slow, and using it as the
     * baseline would roughly double every threshold — blinding the
     * guard across the whole surface. Handles both the raw line and the
-    * driver's escaped-"tail" wrapper.
+    * driver's escaped-"tail" wrapper. `window_degraded:true` is
+    * accepted as an equivalent poison marker: artifacts mark both
+    * together, but a driver tail can truncate one of them away (the
+    * full line's markers sit after the ~10 KB queries map) and older
+    * artifacts carry only window_degraded.
     */
-  def isBaselineUnsafe(txt: String): Boolean =
-    txt.replace("\\\"", "\"").contains("\"baseline_unsafe\":true")
+  def isBaselineUnsafe(txt: String): Boolean = {
+    val t = txt.replace("\\\"", "\"")
+    t.contains("\"baseline_unsafe\":true") ||
+      t.contains("\"window_degraded\":true")
+  }
 
   /** Per-query seconds from any artifact shape: the raw one-line
     * `bench_out.json`, or a driver wrapper whose `"tail"` string holds
@@ -172,6 +179,16 @@ object BenchGuard {
     * degrades to "measure these again", never to a killed process.
     * Flags are processed cheapest-sweep-first, clearing the largest
     * COUNT of flags (most are sweep-order noise) inside the budget.
+    * The deadline check is PREDICTIVE, not just at flag start: a flag
+    * whose estimated cost (sweep median × `costFactor`, i.e. the
+    * isolated run count) cannot finish before the deadline is skipped
+    * up front — otherwise the most expensive flag, which the
+    * cheapest-first order places last and nearest the deadline, can
+    * overrun the budget by its own full re-measure cost (a 15 s arc ×
+    * 5 runs starting at deadline−1 s runs ~75 s past it, the exact
+    * overrun shape that produced the r10 timeout). Skipping on an
+    * over-estimate is the safe direction: the flag ships
+    * rerun_required instead of risking the whole artifact.
     */
   def adjudicate(
       flagged: Map[String, (Double, Double)],
@@ -179,9 +196,15 @@ object BenchGuard {
       sentinel: () => Double = () => -1.0,
       sentinelBase: Double = -1.0,
       deadline: Long = Long.MaxValue,
-      now: () => Long = () => System.currentTimeMillis): Map[String, Adjudication] =
+      now: () => Long = () => System.currentTimeMillis,
+      costFactor: Double = 0.0): Map[String, Adjudication] =
     flagged.toSeq.sortBy(_._2._2).map { case (name, (b, t)) =>
-      if (now() > deadline) name -> Adjudication(b, t, -1.0, 1.0)
+      // costFactor 0 disables the estimate (deadline still checked at
+      // flag start); Bench passes the isolated run count
+      val estMs =
+        if (deadline == Long.MaxValue) 0L
+        else math.max(0L, (t * costFactor * 1000).toLong)
+      if (now() + estMs > deadline) name -> Adjudication(b, t, -1.0, 1.0)
       else {
         val ratio =
           try {

@@ -103,11 +103,14 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
     * layout) as a partitioned serving snapshot — no retrain, no
     * re-encode: the three frames are read from `flatPath` and written
     * to `servingPath` with codes partitioned by cid, through the same
-    * lock-guarded atomic publish as every build (two racing
-    * publishers serialize on the lock; the swap is delete-then-
-    * rename, so a probe loading exactly inside the sub-second gap
-    * must retry — the [[IndexHandle]] pattern). This is the bridge
-    * between the two
+    * lock-guarded atomic publish as every build. ONE publisher per
+    * serving path (the same single-writer contract as
+    * [[compactCodes]]): two concurrent callers are lock-safe but may
+    * COALESCE — the loser observes the winner's marker and returns
+    * without republishing, so its caller's newer flat state waits for
+    * the next periodic refresh. The swap is delete-then-rename, so a
+    * probe loading exactly inside the sub-second gap must retry — the
+    * [[IndexHandle]] pattern. This is the bridge between the two
     * layouts at 100 TB: ingest absorbs micro-batches into the flat
     * artifact all day, and a periodic snapshot gives the probe fleet
     * a DPP-pruned view. Call it from the flat index's single writer
@@ -162,16 +165,20 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
   /** `aroundPublish` wraps the publish step (ownership check +
     * delete-then-rename) while the build lock is held: it receives the
     * fully-built staging directory and the publish thunk, and MUST
-    * invoke the thunk exactly once. [[DriftMaintainer]] uses it to
-    * drain concurrently-ingested vectors into the staged artifact
-    * immediately before the swap, so an async rebuild can never wipe a
-    * batch that committed while it was training.
+    * invoke the thunk exactly once. The thunk returns true when THIS
+    * builder's rename landed, false when the lock had been reclaimed
+    * and the build was discarded — a wrapper with side effects keyed
+    * to the publish (the [[DriftMaintainer]] pending-buffer drain)
+    * must check it, not assume success. [[DriftMaintainer]] uses the
+    * hook to drain concurrently-ingested vectors into the staged
+    * artifact immediately before the swap, so an async rebuild can
+    * never wipe a batch that committed while it was training.
     */
   private[ops] def buildGuarded(
       spark: SparkSession,
       path: String,
       build: () => IvfPqResidualIndex,
-      aroundPublish: (String, () => Unit) => Unit = (_, pub) => pub(),
+      aroundPublish: (String, () => Boolean) => Unit = (_, pub) => { pub(); () },
       persist: (IvfPqResidualIndex, String) => Unit = save): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -278,6 +285,7 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
                 if (!fs.rename(tmp, p))
                   throw new java.io.IOException(
                     s"index publish rename failed: $tmp")
+                true
               } else {
                 // our lock was taken — by a waiter that (wrongly or
                 // rightly) presumed us dead, or by a racer that slipped
@@ -292,6 +300,7 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
                 logWarning(s"index build lock $lock was reclaimed " +
                   "mid-build; discarding this attempt and waiting " +
                   "for the new holder")
+                false
               })
             } finally fs.delete(tmp, true) // no-op after the rename
           }
@@ -695,22 +704,27 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
         autoCompactMaxFiles: Int = 0,
         autoCompactTargetBytes: Long = 128L * 1024 * 1024): Unit =
       monitor.synchronized {
-        if (running.get) {
-          // buffer only batches that are NOT yet committed: an
-          // already-committed batch is in the rebuild's corpus
-          // snapshot (the maybeRebuildAsync contract), so draining a
-          // replay of it would duplicate its codes in the published
-          // artifact. (Within one process a committed batch is never
-          // redelivered, but the marker check makes the invariant
-          // independent of the stream engine's delivery behavior.)
+        // buffer only batches that are NOT yet committed: an
+        // already-committed batch is in the rebuild's corpus
+        // snapshot (the maybeRebuildAsync contract), so draining a
+        // replay of it would duplicate its codes in the published
+        // artifact. (Within one process a committed batch is never
+        // redelivered, but the marker check makes the invariant
+        // independent of the stream engine's delivery behavior.)
+        val needBuffer = running.get && {
           val cpP = new Path(checkpointDir)
           val cfs = cpP.getFileSystem(spark.sessionState.newHadoopConf())
-          if (!graft.sink.BatchCommit.isCommitted(cfs, cpP, batchId))
-            vectors.write.mode("overwrite")
-              .parquet(new Path(pendingDir, s"batch=$batchId").toString)
+          !graft.sink.BatchCommit.isCommitted(cfs, cpP, batchId)
         }
         ingestVectorsBatch(spark, path, checkpointDir, batchId, vectors,
           dim, m, ksub, autoCompactMaxFiles, autoCompactTargetBytes)
+        // buffer AFTER the ingest commits: a batch whose ingest threw
+        // is not in the checkpoint and will be replayed in full — if
+        // it sat in the buffer, a later publish would drain it while
+        // the replay re-appends it, duplicating its vectors
+        if (needBuffer)
+          vectors.write.mode("overwrite")
+            .parquet(new Path(pendingDir, s"batch=$batchId").toString)
       }
 
     /** Inline drift check; when drifted and no rebuild is already in
@@ -735,17 +749,40 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
         try {
           val build = buildFn.getOrElse((c: DataFrame) =>
             Similarity.buildIvfPqResidualIndex(c, dim, m, ksub, nCentroids))
+          // batch dirs present at publish time on the DISCARD branch
+          // (our lock was reclaimed): the winner's artifact lacks
+          // their drain and the post-loop reconcile must supply it.
+          // Captured as an explicit list, not "whatever is in
+          // pendingDir later" — a batch ingested AFTER the winner's
+          // publish already lives in the winner's artifact, and
+          // draining it too would duplicate its vectors.
+          var unreconciled: Seq[Path] = Nil
           fs.delete(new Path(path, Marker), false) // force the rebuild
           buildGuarded(spark, path, () => build(corpusSnapshot),
             aroundPublish = (tmp, publish) => monitor.synchronized {
-              drainPendingInto(tmp)
-              publish()
-              fs.delete(pendingDir, true)
-              // flip INSIDE the monitor: the ingest call blocked on it
-              // must resume on the normal path against the published
-              // artifact, not buffer against a rebuild that is done
-              running.set(false)
+              val batches = listPendingBatches()
+              drainInto(tmp, batches)
+              if (publish()) { fs.delete(pendingDir, true); unreconciled = Nil }
+              else unreconciled = batches
             })
+          // Reclaim-anomaly reconcile: frozen-codebook append of the
+          // captured window batches into the winner's live artifact
+          // (the appendToIndex semantics), so no committed batch is
+          // ever missing. This path only exists outside the
+          // single-writer contract (a waiter misjudged our heartbeat
+          // dead); if the winner's corpus already included these rows
+          // the append double-counts them — the residual risk of a
+          // broken contract, logged loudly.
+          if (unreconciled.nonEmpty) monitor.synchronized {
+            logWarning(s"async rebuild of $path lost its lock " +
+              "mid-publish; draining the rebuild window's " +
+              s"${unreconciled.size} batch(es) into the winner's artifact")
+            drainInto(path, unreconciled)
+            unreconciled.foreach(b => fs.delete(b, true))
+          }
+          // count completion BEFORE running flips: a caller waking
+          // from awaitIdle must observe completedRebuilds already
+          // incremented (running is cleared only in the finally)
           done.incrementAndGet()
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -758,19 +795,24 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
       true
     }
 
-    /** Re-encode the rebuild window's buffered arrivals against the
-      * STAGED artifact's fresh codebooks and append them to its codes
-      * table — called under the build lock AND the ingest monitor,
-      * immediately before the atomic swap, so the published artifact
-      * is complete the instant it becomes visible.
+    private def listPendingBatches(): Seq[Path] =
+      if (!fs.exists(pendingDir)) Nil
+      else fs.listStatus(pendingDir).filter(_.isDirectory)
+        .map(_.getPath).toSeq
+
+    /** Re-encode the given buffered batch dirs against `artifact`'s
+      * codebooks and append them to its codes table — called under
+      * the build lock AND the ingest monitor immediately before the
+      * atomic swap (so the published artifact is complete the instant
+      * it becomes visible), and from the reclaim reconcile.
       */
-    private def drainPendingInto(stagedArtifact: String): Unit =
-      if (fs.exists(pendingDir) && fs.listStatus(pendingDir).nonEmpty) {
-        val pending = spark.read.parquet(pendingDir.toString)
+    private def drainInto(artifact: String, batches: Seq[Path]): Unit =
+      if (batches.nonEmpty) {
+        val pending = spark.read.parquet(batches.map(_.toString): _*)
           .select("nid", "nv")
-        val idx = load(spark, stagedArtifact)
+        val idx = load(spark, artifact)
         Similarity.encodeForIndex(idx, pending, dim, m, ksub)
-          .write.mode("append").parquet(s"$stagedArtifact/codes")
+          .write.mode("append").parquet(s"$artifact/codes")
       }
 
     /** Wait for an in-flight rebuild to finish; true when idle. */
@@ -781,15 +823,6 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
       !running.get
     }
   }
-
-  def driftMaintainer(
-      spark: SparkSession,
-      path: String,
-      dim: Int,
-      m: Int = 4,
-      ksub: Int = 8,
-      nCentroids: Int = 16): DriftMaintainer =
-    new DriftMaintainer(spark, path, dim, m, ksub, nCentroids)
 
   /** Long-lived probe handle: [[current]] re-reads the index
     * whenever its files changed on disk, so a probe session sees

@@ -178,6 +178,26 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.confirmedRegressions(adj) shouldBe empty
   }
 
+  test("a flag that cannot finish inside the budget is skipped up front") {
+    // cheapest-first puts the most expensive flag last, nearest the
+    // deadline; without a cost estimate it would START at t=deadline-1
+    // and overrun the budget by its full re-measure cost (the r10
+    // overrun shape). With costFactor = isolated runs, the estimate
+    // skips it: rerun_required, artifact intact.
+    val flagged = Map("q_cheap" -> (1.0, 2.0), "q_arc" -> (5.0, 15.0))
+    var clock = 0L
+    val remeasured = collection.mutable.Buffer[String]()
+    // budget 30 "seconds": q_cheap (est 2x5=10s) fits; after it the
+    // clock is at 12s and q_arc (est 15x5=75s) cannot finish
+    val adj = BenchGuard.adjudicate(flagged, { n =>
+      remeasured += n; clock += 12000L; 1.0
+    }, deadline = 30000L, now = () => clock, costFactor = 5.0)
+    remeasured.toSeq shouldBe Seq("q_cheap")
+    adj("q_arc") shouldBe BenchGuard.Adjudication(5.0, 15.0, -1.0, 1.0)
+    BenchGuard.verdicts(adj)("q_arc") shouldBe "rerun_required"
+    BenchGuard.confirmedRegressions(adj) shouldBe empty
+  }
+
   test("a degraded WINDOW suppresses every confirm, even at sentinel-healthy instants") {
     // r10: the window drifted 11.76x overall while 8 flags caught
     // instantaneously-healthy sentinel moments (ratio ~1.0) — their
@@ -220,8 +240,12 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     val unsafeRaw = """{"value":563.0,"queries":{"q_a":2.0},"baseline_unsafe":true}"""
     val unsafeTail = """{"rc":0,"tail":"...\"baseline_unsafe\":true,\"q_a\":2.0..."}"""
     val safeRaw = """{"value":290.0,"queries":{"q_a":1.0},"baseline_unsafe":false}"""
+    // a truncated tail can lose baseline_unsafe but keep the (earlier
+    // or legacy) window_degraded marker — equivalent poison
+    val unsafeLegacy = """{"queries":{"q_a":2.0},"window_degraded":true}"""
     BenchGuard.isBaselineUnsafe(unsafeRaw) shouldBe true
     BenchGuard.isBaselineUnsafe(unsafeTail) shouldBe true
+    BenchGuard.isBaselineUnsafe(unsafeLegacy) shouldBe true
     BenchGuard.isBaselineUnsafe(safeRaw) shouldBe false
     // pickBaseline skips the unsafe newest round, lands on the safe one
     val files = Seq("BENCH_r9.json", "BENCH_r10.json")

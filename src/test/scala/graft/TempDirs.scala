@@ -26,9 +26,13 @@ trait TempDirs extends BeforeAndAfterAll { this: Suite =>
     finally synchronized {
       import scala.jdk.CollectionConverters._
       for (p <- created)
-        try Files.walk(p).iterator().asScala.toSeq.reverseIterator
-          .foreach(f => try Files.deleteIfExists(f)
-          catch { case _: Exception => () })
-        catch { case _: Exception => () }
+        try {
+          // Files.walk holds open DirectoryStreams until closed
+          val walk = Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverseIterator
+            .foreach(f => try Files.deleteIfExists(f)
+            catch { case _: Exception => () })
+          finally walk.close()
+        } catch { case _: Exception => () }
     }
 }
