@@ -54,7 +54,7 @@ object KMeans {
       k: Int,
       iters: Int,
       scaleBits: Int = 10): DataFrame =
-    train(corpus, idCol, vecCol, k, iters, scaleBits, assignStep)
+    train(corpus, idCol, vecCol, k, iters, scaleBits, assignRowsCos)
 
   /** [[kmeansCodebook]] under squared-L2 instead of cosine — the
     * metric FAISS trains PQ sub-quantizers with, and the right one
@@ -71,7 +71,7 @@ object KMeans {
       k: Int,
       iters: Int,
       scaleBits: Int = 10): DataFrame =
-    train(corpus, idCol, vecCol, k, iters, scaleBits, assignStepL2)
+    train(corpus, idCol, vecCol, k, iters, scaleBits, assignRowsL2)
 
   private def train(
       corpus: DataFrame,
@@ -96,9 +96,14 @@ object KMeans {
       .localCheckpoint()
 
     for (_ <- 1 to iters) {
+      // the assignment is a zero-shuffle projection that KEEPS the
+      // vector column, so the update aggregates straight off it — no
+      // argmax shuffle and no corpus join-back per round (same
+      // winners: array_max/min over the exact structs the old
+      // hash-agg compared)
       val assigned = assign(c, cent)
       // exact quantized per-dimension mean, rounded once to float
-      val upd = c.join(assigned, "id")
+      val upd = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("cid"), col("pos"),
           floor(col("x").cast("double") * scale).cast("long").as("q"))
@@ -159,16 +164,23 @@ object KMeans {
         col("v").as("cv"), lit(0L).as("n"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val withN2 = cent.select(col("grp"), col("cid"), col("cv"),
-        floatDot(col("cv"), col("cv")).as("cn2"))
-      val assigned = c.join(broadcast(withN2), Seq("grp"))
-        .select(col("grp"), col("id"),
+      // per-group codebooks collapsed to one array row each; the
+      // argmin is a zero-shuffle projection that keeps `v`, so the
+      // update aggregates straight off it — no (grp, id) argmin
+      // shuffle, no corpus join-back (identical winners: array_min
+      // over the exact structs the old hash-agg compared)
+      val centsByGrp = cent
+        .select(col("grp"), col("cid"), col("cv"),
+          floatDot(col("cv"), col("cv")).as("cn2"))
+        .groupBy(col("grp"))
+        .agg(array_sort(
+          collect_list(struct(col("cid"), col("cv"), col("cn2")))).as("cents"))
+      val assigned = c.join(broadcast(centsByGrp), Seq("grp"))
+        .withColumn("cid", array_min(transform(col("cents"), ct =>
           struct(
-            (col("cn2") - lit(2.0) * floatDot(col("v"), col("cv"))).as("cmp"),
-            col("cid").as("cid")).as("sc"))
-        .groupBy("grp", "id").agg(min(col("sc")).as("m"))
-        .select(col("grp"), col("id"), col("m.cid").as("cid"))
-      val upd = c.join(assigned, Seq("grp", "id"))
+            (ct("cn2") - lit(2.0) * floatDot(col("v"), ct("cv"))).as("cmp"),
+            ct("cid").as("cid"))))("cid"))
+      val upd = assigned
         .select(col("grp"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("grp"), col("cid"), col("pos"),
           floor(col("x").cast("double") * scale).cast("long").as("q"))
@@ -200,42 +212,59 @@ object KMeans {
   }
 
   /** One Lloyd assignment pass: (id, cid) nearest-centroid over a
-    * broadcast codebook — corpus × k-row broadcast, then a slim
-    * (id, struct)-argmax hash agg with map-side combine. Public so
-    * plan audits can gate the INNER round's physical shape (the
-    * trained codebook itself is a checkpointed RDD whose plan no
-    * longer shows the training pipeline).
+    * broadcast codebook. The codebook is collapsed to ONE array row
+    * and the argmax runs as a pure per-row projection (`array_max`
+    * over the exact (cos, −cid, cid) structs the former hash-agg
+    * compared — identical winners), so the pass has no ×k explode, no
+    * argmax shuffle and no join-back: the corpus never leaves its
+    * scan partitions. Public so plan audits can gate the INNER
+    * round's physical shape (the trained codebook itself is a
+    * checkpointed RDD whose plan no longer shows the training
+    * pipeline).
     */
-  def assignStep(c: DataFrame, cent: DataFrame): DataFrame = {
-    val withNorm = cent.select(
-      col("cid"), col("cv"), floatNorm(col("cv")).as("cnorm"))
-    // max(struct) = max cos, tie -> max(-cid) = min cid
-    c.crossJoin(broadcast(withNorm))
-      .select(col("id"),
-        struct(
-          (floatDot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-      .groupBy("id").agg(max(col("sc")).as("m"))
-      .select(col("id"), col("m.cid").as("cid"))
-  }
+  def assignStep(c: DataFrame, cent: DataFrame): DataFrame =
+    assignRowsCos(c, cent).select(col("id"), col("cid"))
 
   /** One squared-L2 Lloyd assignment pass, the [[assignStep]] shape
     * with the PQ-encoder comparator: `‖c‖² − 2·v·c` (the candidate's
     * own `‖v‖²` is constant within its argmin and dropped — the
     * [[Similarity.pqCodes]] discipline, so both engines compare the
     * exact same doubles), ties to the lowest cluster id via
-    * min(struct).
+    * min(struct) — here `array_min` over the same structs.
     */
-  def assignStepL2(c: DataFrame, cent: DataFrame): DataFrame = {
-    val withN2 = cent.select(
-      col("cid"), col("cv"), floatDot(col("cv"), col("cv")).as("cn2"))
-    c.crossJoin(broadcast(withN2))
-      .select(col("id"),
+  def assignStepL2(c: DataFrame, cent: DataFrame): DataFrame =
+    assignRowsL2(c, cent).select(col("id"), col("cid"))
+
+  /** Cosine assignment as a projection that KEEPS every input column
+    * (plus `cid`), so the training round's update aggregation reads
+    * the vector straight off the assignment pass — no corpus
+    * join-back. `c` must carry `vnorm` (the train loop's contract).
+    */
+  private def assignRowsCos(c: DataFrame, cent: DataFrame): DataFrame = {
+    val arr = cent
+      .select(col("cid"), col("cv"), floatNorm(col("cv")).as("cnorm"))
+      .agg(array_sort(
+        collect_list(struct(col("cid"), col("cv"), col("cnorm")))).as("cents"))
+    c.crossJoin(broadcast(arr))
+      .withColumn("cid", array_max(transform(col("cents"), ct =>
         struct(
-          (col("cn2") - lit(2.0) * floatDot(col("v"), col("cv"))).as("cmp"),
-          col("cid").as("cid")).as("sc"))
-      .groupBy("id").agg(min(col("sc")).as("m"))
-      .select(col("id"), col("m.cid").as("cid"))
+          (floatDot(col("v"), ct("cv")) / (col("vnorm") * ct("cnorm"))).as("cos"),
+          (-ct("cid")).as("ncid"), ct("cid").as("cid"))))("cid"))
+      .drop("cents")
+  }
+
+  /** Squared-L2 twin of [[assignRowsCos]]. */
+  private def assignRowsL2(c: DataFrame, cent: DataFrame): DataFrame = {
+    val arr = cent
+      .select(col("cid"), col("cv"), floatDot(col("cv"), col("cv")).as("cn2"))
+      .agg(array_sort(
+        collect_list(struct(col("cid"), col("cv"), col("cn2")))).as("cents"))
+    c.crossJoin(broadcast(arr))
+      .withColumn("cid", array_min(transform(col("cents"), ct =>
+        struct(
+          (ct("cn2") - lit(2.0) * floatDot(col("v"), ct("cv"))).as("cmp"),
+          ct("cid").as("cid"))))("cid"))
+      .drop("cents")
   }
 
   /** Same as [[Clusters]]' helper: free the block-manager storage

@@ -103,6 +103,94 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = VectorExpressions.floatDot(a, b)
 
+  /** A k-row codebook collapsed to ONE broadcastable array row
+    * (cid-sorted, so plans are deterministic). Every assignment /
+    * encode that used to explode the corpus ×k through an argmax
+    * hash-agg and join the winner back now runs as a pure per-row
+    * projection against this array: no ×k row blow-up, no argmax
+    * shuffle, no corpus join-back — the corpus never leaves its scan
+    * partitions during an encode (guide §2.3/§2.4; at 100 TB the
+    * difference between shuffling |C|·k slim rows twice and shuffling
+    * nothing). The argmax itself is `array_max` over the SAME
+    * (cos, ncid, cid) structs the old hash-agg compared — identical
+    * multiset, identical ordering semantics, so the winning cid (and
+    * every downstream hash) is bit-identical.
+    */
+  private def centArray(cent: DataFrame): DataFrame =
+    cent.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv"), col("cnorm")))).as("cents"))
+
+  /** The argmax-cosine struct per row: max over (cos, −cid, cid[, cv])
+    * — exactly the comparator of the old `max(struct)` aggregation
+    * (ties to the lowest cid). `cv` rides along for residual fusion
+    * and is never compared: cid is unique, so ordering is decided by
+    * the first three fields.
+    */
+  private def nearestStruct(v: Column, vn: Column, cents: Column): Column =
+    array_max(transform(cents, ct =>
+      struct(
+        (dot(v, ct("cv")) / (vn * ct("cnorm"))).as("cos"),
+        (-ct("cid")).as("ncid"), ct("cid").as("cid"), ct("cv").as("cv"))))
+
+  /** Assignment + residual in ONE projection pass over the corpus:
+    * (nid, cid, rv = v − assigned centroid). Replaces the
+    * assignToCentroids → residuals join pipeline inside the index
+    * build/encode paths — same winners, same float subtraction, zero
+    * shuffles and zero joins over the corpus.
+    */
+  private def assignResiduals(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.withColumn("nnorm", norm(col("nv")))
+      .crossJoin(broadcast(centArray(cent)))
+      .withColumn("best", nearestStruct(col("nv"), col("nnorm"), col("cents")))
+      .select(col("nid"), col("best.cid").as("cid"),
+        zip_with(col("nv"), col("best.cv"), (a, b) => a - b).as("rv"))
+
+  /** The PQ sub-codebook collapsed to ONE broadcastable array row,
+    * NESTED per subspace (`subs[sm]` = that subspace's codewords,
+    * code-sorted): the per-subspace grouping is paid once on the
+    * (m·ksub)-row build side, so the per-corpus-row encoder never
+    * slices or copies the grid.
+    */
+  private def subArray(sub: DataFrame, m: Int): DataFrame =
+    sub.agg(array_sort(
+      collect_list(struct(col("sm"), col("code"), col("cn2"), col("scv"))))
+      .as("flat"))
+      .select(transform(sequence(lit(0), lit(m - 1)), mi =>
+        filter(col("flat"), s => s("sm") === mi)).as("subs"))
+
+  /** Binds `c` once and evaluates `f` over it — the HOF-lambda `let`:
+    * a singleton transform, so per-row intermediates (the subspace
+    * slice of `v`, the comparison array) are computed exactly once
+    * instead of per codeword.
+    */
+  private def bind1(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Per-row PQ encoder as a pure projection: for each of the `m`
+    * subspaces, argmin over that subspace's codewords of
+    * `‖c‖² − 2·v_m·c` — the exact comparator of the old exploded
+    * `min(struct)` aggregation, evaluated over the same doubles, so
+    * the codes are bit-identical. Ties: `array_position` finds the
+    * FIRST minimal comparison in the code-sorted grid — the lowest
+    * code, exactly the old `min(struct(cmp, code))` tie-break. The
+    * comparison array is flat doubles (no per-codeword struct
+    * allocation), the subspace slice of `v` and the grid lookup are
+    * bound once per row via [[bind1]].
+    */
+  private def codesProj(v: Column, subs: Column, dim: Int, m: Int): Column = {
+    val subLen = dim / m
+    transform(sequence(lit(0), lit(m - 1)), mi =>
+      bind1(slice(v, mi * lit(subLen) + lit(1), lit(subLen))) { vm =>
+        bind1(element_at(subs, mi + lit(1))) { grid =>
+          bind1(transform(grid, s =>
+            s("cn2") - lit(2.0) * dot(vm, s("scv")))) { cmps =>
+            element_at(transform(grid, s => s("code")),
+              array_position(cmps, array_min(cmps)).cast("int"))
+          }
+        }
+      })
+  }
+
   def norm(a: Column): Column = VectorExpressions.floatNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -289,16 +377,13 @@ object Similarity {
       .select(col("id").as("cid"), col("v").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
     val c = corpus.withColumn("vnorm", norm(col("v")))
-    // nearest centroid per vector; max(struct) = max cos, tie ->
-    // max(-cid) = min cid (the ivfTopK assignment, verbatim)
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("id"),
-        struct(
-          (dot(col("v"), col("cv")) / (col("vnorm") * col("cnorm"))).as("cos"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-      .groupBy("id").agg(max(col("sc")).as("m"))
-      .select(col("id"), col("m.cid").as("cid"))
-    val members = c.join(assigned, "id")
+    // nearest centroid per vector as a zero-shuffle projection (the
+    // ivfTopK assignment, verbatim comparator — identical winners, no
+    // ×k explode, no argmax shuffle, no join-back)
+    val members = c.crossJoin(broadcast(centArray(cent)))
+      .withColumn("cid",
+        nearestStruct(col("v"), col("vnorm"), col("cents"))("cid"))
+      .drop("cents")
     val a = members.select(col("cid"), col("id").as("ida"),
       col("v").as("va"), col("vnorm").as("na"))
     val b = members.select(col("cid"), col("id").as("idb"),
@@ -345,16 +430,13 @@ object Similarity {
       .select(col("nid").as("cid"), col("nv").as("cv"))
       .withColumn("cnorm", norm(col("cv")))
     val c = corpus.withColumn("nnorm", norm(col("nv")))
-    // nearest centroid per corpus vector; max(struct) = max cos, tie
-    // -> max(-cid) = min cid
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("nid"),
-        struct(
-          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-      .groupBy("nid").agg(max(col("sc")).as("m"))
-      .select(col("nid"), col("m.cid").as("cid"))
-    val lists = c.join(assigned, "nid")
+    // nearest centroid per corpus vector as a zero-shuffle projection
+    // (array_max over the same (cos, −cid, cid) structs the old
+    // hash-agg compared — identical winners); no assignment join-back
+    val lists = c.crossJoin(broadcast(centArray(cent)))
+      .withColumn("cid",
+        nearestStruct(col("nv"), col("nnorm"), col("cents"))("cid"))
+      .drop("cents")
     val q = queries.withColumn("qnorm", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
@@ -419,18 +501,11 @@ object Similarity {
       .select(col("sm"), col("code"),
         slice(col("cv"), col("sm") * lit(subLen) + lit(1), lit(subLen)).as("scv")))
       .withColumn("cn2", dot(col("scv"), col("scv")))
-    val argmin = corpus.crossJoin(broadcast(sub))
-      .select(col("nid"), col("sm"),
-        struct(
-          (col("cn2") - lit(2.0) * dot(
-            slice(col("nv"), col("sm") * lit(subLen) + lit(1), lit(subLen)),
-            col("scv"))).as("cmp"),
-          col("code")).as("sc"))
-      .groupBy("nid", "sm").agg(min(col("sc")).as("mn"))
-      .select(col("nid"), col("sm"), col("mn.code").as("code"))
-    val codes = argmin.groupBy("nid")
-      .agg(transform(array_sort(collect_list(struct(col("sm"), col("code")))),
-        s => s("code")).as("codes"))
+    // the encoder is a pure projection against the one-row broadcast
+    // grid — see [[codesProj]]: no ×(m·ksub) corpus explode, no argmin
+    // shuffle, no per-nid pivot agg; codes are bit-identical
+    val codes = corpus.crossJoin(broadcast(subArray(sub, m)))
+      .select(col("nid"), codesProj(col("nv"), col("subs"), dim, m).as("codes"))
     (sub, codes)
   }
 
@@ -569,7 +644,9 @@ object Similarity {
       ksub: Int = 8,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    val (cent, assigned) = coarseAssign(corpus, nCentroids)
+    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
     val q = queries.withColumn("qnorm", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid").asc)
@@ -579,9 +656,17 @@ object Similarity {
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nProbe)
       .select(col("qid"), col("cid"))
-    val (sub, codes) = pqCodes(corpus, dim, m, ksub)
+    val (sub, _) = pqCodes(corpus, dim, m, ksub)
     val (qWide, cn) = adcTables(queries, sub, dim / m)
-    val cand = codes.join(assigned, "nid")
+    // list assignment + PQ encode fused into one zero-shuffle corpus
+    // projection — no codes⋈assigned join (identical cids and codes)
+    val cand = corpus.withColumn("nnorm", norm(col("nv")))
+      .crossJoin(broadcast(centArray(cent)))
+      .withColumn("cid",
+        nearestStruct(col("nv"), col("nnorm"), col("cents"))("cid"))
+      .crossJoin(broadcast(subArray(sub, m)))
+      .select(col("nid"), col("cid"),
+        codesProj(col("nv"), col("subs"), dim, m).as("codes"))
       .join(broadcast(probes), "cid")
       .join(broadcast(qWide), "qid")
     adcRank(cand, cn, k, m, ksub)
@@ -669,8 +754,11 @@ object Similarity {
       nCentroids: Int = 16,
       subCodebook: Option[DataFrame] = None): IvfPqResidualIndex = {
     val subLen = dim / m
-    val (cent, assigned) = coarseAssign(corpus, nCentroids)
-    val res = residuals(corpus, cent, assigned)
+    val cent = corpus.orderBy(col("nid").asc).limit(nCentroids)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    // assignment + residual fused into one zero-shuffle corpus pass
+    val res = assignResiduals(corpus, cent)
     val resCorpus = res.select(col("nid"), col("rv").as("nv"))
     val sub0 = subCodebook.getOrElse {
       val seeds = resCorpus.orderBy(col("nid").asc).limit(ksub)
@@ -686,8 +774,13 @@ object Similarity {
         .select(col("sm"), col("code"),
           coalesce(col("tr_scv"), col("seed_scv")).as("scv"))
     }
-    val (sub, codes) = pqCodes(resCorpus, dim, m, ksub, Some(sub0))
-    IvfPqResidualIndex(cent, sub, codes.join(assigned, "nid"))
+    // encode keeps the residual pass's cid — (nid, codes, cid) in the
+    // legacy join-output column order, with no codes⋈assigned join
+    val sub = sub0.withColumn("cn2", dot(col("scv"), col("scv")))
+    val codes = res.crossJoin(broadcast(subArray(sub, m)))
+      .select(col("nid"),
+        codesProj(col("rv"), col("subs"), dim, m).as("codes"), col("cid"))
+    IvfPqResidualIndex(cent, sub, codes)
   }
 
   /** FAISS-style `add`: encode NEW vectors against a FROZEN index —
@@ -720,11 +813,15 @@ object Similarity {
       dim: Int,
       m: Int = 4,
       ksub: Int = 8): DataFrame = {
-    val assigned = assignToCentroids(newCorpus, index.centroids)
-    val res = residuals(newCorpus, index.centroids, assigned)
-    val (_, codes) = pqCodes(res.select(col("nid"), col("rv").as("nv")),
-      dim, m, ksub, Some(index.subCodebook.select("sm", "code", "scv")))
-    codes.join(assigned, "nid")
+    // assignment, residual and PQ encode fused into one zero-shuffle
+    // projection pass over the arrivals (same winners, same doubles,
+    // bit-identical codes — see [[centArray]]/[[codesProj]])
+    val res = assignResiduals(newCorpus, index.centroids)
+    val sub = index.subCodebook.select(col("sm"), col("code"), col("scv"))
+      .withColumn("cn2", dot(col("scv"), col("scv")))
+    res.crossJoin(broadcast(subArray(sub, m)))
+      .select(col("nid"),
+        codesProj(col("rv"), col("subs"), dim, m).as("codes"), col("cid"))
   }
 
   /** Probe half of [[ivfPqResidualTopK]]: score `queries` against a
@@ -860,16 +957,11 @@ object Similarity {
     * The incremental-ingest primitive: new vectors join the lists of
     * a frozen quantizer.
     */
-  def assignToCentroids(corpus: DataFrame, cent: DataFrame): DataFrame = {
-    val c = corpus.withColumn("nnorm", norm(col("nv")))
-    c.crossJoin(broadcast(cent))
+  def assignToCentroids(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.withColumn("nnorm", norm(col("nv")))
+      .crossJoin(broadcast(centArray(cent)))
       .select(col("nid"),
-        struct(
-          (dot(col("nv"), col("cv")) / (col("nnorm") * col("cnorm"))).as("cos"),
-          (-col("cid")).as("ncid"), col("cid").as("cid")).as("sc"))
-      .groupBy("nid").agg(max(col("sc")).as("mx"))
-      .select(col("nid"), col("mx.cid").as("cid"))
-  }
+        nearestStruct(col("nv"), col("nnorm"), col("cents"))("cid").as("cid"))
 
   /** Residual corpus (nid, cid, rv = v − assigned centroid), float-
     * exact (`zip_with` float subtraction). Train a residual

@@ -138,25 +138,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("IVF candidate search is a broadcast hash join on list ids") {
-    // centroid assignment is intentionally corpus × 16-row-broadcast;
-    // the candidate search itself must be an equi-join on cid, and the
-    // assignment argmax must keep map-side partial aggregation
+    // centroid assignment is a zero-shuffle projection against the
+    // one-row collected codebook (r11 — the old shape exploded ×k
+    // through a partial_max hash-agg and joined the winner back); the
+    // candidate search itself must be an equi-join on cid
     val p = plan("q_ann_ivf")
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast-hash:\n$p")
-    // partial_max SPECIFICALLY: a bare partial_ would match any other
-    // partial aggregate in the plan and never fail for this purpose
-    assert(p.contains("partial_max"),
-      s"assignment argmax lost map-side combine:\n$p")
+    assert(p.contains("array_max"), s"assignment argmax missing:\n$p")
+    assert(!p.contains("hashpartitioning(nid"),
+      s"assignment shuffles the corpus (argmax agg / join-back is back):\n$p")
   }
 
-  test("PQ scan scores broadcast tables against codes — no cartesian, argmin combines map-side") {
+  test("PQ scan scores broadcast tables against codes — no cartesian, zero-shuffle encode") {
     // the ADC scan is intentionally codes × |Q|-row broadcast; the
-    // encoder argmin must keep its partial min(struct) combine so only
-    // slim (nid, sm, struct) partials reach the exchange
+    // encoder is a per-row projection against the one-row collected
+    // sub-codebook grid (r11 — the old shape exploded the corpus
+    // ×(m·ksub) through a partial_min hash-agg plus a per-nid pivot
+    // agg), so the corpus must reach the ADC scan without ANY
+    // corpus-keyed exchange
     val p = plan("q_ann_pq")
     assert(!p.contains("CartesianProduct"), s"PQ plans an unbroadcast all-pairs join:\n$p")
-    assert(p.contains("partial_min"),
-      s"encoder argmin lost map-side combine:\n$p")
+    assert(p.contains("array_min"), s"encoder argmin missing:\n$p")
+    assert(!p.contains("hashpartitioning(nid"),
+      s"encoder shuffles the corpus (argmin agg / pivot agg is back):\n$p")
   }
 
   test("relevance and repetition aggregations keep map-side combine") {
@@ -576,20 +580,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("kmeans assignment broadcasts the codebook and keeps partial argmax") {
+  test("kmeans assignment broadcasts the codebook and stays shuffle-free") {
     // the trained codebook is a checkpointed RDD (its plan is opaque
-    // by design), so gate the inner round's assignment step directly
+    // by design), so gate the inner round's assignment step directly.
+    // r11: the assignment is a pure projection against the one-row
+    // collected codebook — the corpus side must show NO exchange at
+    // all (the old shape exploded ×k through a partial_max hash-agg
+    // keyed on id, then joined the winner back)
     import org.apache.spark.sql.functions.{col, lit}
     val e = Tables.embeddings(spark, sf)
     val c = e.select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("vnorm", graft.functions.VectorExpressions.floatNorm(col("v")))
     val cent = e.orderBy(col("vec_id").asc).limit(8)
       .select(lit(0L).as("cid"), col("embedding").as("cv"))
-    val p = graft.ops.KMeans.assignStep(c, cent)
-      .queryExecution.executedPlan.toString
+    val df = graft.ops.KMeans.assignStep(c, cent)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), s"codebook not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
-    assert(p.contains("partial_max"),
-      s"assignment argmax lost map-side combine:\n$p")
+    assert(p.contains("array_max"), s"assignment argmax missing:\n$p")
+    // the only exchange allowed is the k-row codebook collapse (a
+    // SinglePartition agg) + its broadcast — never a corpus-keyed one
+    assert(!p.contains("hashpartitioning(id"),
+      s"assignment shuffles the corpus again:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"assignment joins the corpus back:\n$p")
   }
 }
