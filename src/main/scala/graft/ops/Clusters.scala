@@ -53,7 +53,17 @@ object Clusters {
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val undirected = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with ONE explode pass, not union-with-reversal: the
+    // pair list is the output of a whole candidate pipeline (LSH /
+    // fuzzy join / phash blocking) and is not persisted by callers, so
+    // the union shape evaluated that entire lineage twice just to
+    // materialize this frame (same rows either way — row order is
+    // irrelevant to the min-label fold)
+    val undirected = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = undirected.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))

@@ -50,8 +50,10 @@ object FuzzyJoin {
   /** Zero-preserving per-row neighbor counts: (idCol, n_fuzzy). */
   def editDistance1Counts(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val pairs = editDistance1Pairs(df, idCol, strCol)
-    val undirected = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id")))
+    // both endpoints in ONE pass: the union-of-two-projections shape
+    // evaluated the whole blocking/verify pipeline twice
+    val undirected = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
     df.select(col(idCol).as("id"))
       .join(undirected.groupBy("id").agg(count(lit(1)).as("n_fuzzy")), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("n_fuzzy"), lit(0L)).as("n_fuzzy"))

@@ -48,19 +48,30 @@ object Graphs {
     // laid out and only the (node-sized) rank frame shuffles; without
     // this every round re-exchanges the full edge list (distinct()
     // leaves it partitioned on (src, dst), which satisfies nothing)
-    val edges = edgesIn
+    val edges0 = edgesIn
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // loop-INVARIANT frames are built once and materialized, not
+    // re-derived per round (the old shape recomputed the node
+    // distinct and the outdeg aggregation — one full edge pass plus a
+    // shuffle each — inside every iteration): outdeg is fused onto
+    // the edge frame (still src-partitioned, so the per-round rank
+    // join needs no edge-side exchange and no second deg join), and
+    // the node universe is checkpointed. Contributions are identical
+    // integer arithmetic — bit-identical ranks.
+    val edges = edges0
+      .join(edges0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val nodes = edges0.select(col("src").as("node"))
+      .union(edges0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    edges0.unpersist()
     var ranks = nodes.select(col("node"), lit(Scale).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
       val inflow = edges
         .join(ranks, edges("src") === ranks("node"))
-        .join(deg, "src")
         .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("s"))
       val next = nodes
@@ -72,7 +83,8 @@ object Graphs {
       unpersistCheckpoint(ranks)
       ranks = next
     }
-    edges.unpersist()
+    unpersistCheckpoint(edges)
+    unpersistCheckpoint(nodes)
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
@@ -548,13 +560,20 @@ object Graphs {
       .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
         col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
       .select(col("src"), col("dst"), explode(col("ws")).as("w"))
-    t3.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .unionAll(t3.select(least(col("src"), col("w")).as("a"),
-        greatest(col("src"), col("w")).as("b")))
-      .unionAll(t3.select(least(col("dst"), col("w")).as("a"),
-        greatest(col("dst"), col("w")).as("b")))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    // credit all three edges of each triangle in ONE pass over the
+    // closure stream: the old union-of-three-projections shape
+    // evaluated the whole t3 pipeline (two adjacency joins + the
+    // sorted-merge intersection + explode) once per branch — same
+    // (a, b) multiset, same counts, one evaluation
+    t3.select(explode(array(
+        struct(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        struct(least(col("src"), col("w")).as("a"),
+          greatest(col("src"), col("w")).as("b")),
+        struct(least(col("dst"), col("w")).as("a"),
+          greatest(col("dst"), col("w")).as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
   }
 
   private def trussOut(e: DataFrame): DataFrame =
