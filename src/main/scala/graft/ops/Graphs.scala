@@ -141,10 +141,18 @@ object Graphs {
       .localCheckpoint()
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient each edge by the (deg, id) total order
-    val withDeg = e
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // orient each edge by the (deg, id) total order. Under
+    // broadcastAdjacency the degree frame (node-sized — strictly
+    // smaller than the adjacency lists already being broadcast under
+    // the same memory claim) broadcasts into both joins, so the edge
+    // frame reaches the orientation without ever shuffling; without
+    // the flag both joins shuffle on node id as before.
+    val (degA, degB) = {
+      val da = deg.select(col("v").as("a"), col("deg").as("da"))
+      val db = deg.select(col("v").as("b"), col("deg").as("db"))
+      if (broadcastAdjacency) (broadcast(da), broadcast(db)) else (da, db)
+    }
+    val withDeg = e.join(degA, "a").join(degB, "b")
     val oriented = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst")))

@@ -83,8 +83,15 @@ object KMeans {
       assign: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val scale = (1L << scaleBits).toDouble
+    // persisted across the seeds pass and every Lloyd round (the
+    // one-scan discipline): without it each round re-runs the input
+    // lineage — at a rebuild call site that is a parquet scan +
+    // residual projection per round. ContextCleaner frees the blocks
+    // once the returned frame is unreferenced; the explicit unpersist
+    // below releases them at the last possible use.
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vnorm", floatNorm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // seeds: k lowest ids, cid = 0-based rank in id order (the seed
     // frame is k rows, so the unpartitioned window is bounded by
@@ -127,6 +134,8 @@ object KMeans {
       unpersistCheckpoint(cent)
       cent = next
     }
+    // the final round's cent is checkpointed — c has no reader left
+    c.unpersist()
 
     cent
       .select(col("cid"), col("n"), posexplode(col("cv")).as(Seq("pos", "x")))
@@ -154,7 +163,11 @@ object KMeans {
       scaleBits: Int = 10): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val scale = (1L << scaleBits).toDouble
+    // persisted across seeds + rounds (see [[train]]): the caller's
+    // lineage here is the subspace-slice explode of the residual
+    // corpus — re-running it per round costs a corpus pass each
     val c = corpus.select(col("grp"), col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-group seeds: the k lowest ids, cid 0..k-1 in id order
     var cent = c
       .withColumn("rn", row_number().over(
@@ -204,6 +217,8 @@ object KMeans {
       unpersistCheckpoint(cent)
       cent = next
     }
+    // the final round's cent is checkpointed — c has no reader left
+    c.unpersist()
     cent
       .select(col("grp"), col("cid"), col("n"),
         posexplode(col("cv")).as(Seq("pos", "x")))
