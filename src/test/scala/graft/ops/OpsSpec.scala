@@ -382,6 +382,37 @@ class OpsSpec extends AnyFunSuite with graft.TempDirs {
     assert(part.nonEmpty && part.size <= 6)
   }
 
+  test("projection assignment equals a plain-Scala argmax, ties to lowest cid") {
+    // r11: assignToCentroids became a zero-shuffle array_max projection
+    // — pin its winners (including exact ties from duplicated centroid
+    // vectors) against an independently-computed argmax over the same
+    // double arithmetic
+    val dupVecs = vecs ++ Seq((100L, vecs.head._2), (101L, vecs(1)._2))
+    val c = dupVecs.toDF("nid", "nv")
+    val cent = vecs.sortBy(_._1).take(4).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    // centroids 2 and 3 are DUPLICATES of 0 and 1: every cosine ties
+    // and the winner must be the lowest cid
+    val centDup = cent ++ Seq((2L, cent(0)._2), (3L, cent(1)._2))
+    val centDf = centDup.toDF("cid", "cv")
+      .withColumn("cnorm", graft.functions.VectorExpressions.floatNorm($"cv"))
+    val got = Similarity.assignToCentroids(c, centDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(v: Array[Float], cv: Array[Float]): Double = {
+      var d = 0.0; var nv = 0.0; var nc = 0.0
+      for (i <- v.indices) {
+        d += v(i).toDouble * cv(i).toDouble
+        nv += v(i).toDouble * v(i).toDouble
+        nc += cv(i).toDouble * cv(i).toDouble
+      }
+      d / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    for ((id, v) <- dupVecs) {
+      val want = centDup.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+      assert(got(id) == want, s"nid $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("PQ codes pick the nearest sub-centroid per subspace, ties to lowest code") {
     val df = vecs.toDF("id", "v").select($"id".as("nid"), $"v".as("nv"))
     val (_, codes) = Similarity.pqCodes(df, dim = 8, m = 2, ksub = 4)
