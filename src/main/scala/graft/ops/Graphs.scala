@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics beyond [[Clusters]]' connected components:
@@ -360,6 +359,14 @@ object Graphs {
     * are checkpointed per round and the superseded round freed, the
     * [[integerPageRank]] iteration discipline.
     *
+    * Broadcast note (r11, measured and REJECTED): broadcasting the
+    * node-sized labels/counted frames into the two per-round joins is
+    * plan-prettier (no join exchanges) but repeatably +1 s here — each
+    * round pays two driver collect+rebuild roundtrips where the
+    * shuffled path moves two node-sized frames between warm executors;
+    * the per-round aggregation exchanges (the actual cost) remain
+    * either way.
+    *
     * @return (node BIGINT, label BIGINT) after `iters` rounds.
     */
   def labelPropagation(
@@ -526,32 +533,47 @@ object Graphs {
       aCol: String,
       bCol: String,
       k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      broadcastAdjacency: Boolean = false): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     require(rounds >= 1, "rounds must be positive")
     var e = canonEdges(edgesIn, aCol, bCol)
     for (_ <- 1 to rounds) {
-      val keep = edgeSupport(e).filter(col("support") >= (k - 2).toLong)
+      val keep = edgeSupport(e, broadcastAdjacency)
+        .filter(col("support") >= (k - 2).toLong)
         .select("a", "b")
       val ne = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
       unpersistCheckpoint(e)
       e = ne
     }
-    trussOut(e)
+    trussOut(e, broadcastAdjacency)
   }
 
   /** Per-edge triangle support via the degree-oriented closure:
     * orient edges low-degree → high-degree, sorted-merge the two
     * adjacency lists, and credit all three edges of each found
     * triangle. O(√m) work per edge, never per-wedge rows.
+    *
+    * `broadcastAdjacency` is [[triangleCounts]]' flag with the same
+    * memory claim: the node-sized degree frame broadcasts into the two
+    * orientation joins and the adjacency-list frame into the two
+    * closure probes, so the surviving edge frame never shuffles inside
+    * a peel round — right whenever the edge list fits executor memory;
+    * at graphs beyond that leave false and all four joins shuffle on
+    * node id as before.
     */
-  private def edgeSupport(edges: DataFrame): DataFrame = {
+  private def edgeSupport(
+      edges: DataFrame,
+      broadcastAdjacency: Boolean = false): DataFrame = {
     val deg = edges.select(col("a").as("v"))
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    val withDeg = edges
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val (degA, degB) = {
+      val da = deg.select(col("v").as("a"), col("deg").as("da"))
+      val db = deg.select(col("v").as("b"), col("deg").as("db"))
+      if (broadcastAdjacency) (broadcast(da), broadcast(db)) else (da, db)
+    }
+    val withDeg = edges.join(degA, "a").join(degB, "b")
     val oriented = withDeg.select(
       when(col("da") < col("db")
           || (col("da") === col("db") && col("a") < col("b")),
@@ -561,10 +583,14 @@ object Graphs {
     val adj = oriented.groupBy(col("src"))
       .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint()
+    val adjU = adj.select(col("src"), col("nbrs").as("nu"))
+    val adjV = adj.select(col("src").as("dst"), col("nbrs").as("nv"))
+    val (probeU, probeV) =
+      if (broadcastAdjacency) (broadcast(adjU), broadcast(adjV))
+      else (adjU, adjV)
     val t3 = adj.select(col("src"), explode(col("nbrs")).as("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
-        Seq("dst"), "left")
+      .join(probeU, Seq("src"))
+      .join(probeV, Seq("dst"), "left")
       .withColumn("ws", graft.functions.GraphExpressions.sortedIntersect(
         col("nu"), coalesce(col("nv"), typedLit(Array.empty[Long]))))
       .select(col("src"), col("dst"), explode(col("ws")).as("w"))
@@ -584,8 +610,9 @@ object Graphs {
       .agg(count(lit(1)).as("support"))
   }
 
-  private def trussOut(e: DataFrame): DataFrame =
-    e.join(edgeSupport(e), Seq("a", "b"), "left")
+  private def trussOut(
+      e: DataFrame, broadcastAdjacency: Boolean = false): DataFrame =
+    e.join(edgeSupport(e, broadcastAdjacency), Seq("a", "b"), "left")
       .select(col("a").as("node_a"), col("b").as("node_b"),
         coalesce(col("support"), lit(0L)).as("support"))
 
@@ -606,7 +633,8 @@ object Graphs {
       aCol: String,
       bCol: String,
       k: Int,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      broadcastAdjacency: Boolean = false): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3")
     var e = canonEdges(edgesIn, aCol, bCol)
     var n = e.count()
@@ -616,7 +644,8 @@ object Graphs {
       if (r >= maxRounds)
         throw new IllegalStateException(
           s"k-truss did not converge within $maxRounds rounds")
-      val keep = edgeSupport(e).filter(col("support") >= (k - 2).toLong)
+      val keep = edgeSupport(e, broadcastAdjacency)
+        .filter(col("support") >= (k - 2).toLong)
         .select("a", "b")
       val ne = e.join(keep, Seq("a", "b"), "left_semi").localCheckpoint()
       val nn = ne.count()
@@ -626,7 +655,7 @@ object Graphs {
       n = nn
       r += 1
     }
-    trussOut(e)
+    trussOut(e, broadcastAdjacency)
   }
 
   /** Resource-Allocation node similarity over a bipartite edge list
@@ -766,8 +795,16 @@ object Graphs {
       .groupBy("u").agg(sum("a1").cast("decimal(18,0)").as("h2"))
     val a2 = e.join(h2, Seq("u"))
       .groupBy("t").agg(sum("h2").cast("decimal(28,0)").as("a2"))
+      // feeds the total AND the output rows: persist so the two
+      // consumers don't each replay the three-join lineage
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Σa₂ as a 1-row broadcast, NOT an unpartitioned window — the
+    // empty-partition window moves the whole authority frame into one
+    // task (the guide-§5 single-task shape); the decimal sum is exact
+    // and order-free, so the share doubles are bit-identical
+    val tot = a2.agg(sum(col("a2")).cast("decimal(38,0)").as("tot"))
     a2.join(broadcast(a1), Seq("t"))
-      .withColumn("tot", sum(col("a2")).over(Window.partitionBy()))
+      .crossJoin(broadcast(tot))
       .select(col("t").as("authority"),
         col("a1").cast("long").as("a1"),
         col("a2").cast("long").as("a2"),

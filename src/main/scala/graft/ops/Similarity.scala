@@ -279,10 +279,21 @@ object Similarity {
       k: Int,
       nPlanes: Int = DefaultPlanes,
       dim: Int = 64,
-      probeBits: Int = 1): DataFrame = {
-    val joined = lshCandidates(queries, corpus, nPlanes, dim, probeBits)
+      probeBits: Int = 1): DataFrame =
+    topKFromCandidates(lshCandidates(queries, corpus, nPlanes, dim, probeBits), k)
+
+  /** The exact-cosine rank step of [[lshTopK]] over a pre-computed
+    * candidate frame (qid, nid, cos) — exposed so a recall evaluation
+    * that needs BOTH the top-k and the candidate COUNT of one
+    * (nPlanes, probeBits) setting can price them off a single
+    * persisted [[lshCandidates]] frame instead of evaluating the
+    * bucket-join pipeline once per consumer. Identical operations to
+    * the fused path (row_number over (cos desc, nid asc)), so winners
+    * and ranks are bit-identical.
+    */
+  def topKFromCandidates(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    joined
+    cands
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
@@ -361,11 +372,12 @@ object Similarity {
     * stand-in, reproducible cross-engine; a trained
     * [[KMeans.kmeansCodebook]] drops in by replacing `cent`.
     *
-    * Scale shape: codebook broadcast; assignment argmaxes a SLIM
-    * (id, cid, cos) stream with map-side combine; the within-cluster
-    * pair join is a cid EQUI-join (no cartesian in the plan); dropped
-    * ids are a slim distinct anti-joined back. Skewed clusters are the
-    * operator's one pressure point — at 100 TB pick nCentroids so the
+    * Scale shape: codebook collapsed to one broadcast array row;
+    * assignment is a zero-shuffle per-row argmax projection
+    * ([[nearestStruct]] — the corpus never shuffles for it); the
+    * within-cluster pair join is a cid EQUI-join (no cartesian in the
+    * plan); dropped ids are a slim distinct anti-joined back. Skewed
+    * clusters are the operator's one pressure point — at 100 TB pick nCentroids so the
     * expected cluster fits a partition (the paper's k ≈ √|C|), and the
     * cid shuffle then bounds every pair list.
     */
@@ -408,15 +420,14 @@ object Similarity {
     * drops in by replacing `centroids`; everything downstream is
     * unchanged).
     *
-    * Scale shape: centroids broadcast everywhere; assignment computes
-    * |C|·k cosines in a narrow pass, then argmaxes on a SLIM
-    * (nid, cid, cos) stream — max(struct) hash-agg with map-side
-    * combine, no sort, no vector payloads through the shuffle — and
-    * joins the one-winner-per-vector assignment back to the corpus.
-    * The probe join explodes only the tiny query side ×nProbe. Ties
-    * argmax to the lowest centroid id, so assignment is deterministic
-    * (cosines themselves are bit-stable by the sequential-fold
-    * discipline).
+    * Scale shape: centroids broadcast everywhere (collapsed to one
+    * array row); assignment computes |C|·k cosines in a narrow pass
+    * and argmaxes them PER ROW as a projection ([[nearestStruct]]) —
+    * no explode, no argmax shuffle, no winner join-back; the corpus
+    * never leaves its scan partitions until the probe join. The probe
+    * join explodes only the tiny query side ×nProbe. Ties argmax to
+    * the lowest centroid id, so assignment is deterministic (cosines
+    * themselves are bit-stable by the sequential-fold discipline).
     */
   def ivfTopK(
       queries: DataFrame, // (qid, qv)
@@ -478,11 +489,13 @@ object Similarity {
     *    → 4 3-bit codes here: 256 bytes → 12 bits, the reason PQ scans
     *    survive RAM at corpus scale).
     *
-    * Scale shape: the codebook (m·ksub rows) broadcasts into one
-    * narrow corpus pass; the argmin is a slim (nid, sm, struct) hash
-    * agg with map-side combine (min(struct) — ties to the lowest
-    * code on both engines); the code-array pivot is a second slim agg
-    * keyed by nid. Vectors never shuffle.
+    * Scale shape: the codebook (m·ksub rows) collapses to one
+    * broadcastable array row and the whole encode is a single
+    * PROJECTION pass over the corpus ([[codesProj]]): the per-subspace
+    * argmin runs per row (first-position tie-break in the code-sorted
+    * grid = lowest code, on both engines), so there is no ×(m·ksub)
+    * explode, no argmin shuffle, and no per-nid pivot agg — the corpus
+    * never leaves its scan partitions.
     */
   def pqCodes(
       corpus: DataFrame, // (nid, nv)

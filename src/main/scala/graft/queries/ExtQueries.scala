@@ -237,7 +237,12 @@ object ExtQueries {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2L)
-      Graphs.kTrussPeel(edges, "pa", "pb", k = 3, rounds = 2)
+      // the ≥2-co-occurrence subgraph is a fraction of q_triangles'
+      // graph (whose adjacency already broadcasts above): node-sized
+      // degrees + oriented lists fit the same memory claim, so each
+      // peel round's four joins run without shuffling the edge frame
+      Graphs.kTrussPeel(edges, "pa", "pb", k = 3, rounds = 2,
+        broadcastAdjacency = true)
     }),
 
     // The CERTIFIED k-truss: support-peel to the fixpoint (edge count
@@ -256,7 +261,8 @@ object ExtQueries {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2L)
-      Graphs.kTrussConverged(edges, "pa", "pb", k = 3)
+      Graphs.kTrussConverged(edges, "pa", "pb", k = 3,
+        broadcastAdjacency = true)
     }),
 
     // Fuzzy self-join: per-supplier count of names within Levenshtein

@@ -198,11 +198,19 @@ object OpsQueries {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      // brute feeds one join per setting, and each setting's candidate
+      // frame feeds BOTH its top-k rank and its count: persist the
+      // slim projections once instead of evaluating the cross-join /
+      // bucket-join pipelines per consumer (ContextCleaner frees them
+      // once the returned frame is unreferenced)
       val brute = Similarity.bruteForceTopK(q, c, k = 5).select("qid", "nid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       AnnRecallSettings.map { case (np, pb) =>
-        val lsh = Similarity.lshTopK(q, c, k = 5, nPlanes = np, probeBits = pb)
-          .select(col("qid"), col("nid"), lit(1L).as("hit"))
         val cand = Similarity.lshCandidates(q, c, nPlanes = np, probeBits = pb)
+          .select(col("qid"), col("nid"), col("cos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lsh = Similarity.topKFromCandidates(cand, k = 5)
+          .select(col("qid"), col("nid"), lit(1L).as("hit"))
         brute.join(lsh, Seq("qid", "nid"), "left")
           .agg(count(lit(1)).as("n_true"),
             sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -239,9 +247,14 @@ object OpsQueries {
           .agg(count(lit(1)).as("n_true"),
             sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       val lshRows = AnnRecallSettings.map { case (np, pb) =>
-        recallOf(Similarity.lshTopK(q, c, k = 5, nPlanes = np, probeBits = pb))
-          .crossJoin(Similarity.lshCandidates(q, c, nPlanes = np, probeBits = pb)
-            .agg(count(lit(1)).as("n_candidates")))
+        // one persisted slim candidate frame per setting feeds both
+        // the top-k rank and the candidate count (q_ann_recall's
+        // sharing — the bucket-join pipeline evaluates once, not twice)
+        val cand = Similarity.lshCandidates(q, c, nPlanes = np, probeBits = pb)
+          .select(col("qid"), col("nid"), col("cos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        recallOf(Similarity.topKFromCandidates(cand, k = 5))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
           .select(lit(s"lsh_${np}_$pb").as("path"), col("n_true"),
             col("n_hits"), col("n_candidates"),
             lit(2048L).as("bits_per_vec"))

@@ -449,6 +449,8 @@ class PlanSpec extends AnyFunSuite {
       "q_sample_weighted", "q_stats_collect", "q_tfidf",
       "q_token_budget", "q_web_domains",
       "q_modularity", // 1-row edge-total broadcast
+      "q_hits", // 1-row Σa₂ broadcast (r11 — replaced the partitionless
+      // share window)
       "q_tpch_q11", // 1-row regional-total broadcast for the value cut
       "q_tpch_q22", // 1-row (sum_cents, n_pos) scalar-average broadcast
       "q_naive_bayes") // vocab × class-params and test-doc × class
@@ -498,7 +500,8 @@ class PlanSpec extends AnyFunSuite {
       // per-bucket OFFSETS summary (the cumDist shape, pooled group)
       "q_seasonal", // moving average over the calendar-bounded hourly
       // summary frame (one row per hour WITH data)
-      "q_hits", // share window over the authority-cardinality frame
+      // q_hits LEFT this set in r11: its share total is now a 1-row
+      // broadcast agg, not a window over the authority frame
       "q_mutual_info", // grand-total window over the |X|·|Y|-cell frame
       "q_sliding_distinct", // runningTotal's offsets window
       // (~numShufflePartitions rows; the q_shard_assign machinery)

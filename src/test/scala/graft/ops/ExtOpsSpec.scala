@@ -416,6 +416,28 @@ class ExtOpsSpec extends AnyFunSuite with graft.TempDirs {
     }
   }
 
+  test("kTrussPeel broadcastAdjacency variant equals the shuffled path") {
+    // r11: the flag only swaps the four per-round joins to broadcast
+    // (degrees into the orientation, adjacency into the closure) —
+    // same exact-integer supports either way
+    val rnd = new scala.util.Random(47)
+    val rand = (1 to 250).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    def run(bc: Boolean): Map[(Long, Long), Long] =
+      Graphs.kTrussPeel(rand.toDF("a", "b").repartition(4), "a", "b",
+        k = 3, rounds = 2, broadcastAdjacency = bc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+        .toMap
+    assert(run(bc = true) == run(bc = false))
+    def runConv(bc: Boolean): Map[(Long, Long), Long] =
+      Graphs.kTrussConverged(rand.toDF("a", "b").repartition(4), "a", "b",
+        k = 3, broadcastAdjacency = bc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("support"))
+        .toMap
+    assert(runConv(bc = true) == runConv(bc = false))
+  }
+
   test("converged peels reach the true core/truss where fixed rounds provably fall short") {
     // k-core: a 4-cycle with a pendant chain of 6 — the cascade
     // strips one chain layer per round, so 2 rounds leave chain
