@@ -89,8 +89,16 @@ object OpsQueries {
     // that difference instead of asserting it away.
     "q_minhash_recall" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // each pair pipeline feeds its own count AND the overlap join:
+      // persist the slim pair frames so the shingle→signature→verify
+      // lineages evaluate once per path, not twice (the q_ann_recall
+      // sharing; ContextCleaner frees them when unreferenced)
       val ex = Dedup.jaccardPairs(docs, "doc_id", "text")
+        .select("doc_id_a", "doc_id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mh = Dedup.minHashLshPairs(docs, "doc_id", "text")
+        .select("doc_id_a", "doc_id_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ex.agg(count(lit(1)).as("n_exact"))
         .crossJoin(mh.agg(count(lit(1)).as("n_minhash")))
         .crossJoin(ex.join(mh, Seq("doc_id_a", "doc_id_b"))
