@@ -19,9 +19,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // query-scoped persists would otherwise accumulate in the
+        // CacheManager across all 333 dumps (see Bench's boundary
+        // clear — same rationale, same lifecycle owner)
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        spark.catalog.clearCache()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run so the checker
         // reports a missing result instead of silently passing old data
