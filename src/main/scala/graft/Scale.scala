@@ -141,6 +141,14 @@ object ScaleBench {
     "ktruss" -> ((s, d) =>
       Graphs.kTrussPeel(liTrussEdges(Tables.lineitem(s, d)), "pa", "pb",
         k = 3, rounds = 2)),
+    // q_ktruss's exact configuration (broadcastAdjacency on): the r11
+    // call-site opt-in was bench-neutral at sf0.1 because AQE already
+    // converts those small joins — this row is the scale evidence the
+    // flag's contract rests on, measured against the shuffled "ktruss"
+    // row above at 1× and 10×
+    "ktruss_bcast" -> ((s, d) =>
+      Graphs.kTrussPeel(liTrussEdges(Tables.lineitem(s, d)), "pa", "pb",
+        k = 3, rounds = 2, broadcastAdjacency = true)),
     // the same peel WITHOUT the ≥2-co-occurrence cut — a graph 20×
     // the graded one, the stress row for the closure's scaling
     "ktruss_dense" -> ((s, d) =>

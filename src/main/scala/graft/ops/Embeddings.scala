@@ -75,12 +75,23 @@ object Embeddings {
     * sums, shuffling one row per dimension regardless of corpus
     * size; the fold is a single collected 64-struct array.
     *
+    * @param guardEmpty division-safe variant for programmatic gates
+    *        (e.g. the ANN drift trigger, which needs counts AND the
+    *        cosine from ONE corpus pass instead of a separate count
+    *        job): per-dimension terms where either cohort has no
+    *        component are folded as 0.0 instead of dividing by a zero
+    *        count, and the counts are coalesced to 0 on an empty
+    *        input. With both cohorts non-empty over fixed-dimension
+    *        vectors the output is bit-identical to the default; the
+    *        default (false) keeps the oracle-verified expressions
+    *        byte-for-byte.
     * @return 1 row: (n_a, n_b, cos_sim, l2_dist)
     */
   def centroidDrift(
       df: DataFrame,
       vecCol: String,
-      cohortWhen: org.apache.spark.sql.Column): DataFrame = {
+      cohortWhen: org.apache.spark.sql.Column,
+      guardEmpty: Boolean = false): DataFrame = {
     val comp = df
       .select(cohortWhen.as("a"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("a"), col("pos").cast("long").as("pos"),
@@ -91,17 +102,22 @@ object Embeddings {
         sum(when(col("a"), 1L).otherwise(0L)).as("na"),
         sum(when(!col("a"), col("q")).otherwise(0L)).as("qb"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    def term(t: String): String =
+      if (guardEmpty) s"CASE WHEN x.na = 0 OR x.nb = 0 THEN 0.0 ELSE $t END"
+      else t
+    def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (guardEmpty) coalesce(c, lit(0L)) else c
     comp
-      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      .agg(cnt(max(col("na"))).as("n_a"), cnt(max(col("nb"))).as("n_b"),
         sort_array(collect_list(struct(col("pos"), col("qa"), col("na"),
           col("qb"), col("nb")))).as("ds"))
       .select(col("n_a"), col("n_b"),
         expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
-            (acc, x) -> acc + ($DriftDot))""").as("dot"),
+            (acc, x) -> acc + (${term(DriftDot)}))""").as("dot"),
         expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
-            (acc, x) -> acc + ($DriftAa))""").as("aa"),
+            (acc, x) -> acc + (${term(DriftAa)}))""").as("aa"),
         expr(s"""aggregate(ds, CAST(0 AS DOUBLE),
-            (acc, x) -> acc + ($DriftBb))""").as("bb"))
+            (acc, x) -> acc + (${term(DriftBb)}))""").as("bb"))
       .select(col("n_a"), col("n_b"),
         expr("""CASE WHEN aa = 0.0 OR bb = 0.0 THEN NULL
                 ELSE dot/(sqrt(aa)*sqrt(bb)) END""").as("cos_sim"),

@@ -237,10 +237,13 @@ object ExtQueries {
         .groupBy(col("pa"), col("pb"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2L)
-      // the ≥2-co-occurrence subgraph is a fraction of q_triangles'
-      // graph (whose adjacency already broadcasts above): node-sized
-      // degrees + oriented lists fit the same memory claim, so each
-      // peel round's four joins run without shuffling the edge frame
+      // the ≥2-co-occurrence EDGE LIST is a fraction of q_triangles'
+      // already-broadcast one, so the same memory claim holds: the
+      // whole edge list (oriented adjacency is edge-sized in
+      // aggregate, NOT node-sized) must fit executor memory and
+      // Spark's 8 GB broadcast cap — revisit this opt-in before any
+      // data-scale change; each peel round's four joins then run
+      // without shuffling the edge frame
       Graphs.kTrussPeel(edges, "pa", "pb", k = 3, rounds = 2,
         broadcastAdjacency = true)
     }),
