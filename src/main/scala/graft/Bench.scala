@@ -86,9 +86,13 @@ object Bench {
         .agg(max("h")).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // clear + verify at a query boundary; returns 1 when entries
-    // survived the clear (a leak the artifact must surface, not a
-    // stderr-only warning)
+    // clear + assert at a query boundary. The emptiness check is an
+    // INVARIANT assertion (clearCache drains the same CacheManager it
+    // inspects, so a non-zero count means the clear itself broke —
+    // e.g. an API change), not a litter detector: per-query persist
+    // litter is expected and is exactly what the clear removes. The
+    // count ships in the artifact so a violated invariant is visible
+    // there, not only on stderr.
     def clearCacheBoundary(): Int = {
       spark.catalog.clearCache()
       if (spark.sharedState.cacheManager.isEmpty) 0 else 1
@@ -114,11 +118,13 @@ object Bench {
     // Mid-sweep sentinel trace (r11 verdict #3): the start/end
     // sentinel pair can't see degradation INSIDE the window — r11's
     // driver sweep read a contiguous 6–85× anomaly block mid-sweep
-    // between two healthy endpoints. One untimed reading every
-    // `SentinelEvery` queries (≈5 s per full sweep) makes any such
-    // block attributable post-hoc from the artifact alone: a trace
-    // spike next to it is machine weather, a flat trace is plan or
-    // pollution.
+    // between two healthy endpoints. A median-of-3 untimed reading
+    // every `SentinelEvery` queries (median, not a single shot — a
+    // lone reading right after a heavy query inherits its async
+    // cleanup, the ScaleBench lesson; ≈20 s per full sweep) makes any
+    // such block attributable post-hoc from the artifact alone: a
+    // trace spike next to it is machine weather, a flat trace is plan
+    // or pollution.
     val SentinelEvery = 25
     val sentinelTrace = scala.collection.mutable.ListBuffer.empty[Double]
     var cacheLeaks = 0
@@ -126,7 +132,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results: Seq[(String, Double)] =
       toRun.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % SentinelEvery == 0) sentinelTrace += sentinelOnce()
+        if (i % SentinelEvery == 0)
+          sentinelTrace += median((1 to 3).map(_ => sentinelOnce()))
         val r =
           try name -> median((1 to runs).map(_ => timeOnce(fn)))
           catch {
@@ -158,15 +165,28 @@ object Bench {
     // explicit self-candidate fallback when the redirect target has
     // no previous numbers.
     val chosenBaseline: Option[(String, Map[String, Double])] = {
-      val selfPath =
-        if (Files.exists(Paths.get(outPath))) outPath
-        else "bench_out.json"
-      val selfTxt =
-        if (Files.exists(Paths.get(selfPath)))
-          Some(Files.readString(Paths.get(selfPath)))
-        else None
-      val selfQueries =
-        selfTxt.map(BenchGuard.parseQueryTimes).getOrElse(Map.empty)
+      val currentNames = results.map(_._1).toSet
+      val minCoverage = results.size / 2
+      // self-candidates in precedence order: the previous content of
+      // this run's own output file, then the committed full sweep. A
+      // candidate must actually cover this run's queries — a stale
+      // subset artifact at outPath (e.g. bench_out.subset.json from a
+      // DIFFERENT bisection) must not shadow the committed 333-query
+      // sweep, which is the r11-verdict-#2 blindness in one more
+      // disguise.
+      val selfCandidate = Seq(outPath, "bench_out.json").distinct
+        .filter(p => Files.exists(Paths.get(p)))
+        .map(p => (p, Files.readString(Paths.get(p))))
+        .map { case (p, txt) => (p, txt, BenchGuard.parseQueryTimes(txt)) }
+        .find { case (_, txt, qs) =>
+          !BenchGuard.isBaselineUnsafe(txt) &&
+            (qs.keySet intersect currentNames).size >=
+              math.max(1, minCoverage)
+        }
+      val (selfPath, selfQueries, selfUnsafe) = selfCandidate match {
+        case Some((p, _, qs)) => (p, qs, false)
+        case None => (outPath, Map.empty[String, Double], true)
+      }
       sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
         .filter(p => Files.exists(Paths.get(p)))
         .map(p => p -> BenchGuard.parseQueryTimes(Files.readString(Paths.get(p))))
@@ -175,9 +195,9 @@ object Bench {
             .getOrElse(Array.empty).map(_.getName).toSeq
           BenchGuard.chooseBaseline(selfPath, selfQueries,
             names, p => Files.readString(Paths.get(p)),
-            minCoverage = results.size / 2,
-            currentNames = results.map(_._1).toSet,
-            selfUnsafe = selfTxt.exists(BenchGuard.isBaselineUnsafe))
+            minCoverage = minCoverage,
+            currentNames = currentNames,
+            selfUnsafe = selfUnsafe)
         }
     }
     val regressions: Map[String, (Double, Double)] = {
@@ -222,8 +242,12 @@ object Bench {
           s""""baseline":"$p","baseline_n":${qs.size}"""
         case None => s""""baseline":"none","baseline_n":0"""
       }
+      // Double.toString, never a locale-dependent format: f"%.3f"
+      // renders "0,547" under comma-decimal default locales, which
+      // silently corrupts the machine-parsed array
       val traceJson = sentinelTrace
-        .map(v => f"$v%.3f").mkString("[", ",", "]")
+        .map(v => (math.round(v * 1000) / 1000.0).toString)
+        .mkString("[", ",", "]")
       val sentinelJson =
         s""""sentinel_base":$sentinelBase,"sentinel_end":$sentinelEnd""" +
           s""","sentinel_drift":$sentinelDriftRaw""" +
@@ -309,10 +333,12 @@ object Bench {
     val adjudicated = BenchGuard.adjudicate(regressions, name => {
       val fn = SparkEntry.queries(name)
       // same per-query cache lifecycle as the sweep: start clean,
-      // runs 2..n warm, leave nothing behind for the next flag
-      val m = median((1 to isolatedRuns).map(_ => timeOnce(fn)))
-      cacheLeaks += clearCacheBoundary()
-      m
+      // runs 2..n warm, leave nothing behind for the next flag — in a
+      // finally, so a thrown re-measure (adjudicate records iso = -1)
+      // can't leak its half-built caches into the NEXT flag's
+      // isolated reading
+      try median((1 to isolatedRuns).map(_ => timeOnce(fn)))
+      finally cacheLeaks += clearCacheBoundary()
     }, sentinel = sentinelOnce _, sentinelBase = sentinelBase,
       deadline = adjDeadline, costFactor = isolatedRuns.toDouble)
     // degraded = the machine was measurably slower at sweep end or at

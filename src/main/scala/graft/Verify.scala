@@ -27,7 +27,6 @@ object Verify {
         // clear — same rationale, same lifecycle owner)
         spark.catalog.clearCache()
       } catch { case e: Throwable =>
-        spark.catalog.clearCache()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale output from a previous run so the checker
         // reports a missing result instead of silently passing old data
@@ -38,6 +37,12 @@ object Verify {
           }
           rm(dir)
         }
+        // boundary clear for the failure path too — AFTER the stale
+        // output removal and swallowed, so a session-fatal error
+        // (stopped context) can neither skip the removal nor abort
+        // the remaining dumps
+        try spark.catalog.clearCache()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -43,14 +43,20 @@ object AnnIndexStore extends org.apache.spark.internal.Logging {
         pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = w()
         }))
-      futs.foreach { f =>
-        try f.get()
+      // await EVERY write (success or failure) before surfacing the
+      // first error: rethrowing early would hand control back to the
+      // caller's cleanup (buildGuarded deletes the staging dir) while
+      // a sibling write job is still emitting task output into it
+      val errs = futs.flatMap { f =>
+        try { f.get(); None }
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
+            Some(Option(e.getCause).getOrElse(e))
+          case e: InterruptedException => Some(e)
         }
       }
-    } finally { pool.shutdownNow(); () }
+      errs.headOption.foreach(throw _)
+    } finally { pool.shutdown(); () }
   }
 
   def save(index: IvfPqResidualIndex, path: String): Unit = {
